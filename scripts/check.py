@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local correctness harness mirroring the driver's DuckDB-oracle compare.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+Reads each <verifyOutDir>/<query>/ parquet (written by graft.Verify), runs
+the matching SQL from oracle_sql.json in DuckDB against the raw tables in
+<sfDir>, and compares row counts, sorted column names, and sorted values.
+"""
+import sys, json, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def table_key(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_rows_only = 0
+    for qdir in sorted(glob.glob(f"{out_dir}/*/")):
+        name = qdir.rstrip("/").split("/")[-1]
+        files = glob.glob(f"{qdir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no parquet output")
+            n_fail += 1
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchall()
+        got_cols = [d[0] for d in con.description]
+        if name not in oracle:
+            status = "ROWS" if len(got) > 0 else "EMPTY"
+            print(f"{status} {name}: {len(got)} rows (no oracle)")
+            n_rows_only += 1
+            continue
+        try:
+            exp = con.execute(oracle[name]).fetchall()
+            exp_cols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            n_fail += 1
+            continue
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        gk, ek = table_key(got, got_cols), table_key(exp, exp_cols)
+        if len(gk) != len(ek):
+            print(f"FAIL {name}: rows {len(gk)} != {len(ek)}")
+            n_fail += 1
+        elif gk != ek:
+            bad = next(i for i, (a, b) in enumerate(zip(gk, ek)) if a != b)
+            print(f"FAIL {name}: value mismatch at sorted-row {bad}:")
+            print(f"   got {gk[bad]}")
+            print(f"   exp {ek[bad]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(gk)} rows")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

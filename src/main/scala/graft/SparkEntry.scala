@@ -1,13 +1,35 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator inventory (SURVEY.md §2) re-expressed
+  * Spark-first; `oracleSql` holds the DuckDB-equivalent ANSI SQL for every
+  * SQL-expressible query (same column names/rounding on both sides).
+  * Queries without an oracle entry (elections, LSH, geohash, lang-ID) are
+  * rows-only checked by the driver and exact-semantics checked in the
+  * ScalaTest suites.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The §3.1 StreamingAppV3 pipeline restated: filter → per-key grouped
+    * point history → dedup+cap → best-location election.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    GeoQueries.defs("q40_best_location")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.defs ++ TextQueries.defs ++ VectorQueries.defs ++
+      GeoQueries.defs
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys → driver rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles ++ TextQueries.oracles ++
+      VectorQueries.oracles ++ GeoQueries.oracles
 }

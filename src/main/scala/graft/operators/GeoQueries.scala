@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Row}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GeoFunctions._
+import Elections.Pt
+
+/** Geospatial operator surface (SURVEY.md §2.8) + the flagship
+  * best-location election pipeline (§3.1 restated Spark-first).
+  *
+  * The test tables carry no coordinates, so geo queries derive
+  * deterministic synthetic lat/lng from integer columns — identical
+  * integer→double arithmetic on both engines, so haversine oracles are
+  * exact up to rounding.
+  */
+object GeoQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** events + deterministic synthetic coordinates and accuracy. */
+  private[graft] def geoEvents(s: SparkSession, dir: String): DataFrame =
+    RelationalQueries.ev(s, dir)
+      .withColumn("lat", (col("user_id") % 120) - 60 + col("value") / 1000.0)
+      .withColumn("lng", (col("event_id") % 340) - 170 + col("value") / 1000.0)
+      .withColumn("acc", col("value") % 120.0)
+
+  val defs: Map[String, Q] = Map(
+
+    // Haversine distance (pure Column math → codegen) from a fixed center,
+    // averaged per event type.
+    "q21_haversine_stats" -> ((s, dir) => {
+      geoEvents(s, dir)
+        .withColumn("dist_km",
+          haversineKm(col("lat"), col("lng"), lit(20.0), lit(78.0)))
+        .groupBy(col("event_type"))
+        .agg(round(avg("dist_km"), 3).as("avg_dist_km"),
+          round(min("dist_km"), 3).as("min_dist_km"),
+          round(max("dist_km"), 3).as("max_dist_km"))
+        .orderBy("event_type")
+    }),
+
+    // Geofence containment counts (reference TripTrackingService
+    // isInsideGeofences → boolean haversine expression).
+    "q22_geofence_hits" -> ((s, dir) => {
+      val g = geoEvents(s, dir)
+      g.groupBy(col("event_type"))
+        .agg(
+          sum(when(geofenceContains(col("lat"), col("lng"),
+            lit(20.0), lit(78.0), lit(3000.0)), 1).otherwise(0)).as("in_india_3000km"),
+          sum(when(geofenceContains(col("lat"), col("lng"),
+            lit(48.0), lit(2.0), lit(1000.0)), 1).otherwise(0)).as("in_europe_1000km"),
+          sum(when(geofenceContains(col("lat"), col("lng"),
+            lit(-30.0), lit(-60.0), lit(1500.0)), 1).otherwise(0)).as("in_sam_1500km"))
+        .orderBy("event_type")
+    }),
+
+    // Geohash spatial index cells (UDF — no SQL equivalent in DuckDB, so
+    // rows-only; encode/decode exactness is pinned by GeoFunctionsSpec
+    // against public test vectors).
+    "q23_geohash_cells" -> ((s, dir) => {
+      geoEvents(s, dir)
+        .withColumn("cell", geohashEncode(col("lat"), col("lng"), 5))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          round(avg("value"), 4).as("avg_value"))
+        .filter(col("n") >= 2)
+        .orderBy("cell")
+    }),
+
+    // Flagship (§3.1 StreamingAppV3 restated): filter → group per user →
+    // time-sorted point list → dedup-and-cap-100 → A10 best-location +
+    // A11 cluster-score election. collect_list is an ObjectHashAggregate
+    // with map-side partial merge; group state is capped (≤100 after
+    // dedup, election skipped >500) exactly like the reference, so group
+    // buffers stay bounded at any scale. Rows-only oracle (election is not
+    // SQL); exact semantics pinned by ElectionsSpec.
+    "q40_best_location" -> ((s, dir) => {
+      import s.implicits._
+      val pts = geoEvents(s, dir)
+        .filter(col("event_type").isin("click", "purchase") &&
+          col("acc") > 0 && col("acc") < 200)
+        .select(col("user_id"), col("lat"), col("lng"), col("acc"),
+          col("ts_ms"))
+      val grouped = pts
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(
+          col("ts_ms"), col("lat"), col("lng"), col("acc")))).as("pts"))
+      val elect = udf { (pts: Seq[Row]) =>
+        val points = pts.map(r => Pt(r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(0)))
+        val deduped = Elections.dedupAndCap(points)
+        val (blat, blng) = Elections.bestLatLng(deduped)
+        val (slat, slng, conf) = Elections.clusterScore(deduped)
+        (deduped.length, blat, blng, slat, slng, conf)
+      }
+      grouped
+        .withColumn("r", elect(col("pts")))
+        .select(col("user_id"),
+          col("r._1").as("n_points"),
+          round(col("r._2"), 6).as("best_lat"),
+          round(col("r._3"), 6).as("best_lng"),
+          round(col("r._4"), 6).as("score_lat"),
+          round(col("r._5"), 6).as("score_lng"),
+          col("r._6").as("confidence"))
+        .orderBy("user_id")
+    }),
+
+    // A13 delivery refinement: purchases = deliveries, views = GPS pings;
+    // range-join pings within ±30 min of each delivery (replaces the
+    // reference's collect-and-filter at DeliveryLocationRefinementService
+    // .scala:106), then DBSCAN-cluster + elect. Rows-only oracle.
+    "q41_delivery_refinement" -> ((s, dir) => {
+      import s.implicits._
+      val g = geoEvents(s, dir)
+      val deliveries = g.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("del_id"),
+          col("ts_ms").as("del_ts"), col("lat").as("del_lat"),
+          col("lng").as("del_lng"), col("acc").as("del_acc"))
+      val pings = g.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_ms").as("ping_ts"),
+          col("lat").as("ping_lat"), col("lng").as("ping_lng"),
+          col("acc").as("ping_acc"))
+      // co-partitioned equi-join on user_id + range predicate pushed into
+      // the join condition: one shuffle, no cartesian.
+      val joined = deliveries.join(pings,
+        deliveries("user_id") === pings("user_id") &&
+          pings("ping_ts").between(
+            deliveries("del_ts") - 1800000L, deliveries("del_ts") + 1800000L))
+        .select(deliveries("user_id"), col("del_id"), col("del_ts"),
+          col("del_lat"), col("del_lng"), col("del_acc"),
+          col("ping_ts"), col("ping_lat"), col("ping_lng"), col("ping_acc"))
+      val refined = joined
+        .groupBy(col("user_id"), col("del_id"), col("del_ts"),
+          col("del_lat"), col("del_lng"), col("del_acc"))
+        .agg(sort_array(collect_list(struct(col("ping_ts"), col("ping_lat"),
+          col("ping_lng"), col("ping_acc")))).as("pings"))
+      val refine = udf { (dLat: Double, dLng: Double, dTs: Long, dAcc: Double,
+                          pings: Seq[Row]) =>
+        val pts = pings.map(r => Pt(r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(0)))
+        val (lat, lng, ok) = Elections.refineDeliveryLocation(
+          dLat, dLng, dTs, dAcc, pts, epsM = 200000, minCount = 3)
+        (lat, lng, ok)
+      }
+      refined
+        .withColumn("r", refine(col("del_lat"), col("del_lng"),
+          col("del_ts"), col("del_acc"), col("pings")))
+        .select(col("del_id"),
+          round(col("r._1"), 6).as("refined_lat"),
+          round(col("r._2"), 6).as("refined_lng"),
+          col("r._3").as("was_refined"),
+          size(col("pings")).as("n_pings"))
+        .orderBy("del_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q21_haversine_stats" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    2 * 6371.0 * asin(sqrt(
+        |      pow(sin(radians(((user_id % 120) - 60 + value / 1000.0) - 20.0) / 2), 2) +
+        |      cos(radians(20.0)) * cos(radians((user_id % 120) - 60 + value / 1000.0)) *
+        |      pow(sin(radians(((event_id % 340) - 170 + value / 1000.0) - 78.0) / 2), 2)
+        |    )) AS dist_km
+        |  FROM events)
+        |SELECT event_type, round(avg(dist_km), 3) AS avg_dist_km,
+        |  round(min(dist_km), 3) AS min_dist_km,
+        |  round(max(dist_km), 3) AS max_dist_km
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q22_geofence_hits" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (user_id % 120) - 60 + value / 1000.0 AS lat,
+        |    (event_id % 340) - 170 + value / 1000.0 AS lng
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type,
+        |    2 * 6371.0 * asin(sqrt(pow(sin(radians(20.0 - lat) / 2), 2) +
+        |      cos(radians(lat)) * cos(radians(20.0)) * pow(sin(radians(78.0 - lng) / 2), 2))) AS d1,
+        |    2 * 6371.0 * asin(sqrt(pow(sin(radians(48.0 - lat) / 2), 2) +
+        |      cos(radians(lat)) * cos(radians(48.0)) * pow(sin(radians(2.0 - lng) / 2), 2))) AS d2,
+        |    2 * 6371.0 * asin(sqrt(pow(sin(radians(-30.0 - lat) / 2), 2) +
+        |      cos(radians(lat)) * cos(radians(-30.0)) * pow(sin(radians(-60.0 - lng) / 2), 2))) AS d3
+        |  FROM g)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN d1 < 3000.0 THEN 1 ELSE 0 END) AS BIGINT) AS in_india_3000km,
+        |  CAST(sum(CASE WHEN d2 < 1000.0 THEN 1 ELSE 0 END) AS BIGINT) AS in_europe_1000km,
+        |  CAST(sum(CASE WHEN d3 < 1500.0 THEN 1 ELSE 0 END) AS BIGINT) AS in_sam_1500km
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,448 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational operator surface (SURVEY.md §2.3-§2.7) as declarative
+  * DataFrame queries over the driver's TPC-H-ish tables. Every query:
+  *  - lets Catalyst do pruning/pushdown (no collects, no UDFs),
+  *  - ends in a deterministic ORDER BY,
+  *  - rounds derived doubles so the DuckDB oracle hash-matches,
+  *  - has its DuckDB-equivalent SQL in `oracles` (same column names).
+  *
+  * Scale notes are inline per query: which side broadcasts, where the
+  * shuffle lands, and why the plan survives 1000 executors.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** events with integer μs/ms columns derived from the raw nano ts — the
+    * same truncation DuckDB applies reading TIMESTAMP(NANOS), so oracle
+    * comparisons are integer-exact.
+    */
+  private[graft] def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+
+  val defs: Map[String, Q] = Map(
+
+    // A5/A6/A7 composite: hash-agg with partial aggregation; one shuffle on
+    // the (returnflag, linestatus) grouping key — low cardinality, so at
+    // 100 TB AQE coalesces the tiny post-shuffle stage.
+    "q01_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // P2/P3-style predicate + projection: filter and both projected columns
+    // push to the parquet scan (PushedFilters + 5-column ReadSchema).
+    "q02_filter_project" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag").isin("R", "A") &&
+          col("l_quantity").between(5, 45) &&
+          col("l_discount").between(0.02, 0.08))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("net_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // J1 3-way join: customer and orders are dims vs lineitem facts;
+    // customer broadcasts at any realistic scale, orders⋈lineitem shuffles
+    // on orderkey once and the groupBy reuses nothing further (different
+    // key) — classic star join, AQE handles skew.
+    "q03_segment_revenue" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // J2 left join vs dimension (reference: leftJoinWithCassandraTable) —
+    // dim side broadcasts; nulls from the left join are coalesced.
+    "q04_priority_acctbal" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(coalesce(col("c_acctbal"), lit(0.0))), 2).as("total_acctbal"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // J3 semi-join: replaces the reference's driver-collect + IN-pushdown
+    // (GeoTagOptimizedService.scala:157-162) — the key set stays
+    // distributed; Catalyst broadcasts the filtered side.
+    "q05_big_spender_semi" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // J5 anti-join (existence check, reference consistency checker).
+    "q06_no_big_order_anti" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(avg(col("c_acctbal")), 4).as("avg_acctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // J6 full-outer merge of two aggregates + ratio (reference does this
+    // with driver-side keySet union — here it stays distributed).
+    "q07_click_purchase_ratio" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_clicks"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_purchases"))
+      clicks.join(buys, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          round(coalesce(col("n_purchases"), lit(0L)) /
+            greatest(coalesce(col("n_clicks"), lit(0L)), lit(1L)), 4).as("buy_ratio"))
+        .orderBy("user_id")
+    }),
+
+    // A4 latest-record-per-key (reference reduceByKey argmax on parsed
+    // time). Window rank=1 with a total order (ts, event_id) so ties are
+    // deterministic on both engines.
+    "q08_latest_event" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      ev(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "ts_us", "value")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // A2 top-K per group (reference tail-100 cap → window row_number).
+    "q09_top3_orders" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_custkey", "rk")
+    }),
+
+    // A7 exact percentiles + moments per group (reference AccuracyAnalysis
+    // sort-based percentile → built-in `percentile`, spillable agg).
+    "q10_value_percentiles" -> ((s, dir) => {
+      ev(s, dir).groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"),
+          round(avg("value"), 4).as("mean_value"),
+          round(stddev_pop(col("value")), 4).as("stddev_value"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // A6 conditional-count histogram (reference accuracy buckets).
+    "q11_value_histogram" -> ((s, dir) => {
+      ev(s, dir).groupBy(col("event_type"))
+        .agg(
+          sum(when(col("value") < 50, 1).otherwise(0)).as("b0_50"),
+          sum(when(col("value") >= 50 && col("value") < 100, 1).otherwise(0)).as("b50_100"),
+          sum(when(col("value") >= 100 && col("value") < 500, 1).otherwise(0)).as("b100_500"),
+          sum(when(col("value") >= 500, 1).otherwise(0)).as("b500_plus"))
+        .orderBy("event_type")
+    }),
+
+    // A5 count per key.
+    "q12_user_type_counts" -> ((s, dir) => {
+      ev(s, dir).groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // A9 distinct.
+    "q13_distinct_types" -> ((s, dir) =>
+      ev(s, dir).select("event_type").distinct().orderBy("event_type")),
+
+    // A14 consecutive-session filter (reference GoodData.filterBad:26-47):
+    // drop a row when it is ≤120 s after its predecessor AND the
+    // "address" (event_type here) changed; then business-hour + value +
+    // type filters. lag() replaces the reference's sort-and-scan.
+    "q14_good_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      ev(s, dir)
+        .withColumn("prev_us", lag("ts_us", 1).over(w))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_us").isNull ||
+          !(col("ts_us") - col("prev_us") <= 120000000L &&
+            col("event_type") =!= col("prev_type")))
+        .filter(hour(col("event_ts")).between(7, 20) &&
+          col("event_type") === "purchase" && col("value") < 50)
+        .select("user_id", "event_id", "ts_us")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // §2.6 running aggregate window.
+    "q15_running_value" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          round(sum("value").over(w), 2).as("running_value"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // P1 JSON path extraction (reference json4s `\\` → get_json_object).
+    "q16_json_extract" -> ((s, dir) => {
+      ev(s, dir)
+        .withColumn("k_val", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("k_val"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .orderBy("k_val")
+    }),
+
+    // P5/P6/P7 KV-attribute bag: build a map column, extract by key,
+    // whitelist-filter, existence-check (MapType + element_at/map_filter).
+    "q17_attr_map" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("attrs", map(
+          lit("lang"), col("lang"),
+          lit("source"), col("source"),
+          lit("nc"), col("n_chars").cast("string")))
+        .withColumn("attrs_kept",
+          map_filter(col("attrs"), (k, _) => k.isin("lang", "nc")))
+        .select(col("doc_id"),
+          element_at(col("attrs"), "lang").as("lang_attr"),
+          map_contains_key(col("attrs"), "source").as("has_source"),
+          size(map_keys(col("attrs_kept"))).as("n_kept"))
+        .orderBy("doc_id")
+    }),
+
+    // P8 future/past timestamp audit (reference FuturePastEvents):
+    // received := device ts shifted by value-derived ms; classify skew.
+    "q18_future_past" -> ((s, dir) => {
+      // skew stays double-typed: a double→int cast here would truncate in
+      // Spark but round in DuckDB, breaking oracle parity.
+      ev(s, dir)
+        .withColumn("skew_ms", col("value") * 1000 - 100000.0)
+        .withColumn("clazz",
+          when(col("skew_ms") > 0, "future")
+            .when(col("skew_ms") < -50000.0, "past")
+            .otherwise("ok"))
+        .groupBy(col("clazz"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("clazz")
+    }),
+
+    // J4 union-merge (reference union + reduceByKey(:::)) — here
+    // unionByName + one hash-agg.
+    "q19_union_merge" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val a = e.filter(col("event_type") === "click")
+      val b = e.filter(col("event_type") === "purchase")
+      a.unionByName(b)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"),
+          max(col("ts_us")).as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
+    // P11 epoch split good/bad: single scan, one `when`, two aggregates —
+    // Catalyst reuses the exchange instead of two passes.
+    "q20_epoch_split" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .withColumn("epoch_flag",
+          when(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"), "good")
+            .otherwise("bad"))
+        .groupBy(col("epoch_flag"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_price"))
+        .orderBy("epoch_flag")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1 - l_discount), 4) AS net_price
+        |FROM lineitem
+        |WHERE l_returnflag IN ('R','A') AND l_quantity BETWEEN 5 AND 45
+        |  AND l_discount BETWEEN 0.02 AND 0.08
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_segment_revenue" ->
+      """SELECT c_mktsegment,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q04_priority_acctbal" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(coalesce(c_acctbal, 0.0)), 2) AS total_acctbal
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q05_big_spender_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_no_big_order_anti" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  round(avg(c_acctbal), 4) AS avg_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q07_click_purchase_ratio" ->
+      """WITH clicks AS (
+        |  SELECT user_id, count(*) AS n_clicks FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |buys AS (
+        |  SELECT user_id, count(*) AS n_purchases FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT coalesce(c.user_id, b.user_id) AS user_id,
+        |  coalesce(n_clicks, 0) AS n_clicks,
+        |  coalesce(n_purchases, 0) AS n_purchases,
+        |  round(coalesce(n_purchases, 0) /
+        |    greatest(coalesce(n_clicks, 0), 1), 4) AS buy_ratio
+        |FROM clicks c FULL OUTER JOIN buys b ON c.user_id = b.user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q08_latest_event" ->
+      """SELECT user_id, event_type, event_id, ts_us, value FROM (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q09_top3_orders" ->
+      """SELECT o_custkey, CAST(rk AS INT) AS rk, o_orderkey,
+        |  round(o_totalprice, 2) AS o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q10_value_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.95), 4) AS p95,
+        |  round(quantile_cont(value, 0.99), 4) AS p99,
+        |  round(avg(value), 4) AS mean_value,
+        |  round(stddev_pop(value), 4) AS stddev_value,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q11_value_histogram" ->
+      """SELECT event_type,
+        |  CAST(sum(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS BIGINT) AS b0_50,
+        |  CAST(sum(CASE WHEN value >= 50 AND value < 100 THEN 1 ELSE 0 END) AS BIGINT) AS b50_100,
+        |  CAST(sum(CASE WHEN value >= 100 AND value < 500 THEN 1 ELSE 0 END) AS BIGINT) AS b100_500,
+        |  CAST(sum(CASE WHEN value >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS b500_plus
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q12_user_type_counts" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q13_distinct_types" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+
+    "q14_good_sessions" ->
+      """SELECT user_id, event_id, ts_us FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value, ts,
+        |    lag(epoch_us(ts)) OVER w AS prev_us,
+        |    lag(event_type) OVER w AS prev_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) t
+        |WHERE (prev_us IS NULL OR
+        |       NOT (ts_us - prev_us <= 120000000 AND event_type <> prev_type))
+        |  AND hour(ts) BETWEEN 7 AND 20
+        |  AND event_type = 'purchase' AND value < 50
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q15_running_value" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  round(sum(value) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q16_json_extract" ->
+      """SELECT CAST(props->>'$.k' AS INT) AS k_val, count(*) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q17_attr_map" ->
+      """SELECT doc_id, lang AS lang_attr, TRUE AS has_source, 2 AS n_kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q18_future_past" ->
+      """SELECT clazz, count(*) AS n FROM (
+        |  SELECT CASE
+        |    WHEN value * 1000 - 100000.0 > 0 THEN 'future'
+        |    WHEN value * 1000 - 100000.0 < -50000.0 THEN 'past'
+        |    ELSE 'ok' END AS clazz
+        |  FROM events) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q19_union_merge" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value,
+        |  max(epoch_us(ts)) AS last_ts_us
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q20_epoch_split" ->
+      """SELECT CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |  THEN 'good' ELSE 'bad' END AS epoch_flag,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text analysis + deduplication over the `documents` table — the
+  * training-data-pipeline operator family (exact dedup, shingle-Jaccard,
+  * MinHash+LSH, SimHash, fingerprinting, quality, lang-ID, token stats).
+  *
+  * Scale design: every dedup variant is expressed as explode → shuffle on a
+  * compact key (shingle / band bucket / simhash band) → bounded self-join
+  * within key groups. No pairwise O(n²) over the corpus; candidate
+  * generation cost is Σ bucket² which LSH keeps near-linear. At 100 TB
+  * you'd additionally drop ultra-frequent shingles (stopword-shingle skew)
+  * — noted inline where it applies.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** (doc_id, shingle) distinct word-3-gram pairs. */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(wordNgrams(tokens(col("text")), 3)).as("s"))
+      .distinct()
+  }
+
+  val defs: Map[String, Q] = Map(
+
+    // Token statistics per language: whitespace tokens + BPE-ish tokens.
+    "q24_token_stats" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          tokenCount(col("text")).as("n_tok"),
+          bpeTokenCount(col("text")).as("n_bpe"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("n_tok"), 4).as("avg_tokens"),
+          round(avg("n_bpe"), 4).as("avg_bpe_tokens"),
+          sum("n_tok").as("total_tokens"))
+        .orderBy("lang")
+    }),
+
+    // Quality scoring per source: stopword/punct ratios + composite score.
+    "q25_quality" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("source"),
+          stopwordRatio(col("text")).as("stop_r"),
+          punctRatio(col("text")).as("punct_r"),
+          qualityScore(col("text")).as("q"))
+        .groupBy(col("source"))
+        .agg(round(avg("stop_r"), 4).as("avg_stop_ratio"),
+          round(avg("punct_r"), 4).as("avg_punct_ratio"),
+          round(avg("q"), 4).as("avg_quality"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    }),
+
+    // Language ID (trigram-profile heuristic) — confusion counts vs the
+    // labeled lang column. Not SQL-expressible → rows-only oracle;
+    // exactness pinned by TextFunctionsSpec instead.
+    "q26_langid" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"), langIdUdf(col("text")).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // Exact dedup via content hash (md5 of normalized text). Works at any
+    // scale: one hash-shuffle, map-side partial agg.
+    "q27_exact_dedup" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("h", md5(lower(col("text"))))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_doc"))
+        .agg(count(lit(1)).as("distinct_texts"),
+          sum("n_copies").as("total_docs"),
+          sum(when(col("n_copies") > 1, col("n_copies") - 1).otherwise(0L)).as("dup_docs"))
+    }),
+
+    // N-gram Jaccard near-dup pairs: explode 3-word shingles, self-join on
+    // shingle (only docs sharing ≥1 shingle ever meet — the blocking key),
+    // then exact |A∩B| / |A∪B|. At 100 TB: add a frequency cap on shingles
+    // (drop shingles in >0.1% of docs) to bound the hottest join key.
+    "q28_jaccard_pairs" -> ((s, dir) => {
+      val sh = shingled(s, dir).cache()
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.as("a"); val b = sh.as("b")
+      val shared = a.join(b,
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+        .join(counts.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+        .withColumn("jac", col("shared") / (col("n1") + col("n2") - col("shared")))
+        .filter(col("jac") >= 0.3)
+        .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
+        .orderBy("d1", "d2")
+    }),
+
+    // MinHash + LSH banding: 32-hash signature, 8 bands × 4 rows. Candidate
+    // pairs = docs sharing a band bucket; verified with exact Jaccard on
+    // the candidates only. This is the scale path: shuffle key = band
+    // bucket, Σ bucket² ≪ n². Rows-only oracle (hash seeds aren't SQL);
+    // DedupSpec proves candidates ⊇ true pairs at jaccard ≥ 0.5.
+    "q29_minhash_lsh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), wordNgrams(tokens(col("text")), 3).as("shingles"))
+        .filter(size(col("shingles")) > 0)
+      val sig = docs.withColumn("sig", minhashUdf(32)(col("shingles")))
+      val banded = sig.select(col("doc_id"), col("shingles"),
+        explode(lshBandsUdf(8, 4)(col("sig"))).as("bucket"))
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.shingles").as("sh1"), col("b.shingles").as("sh2"))
+        .distinct()
+      cand
+        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+        .withColumn("uni", size(array_union(col("sh1"), col("sh2"))))
+        .withColumn("jac", col("inter") / col("uni"))
+        .filter(col("jac") >= 0.5)
+        .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
+        .orderBy("d1", "d2")
+    }),
+
+    // SimHash near-dup: 64-bit signature, 4×16-bit bands as blocking keys,
+    // hamming ≤ 3 verification within buckets. Rows-only oracle.
+    "q30_simhash_pairs" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), simhashUdf(col("text")).as("sim"))
+      val banded = sh.select(col("doc_id"), col("sim"),
+        explode(array((0 until 4).map(b =>
+          concat_ws(":", lit(b),
+            shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).cast("string"))): _*)).as("bucket"))
+      banded.as("a").join(banded.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.sim").as("s1"), col("b.sim").as("s2"))
+        .distinct()
+        .withColumn("hamming", hammingUdf(col("s1"), col("s2")))
+        .filter(col("hamming") <= 3)
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")
+    }),
+
+    // Winnowing document fingerprints (k=5 chars, window=4): per-doc
+    // fingerprint count + min fingerprint (stable identity). Rows-only.
+    "q31_fingerprints" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), winnowingUdf(5, 4)(col("text")).as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_fps"),
+          array_min(col("fps")).as("min_fp"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q24_token_stats" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(n_tok), 4) AS avg_tokens,
+        |  round(avg(n_bpe), 4) AS avg_bpe_tokens,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q25_quality" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS toks,
+        |    len(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+        |    len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT source,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |      ELSE len(list_filter(toks, x -> x IN ('the','a','an','of','and','in','to','is','on','for'))) / CAST(len(toks) AS DOUBLE) END AS stop_r,
+        |    CASE WHEN n_nonspace = 0 THEN 0.0
+        |      ELSE n_punct / CAST(n_nonspace AS DOUBLE) END AS punct_r,
+        |    n_tok FROM t),
+        |q AS (
+        |  SELECT source, stop_r, punct_r,
+        |    round(least(n_tok / 20.0, 1.0) * 0.4 +
+        |      (1.0 - least(punct_r * 4, 1.0)) * 0.3 +
+        |      least(stop_r * 5, 1.0) * 0.3, 6) AS qual
+        |  FROM r)
+        |SELECT source, round(avg(stop_r), 4) AS avg_stop_ratio,
+        |  round(avg(punct_r), 4) AS avg_punct_ratio,
+        |  round(avg(qual), 4) AS avg_quality, count(*) AS n_docs
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q27_exact_dedup" ->
+      """WITH g AS (
+        |  SELECT md5(lower(text)) AS h, count(*) AS n_copies,
+        |    min(doc_id) AS keep_doc
+        |  FROM documents GROUP BY 1)
+        |SELECT count(*) AS distinct_texts,
+        |  CAST(sum(n_copies) AS BIGINT) AS total_docs,
+        |  CAST(sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS BIGINT) AS dup_docs
+        |FROM g""".stripMargin,
+
+    "q28_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |shingles AS (
+        |  SELECT DISTINCT doc_id, s
+        |  FROM (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+        |        WHERE len(t) >= 3)),
+        |counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id d1, b.doc_id d2, count(*) shared
+        |  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.d1, p.d2,
+        |  round(p.shared / (c1.n + c2.n - p.shared), 4) AS jac
+        |FROM pairs p JOIN counts c1 ON p.d1 = c1.doc_id
+        |JOIN counts c2 ON p.d2 = c2.doc_id
+        |WHERE p.shared / (c1.n + c2.n - p.shared) >= 0.3
+        |ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table + multimodal plumbing.
+  *
+  * Scale design: queries broadcast (they are the small side by
+  * construction); the corpus is scanned once, similarity is pure Column
+  * math inside whole-stage codegen, and top-k is a per-query-key window —
+  * a 1000-executor cluster does corpus-partition-parallel scoring with one
+  * shuffle of (n_queries × corpus_partition_topk) candidate rows. The SRP
+  * variant replaces the full scan with a bucket-equi-join (LSH), the
+  * standard ANN scale path when the corpus no longer fits a scan budget.
+  */
+object VectorQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 5
+  private val NQueries = 20
+
+  val defs: Map[String, Q] = Map(
+
+    // Per-label embedding norms: Column-math aggregate over the vectors.
+    "q32_embedding_norms" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("label"), l2Norm(col("embedding")).as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(avg("nrm"), 4).as("avg_norm"),
+          round(max("nrm"), 4).as("max_norm"))
+        .orderBy("label")
+    }),
+
+    // Brute-force exact cosine top-k: the correctness baseline every ANN
+    // variant is judged against. Query side (vec_id < 20) broadcasts.
+    "q33_ann_bruteforce" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosine(col("q_vec"), col("embedding")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"))
+        .orderBy("q_id", "rk")
+    }),
+
+    // LSH-bucketed ANN (sign-random-projection, 10 hyperplanes): corpus and
+    // queries bucketed by sign bits; candidates = same bucket; exact cosine
+    // + top-k within candidates. Rows-only oracle; SimilaritySpec measures
+    // recall vs q33 on sf0.001.
+    "q34_ann_srp" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("bucket", srpBucketUdf(10)(col("embedding")))
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("bucket"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      e.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosine(col("q_vec"), col("embedding")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"))
+        .orderBy("q_id", "rk")
+    }),
+
+    // Centroid per label (an IVF coarse-quantizer training step): mean
+    // vector via element-wise array aggregation — posexplode + groupBy
+    // keeps it shuffle-bounded by (labels × dims).
+    "q35_label_centroids" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(round(avg(col("x").cast("double")), 6).as("centroid_val"))
+        .filter(col("dim") < 4) // report first 4 dims; full vector in ANN use
+        .orderBy("label", "dim")
+    }),
+
+    // Multimodal plumbing (SURVEY brief): binary payload column + typed
+    // metadata + a clearly-stubbed deterministic "decode" producing feature
+    // columns. The Spark-side shape (binary col, schema, mapPartitions
+    // batch processing, partition control) is real; only the codec is fake
+    // because no image/audio libs exist in this container.
+    "q36_multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+          struct(col("lang"), col("source"), col("n_chars")).as(("meta")))
+      val feats = docs
+        .select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          // STUB decode: a real pipeline would batch-decode images/audio
+          // here (mapInPandas/JNI); we derive deterministic fake
+          // "dimensions" from the bytes so the plumbing is testable.
+          it.map { case (id, bytes) =>
+            val n = if (bytes == null) 0 else bytes.length
+            val w = 64 + (n % 64)
+            val h = 64 + ((n / 64) % 64)
+            (id, n, w, h)
+          }
+        }
+        .toDF("doc_id", "n_bytes", "fake_width", "fake_height")
+      feats.orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q32_embedding_norms" ->
+      """WITH n AS (
+        |  SELECT label,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n, round(avg(nrm), 4) AS avg_norm,
+        |  round(max(nrm), 4) AS max_norm
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q33_ann_bruteforce" ->
+      """SELECT q_id, CAST(rk AS INT) AS rk, neighbor_id FROM (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                             CAST(e.embedding AS DOUBLE[])) DESC,
+        |      e.vec_id) AS rk
+        |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 20) t
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    "q35_label_centroids" ->
+      """SELECT label, CAST(dim - 1 AS INT) AS dim,
+        |  round(avg(CAST(x AS DOUBLE)), 6) AS centroid_val
+        |FROM (SELECT label, unnest(embedding) AS x,
+        |        generate_subscripts(embedding, 1) AS dim
+        |      FROM embeddings) t
+        |WHERE dim <= 4
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q36_multimodal_features" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CAST(64 + octet_length(encode(text)) % 64 AS INT) AS fake_width,
+        |  CAST(64 + (octet_length(encode(text)) // 64) % 64 AS INT) AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
