@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Elections
+import graft.operators.Elections.Pt
+
+class ElectionsSpec extends AnyFunSuite {
+
+  // a tight cluster near Bangalore + two outliers; non-zero lats (vincenty
+  // zero-guard would poison distances otherwise)
+  private val cluster = Seq(
+    Pt(12.9716, 77.5946, 10, 1000),
+    Pt(12.9717, 77.5947, 12, 2000),
+    Pt(12.9718, 77.5945, 15, 3000),
+    Pt(12.9715, 77.5948, 20, 4000))
+  private val outliers = Seq(
+    Pt(13.2000, 77.9000, 30, 5000),
+    Pt(12.5000, 77.1000, 40, 6000))
+
+  test("A10 bestLatLng: <4 points returns last point") {
+    val pts = cluster.take(3)
+    assert(Elections.bestLatLng(pts) == (12.9718, 77.5945))
+  }
+
+  test("A10 bestLatLng: >500 points returns last point") {
+    val many = (1 to 501).map(i => Pt(10 + i * 0.001, 70, 5, i.toLong))
+    assert(Elections.bestLatLng(many) == (many.last.lat, many.last.lng))
+  }
+
+  test("A10 bestLatLng: picks densest point, first max wins") {
+    val pts = cluster ++ outliers
+    val (lat, lng) = Elections.bestLatLng(pts)
+    // all 4 cluster points have 4 neighbors (within 300m incl. self);
+    // first of them wins the tie
+    assert((lat, lng) == (12.9716, 77.5946))
+  }
+
+  test("A11 clusterScore: <3 points → last point, confidence 0") {
+    val pts = cluster.take(2)
+    val (lat, lng, conf) = Elections.clusterScore(pts)
+    assert((lat, lng) == (12.9717, 77.5947) && conf == 0.0)
+  }
+
+  test("A11 clusterScore: majority cluster → confidence 1") {
+    val (_, _, conf) = Elections.clusterScore(cluster ++ outliers.take(1))
+    assert(conf == 1.0)
+  }
+
+  test("A11 clusterScore: no majority → confidence 0") {
+    val spread = Seq(
+      Pt(12.0, 77.0, 10, 1), Pt(13.0, 78.0, 10, 2),
+      Pt(14.0, 79.0, 10, 3), Pt(15.0, 80.0, 10, 4))
+    val (_, _, conf) = Elections.clusterScore(spread)
+    assert(conf == 0.0)
+  }
+
+  test("dedupAndCap keeps first occurrence of (lat,lng,acc), then last 100") {
+    val dup = Pt(1.0, 2.0, 3.0, 100)
+    val pts = Seq(dup, Pt(1.0, 2.0, 3.0, 999), Pt(4.0, 5.0, 6.0, 200))
+    val out = Elections.dedupAndCap(pts)
+    assert(out == Seq(dup, Pt(4.0, 5.0, 6.0, 200)))
+    // cap: 150 distinct → newest 100 kept (takeRight of time-sorted input)
+    val many = (1 to 150).map(i => Pt(i * 0.01, 1, 1, i.toLong))
+    val capped = Elections.dedupAndCap(many)
+    assert(capped.size == 100 && capped.head.ts == 51L && capped.last.ts == 150L)
+  }
+
+  test("A13 dbscanClusters splits on distance, drops small clusters") {
+    // two well-separated clusters in time order + one lone point
+    val c1 = (1 to 4).map(i => Pt(12.9716 + i * 0.0001, 77.5946, 10, i.toLong))
+    val lone = Pt(20.0, 70.0, 10, 10L)
+    val c2 = (20 to 24).map(i => Pt(13.5 + (i - 20) * 0.0001, 78.2, 10, i.toLong))
+    val clusters = Elections.dbscanClusters(c1 ++ Seq(lone) ++ c2, epsM = 500, minCount = 3)
+    assert(clusters.size == 2)
+    assert(clusters.head.points.size == 4 && clusters(1).points.size == 5)
+    // centroid of first cluster ≈ mean of its lats
+    assert(math.abs(clusters.head.lat - (12.9716 + 0.00025)) < 1e-9)
+  }
+
+  test("A13 middle-case ping (near tail, far from head) is dropped") {
+    // reference DeliveryLocationRefinementService.scala:148-165: a ping
+    // farther than eps from the newest point but within eps of the oldest
+    // is silently skipped
+    val pts = Seq(
+      Pt(10.0000, 70.0, 5, 1),
+      Pt(10.0040, 70.0, 5, 2), // ~440 m from head: joins (eps 500)
+      Pt(10.0080, 70.0, 5, 3)) // 440 m from newest(10.004) joins... pick eps smaller
+    val clusters = Elections.dbscanClusters(pts, epsM = 450, minCount = 2)
+    assert(clusters.head.points.size == 3)
+    val pts2 = Seq(
+      Pt(10.0000, 70.0, 5, 1),
+      Pt(10.0040, 70.0, 5, 2),  // joins via head
+      Pt(10.0001, 70.0, 5, 3))  // 430m from newest (10.004) → joins; craft drop:
+    val pts3 = Seq(
+      Pt(10.0000, 70.0, 5, 1),
+      Pt(10.0050, 70.0, 5, 2))  // 553m from head AND 553m from tail → new cluster
+    val cl3 = Elections.dbscanClusters(pts3, epsM = 500, minCount = 1)
+    assert(cl3.size == 2)
+  }
+
+  test("A12 trimmedCentroid converges to cluster center despite outlier") {
+    val pts = cluster ++ Seq(Pt(12.99, 77.61, 50, 9000))
+    val (lat, lng) = Elections.trimmedCentroid(pts)
+    assert(math.abs(lat - 12.97165) < 0.001 && math.abs(lng - 77.59465) < 0.001)
+  }
+
+  test("A13 refineDeliveryLocation picks ping cluster near delivery") {
+    val pings = (1 to 6).map(i => Pt(12.9716 + i * 0.00005, 77.5946, 10, 1000L + i))
+    val (lat, lng, refined) = Elections.refineDeliveryLocation(
+      12.9718, 77.5947, 1003L, 50.0, pings, epsM = 300, minCount = 3)
+    assert(refined)
+    assert(math.abs(lat - 12.9718) < 0.001 && math.abs(lng - 77.5946) < 0.001)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+import graft.operators.Elections.Pt
+
+class QueriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every declared query runs and returns rows at sf0.001") {
+    val counts = SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, dir).count()
+    }
+    val empty = counts.filter(_._2 == 0)
+    assert(empty.isEmpty, s"empty results: ${empty.keys.mkString(", ")}")
+  }
+
+  test("every oracle key has a matching query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("flagship entry returns election results") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length > 0)
+    val row = rows.head
+    assert(!row.isNullAt(row.fieldIndex("best_lat")))
+  }
+
+  test("MinHash-LSH finds exactly the high-jaccard pairs (vs exact shingle join)") {
+    val exact = TextQueries.defs("q28_jaccard_pairs")(spark, dir)
+      .filter(col("jac") >= 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextQueries.defs("q29_minhash_lsh")(spark, dir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH verification step guarantees precision; recall must be perfect on
+    // the planted ≥0.9 near-dups and high overall at these parameters
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall: missed ${exact -- lsh}")
+  }
+
+  test("SRP-ANN results are a subset of brute-force candidate space") {
+    val brute = VectorQueries.defs("q33_ann_bruteforce")(spark, dir)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val srp = VectorQueries.defs("q34_ann_srp")(spark, dir)
+      .select("q_id", "rk", "neighbor_id").collect()
+    assert(srp.nonEmpty)
+    // per-query ranks must be dense starting at 1
+    srp.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val rks = rows.map(_.getInt(1)).sorted.toList
+      assert(rks == (1 to rks.length).toList, s"ranks not dense: $rks")
+    }
+    assert(brute.nonEmpty)
+  }
+
+  test("typed BestLocationAgg matches the pure A10 election per key") {
+    import spark.implicits._
+    val pts = GeoQueries.geoEvents(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("lat"), col("lng"), col("acc"), col("ts_ms"))
+    val ds = pts.as[(Long, Double, Double, Double, Long)]
+      .map { case (u, lat, lng, acc, ts) => (u, Pt(lat, lng, acc, ts)) }
+    val agg = new ElectionAggregators.BestLocationAgg().toColumn
+    val fromAgg = ds.groupByKey(_._1).mapValues(_._2).agg(agg)
+      .collect().toMap
+    val expected = pts.collect()
+      .map(r => (r.getLong(0), Pt(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .groupBy(_._1)
+      .map { case (u, arr) =>
+        val sorted = arr.map(_._2).sortBy(p => (p.ts, p.lat, p.lng)).toSeq
+        u -> Elections.bestLatLng(sorted)
+      }
+    expected.foreach { case (u, (elat, elng)) =>
+      val got = fromAgg(u)
+      assert(got.lat == elat && got.lng == elng, s"user $u: $got != ($elat,$elng)")
+    }
+  }
+
+  test("q28 jaccard values are true jaccard on distinct shingle sets") {
+    val rows = TextQueries.defs("q28_jaccard_pairs")(spark, dir).collect()
+    assert(rows.forall { r =>
+      val j = r.getDouble(r.fieldIndex("jac")); j >= 0.3 && j <= 1.0
+    })
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends AnyFunSuite {
+
+  test("fnv1a64 is the standard FNV-1a (public test vectors)") {
+    assert(fnv1a64("") == 0xcbf29ce484222325L)
+    assert(fnv1a64("a") == 0xaf63dc4c8601ec8cL)
+    assert(fnv1a64("foobar") == 0x85944171f73967e8L)
+  }
+
+  test("simhash: identical texts equal, similar texts near, different far") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank"
+    val b = "the quick brown fox jumps over the lazy cat near the river bank"
+    val c = "completely unrelated words about spark query optimization engines"
+    assert(simhash64(a) == simhash64(a))
+    assert(hamming64(simhash64(a), simhash64(b)) <= 12)
+    assert(hamming64(simhash64(a), simhash64(c)) >
+      hamming64(simhash64(a), simhash64(b)))
+  }
+
+  test("minhash signature estimates jaccard") {
+    def shingles(s: String): Seq[String] =
+      s.split(" ").sliding(3).map(_.mkString(" ")).toSeq
+    val a = shingles("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16")
+    val b = shingles("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 x y")
+    val sa = minhashSignature(a, 128)
+    val sb = minhashSignature(b, 128)
+    val est = sa.zip(sb).count { case (x, y) => x == y } / 128.0
+    val inter = a.toSet.intersect(b.toSet).size.toDouble
+    val union = a.toSet.union(b.toSet).size.toDouble
+    val trueJac = inter / union
+    assert(math.abs(est - trueJac) < 0.2, s"est $est vs true $trueJac")
+    // determinism across calls
+    assert(sa.toSeq == minhashSignature(a, 128).toSeq)
+  }
+
+  test("lsh band keys collide iff band slices equal") {
+    val sig1 = (1L to 32L).toSeq
+    val sig2 = sig1.updated(31, 99L) // differs only in last band
+    val k1 = lshBandKeys(sig1, 8, 4)
+    val k2 = lshBandKeys(sig2, 8, 4)
+    assert(k1.take(7) == k2.take(7) && k1(7) != k2(7))
+  }
+
+  test("winnowing fingerprints: deterministic, shared for shared substrings") {
+    val a = winnowingFingerprints("the common long substring appears here", 5, 4)
+    val b = winnowingFingerprints("the common long substring appears here", 5, 4)
+    assert(a.toSeq == b.toSeq)
+    val c = winnowingFingerprints("prefix junk the common long substring appears here", 5, 4)
+    assert(a.toSet.intersect(c.toSet).nonEmpty)
+  }
+
+  test("langId identifies clear samples") {
+    assert(langIdScala("the cat and the dog are in the garden with the children") == "en")
+    assert(langIdScala("la casa de los niños está en el centro de la ciudad que es") == "es")
+    assert(langIdScala("die kinder sind in der schule und der garten ist schön und die") == "de")
+    assert(langIdScala("这是一个中文句子用于测试语言识别功能") == "zh")
+    assert(langIdScala("") == "und")
+  }
+
+  test("reference tokenizer emits word 2-grams then 3-grams") {
+    // semantics of SmartAddressBuildService.tokenize:135-153
+    val toks = "flat no 12, mg road".toLowerCase.replaceAll("[^a-z ]", " ")
+      .split("\\s+").filter(_.nonEmpty)
+    val bigrams = toks.sliding(2).map(_.mkString(" ")).toSeq
+    val trigrams = toks.sliding(3).map(_.mkString(" ")).toSeq
+    assert(bigrams == Seq("flat no", "no mg", "mg road"))
+    assert(trigrams == Seq("flat no mg", "no mg road"))
+  }
+}
