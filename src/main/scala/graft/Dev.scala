@@ -14,6 +14,38 @@ object Dev {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.headOption match {
+      case Some("q29") =>
+        import org.apache.spark.sql.functions._
+        import graft.functions.TextFunctions._
+        val dir2 = "/root/testdata/sf0.1"
+        def time[T](label: String)(f: => T): T = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"[dev] $label: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
+        }
+        val docsOld = Tables.documents(spark, dir2)
+          .select(col("doc_id"), wordNgrams(tokens(col("text")), 3).as("shingles"))
+          .filter(size(col("shingles")) > 0)
+        time("docs+shingles UNBOUND count")(docsOld.count())
+        val docs = Tables.documents(spark, dir2)
+          .withColumn("toks", tokens(col("text")))
+          .select(col("doc_id"), wordNgrams(col("toks"), 3).as("shingles"))
+          .filter(size(col("shingles")) > 0)
+        time("docs+shingles BOUND count")(docs.count())
+        val banded = docs.select(col("doc_id"),
+          explode(lshBandsUdf(8, 4)(minhashUdf(32)(col("shingles")))).as("bucket"))
+        time("banded count")(banded.count())
+        val cand = banded.as("a").join(banded.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+        time("cand count")(cand.count())
+        val fin = cand
+          .join(docs.select(col("doc_id").as("d1"), col("shingles").as("sh1")), "d1")
+          .join(docs.select(col("doc_id").as("d2"), col("shingles").as("sh2")), "d2")
+          .withColumn("jac", size(array_intersect(col("sh1"), col("sh2"))) /
+            size(array_union(col("sh1"), col("sh2"))))
+          .filter(col("jac") >= 0.5)
+        time("final count")(fin.count())
+        time("final count again")(fin.count())
       case Some("ledger") =>
         // drive the DSv2 ledger source end-to-end: write a topic dir, read
         // it rate-limited through the public format("graft-ledger") API

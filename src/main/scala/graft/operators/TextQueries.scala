@@ -23,7 +23,7 @@ object TextQueries {
   /** (doc_id, shingle) distinct word-3-gram pairs. */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
-      .select(col("doc_id"), explode(wordNgrams(tokens(col("text")), 3)).as("s"))
+      .select(col("doc_id"), explode(wordNgramsUdf(3)(col("text"))).as("s"))
       .distinct()
   }
 
@@ -86,7 +86,7 @@ object TextQueries {
     // then exact |A∩B| / |A∪B|. At 100 TB: add a frequency cap on shingles
     // (drop shingles in >0.1% of docs) to bound the hottest join key.
     "q28_jaccard_pairs" -> ((s, dir) => {
-      val sh = shingled(s, dir).cache()
+      val sh = shingled(s, dir)
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val a = sh.as("a"); val b = sh.as("b")
       val shared = a.join(b,
@@ -109,17 +109,21 @@ object TextQueries {
     // DedupSpec proves candidates ⊇ true pairs at jaccard ≥ 0.5.
     "q29_minhash_lsh" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), wordNgrams(tokens(col("text")), 3).as("shingles"))
+        .select(col("doc_id"), wordNgramsUdf(3)(col("text")).as("shingles"))
         .filter(size(col("shingles")) > 0)
-      val sig = docs.withColumn("sig", minhashUdf(32)(col("shingles")))
-      val banded = sig.select(col("doc_id"), col("shingles"),
-        explode(lshBandsUdf(8, 4)(col("sig"))).as("bucket"))
+      // band join moves only (bucket, doc_id) — the shingle arrays join
+      // back AFTER candidate dedup, so the wide payload crosses the
+      // shuffle once per surviving pair, not once per band.
+      val banded = docs
+        .select(col("doc_id"),
+          explode(lshBandsUdf(8, 4)(minhashUdf(32)(col("shingles")))).as("bucket"))
       val cand = banded.as("a").join(banded.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          col("a.shingles").as("sh1"), col("b.shingles").as("sh2"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
       cand
+        .join(docs.select(col("doc_id").as("d1"), col("shingles").as("sh1")), "d1")
+        .join(docs.select(col("doc_id").as("d2"), col("shingles").as("sh2")), "d2")
         .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
         .withColumn("uni", size(array_union(col("sh1"), col("sh2"))))
         .withColumn("jac", col("inter") / col("uni"))
