@@ -273,6 +273,19 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // A1 group-into-list (reference combineByKey building List[record] per
+    // key, GeoTagOptimizedService.scala:175-191). collect_list runs as
+    // ObjectHashAggregate with map-side partial merge; sort_array makes the
+    // result order-deterministic (collect order is not).
+    "q42_event_history" -> ((s, dir) => {
+      ev(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("value"))).as("history"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id")
+    }),
+
     // P11 epoch split good/bad: single scan, one `when`, two aggregates —
     // Catalyst reuses the exchange instead of two passes.
     "q20_epoch_split" -> ((s, dir) => {
@@ -437,6 +450,11 @@ object RelationalQueries {
         |  round(sum(value), 2) AS total_value,
         |  max(epoch_us(ts)) AS last_ts_us
         |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q42_event_history" ->
+      """SELECT user_id, list_sort(list(value)) AS history, count(*) AS n
+        |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q20_epoch_split" ->

@@ -152,6 +152,42 @@ object TextQueries {
         .orderBy("d1", "d2")
     }),
 
+    // End-to-end dedup selection: drop the higher-id doc of every near-dup
+    // pair (greedy by id), report the kept corpus per language. The
+    // candidate→verify→anti-join shape is exactly how a 100 TB dedup pass
+    // ends: the pair list is tiny relative to the corpus, so the final
+    // anti-join broadcasts.
+    "q38_dedup_keep" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val shared = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("shared"))
+      val dupIds = shared
+        .join(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+        .join(counts.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+        .filter(col("shared") / (col("n1") + col("n2") - col("shared")) >= 0.5)
+        .select(col("d2").as("doc_id")).distinct()
+      Tables.documents(s, dir)
+        .join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_checksum"))
+        .orderBy("lang")
+    }),
+
+    // Corpus token frequencies, top-10 (explode → count → total-ordered
+    // limit). The groupBy key is the token — partial aggregation absorbs
+    // the heavy hitters before the shuffle.
+    "q39_top_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(wordNgramsUdf(1)(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(10)
+    }),
+
     // Winnowing document fingerprints (k=5 chars, window=4): per-doc
     // fingerprint count + min fingerprint (stable identity). Rows-only.
     "q31_fingerprints" -> ((s, dir) => {
@@ -211,6 +247,37 @@ object TextQueries {
         |  CAST(sum(n_copies) AS BIGINT) AS total_docs,
         |  CAST(sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS BIGINT) AS dup_docs
         |FROM g""".stripMargin,
+
+    "q38_dedup_keep" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |shingles AS (
+        |  SELECT DISTINCT doc_id, s
+        |  FROM (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+        |        WHERE len(t) >= 3)),
+        |counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id d1, b.doc_id d2, count(*) shared
+        |  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dups AS (
+        |  SELECT DISTINCT p.d2 AS doc_id
+        |  FROM pairs p JOIN counts c1 ON p.d1 = c1.doc_id
+        |  JOIN counts c2 ON p.d2 = c2.doc_id
+        |  WHERE p.shared / (c1.n + c2.n - p.shared) >= 0.5)
+        |SELECT lang, count(*) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q39_top_tokens" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS n FROM t
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 10""".stripMargin,
 
     "q28_jaccard_pairs" ->
       """WITH toks AS (

@@ -71,6 +71,32 @@ object VectorQueries {
         .orderBy("q_id", "rk")
     }),
 
+    // Multiprobe SRP-LSH ANN: each query probes its own bucket plus every
+    // hamming-1 neighbor bucket (flip one sign bit) — the standard
+    // multiprobe trick that recovers most of the recall lost to bucket
+    // boundaries for ~11× candidate cost, still ≪ full scan. Corpus side
+    // is bucketed once; only the (small) query side multiplies.
+    "q37_ann_srp_multiprobe" -> ((s, dir) => {
+      val nPlanes = 10
+      val e = Tables.embeddings(s, dir)
+        .withColumn("bucket", srpBucketUdf(nPlanes)(col("embedding")))
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("bucket").as("q_bucket"))
+        .withColumn("probe", explode(array(
+          lit(0L) +: (0 until nPlanes).map(b => lit(1L << b)): _*)))
+        .select(col("q_id"), col("q_vec"),
+          col("q_bucket").bitwiseXOR(col("probe")).as("bucket"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      e.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosine(col("q_vec"), col("embedding")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"))
+        .orderBy("q_id", "rk")
+    }),
+
     // Centroid per label (an IVF coarse-quantizer training step): mean
     // vector via element-wise array aggregation — posexplode + groupBy
     // keeps it shuffle-bounded by (labels × dims).

@@ -65,6 +65,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("multiprobe SRP-LSH recall is at least single-probe recall") {
+    def pairs(name: String): Set[(Long, Long)] =
+      VectorQueries.defs(name)(spark, dir)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs("q33_ann_bruteforce")
+    val single = pairs("q34_ann_srp")
+    val multi = pairs("q37_ann_srp_multiprobe")
+    val rSingle = (single & brute).size.toDouble / brute.size
+    val rMulti = (multi & brute).size.toDouble / brute.size
+    assert(rMulti >= rSingle,
+      s"multiprobe recall $rMulti < single-probe $rSingle")
+  }
+
   test("typed BestLocationAgg matches the pure A10 election per key") {
     import spark.implicits._
     val pts = GeoQueries.geoEvents(spark, dir)
