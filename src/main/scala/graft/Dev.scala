@@ -14,6 +14,17 @@ object Dev {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.headOption match {
+      case Some("explain") =>
+        val dir2 = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val names = args.drop(2) match {
+          case e if e.nonEmpty => e.toSeq
+          case _ => Seq("q02_filter_project", "q03_segment_revenue",
+            "q08_latest_event", "q41_delivery_refinement")
+        }
+        names.foreach { n =>
+          println(s"========== $n ==========")
+          SparkEntry.queries(n)(spark, dir2).explain("formatted")
+        }
       case Some("q29") =>
         import org.apache.spark.sql.functions._
         import graft.functions.TextFunctions._

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GeoFunctions
+import graft.functions.expressions.GeoExpressions
+
+class GeoExpressionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .withExtensions(new GraftExtensions)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("native vincenty expression matches the Scala function under codegen") {
+    import spark.implicits._
+    val df = Seq(
+      (48.8566, 2.3522, 51.5074, -0.1278),
+      (12.9716, 77.5946, 12.9717, 77.5947),
+      (0.0, 10.0, 20.0, 20.0)) // zero-lat guard
+      .toDF("lat1", "lng1", "lat2", "lng2")
+    val got = df.select(GeoExpressions.vincenty(
+      col("lat1"), col("lng1"), col("lat2"), col("lng2")).as("d"))
+      .collect().map(_.getDouble(0))
+    val exp = Seq(
+      GeoFunctions.vincentyM(48.8566, 2.3522, 51.5074, -0.1278),
+      GeoFunctions.vincentyM(12.9716, 77.5946, 12.9717, 77.5947),
+      1.0e7)
+    assert(got.toSeq == exp)
+  }
+
+  test("native expressions handle nulls") {
+    val df = spark.sql("SELECT CAST(null AS DOUBLE) AS a, 1.0 AS b")
+    val r = df.select(GeoExpressions.vincenty(
+      col("a"), col("b"), col("b"), col("b")).as("d")).collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("SQL registration via GraftExtensions") {
+    val d = spark.sql("SELECT vincenty(48.8566, 2.3522, 51.5074, -0.1278) AS d")
+      .collect().head.getDouble(0)
+    assert(math.abs(d - 343923.0) < 200.0)
+    val gh = spark.sql("SELECT geohash_encode(57.64911, 10.40744, 11) AS g")
+      .collect().head.getString(0)
+    assert(gh == "u4pruydqqvj")
+  }
+
+  test("expression stays inside whole-stage codegen") {
+    // parquet-backed input so ConvertToLocalRelation can't pre-evaluate
+    val df = Tables.supplier(spark, "/root/testdata/sf0.001")
+      .select(GeoExpressions.vincenty(
+        col("s_acctbal"), col("s_acctbal"), col("s_acctbal"), col("s_acctbal")))
+    // "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [vincentydistance"), plan)
+  }
+}
