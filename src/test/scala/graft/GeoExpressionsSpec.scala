@@ -8,12 +8,18 @@ import graft.functions.expressions.GeoExpressions
 
 class GeoExpressionsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .withExtensions(new GraftExtensions)
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // getOrCreate would reuse another suite's session (same JVM) and skip
+    // our extensions — force a fresh session so withExtensions applies
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
 
   test("native vincenty expression matches the Scala function under codegen") {
     import spark.implicits._
