@@ -286,6 +286,27 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // §2.8 time/encoding scalar surface: IST shift + formatting (reference
+    // TimeFormatTransformation.convertTime / get_ist_timestamp), duration
+    // decomposition (FuturePastEvents.formatTime), base64 round-trip
+    // (SignaturePayload.convertToBlob), JSON serialize (JsonUtility).
+    "q43_time_encoding" -> ((s, dir) => {
+      ev(s, dir)
+        .filter(col("event_id") < 100)
+        .withColumn("ist_time", date_format(
+          timestamp_millis(col("ts_ms") + 19800000L), "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("dur_s", floor(col("value")).cast("long"))
+        .select(col("event_id"), col("ist_time"),
+          (col("dur_s") / 86400).cast("long").as("days"),
+          ((col("dur_s") % 86400) / 3600).cast("long").as("hours"),
+          ((col("dur_s") % 3600) / 60).cast("long").as("mins"),
+          (col("dur_s") % 60).as("secs"),
+          base64(encode(col("event_type"), "UTF-8")).as("b64"),
+          unbase64(base64(encode(col("event_type"), "UTF-8"))).cast("string").as("roundtrip"),
+          to_json(struct(col("user_id"), col("event_type"))).as("j"))
+        .orderBy("event_id")
+    }),
+
     // P11 epoch split good/bad: single scan, one `when`, two aggregates —
     // Catalyst reuses the exchange instead of two passes.
     "q20_epoch_split" -> ((s, dir) => {
@@ -451,6 +472,18 @@ object RelationalQueries {
         |  max(epoch_us(ts)) AS last_ts_us
         |FROM events WHERE event_type IN ('click', 'purchase')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q43_time_encoding" ->
+      """SELECT event_id,
+        |  strftime(epoch_ms(epoch_ms(ts) + 19800000), '%Y-%m-%d %H:%M:%S') AS ist_time,
+        |  CAST(floor(value) AS BIGINT) // 86400 AS days,
+        |  (CAST(floor(value) AS BIGINT) % 86400) // 3600 AS hours,
+        |  (CAST(floor(value) AS BIGINT) % 3600) // 60 AS mins,
+        |  CAST(floor(value) AS BIGINT) % 60 AS secs,
+        |  to_base64(encode(event_type)) AS b64,
+        |  event_type AS roundtrip,
+        |  to_json(struct_pack(user_id := user_id, event_type := event_type)) AS j
+        |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin,
 
     "q42_event_history" ->
       """SELECT user_id, list_sort(list(value)) AS history, count(*) AS n
