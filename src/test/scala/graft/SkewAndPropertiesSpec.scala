@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+import graft.operators.{Elections, SkewTools}
+import graft.functions.{GeoFunctions, TextFunctions}
+
+/** Skew-tool equivalence + seeded property-style tests (fixed seeds → the
+  * scalacheck spirit without the scalatest bridge, which isn't in the
+  * offline dependency set).
+  */
+class SkewAndPropertiesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("salted count/sum equal direct groupBy on skewed data") {
+    import spark.implicits._
+    // 90% of rows share one key — the salted path must still be exact
+    val rows = (1 to 10000).map(i =>
+      (if (i % 10 == 0) s"k${i % 7}" else "hot", i.toDouble))
+    val df = rows.toDF("key", "v")
+    val direct = df.groupBy($"key").agg(count(lit(1)).as("n"),
+      sum($"v").as("total")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val sc = SkewTools.saltedCount(df, $"key", $"v", 16).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ss = SkewTools.saltedSum(df, $"key", $"v", $"v", 16).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    direct.foreach { case (k, (n, total)) =>
+      assert(sc(k) == n, s"count mismatch for $k")
+      assert(math.abs(ss(k) - total) < 1e-6, s"sum mismatch for $k")
+    }
+  }
+
+  test("salted join equals plain join on skewed key") {
+    import spark.implicits._
+    val big = (1 to 5000).map(i =>
+      (if (i % 100 == 0) i % 5 else 0, i)).toDF("k", "v")
+    val small = (0 to 5).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = big.join(small, "k").agg(count(lit(1)), sum("v")).collect().head
+    val salted = SkewTools.saltedJoin(big, small, "k", $"v", 8)
+      .agg(count(lit(1)), sum("v")).collect().head
+    assert(plain == salted)
+  }
+
+  test("property: geohash encode/decode round-trips within cell size") {
+    val rnd = new Random(42)
+    (1 to 300).foreach { _ =>
+      val lat = rnd.between(-89.9, 89.9)
+      val lng = rnd.between(-179.9, 179.9)
+      val gh = GeoFunctions.geohashEncodeScala(lat, lng, 9)
+      val (dla, dln) = GeoFunctions.geohashDecodeScala(gh)
+      assert(math.abs(dla - lat) < 0.001 && math.abs(dln - lng) < 0.001,
+        s"($lat,$lng) -> $gh -> ($dla,$dln)")
+    }
+  }
+
+  test("property: vincenty is symmetric and non-negative (nonzero lats)") {
+    val rnd = new Random(7)
+    (1 to 200).foreach { _ =>
+      def lat() = { val v = rnd.between(0.1, 80.0); if (rnd.nextBoolean()) v else -v }
+      val (lat1, lng1) = (lat(), rnd.between(-179.0, 179.0))
+      val (lat2, lng2) = (lat(), rnd.between(-179.0, 179.0))
+      val d12 = GeoFunctions.vincentyM(lat1, lng1, lat2, lng2)
+      val d21 = GeoFunctions.vincentyM(lat2, lng2, lat1, lng1)
+      assert(d12 >= 0 && math.abs(d12 - d21) < 1e-6,
+        s"asym: ($lat1,$lng1)-($lat2,$lng2): $d12 vs $d21")
+    }
+  }
+
+  test("property: dedupAndCap is idempotent and bounded") {
+    val rnd = new Random(13)
+    (1 to 50).foreach { _ =>
+      val n = rnd.nextInt(300)
+      val pts = (1 to n).map { i =>
+        // force collisions so dedup actually fires
+        Elections.Pt(rnd.nextInt(20) + 1.0, rnd.nextInt(20) + 1.0,
+          rnd.nextInt(5) + 1.0, i.toLong)
+      }
+      val once = Elections.dedupAndCap(pts)
+      assert(once.size <= 100)
+      assert(Elections.dedupAndCap(once) == once)
+    }
+  }
+
+  test("property: minhash signatures deterministic, band keys consistent") {
+    val rnd = new Random(99)
+    (1 to 50).foreach { _ =>
+      val sh = (1 to rnd.nextInt(30) + 1).map(_ =>
+        rnd.alphanumeric.take(rnd.nextInt(10) + 1).mkString)
+      val sig = TextFunctions.minhashSignature(sh, 16)
+      assert(sig.length == 16)
+      assert(sig.toSeq == TextFunctions.minhashSignature(sh, 16).toSeq)
+      val keys = TextFunctions.lshBandKeys(sig.toSeq, 4, 4)
+      assert(keys == TextFunctions.lshBandKeys(sig.toSeq, 4, 4))
+      assert(keys.size == 4)
+    }
+  }
+}
