@@ -180,8 +180,12 @@ object TextQueries {
     // limit). The groupBy key is the token — partial aggregation absorbs
     // the heavy hitters before the shuffle.
     "q39_top_tokens" -> ((s, dir) => {
+      // split+explode stays in whole-stage codegen (no HOF, no UDF);
+      // empty tokens from leading/trailing spaces are filtered post-explode
       Tables.documents(s, dir)
-        .select(explode(wordNgramsUdf(1)(col("text"))).as("token"))
+        .select(explode(split(
+          regexp_replace(lower(col("text")), "[^a-z ]", " "), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.VectorFunctions._
+import graft.functions.expressions.VectorExpressions.cosineSim
 
 /** Similarity search over the `embeddings` table + multimodal plumbing.
   *
@@ -44,7 +45,7 @@ object VectorQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
       e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .withColumn("cos", cosine(col("q_vec"), col("embedding")))
+        .withColumn("cos", cosineSim(col("q_vec"), col("embedding")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= K)
         .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"))
@@ -64,7 +65,7 @@ object VectorQueries {
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
       e.join(broadcast(q), Seq("bucket"))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", cosine(col("q_vec"), col("embedding")))
+        .withColumn("cos", cosineSim(col("q_vec"), col("embedding")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= K)
         .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"))
@@ -90,7 +91,7 @@ object VectorQueries {
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
       e.join(broadcast(q), Seq("bucket"))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", cosine(col("q_vec"), col("embedding")))
+        .withColumn("cos", cosineSim(col("q_vec"), col("embedding")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= K)
         .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"))
