@@ -119,22 +119,24 @@ object VectorQueries {
       import s.implicits._
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
-          struct(col("lang"), col("source"), col("n_chars")).as(("meta")))
+          struct(col("lang"), col("source"), col("n_chars")).as("meta"))
       val feats = docs
-        .select(col("doc_id"), col("payload"))
-        .as[(Long, Array[Byte])]
+        .select(col("doc_id"), col("payload"), col("meta.lang"))
+        .as[(Long, Array[Byte], String)]
         .mapPartitions { it =>
           // STUB decode: a real pipeline would batch-decode images/audio
           // here (mapInPandas/JNI); we derive deterministic fake
-          // "dimensions" from the bytes so the plumbing is testable.
-          it.map { case (id, bytes) =>
+          // "dimensions" from the bytes so the plumbing is testable. Typed
+          // metadata rides alongside the binary payload through the
+          // per-partition batch, as a real codec stage needs.
+          it.map { case (id, bytes, lang) =>
             val n = if (bytes == null) 0 else bytes.length
             val w = 64 + (n % 64)
             val h = 64 + ((n / 64) % 64)
-            (id, n, w, h)
+            (id, n, w, h, lang)
           }
         }
-        .toDF("doc_id", "n_bytes", "fake_width", "fake_height")
+        .toDF("doc_id", "n_bytes", "fake_width", "fake_height", "lang")
       feats.orderBy("doc_id")
     })
   )
@@ -172,7 +174,8 @@ object VectorQueries {
     "q36_multimodal_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  CAST(64 + octet_length(encode(text)) % 64 AS INT) AS fake_width,
-        |  CAST(64 + (octet_length(encode(text)) // 64) % 64 AS INT) AS fake_height
+        |  CAST(64 + (octet_length(encode(text)) // 64) % 64 AS INT) AS fake_height,
+        |  lang
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

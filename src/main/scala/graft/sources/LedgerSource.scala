@@ -167,8 +167,30 @@ class LedgerScan(path: String, options: Map[String, String]) extends Scan {
   */
 class LedgerMicroBatchStream(path: String, options: Map[String, String])
     extends MicroBatchStream with SupportsAdmissionControl
-    with SupportsTriggerAvailableNow {
+    with SupportsTriggerAvailableNow with ReportsSourceMetrics {
   import LedgerSource._
+
+  /** Per-batch source metrics surfaced in StreamingQueryProgress
+    * (replaces the reference's per-topic accumulator/Codahale subsystem,
+    * PulsarMetricType.scala:11-113 — engine-native observability).
+    */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset]): java.util.Map[String, String] = {
+    val consumed = if (latestConsumedOffset.isPresent)
+      latestConsumedOffset.get().asInstanceOf[LedgerOffset].cursors
+    else Map.empty[Int, Cursor]
+    val parts = partitions()
+    val backlogs = parts.map { p =>
+      val ledgers = listLedgers(partitionDir(p))
+      val c = consumed.getOrElse(p,
+        Cursor(ledgers.headOption.map(_.ledgerId).getOrElse(0L), 0L))
+      backlog(ledgers, c)
+    }
+    Map(
+      "totalBacklog" -> backlogs.sum.toString,
+      "maxPartitionBacklog" -> (if (backlogs.isEmpty) "0" else backlogs.max.toString),
+      "numPartitions" -> parts.size.toString
+    ).asJava
+  }
 
   // Trigger.AvailableNow: snapshot the end target once, then keep emitting
   // rate-limited batches until every partition reaches it.

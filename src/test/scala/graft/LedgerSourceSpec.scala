@@ -90,6 +90,11 @@ class LedgerSourceSpec extends AnyFunSuite {
       s"batches: ${progress.map(_.numInputRows).mkString(",")}")
     assert(progress.forall(_.numInputRows <= 6), // ≤3 per partition per batch
       s"batch sizes: ${progress.map(_.numInputRows).mkString(",")}")
+    // source metrics surfaced in progress (ReportsSourceMetrics): backlog
+    // reaches 0 once fully consumed
+    val lastMetrics = progress.last.sources.head.metrics
+    assert(lastMetrics.get("totalBacklog") == "0", s"metrics: $lastMetrics")
+    assert(lastMetrics.get("numPartitions") == "2")
   }
 
   test("checkpoint recovery resumes without duplicates after new data arrives") {
