@@ -39,7 +39,7 @@ object RelationalQueries {
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
           round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(38,4)")).as("sum_disc_price"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           round(avg("l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -70,7 +70,7 @@ object RelationalQueries {
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(38,4)")).as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"))
         .orderBy("c_mktsegment")
     }),
@@ -326,7 +326,7 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_discount), 4) AS avg_disc,
         |  count(*) AS count_order
@@ -343,7 +343,7 @@ object RelationalQueries {
 
     "q03_segment_revenue" ->
       """SELECT c_mktsegment,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS revenue,
         |  count(DISTINCT o_orderkey) AS n_orders
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import graft.operators.Elections
+import graft.operators.Elections.Pt
+
+/** The reference's flagship pipeline (SURVEY.md §3.1, StreamingAppV3)
+  * end-to-end on engine components: ledger source → JSON schema-on-read →
+  * validity filters → per-key grouped history merge with dedup+cap →
+  * best-location election → idempotent upsert.
+  *
+  * Reference chain it restates (all Spark-first, no driver collects):
+  * ViestiPipeline → Jackson deserialize (P1: from_json) → DEL/PC + nonzero
+  * filter (P2) → accuracy band (P3) → combineByKey per addr_hash (A1:
+  * collect_list) → stored-history merge (J4: union + re-aggregate) →
+  * dedup + cap-100 (A2/A3) → election (A10/A11) → saveToCassandra (K1:
+  * foreachBatch parquet upsert).
+  */
+object GeotagPipeline {
+
+  /** Payload schema (schema-on-read over the ledger `value` bytes). */
+  val PayloadSchema: StructType = StructType(Seq(
+    StructField("addr_hash", StringType),
+    StructField("type", StringType),
+    StructField("lat", DoubleType),
+    StructField("lng", DoubleType),
+    StructField("accuracy", DoubleType),
+    StructField("ts_ms", LongType)))
+
+  /** Parse + validate one micro-batch of raw ledger records. */
+  def parse(raw: DataFrame): DataFrame =
+    raw
+      .select(from_json(col("value").cast("string"), PayloadSchema).as("p"))
+      .filter(col("p").isNotNull && col("p.addr_hash").isNotNull)
+      .select("p.*")
+      .filter(col("type").isin("DEL", "PC") &&
+        col("lat") =!= 0.0 && col("lng") =!= 0.0 &&
+        col("accuracy") > 0 && col("accuracy") < 200)
+
+  /** Merge a batch of points into the stored per-key history and re-elect.
+    * The stored table keeps the deduped, capped history (bounded state) so
+    * each epoch's work is O(batch + touched-keys × cap).
+    */
+  def electAndUpsert(batch: DataFrame, tablePath: String): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val fresh = parse(batch)
+      .select(col("addr_hash"), col("ts_ms"), col("lat"), col("lng"),
+        col("accuracy").as("acc"))
+    val existing =
+      try s.read.parquet(tablePath).select("addr_hash", "ts_ms", "lat", "lng", "acc")
+      catch { case _: Throwable => s.emptyDataset[(String, Long, Double, Double, Double)]
+        .toDF("addr_hash", "ts_ms", "lat", "lng", "acc") }
+    val merged = existing.unionByName(fresh)
+      .groupBy(col("addr_hash"))
+      .agg(sort_array(collect_list(struct(
+        col("ts_ms"), col("lat"), col("lng"), col("acc")))).as("pts"))
+    val elect = udf { (pts: Seq[Row]) =>
+      val points = pts.map(r => Pt(r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(0)))
+      val deduped = Elections.dedupAndCap(points)
+      val (blat, blng) = Elections.bestLatLng(deduped)
+      val (_, _, conf) = Elections.clusterScore(deduped)
+      (deduped.map(p => (p.ts, p.lat, p.lng, p.acc)), blat, blng, conf)
+    }
+    val result = merged
+      .withColumn("r", elect(col("pts")))
+      .select(col("addr_hash"),
+        col("r._2").as("best_lat"), col("r._3").as("best_lng"),
+        col("r._4").as("confidence"),
+        transform(col("r._1"), p => struct(
+          p.getField("_1").as("ts_ms"), p.getField("_2").as("lat"),
+          p.getField("_3").as("lng"), p.getField("_4").as("acc"))).as("history"))
+    // history stored back flattened so the next epoch re-reads bounded state
+    val flat = result.select(col("addr_hash"), col("best_lat"),
+      col("best_lng"), col("confidence"), explode(col("history")).as("h"))
+      .select(col("addr_hash"), col("best_lat"), col("best_lng"),
+        col("confidence"), col("h.ts_ms"), col("h.lat"), col("h.lng"),
+        col("h.acc"))
+    flat.write.mode("overwrite").parquet(tablePath + "_new")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(tablePath)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tablePath + "_new"), dst)
+  }
+
+  /** Wire the pipeline to a ledger topic directory. */
+  def stream(spark: SparkSession, topicPath: String, tablePath: String,
+             checkpoint: String,
+             maxRatePerPartition: Int = 1000): DataStreamWriter[Row] = {
+    spark.readStream.format("graft-ledger")
+      .option("path", topicPath)
+      .option("maxRatePerPartition", maxRatePerPartition.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        electAndUpsert(batch, tablePath)
+      }
+  }
+}
