@@ -25,6 +25,18 @@ object Dev {
           println(s"========== $n ==========")
           SparkEntry.queries(n)(spark, dir2).explain("formatted")
         }
+      case Some("time") =>
+        // cold vs warm run per query: splits plan/codegen-compile cost from
+        // steady-state execution so bench tuning targets the right thing
+        val dir2 = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        args.drop(2).foreach { n =>
+          val fn = SparkEntry.queries(n)
+          val t0 = System.nanoTime(); fn(spark, dir2).count()
+          val cold = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime(); fn(spark, dir2).count()
+          val warm = (System.nanoTime() - t1) / 1e9
+          println(f"[dev] $n cold=$cold%.2f s warm=$warm%.2f s")
+        }
       case Some("q29") =>
         import org.apache.spark.sql.functions._
         import graft.functions.TextFunctions._

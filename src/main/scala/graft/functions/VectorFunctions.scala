@@ -60,4 +60,41 @@ object VectorFunctions {
   }
 
   def srpBucketUdf(nPlanes: Int) = udf((v: Seq[Float]) => srpBucket(v, nPlanes))
+
+  /** SRP bucket using planes [offset, offset+nPlanes) — independent hash
+    * tables for OR-amplified LSH come from disjoint plane ranges.
+    */
+  def srpBucketAt(vec: Seq[Float], nPlanes: Int, offset: Int): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var s = 0.0
+      var j = 0
+      while (j < vec.length) { s += vec(j) * hyperplaneComponent(offset + p, j); j += 1 }
+      if (s > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  def srpBucketAtUdf(nPlanes: Int, offset: Int) =
+    udf((v: Seq[Float]) => srpBucketAt(v, nPlanes, offset))
+
+  /** Deterministic small perturbation of a vector (hash-seeded, no RNG
+    * state): component j gets `eps * h(seed, j)` added, h ∈ [-0.5, 0.5).
+    * Used to plant near-duplicates for the dedup pipeline — cosine of
+    * (v, perturb(v)) stays ≥ ~0.99 for eps ≪ component scale.
+    */
+  def perturb(vec: Seq[Float], seed: Long, eps: Double): Seq[Float] = {
+    val out = new Array[Float](vec.length)
+    var j = 0
+    while (j < vec.length) {
+      out(j) = (vec(j) + eps * hyperplaneComponent((seed % 100000).toInt + 7919, j)).toFloat
+      j += 1
+    }
+    out.toSeq
+  }
+
+  def perturbUdf(eps: Double) =
+    udf((v: Seq[Float], seed: Long) => perturb(v, seed, eps))
 }

@@ -110,6 +110,105 @@ object VectorQueries {
         .orderBy("label", "dim")
     }),
 
+    // Embedding-cosine near-dup pairs, exact: every pair with cosine ≥
+    // 0.35 (the synthetic corpus has no >0.6 pairs; the threshold is a
+    // parameter of the operator, not a semantic). This is the
+    // correctness baseline — O(n²) pairwise, fine at verification scale.
+    // The 100 TB path is q45: LSH-blocked candidates + the same exact
+    // verify, which q45's spec proves recall against this query.
+    "q44_cosine_neardup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("vec_id").as("d1"), col("embedding").as("v1"))
+      val b = e.select(col("vec_id").as("d2"), col("embedding").as("v2"))
+      a.join(b, col("d1") < col("d2"))
+        .withColumn("cos", cosineSim(col("v1"), col("v2")))
+        .filter(col("cos") >= 0.35)
+        .select(col("d1"), col("d2"), round(col("cos"), 4).as("cos"))
+        .orderBy("d1", "d2")
+    }),
+
+    // Embedding-cosine near-dup at scale: the full dedup pipeline shape —
+    // corpus (with planted perturbed duplicates, deterministic hash noise)
+    // → 2 independent 8-bit SRP hash tables (OR-amplification) → bucket
+    // self-join candidates → exact-cosine verify ≥ 0.95 → greedy keep
+    // lowest id → per-label kept summary. Shuffle key is (table, bucket):
+    // Σ bucket² bounds the candidate join, the pair list is tiny vs the
+    // corpus so the final anti-join broadcasts — same shape as q38 for
+    // text. Rows-only oracle (hash seeds aren't SQL); SimilaritySpec
+    // proves planted-pair recall ≥ 0.9 and zero false positives.
+    "q45_cosine_neardup_keep" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val planted = base.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          perturbUdf(0.02)(col("embedding"), col("vec_id")).as("embedding"),
+          col("label"))
+      val corpus = base.unionByName(planted)
+      val banded = corpus.select(col("vec_id"), col("embedding"),
+        explode(array(
+          struct(lit(0).as("t"), srpBucketAtUdf(8, 0)(col("embedding")).as("b")),
+          struct(lit(1).as("t"), srpBucketAtUdf(8, 8)(col("embedding")).as("b"))
+        )).as("tb"))
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.tb") === col("b.tb") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+          col("a.embedding").as("v1"), col("b.embedding").as("v2"))
+        .dropDuplicates("d1", "d2")
+      val dupIds = cand
+        .filter(cosineSim(col("v1"), col("v2")) >= 0.95)
+        .select(col("d2").as("vec_id")).distinct()
+      corpus.join(broadcast(dupIds), Seq("vec_id"), "left_anti")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("id_checksum"))
+        .orderBy("label")
+    }),
+
+    // IVF ANN: label-mean coarse centroids (the q35 training step carried
+    // to its use), every corpus vector assigned to its nearest cell,
+    // queries probe the 2 nearest cells, exact cosine re-rank within the
+    // probed cells. At 100 TB the inverted file is the partitioning: the
+    // corpus shuffles once on cell_id (≈ corpus/nlist rows per cell),
+    // queries broadcast, and each executor scans only probed cells —
+    // scan cost drops by nlist/nprobe vs q33. Rows-only oracle;
+    // SimilaritySpec pins recall vs q33 on sf0.001.
+    "q46_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      // centroid training: posexplode → per-(label,dim) mean → re-assemble
+      val cent = e
+        .select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("x").cast("double")).as("c"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
+        .select(col("cell"),
+          expr("transform(pairs, p -> cast(p.c as float))").as("centroid"))
+      // cell assignment: tiny centroid table broadcasts; rank 1 = own cell
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("csim").desc, col("cell"))
+      val assigned = e.crossJoin(broadcast(cent))
+        .withColumn("csim", cosineSim(col("embedding"), col("centroid")))
+        .withColumn("crk", row_number().over(wAssign))
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("cell"), col("embedding"))
+      // query side probes nprobe=3 cells (the synthetic corpus clusters
+      // only weakly by label — diffuse cells need a probe or two more
+      // than a well-separated corpus would)
+      val probes = e.filter(col("vec_id") < NQueries)
+        .crossJoin(broadcast(cent))
+        .withColumn("csim", cosineSim(col("embedding"), col("centroid")))
+        .withColumn("crk", row_number().over(wAssign))
+        .filter(col("crk") <= 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("cell"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosineSim(col("q_vec"), col("embedding")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"))
+        .orderBy("q_id", "rk")
+    }),
+
     // Multimodal plumbing (SURVEY brief): binary payload column + typed
     // metadata + a clearly-stubbed deterministic "decode" producing feature
     // columns. The Spark-side shape (binary col, schema, mapPartitions
@@ -161,6 +260,15 @@ object VectorQueries {
         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
         |  WHERE q.vec_id < 20) t
         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    "q44_cosine_neardup" ->
+      """SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+        |ORDER BY 1, 2""".stripMargin,
 
     "q35_label_centroids" ->
       """SELECT label, CAST(dim - 1 AS INT) AS dim,

@@ -108,4 +108,43 @@ class QueriesSpec extends AnyFunSuite {
       val j = r.getDouble(r.fieldIndex("jac")); j >= 0.3 && j <= 1.0
     })
   }
+
+  test("q45 LSH near-dup keep recovers planted duplicates, drops nothing else") {
+    // corpus at sf0.001 = 500 originals + 100 planted perturbed copies
+    // (vec_id % 5 == 0, new id = old + 1_000_000, cosine ≥ ~0.99 by
+    // construction while the max natural pair cosine is < 0.5). The only
+    // correct drops are planted ids; recall of the LSH blocking must be
+    // ≥ 0.9 (2 tables × 8 bits on a near-identical pair).
+    val rows = VectorQueries.defs("q45_cosine_neardup_keep")(spark, dir).collect()
+    val kept = rows.map(r => r.getLong(r.fieldIndex("n_kept"))).sum
+    val checksum = rows.map(r => r.getLong(r.fieldIndex("id_checksum"))).sum
+    val dropped = 600 - kept
+    assert(dropped <= 100, s"dropped $dropped > 100 planted — false positives")
+    assert(dropped >= 90, s"dropped only $dropped of 100 planted — recall < 0.9")
+    // every original id survives: only planted ids (≥ 1_000_000) may drop,
+    // so the kept checksum is sum(0..499) plus ≥ 1_000_000 per kept plant
+    val originals = (0L until 500L).sum
+    assert(checksum >= originals + (100 - dropped) * 1000000L,
+      s"an original id was dropped (checksum $checksum)")
+  }
+
+  test("q46 IVF ANN beats its scan fraction and keeps dense ranks") {
+    def pairs(name: String): Set[(Long, Long)] =
+      VectorQueries.defs(name)(spark, dir)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs("q33_ann_bruteforce")
+    val ivfRows = VectorQueries.defs("q46_ann_ivf")(spark, dir)
+      .select("q_id", "rk", "neighbor_id").collect()
+    val ivf = ivfRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    // nprobe 3 of nlist 10 scans ~30% of the corpus; recall must beat the
+    // random-scan baseline by a clear margin even on this weakly-clustered
+    // synthetic corpus
+    assert(recall >= 0.35, s"IVF recall $recall < 0.35")
+    ivfRows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val rks = rs.map(_.getInt(1)).sorted.toList
+      assert(rks == (1 to rks.length).toList, s"ranks not dense: $rks")
+    }
+  }
 }
