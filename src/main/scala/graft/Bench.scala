@@ -24,11 +24,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: JIT/codegen/catalog init + parquet footer reads
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    Tables.names.foreach { t =>
-      try Tables(spark, sfDir, t).limit(1).collect()
-      catch { case _: Throwable => () }
+    // warmup: the first shuffle/window/broadcast/codegen of a session costs
+    // several seconds of one-time machinery init (shuffle system, Janino,
+    // window exec, broadcast exchange) that would otherwise be billed to
+    // whichever query happens to run first — exercise each once, on tiny
+    // synthetic data, so measured times reflect the queries themselves.
+    {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val t = spark.range(100000).selectExpr(
+        "id", "id % 97 as g", "cast(id as decimal(38,4)) as d",
+        "cast(id as string) as s", "array(id, id + 1) as arr")
+      val dim = spark.range(97).selectExpr("id as g", "id * 2 as v")
+      t.withColumn("x", explode(col("arr")))
+        .join(broadcast(dim), "g")
+        .groupBy("g").agg(sum("d").as("sd"), count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("g") % 7).orderBy(col("sd"))))
+        .orderBy(col("sd").desc).limit(5).collect()
+      Tables.names.foreach { tn =>
+        try Tables(spark, sfDir, tn).limit(1).collect()
+        catch { case _: Throwable => () }
+      }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

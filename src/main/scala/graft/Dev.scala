@@ -6,9 +6,10 @@ import org.apache.spark.sql.SparkSession
   * driver contract. */
 object Dev {
   def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -37,6 +38,24 @@ object Dev {
           val warm = (System.nanoTime() - t1) / 1e9
           println(f"[dev] $n cold=$cold%.2f s warm=$warm%.2f s")
         }
+      case Some("q39prof") =>
+        // isolate q39's first-run cost: regexp? explode? agg? sort-limit?
+        import org.apache.spark.sql.functions._
+        val dir2 = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        def time[T](label: String)(f: => T): T = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"[dev] $label: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
+        }
+        val docs = Tables.documents(spark, dir2)
+        time("scan only")(docs.count())
+        val toks = docs.select(explode(split(
+          regexp_replace(lower(col("text")), "[^a-z ]", " "), "\\s+")).as("token"))
+          .filter(length(col("token")) > 0)
+        time("explode+regexp count")(toks.count())
+        val grouped = toks.groupBy("token").agg(count(lit(1)).as("n"))
+        time("grouped count")(grouped.count())
+        time("full q39 (sort-limit)")(grouped.orderBy(col("n").desc, col("token")).limit(10).collect())
+        time("full q39 again")(grouped.orderBy(col("n").desc, col("token")).limit(10).collect())
       case Some("q29") =>
         import org.apache.spark.sql.functions._
         import graft.functions.TextFunctions._
