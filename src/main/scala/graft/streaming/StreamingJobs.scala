@@ -42,6 +42,25 @@ object StreamingJobs {
       .withWatermark("event_ts", watermark)
       .dropDuplicates("user_id", "event_type", "event_id")
 
+  /** A13/A14 sessionization via session_window: per-user activity
+    * sessions that close after `gap` of event-time silence — the built-in
+    * restatement of the reference's hand-rolled consecutive-delivery
+    * session logic (GoodData.filterBad) and time-gap DBSCAN start/stop
+    * rule. State is engine-managed and watermark-bounded, so it scales to
+    * arbitrary key counts without the reference's in-memory group caps.
+    */
+  def sessionizedActivity(events: DataFrame, gap: String = "30 minutes",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("event_ts", watermark)
+      .groupBy(session_window(col("event_ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("session_value"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
   /** P8 lateness audit (FuturePastEvents as a stream): counts per
     * micro-batch of future/past/ok receipt skew.
     */

@@ -46,6 +46,33 @@ class StreamingSpec extends AnyFunSuite {
       == Seq(("click", 2L, 15.0), ("purchase", 1L, 7.5)))
   }
 
+  test("session_window closes sessions after the event-time gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+    val q = StreamingJobs.sessionizedActivity(events, "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    val m = 60L * 1000000L
+    // user 1: two bursts 40 min apart → two sessions; user 2: one session
+    mem.addData(
+      eventRow(1, 0 * m, 1, "click", 1.0),
+      eventRow(2, 10 * m, 1, "click", 2.0),
+      eventRow(3, 50 * m, 1, "click", 4.0),
+      eventRow(4, 5 * m, 2, "view", 8.0))
+    q.processAllAvailable()
+    mem.addData(eventRow(5, 600 * m, 3, "view", 0.0)) // advance watermark
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "select user_id, n_events, session_value from sessions order by user_id, sess_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    q.stop()
+    assert(rows == Seq((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)),
+      s"got $rows")
+  }
+
   test("streaming dedup drops replayed events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
