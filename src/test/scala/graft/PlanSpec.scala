@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Physical-plan invariants: the scale claims made in the query Scaladoc
+  * (pushdown reaches the scan, small sides broadcast, aggregates run
+  * partial+final, codegen spans the hot path) asserted against the actual
+  * optimized plans — so a regression that silently de-optimizes a query
+  * fails CI, not a 100 TB run.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def physical(df: DataFrame): String = {
+    df.collect() // materialize so AQE settles on the final plan
+    val qe: QueryExecution = df.queryExecution
+    qe.executedPlan.toString()
+  }
+
+  test("q02 filter and projection push to the parquet scan") {
+    val plan = physical(RelationalQueries.defs("q02_filter_project")(spark, dir))
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters:\n$plan")
+    assert(plan.contains("In(l_returnflag"), s"returnflag IN not pushed:\n$plan")
+    // pruned ReadSchema: only the 5 needed columns, not the full lineitem
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_shipdate"), s"unpruned scan: $readSchema")
+  }
+
+  test("q03 dimension joins broadcast; fact join does not broadcast the fact") {
+    val plan = physical(RelationalQueries.defs("q03_segment_revenue")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("q05 semi-join stays a join (no driver collect) and broadcasts the filtered side") {
+    val plan = physical(RelationalQueries.defs("q05_big_spender_semi")(spark, dir))
+    assert(plan.contains("LeftSemi"), s"not a semi join:\n$plan")
+  }
+
+  test("q01 aggregates run partial then final") {
+    val plan = physical(RelationalQueries.defs("q01_pricing_summary")(spark, dir))
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+    // whole-stage codegen shows as "*(n)" operator prefixes in toString
+    assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(plan).isDefined,
+      s"agg outside codegen:\n$plan")
+  }
+
+  test("q42 collect_list runs as ObjectHashAggregate with partial merge") {
+    val plan = physical(RelationalQueries.defs("q42_event_history")(spark, dir))
+    assert(plan.contains("ObjectHashAggregate"), s"collect_list not object-hash:\n$plan")
+    assert(plan.contains("partial_collect_list") || plan.contains("partial_"),
+      s"no map-side partial for collect_list:\n$plan")
+  }
+
+  test("q38 final anti-join broadcasts the (tiny) dup-id side") {
+    val plan = physical(TextQueries.defs("q38_dedup_keep")(spark, dir))
+    assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"anti join didn't broadcast:\n$plan")
+  }
+
+  test("q33 ANN scan keeps cosine inside whole-stage codegen") {
+    val plan = physical(VectorQueries.defs("q33_ann_bruteforce")(spark, dir))
+    assert("""\*\(\d+\) """.r.findFirstIn(plan).isDefined, s"no codegen span:\n$plan")
+    assert(plan.toLowerCase.contains("cosinesimilarity"),
+      s"native cosine missing:\n$plan")
+  }
+
+  test("events scan prunes columns for a two-column aggregate") {
+    val plan = physical(RelationalQueries.defs("q13_distinct_types")(spark, dir))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("event_type") && !readSchema.contains("props"),
+      s"distinct scan reads too much: $readSchema")
+  }
+}
