@@ -110,6 +110,25 @@ object LedgerSource {
   def entriesBetween(ledgers: Seq[LedgerInfo], from: Cursor, to: Cursor): Long =
     backlog(ledgers, from) - backlog(ledgers, to)
 
+  /** Stable pinning: partition idx mod sorted host list (reference
+    * SparkPulsarRDD.getPreferredLocations:66-97 — deterministic across
+    * batches so per-executor consumer/page caches stay hot).
+    */
+  def pinTo(sortedHosts: Seq[String], partition: Int): Array[String] =
+    if (sortedHosts.isEmpty) Array.empty
+    else Array(sortedHosts(partition % sortedHosts.size))
+
+  /** Live executor hosts from the active session, sorted; empty when no
+    * session (pure-metadata tests) — locality is a hint, never a must.
+    */
+  def executorHosts(): Seq[String] =
+    try {
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.statusTracker.getExecutorInfos
+          .map(_.host()).toSeq.distinct.sorted)
+        .getOrElse(Nil)
+    } catch { case _: Throwable => Nil }
+
   // -------------------------------------------------------- offset (JSON)
 
   /** {"0": [ledgerId, entryId], "1": [...]} — minimal hand-rolled JSON so
@@ -214,6 +233,10 @@ class LedgerMicroBatchStream(path: String, options: Map[String, String])
   private val maxRate = options.getOrElse("maxrateperpartition", "1000").toDouble
   private val minRate = options.getOrElse("minrateperpartition", "1").toDouble
   private val avgMsgsPerEntry = options.getOrElse("avgmsgsperentry", "1").toDouble
+  // reference default 128 MiB/s/partition (PulsarConf.scala:24-28); the
+  // per-partition avg entry size comes from the segment files themselves
+  private val maxByteRate =
+    options.getOrElse("maxbyterateperpartition", "134217728").toDouble
   private val batchIntervalMs = options.getOrElse("batchintervalms", "1000").toLong
   // driver-estimated rate (the PID estimate in the reference); optional
   private val estimatedRate = options.get("estimatedrate").map(_.toLong)
@@ -250,9 +273,22 @@ class LedgerMicroBatchStream(path: String, options: Map[String, String])
       p -> c
     }.toMap
     val backlogs = parts.map(p => backlog(ledgersByPart(p), cursors(p)))
+    // measured avg entry size per partition (bytes on disk / entries) feeds
+    // the byte-rate cap — O(ledgers) driver-side metadata only
+    val avgEntryBytes = parts.map { p =>
+      val dir = partitionDir(p)
+      val ledgers = ledgersByPart(p)
+      val entries = ledgers.map(_.entries).sum
+      if (entries == 0) 1.0
+      else ledgers.map(l =>
+        try Files.size(dir.resolve(s"ledger-${l.ledgerId}.log")) catch {
+          case _: Throwable => 0L
+        }).sum.toDouble / entries
+    }
     val quotas = RateAllocator.maxEntriesPerPartition(
       estimatedRate, backlogs, batchIntervalMs,
-      _ => RateAllocator.PartitionConfig(maxRate, minRate, avgMsgsPerEntry))
+      i => RateAllocator.PartitionConfig(maxRate, minRate, avgMsgsPerEntry,
+        maxByteRate, avgEntryBytes(i)))
     LedgerOffset(parts.zip(quotas).map { case (p, q) =>
       // under AvailableNow, never run past the snapshot taken at start
       val cap = availableNowTarget.flatMap(_.cursors.get(p))
@@ -265,12 +301,16 @@ class LedgerMicroBatchStream(path: String, options: Map[String, String])
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LedgerOffset].cursors
     val e = end.asInstanceOf[LedgerOffset].cursors
+    // stable partition→executor pinning (idx mod sorted host list) so the
+    // same partition lands on the same executor across batches — consumer/
+    // page-cache reuse, reference SparkPulsarRDD.getPreferredLocations:66-97
+    val hosts = LedgerSource.executorHosts()
     e.keys.toSeq.sorted.flatMap { p =>
       val from = s.getOrElse(p, Cursor(0L, 0L))
       val to = e(p)
       if (from == to) None
       else Some(LedgerInputPartition(path, p, from.ledgerId, from.entryId,
-        to.ledgerId, to.entryId): InputPartition)
+        to.ledgerId, to.entryId, LedgerSource.pinTo(hosts, p)): InputPartition)
     }.toArray
   }
 
@@ -285,12 +325,10 @@ class LedgerMicroBatchStream(path: String, options: Map[String, String])
 }
 
 case class LedgerInputPartition(path: String, partition: Int,
-    startLedger: Long, startEntry: Long, endLedger: Long, endEntry: Long)
+    startLedger: Long, startEntry: Long, endLedger: Long, endEntry: Long,
+    preferred: Array[String] = Array.empty)
   extends InputPartition {
-  // reference pins partitions to executors for consumer cache reuse
-  // (SparkPulsarRDD.getPreferredLocations:66-97); for a file-backed
-  // emulation locality is moot, but the hook is where it would plug in.
-  override def preferredLocations(): Array[String] = Array.empty
+  override def preferredLocations(): Array[String] = preferred
 }
 
 class LedgerReaderFactory extends PartitionReaderFactory {

@@ -18,7 +18,21 @@ package graft.sources
 object RateAllocator {
 
   case class PartitionConfig(maxRatePerSec: Double, minRatePerSec: Double = 1.0,
-                             avgMsgsPerEntry: Double = 1.0)
+                             avgMsgsPerEntry: Double = 1.0,
+                             maxByteRatePerSec: Double = Double.MaxValue,
+                             avgBytesPerEntry: Double = 1.0) {
+    /** Entries/sec ceiling: message-rate cap AND byte-rate cap, whichever
+      * binds (reference maxByteRatePerPartition, PulsarConf.scala:24-28 —
+      * large entries throttle admission before the message cap does).
+      */
+    def maxEntriesPerSec: Double = {
+      val byMsgs = maxRatePerSec / avgMsgsPerEntry
+      val byBytes =
+        if (maxByteRatePerSec == Double.MaxValue) Double.MaxValue
+        else maxByteRatePerSec / math.max(1.0, avgBytesPerEntry)
+      math.min(byMsgs, byBytes)
+    }
+  }
 
   /** Effective per-partition rate limits (entries/sec). */
   def effectiveRates(estimatedRate: Option[Long], backlogs: Seq[Long],
@@ -28,17 +42,15 @@ object RateAllocator {
         val totalLag = backlogs.sum
         backlogs.zipWithIndex.map { case (backlog, i) =>
           val c = conf(i)
-          val maxRate = c.maxRatePerSec / c.avgMsgsPerEntry
+          val maxRate = c.maxEntriesPerSec
           val backpressureRate =
             if (totalLag == 0) 0.0 else backlog / totalLag.toDouble * rate
-          if (maxRate > 0)
+          if (maxRate > 0 && maxRate != Double.MaxValue)
             math.max(math.min(backpressureRate, maxRate), c.minRatePerSec)
           else backpressureRate
         }
       case None =>
-        backlogs.indices.map { i =>
-          val c = conf(i); c.maxRatePerSec / c.avgMsgsPerEntry
-        }
+        backlogs.indices.map(i => conf(i).maxEntriesPerSec)
     }
   }
 

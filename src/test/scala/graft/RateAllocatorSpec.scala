@@ -40,4 +40,39 @@ class RateAllocatorSpec extends AnyFunSuite {
     val got = RateAllocator.maxEntriesPerPartition(Some(100L), skewed, 5000, conf)
     assert(got.head == 3L)
   }
+
+  test("byte-rate cap binds before the message cap for large entries") {
+    // 1 MiB entries against a 10 MiB/s byte cap → 10 entries/s even though
+    // the message cap allows 1000/s (reference maxByteRatePerPartition)
+    val bigEntries = (_: Int) => PartitionConfig(maxRatePerSec = 1000.0,
+      maxByteRatePerSec = 10.0 * 1024 * 1024, avgBytesPerEntry = 1024.0 * 1024)
+    val got = RateAllocator.maxEntriesPerPartition(
+      None, Seq(1000000L), 1000, bigEntries)
+    assert(got == Seq(10L), s"got $got")
+    // small entries: byte cap is slack, message cap rules
+    val smallEntries = (_: Int) => PartitionConfig(maxRatePerSec = 1000.0,
+      maxByteRatePerSec = 10.0 * 1024 * 1024, avgBytesPerEntry = 100.0)
+    assert(RateAllocator.maxEntriesPerPartition(
+      None, Seq(1000000L), 1000, smallEntries) == Seq(1000L))
+  }
+
+  test("byte-rate cap clamps the backpressure share too") {
+    val bigEntries = (_: Int) => PartitionConfig(maxRatePerSec = 1000.0,
+      maxByteRatePerSec = 5.0 * 1024 * 1024, avgBytesPerEntry = 1024.0 * 1024)
+    // share would be 500 entries/s; byte cap holds it to 5/s → 5 entries
+    val got = RateAllocator.maxEntriesPerPartition(
+      Some(500L), Seq(1000L), 1000, bigEntries)
+    assert(got == Seq(5L), s"got $got")
+  }
+
+  test("partition pinning is stable and wraps the sorted host list") {
+    import graft.sources.LedgerSource
+    val hosts = Seq("exec-a", "exec-b", "exec-c")
+    assert(LedgerSource.pinTo(hosts, 0).toSeq == Seq("exec-a"))
+    assert(LedgerSource.pinTo(hosts, 4).toSeq == Seq("exec-b"))
+    assert(LedgerSource.pinTo(hosts, 5).toSeq == Seq("exec-c"))
+    assert(LedgerSource.pinTo(Nil, 3).isEmpty)
+    // same partition → same host on every call (cache reuse across batches)
+    assert(LedgerSource.pinTo(hosts, 7).toSeq == LedgerSource.pinTo(hosts, 7).toSeq)
+  }
 }
