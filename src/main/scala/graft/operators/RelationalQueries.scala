@@ -307,6 +307,52 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // As-of join (time-series point-in-time lookup — the operator Spark
+    // lacks natively, composed per the preference order from existing
+    // ops): for each purchase, the latest click by the same user at or
+    // before it. One equi-shuffle on user_id with the range predicate
+    // inside the join, then a per-left-row argmax window — no cartesian,
+    // no driver loop. At 100 TB both sides co-partition on user_id and
+    // the window state is bounded by matches per purchase.
+    "q47_asof_latest_click" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts_us").as("p_ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+          col("ts_us").as("c_ts"))
+      val w = Window.partitionBy("p_id").orderBy(col("c_ts").desc, col("c_id").desc)
+      purchases
+        .join(clicks, purchases("user_id") === clicks("c_user") &&
+          clicks("c_ts") <= purchases("p_ts"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("p_id"), col("p_ts"),
+          // no-match → -1 sentinels: deterministic sorting for the oracle
+          // hash compare (null orderings differ across engines/tools)
+          coalesce(col("c_id"), lit(-1L)).as("last_click_id"),
+          coalesce(col("c_ts"), lit(-1L)).as("last_click_ts"))
+        .orderBy("user_id", "p_id")
+    }),
+
+    // Approximate statistics — the 100 TB scale path for q10/q13-style
+    // exact stats: HLL++ distinct counts and t-digest-style quantiles are
+    // mergeable sketches (one shuffle of fixed-size state instead of all
+    // values). Rows-only oracle (sketch internals differ per engine);
+    // ApproxSpec pins error vs the exact answers.
+    "q48_approx_stats" -> ((s, dir) => {
+      ev(s, dir).groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          round(element_at(percentile_approx(col("value"),
+            array(lit(0.5), lit(0.95)), lit(10000)), 1), 4).as("p50_approx"),
+          round(element_at(percentile_approx(col("value"),
+            array(lit(0.5), lit(0.95)), lit(10000)), 2), 4).as("p95_approx"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
     // P11 epoch split good/bad: single scan, one `when`, two aggregates —
     // Catalyst reuses the exchange instead of two passes.
     "q20_epoch_split" -> ((s, dir) => {
@@ -489,6 +535,21 @@ object RelationalQueries {
       """SELECT user_id, list_sort(list(value)) AS history, count(*) AS n
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q47_asof_latest_click" ->
+      """SELECT user_id, p_id, p_ts, last_click_id, last_click_ts FROM (
+        |  SELECT p.user_id, p.p_id, p.p_ts,
+        |    coalesce(c.c_id, -1) AS last_click_id,
+        |    coalesce(c.c_ts, -1) AS last_click_ts,
+        |    row_number() OVER (PARTITION BY p.p_id
+        |      ORDER BY c.c_ts DESC NULLS LAST, c.c_id DESC NULLS LAST) AS rn
+        |  FROM (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_ts
+        |        FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN
+        |       (SELECT user_id AS c_user, event_id AS c_id, epoch_us(ts) AS c_ts
+        |        FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.c_user AND c.c_ts <= p.p_ts) t
+        |WHERE rn = 1 ORDER BY user_id, p_id""".stripMargin,
 
     "q20_epoch_split" ->
       """SELECT CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'

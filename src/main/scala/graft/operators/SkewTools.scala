@@ -49,4 +49,18 @@ object SkewTools {
     saltedBig.join(broadcast(replicatedSmall), Seq(key, "_salt"))
       .drop("_salt")
   }
+
+  /** Bucketed co-located join setup: write both fact tables bucketed (and
+    * sorted) on the join key with the same bucket count, so every later
+    * equi-join on that key is shuffle-free — each task zips bucket i with
+    * bucket i. This is the pre-partitioning lever for repeated 100 TB
+    * joins (amortize ONE shuffle at write time across every downstream
+    * join); `BucketingSpec` proves the join plan has no Exchange.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    key: String, sortCols: String*): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key, sortCols: _*)
+      .saveAsTable(table)
 }

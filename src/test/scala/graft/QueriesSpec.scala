@@ -128,6 +128,27 @@ class QueriesSpec extends AnyFunSuite {
       s"an original id was dropped (checksum $checksum)")
   }
 
+  test("q48 approx sketches land within tolerance of exact answers") {
+    val approx = RelationalQueries.defs("q48_approx_stats")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(r.fieldIndex("approx_users")),
+          r.getDouble(r.fieldIndex("p50_approx")))).toMap
+    val exact = RelationalQueries.ev(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users"),
+        expr("percentile(value, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (users, p50)) =>
+      val (aUsers, aP50) = approx(k)
+      assert(math.abs(aUsers - users) <= math.max(2, users * 0.05),
+        s"$k approx_users $aUsers vs exact $users")
+      // percentile_approx with accuracy 10000 on small groups is near-exact
+      assert(math.abs(aP50 - p50) <= math.max(0.5, math.abs(p50) * 0.05),
+        s"$k p50 approx $aP50 vs exact $p50")
+    }
+  }
+
   test("q46 IVF ANN beats its scan fraction and keeps dense ranks") {
     def pairs(name: String): Set[(Long, Long)] =
       VectorQueries.defs(name)(spark, dir)
