@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{GeoExpressions, GeohashEncode, VincentyDistance}
+import graft.functions.expressions.{CosineSimilarity, GeoExpressions, GeohashEncode, VincentyDistance}
 
 /** SparkSessionExtensions hook registering the engine's native functions
   * for SQL use:
@@ -27,5 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("geohash_encode"),
       new ExpressionInfo(classOf[GeohashEncode].getName, "geohash_encode"),
       (args: Seq[Expression]) => GeoExpressions.geohashExpr(args)))
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
   }
 }

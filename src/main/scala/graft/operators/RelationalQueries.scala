@@ -353,6 +353,30 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // The SQL-text API surface: the same Catalyst pipeline driven through
+    // spark.sql over registered views — a 5-table star join (fact lineitem
+    // → orders → customer → nation → region, all dims broadcastable) with
+    // per-region revenue ranking. Proves a reference user can keep writing
+    // SQL; also the only query family exercising nation/region.
+    "q49_sql_pipeline" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem", "nation", "region")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_$t"))
+      s.sql(
+        """SELECT r_name, n_name, revenue, CAST(rk AS INT) AS rk FROM (
+          |  SELECT r.r_name, n.n_name,
+          |    sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,4))) AS revenue,
+          |    row_number() OVER (PARTITION BY r.r_name
+          |      ORDER BY sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,4))) DESC,
+          |               n.n_name) AS rk
+          |  FROM graft_lineitem l
+          |  JOIN graft_orders o ON l.l_orderkey = o.o_orderkey
+          |  JOIN graft_customer c ON o.o_custkey = c.c_custkey
+          |  JOIN graft_nation n ON c.c_nationkey = n.n_nationkey
+          |  JOIN graft_region r ON n.n_regionkey = r.r_regionkey
+          |  GROUP BY r.r_name, n.n_name) t
+          |WHERE rk <= 3 ORDER BY r_name, rk""".stripMargin)
+    }),
+
     // P11 epoch split good/bad: single scan, one `when`, two aggregates —
     // Catalyst reuses the exchange instead of two passes.
     "q20_epoch_split" -> ((s, dir) => {
@@ -550,6 +574,21 @@ object RelationalQueries {
         |        FROM events WHERE event_type = 'click') c
         |    ON p.user_id = c.c_user AND c.c_ts <= p.p_ts) t
         |WHERE rn = 1 ORDER BY user_id, p_id""".stripMargin,
+
+    "q49_sql_pipeline" ->
+      """SELECT r_name, n_name, revenue, CAST(rk AS INT) AS rk FROM (
+        |  SELECT r.r_name, n.n_name,
+        |    sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,4))) AS revenue,
+        |    row_number() OVER (PARTITION BY r.r_name
+        |      ORDER BY sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,4))) DESC,
+        |               n.n_name) AS rk
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY r.r_name, n.n_name) t
+        |WHERE rk <= 3 ORDER BY r_name, rk""".stripMargin,
 
     "q20_epoch_split" ->
       """SELECT CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'

@@ -52,6 +52,11 @@ class GeoExpressionsSpec extends AnyFunSuite {
     val gh = spark.sql("SELECT geohash_encode(57.64911, 10.40744, 11) AS g")
       .collect().head.getString(0)
     assert(gh == "u4pruydqqvj")
+    val cs = spark.sql(
+      """SELECT cosine_sim(array(cast(1.0 as float), cast(0.0 as float)),
+        |                  array(cast(0.6 as float), cast(0.8 as float))) AS c""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(math.abs(cs - 0.6) < 1e-6, s"cosine_sim = $cs") // float32 inputs
   }
 
   test("expression stays inside whole-stage codegen") {
