@@ -237,6 +237,33 @@ object VectorQueries {
         }
         .toDF("doc_id", "n_bytes", "fake_width", "fake_height", "lang")
       feats.orderBy("doc_id")
+    }),
+
+    // Multimodal resize + frame-sample plumbing (SURVEY brief): the
+    // payload is treated as a fake video — one "frame" per 100 bytes,
+    // every 5th frame sampled (sequence → explode generator), and the
+    // q36 fake dimensions resized to fit a 32-px box with integer-exact
+    // aspect math. The real codec is stubbed (no media libs in this
+    // container); the Spark-side shape — generator fan-out bounded by
+    // payload size, integer dim math in codegen, binary column untouched
+    // until the decode stage — is the actual pipeline shape at scale.
+    "q50_multimodal_frames" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .withColumn("n_bytes", length(col("payload")).cast("int"))
+        // integer `div`/`%` only: `/` is double division in both engines
+        // but double→int CAST truncates in Spark and rounds in DuckDB
+        .withColumn("w", (lit(64) + col("n_bytes") % 64).cast("int"))
+        .withColumn("h", (lit(64) + expr("n_bytes div 64") % 64).cast("int"))
+        .withColumn("n_frames", (expr("n_bytes div 100") + 1).cast("int"))
+      docs
+        .select(col("doc_id"), col("w"), col("h"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(5))).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+          // integer resize: longest side → 32, other side scaled exactly
+          expr("(w * 32) div greatest(w, h)").cast("int").as("rw"),
+          expr("(h * 32) div greatest(w, h)").cast("int").as("rh"))
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -278,6 +305,22 @@ object VectorQueries {
         |      FROM embeddings) t
         |WHERE dim <= 4
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q50_multimodal_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id,
+        |    CAST(64 + n_bytes % 64 AS INT) AS w,
+        |    CAST(64 + (n_bytes // 64) % 64 AS INT) AS h,
+        |    CAST(n_bytes // 100 + 1 AS INT) AS n_frames
+        |  FROM d)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST((w * 32) // greatest(w, h) AS INT) AS rw,
+        |  CAST((h * 32) // greatest(w, h) AS INT) AS rh
+        |FROM dims, LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 5)) AS f) g
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q36_multimodal_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
