@@ -377,6 +377,26 @@ object RelationalQueries {
           |WHERE rk <= 3 ORDER BY r_name, rk""".stripMargin)
     }),
 
+    // Part/supplier dimensional rollup: lineitem facts against three
+    // broadcast dims (part filtered on p_size — the predicate pushes into
+    // the dim scan BEFORE the broadcast, shrinking the hash relation),
+    // grouped by brand × supplier nation. One fact scan, zero fact
+    // shuffles before the final low-cardinality agg.
+    "q51_brand_nation_rollup" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir).filter(col("p_size") <= 25)
+      val su = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("p_brand"), col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_quantity"), 2).as("total_qty"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(38,4)")).as("revenue"))
+        .orderBy("p_brand", "n_name")
+    }),
+
     // P11 epoch split good/bad: single scan, one `when`, two aggregates —
     // Catalyst reuses the exchange instead of two passes.
     "q20_epoch_split" -> ((s, dir) => {
@@ -589,6 +609,17 @@ object RelationalQueries {
         |  JOIN region r ON n.n_regionkey = r.r_regionkey
         |  GROUP BY r.r_name, n.n_name) t
         |WHERE rk <= 3 ORDER BY r_name, rk""".stripMargin,
+
+    "q51_brand_nation_rollup" ->
+      """SELECT p_brand, n_name, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS total_qty,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_size <= 25
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q20_epoch_split" ->
       """SELECT CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
