@@ -120,10 +120,14 @@ object VectorQueries {
       val e = Tables.embeddings(s, dir)
       val a = e.select(col("vec_id").as("d1"), col("embedding").as("v1"))
       val b = e.select(col("vec_id").as("d2"), col("embedding").as("v2"))
-      a.join(b, col("d1") < col("d2"))
-        .withColumn("cos", cosineSim(col("v1"), col("v2")))
-        .filter(col("cos") >= 0.35)
-        .select(col("d1"), col("d2"), round(col("cos"), 4).as("cos"))
+      // threshold INSIDE the join condition: the nested-loop join then
+      // drops non-matching pairs before materializing output rows (~n²
+      // row copies saved; the cosine recompute in the projection touches
+      // only the few surviving pairs)
+      a.join(b, col("d1") < col("d2") &&
+          cosineSim(col("v1"), col("v2")) >= 0.35)
+        .select(col("d1"), col("d2"),
+          round(cosineSim(col("v1"), col("v2")), 4).as("cos"))
         .orderBy("d1", "d2")
     }),
 
