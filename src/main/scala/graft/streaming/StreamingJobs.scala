@@ -61,6 +61,37 @@ object StreamingJobs {
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * clicks in the preceding `lookback` of EVENT time — the streaming form
+    * of the delivery↔pings range join (q41 / SURVEY §2.4 note). Both
+    * sides carry watermarks so the engine can bound join state: clicks
+    * older than purchase-watermark − lookback are evicted, purchases
+    * older than click-watermark are emitted-and-dropped. State is
+    * O(keys × events-per-lookback) regardless of stream length — the
+    * property that makes this runnable forever at 100 TB/day.
+    */
+  def purchaseClickJoin(events: DataFrame, lookback: String = "30 minutes",
+                        watermark: String = "1 hour"): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .withColumn("p_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("p_ts", watermark)
+      .select(col("user_id"), col("event_id").as("p_id"), col("p_ts"),
+        col("value").as("p_value"))
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .withColumn("c_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("c_ts", watermark)
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("c_ts"))
+    purchases.join(clicks,
+      purchases("user_id") === clicks("c_user") &&
+        clicks("c_ts") >= purchases("p_ts") - expr(s"INTERVAL $lookback") &&
+        clicks("c_ts") <= purchases("p_ts"))
+      .select(col("user_id"), col("p_id"), col("p_ts"), col("c_id"),
+        col("c_ts"))
+  }
+
   /** P8 lateness audit (FuturePastEvents as a stream): counts per
     * micro-batch of future/past/ok receipt skew.
     */

@@ -73,6 +73,32 @@ class StreamingSpec extends AnyFunSuite {
       s"got $rows")
   }
 
+  test("stream-stream interval join pairs purchases with preceding clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+    val q = StreamingJobs.purchaseClickJoin(events, "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("pc_join")
+      .outputMode("append").start()
+    val m = 60L * 1000000L
+    val base = 1000 * m // away from epoch 0: ts ≤ the initial watermark drop
+    mem.addData(
+      eventRow(1, base + 0 * m, 1, "click", 1.0),  // 25 min before purchase → in
+      eventRow(2, base + 10 * m, 1, "click", 1.0), // 15 min before → in
+      eventRow(3, base + 25 * m, 1, "purchase", 9.0),
+      eventRow(4, base + 26 * m, 2, "click", 1.0), // other user → out
+      eventRow(5, base + 90 * m, 1, "click", 1.0)) // after purchase → out
+    q.processAllAvailable()
+    mem.addData(eventRow(6, base + 600 * m, 3, "view", 0.0)) // advance watermarks
+    q.processAllAvailable()
+    val rows = spark.sql("select p_id, c_id from pc_join order by c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    q.stop()
+    assert(rows == Seq((3L, 1L), (3L, 2L)), s"got $rows")
+  }
+
   test("streaming dedup drops replayed events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
