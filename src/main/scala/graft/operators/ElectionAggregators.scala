@@ -63,4 +63,37 @@ object ElectionAggregators {
     override def bufferEncoder: Encoder[ElectionBuf] = Encoders.product[ElectionBuf]
     override def outputEncoder: Encoder[BestLoc] = Encoders.product[BestLoc]
   }
+
+  case class ScoredLoc(lat: Double, lng: Double, confidence: Double)
+
+  /** A11 cluster-score election as a typed Aggregator (same capped-buffer
+    * design as A10: the reference applies the election to the deduped,
+    * newest-100 history — BestLatLngCalculator.scala:65-121 — so the
+    * buffer keeps the cap+1 earliest time-sorted points plus exact count
+    * and latest; merge stays O(cap)).
+    */
+  class ClusterScoreAgg(cap: Int = 500, thresholdM: Double = 200.0)
+      extends Aggregator[Pt, ElectionBuf, ScoredLoc] with Serializable {
+
+    private val inner = new BestLocationAgg(cap)
+
+    override def zero: ElectionBuf = inner.zero
+    override def reduce(b: ElectionBuf, p: Pt): ElectionBuf = inner.reduce(b, p)
+    override def merge(a: ElectionBuf, b: ElectionBuf): ElectionBuf = inner.merge(a, b)
+
+    override def finish(b: ElectionBuf): ScoredLoc = {
+      if (b.count == 0) return ScoredLoc(0.0, 0.0, 0.0)
+      if (b.count < 4 || b.count > cap) {
+        val p = b.latest.get
+        ScoredLoc(p.lat, p.lng, 0.0)
+      } else {
+        val sorted = b.pts.sortBy(p => (p.ts, p.lat, p.lng))
+        val (lat, lng, conf) = Elections.clusterScore(sorted, thresholdM)
+        ScoredLoc(lat, lng, conf)
+      }
+    }
+
+    override def bufferEncoder: Encoder[ElectionBuf] = Encoders.product[ElectionBuf]
+    override def outputEncoder: Encoder[ScoredLoc] = Encoders.product[ScoredLoc]
+  }
 }

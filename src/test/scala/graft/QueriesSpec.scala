@@ -102,6 +102,32 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("typed ClusterScoreAgg matches the pure A11 election per key") {
+    import spark.implicits._
+    val pts = GeoQueries.geoEvents(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("lat"), col("lng"), col("acc"), col("ts_ms"))
+    val ds = pts.as[(Long, Double, Double, Double, Long)]
+      .map { case (u, lat, lng, acc, ts) => (u, Pt(lat, lng, acc, ts)) }
+    val agg = new ElectionAggregators.ClusterScoreAgg().toColumn
+    val fromAgg = ds.groupByKey(_._1).mapValues(_._2).agg(agg)
+      .collect().toMap
+    val expected = pts.collect()
+      .map(r => (r.getLong(0), Pt(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .groupBy(_._1)
+      .map { case (u, arr) =>
+        val sorted = arr.map(_._2).sortBy(p => (p.ts, p.lat, p.lng)).toSeq
+        u -> (if (sorted.length < 4 || sorted.length > 500)
+          (sorted.last.lat, sorted.last.lng, 0.0)
+        else Elections.clusterScore(sorted))
+      }
+    expected.foreach { case (u, (elat, elng, econf)) =>
+      val got = fromAgg(u)
+      assert(got.lat == elat && got.lng == elng && got.confidence == econf,
+        s"user $u: $got != ($elat,$elng,$econf)")
+    }
+  }
+
   test("q28 jaccard values are true jaccard on distinct shingle sets") {
     val rows = TextQueries.defs("q28_jaccard_pairs")(spark, dir).collect()
     assert(rows.forall { r =>
