@@ -167,36 +167,45 @@ object VectorQueries {
         .orderBy("label")
     }),
 
-    // IVF ANN: label-mean coarse centroids (the q35 training step carried
-    // to its use), every corpus vector assigned to its nearest cell,
-    // queries probe the 2 nearest cells, exact cosine re-rank within the
-    // probed cells. At 100 TB the inverted file is the partitioning: the
-    // corpus shuffles once on cell_id (≈ corpus/nlist rows per cell),
-    // queries broadcast, and each executor scans only probed cells —
-    // scan cost drops by nlist/nprobe vs q33. Rows-only oracle;
-    // SimilaritySpec pins recall vs q33 on sf0.001.
+    // IVF ANN: k-means coarse centroids (Lloyd iterations, deterministically
+    // seeded from the label means — the q35 training step carried to its
+    // use), every corpus vector assigned to its nearest cell, queries
+    // probe the 3 nearest cells, exact cosine re-rank within the probed
+    // cells. At 100 TB the inverted file is the partitioning: the corpus
+    // shuffles once on cell_id (≈ corpus/nlist rows per cell), queries
+    // broadcast, each executor scans only probed cells (scan cost drops by
+    // nlist/nprobe vs q33), and centroid training runs on a sample.
+    // Rows-only oracle; QueriesSpec pins recall vs q33 on sf0.001.
     "q46_ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      // centroid training: posexplode → per-(label,dim) mean → re-assemble
-      val cent = e
-        .select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      // mean vector per existing cell assignment: posexplode →
+      // per-(cell,dim) mean → re-assemble in dim order
+      def means(assigned: DataFrame): DataFrame = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
         .agg(avg(col("x").cast("double")).as("c"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
         .select(col("cell"),
           expr("transform(pairs, p -> cast(p.c as float))").as("centroid"))
-      // cell assignment: tiny centroid table broadcasts; rank 1 = own cell
+      def assign(cent: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
+        e.crossJoin(broadcast(cent))
+          .withColumn("csim", cosineSim(col("embedding"), col("centroid")))
+          .withColumn("crk", row_number().over(w))
+          .filter(col("crk") === 1)
+          .select(col("vec_id"), col("cell"), col("embedding"))
+      }
+      // seed = label means; 2 Lloyd iterations of assign → recompute
+      var cent = means(e.select(col("label").as("cell"), col("embedding")))
+      for (_ <- 0 until 2) cent = means(assign(cent))
+      // final inverted file: tiny centroid table broadcasts; rank 1 = own cell
+      val assigned = assign(cent)
+      // query side probes nprobe=3 cells (the synthetic corpus clusters
+      // only weakly — diffuse cells need a probe or two more than a
+      // well-separated corpus would)
       val wAssign = Window.partitionBy("vec_id")
         .orderBy(col("csim").desc, col("cell"))
-      val assigned = e.crossJoin(broadcast(cent))
-        .withColumn("csim", cosineSim(col("embedding"), col("centroid")))
-        .withColumn("crk", row_number().over(wAssign))
-        .filter(col("crk") === 1)
-        .select(col("vec_id"), col("cell"), col("embedding"))
-      // query side probes nprobe=3 cells (the synthetic corpus clusters
-      // only weakly by label — diffuse cells need a probe or two more
-      // than a well-separated corpus would)
       val probes = e.filter(col("vec_id") < NQueries)
         .crossJoin(broadcast(cent))
         .withColumn("csim", cosineSim(col("embedding"), col("centroid")))
