@@ -38,6 +38,55 @@ object Dev {
           val warm = (System.nanoTime() - t1) / 1e9
           println(f"[dev] $n cold=$cold%.2f s warm=$warm%.2f s")
         }
+      case Some("scale") =>
+        // 10× scale sanity: replicate sf0.1 with shifted keys (10× rows AND
+        // 10× keys → per-key state constant, the realistic growth model),
+        // then compare per-query seconds vs sf0.1. A healthy operator
+        // scales ≈ linearly (ratio ≈ 10 / cores-limited); a superlinear
+        // ratio flags a blocking-key or candidate-pair blowup.
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.DataFrame
+        val src = "/root/testdata/sf0.1"
+        val dst = "/tmp/graft_sf1"
+        val copies = 10
+        def replicate(table: String, shifts: Map[String, Long]): Unit = {
+          val out = s"$dst/$table.parquet"
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(out))) return
+          val base = Tables(spark, src, table)
+          val parts = (0 until copies).map { i =>
+            shifts.foldLeft(base) { case (df, (c, stride)) =>
+              df.withColumn(c, col(c) + lit(i * stride))
+            }
+          }
+          parts.reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(out)
+        }
+        replicate("events", Map("event_id" -> 10000000L, "user_id" -> 10000L))
+        replicate("lineitem", Map("l_orderkey" -> 10000000L))
+        replicate("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
+        replicate("customer", Map("c_custkey" -> 1000000L))
+        replicate("documents", Map("doc_id" -> 1000000L))
+        replicate("embeddings", Map("vec_id" -> 1000000L))
+        Seq("region", "nation", "supplier", "part").foreach(t =>
+          replicate(t, Map.empty))
+        val names = args.drop(1) match {
+          case e if e.nonEmpty => e.toSeq
+          case _ => Seq("q01_pricing_summary", "q03_segment_revenue",
+            "q08_latest_event", "q12_user_type_counts", "q28_jaccard_pairs",
+            "q29_minhash_lsh", "q39_top_tokens", "q40_best_location",
+            "q45_cosine_neardup_keep", "q46_ann_ivf")
+        }
+        names.foreach { n =>
+          val fn = SparkEntry.queries(n)
+          def run(dir: String): Double = {
+            val t0 = System.nanoTime(); fn(spark, dir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          run(src) // warm plan/codegen on the small size first
+          val small = run(src)
+          val big = run(dst)
+          println(f"[dev] $n%-28s sf0.1=$small%6.2f s  10x=$big%7.2f s  ratio=${big / small}%5.1f")
+        }
       case Some("q39prof") =>
         // isolate q39's first-run cost: regexp? explode? agg? sort-limit?
         import org.apache.spark.sql.functions._

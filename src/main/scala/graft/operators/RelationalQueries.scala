@@ -66,12 +66,17 @@ object RelationalQueries {
       val c = Tables.customer(s, dir)
       val o = Tables.orders(s, dir)
       val l = Tables.lineitem(s, dir)
+      // two-level agg instead of countDistinct: a single countDistinct
+      // beside another aggregate plans an Expand (2× rows through the
+      // shuffle); grouping by (segment, orderkey) first gets map-side
+      // partial reduction AND a distinct-free final agg
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(38,4)")).as("rev_part"))
         .groupBy(col("c_mktsegment"))
-        .agg(
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(38,4)")).as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+        .agg(sum(col("rev_part")).as("revenue"),
+          count(lit(1)).as("n_orders"))
         .orderBy("c_mktsegment")
     }),
 

@@ -83,8 +83,12 @@ object TextQueries {
 
     // N-gram Jaccard near-dup pairs: explode 3-word shingles, self-join on
     // shingle (only docs sharing ≥1 shingle ever meet — the blocking key),
-    // then exact |A∩B| / |A∪B|. At 100 TB: add a frequency cap on shingles
-    // (drop shingles in >0.1% of docs) to bound the hottest join key.
+    // then exact |A∩B| / |A∪B|. Cost is inherently Σ df(shingle)² — the
+    // `Dev scale` harness measures 42× time at 10× corpus (dup clusters
+    // grow the hot shingles quadratically), vs ~10× for MinHash-LSH (q29).
+    // This query is the exact verification baseline; q29 is the 100 TB
+    // path, optionally plus a df-cap on blocking shingles (lossy: drops
+    // pairs whose every shared shingle is template-frequent).
     "q28_jaccard_pairs" -> ((s, dir) => {
       val sh = shingled(s, dir)
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
