@@ -137,6 +137,36 @@ object Dev {
           .filter(col("jac") >= 0.5)
         time("final count")(fin.count())
         time("final count again")(fin.count())
+      case Some("ledgerbench") =>
+        // source throughput vs the reference's configured envelope
+        // (1000 entries/s/partition default cap, PulsarConf.scala:6-10):
+        // 8 partitions × 50k entries streamed uncapped through the full
+        // DSv2 path (admission → plan → bounded readers → sink)
+        import java.nio.file.Files
+        val nParts = 8
+        val perPart = 50000
+        val topic = Files.createTempDirectory("ledgerbench_topic")
+        (0 until nParts).foreach { p =>
+          val dir = topic.resolve(s"partition-$p"); Files.createDirectories(dir)
+          // 5 ledgers per partition to exercise segment walking
+          (0 until 5).foreach { l =>
+            val rows = (0 until perPart / 5)
+              .map(i => s"k$i,{\"payload\":\"entry-$p-$l-$i\"}").mkString("\n")
+            Files.write(dir.resolve(s"ledger-${l + 1}.log"), rows.getBytes)
+          }
+        }
+        val t0 = System.nanoTime()
+        val q = spark.readStream.format("graft-ledger")
+          .option("path", topic.toString)
+          .option("maxRatePerPartition", "1000000000")
+          .load()
+          .writeStream.format("noop")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(300000)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val total = nParts.toLong * perPart
+        println(f"[dev] ledger source: $total entries in $secs%.2f s = ${total / secs}%.0f entries/s (${total / secs / nParts}%.0f per partition; reference cap 1000/s/partition)")
       case Some("ledger") =>
         // drive the DSv2 ledger source end-to-end: write a topic dir, read
         // it rate-limited through the public format("graft-ledger") API
