@@ -196,9 +196,13 @@ object VectorQueries {
           .filter(col("crk") === 1)
           .select(col("vec_id"), col("cell"), col("embedding"))
       }
-      // seed = label means; 2 Lloyd iterations of assign → recompute
+      // seed = label means; 2 Lloyd iterations of assign → recompute.
+      // cache: the trained centroids feed BOTH the corpus assignment and
+      // the query probes — without it each branch re-runs the full
+      // training lineage (train once, broadcast twice).
       var cent = means(e.select(col("label").as("cell"), col("embedding")))
       for (_ <- 0 until 2) cent = means(assign(cent))
+      cent = cent.cache()
       // final inverted file: tiny centroid table broadcasts; rank 1 = own cell
       val assigned = assign(cent)
       // query side probes nprobe=3 cells (the synthetic corpus clusters
