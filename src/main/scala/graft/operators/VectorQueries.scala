@@ -54,7 +54,7 @@ object VectorQueries {
 
     // LSH-bucketed ANN (sign-random-projection, 10 hyperplanes): corpus and
     // queries bucketed by sign bits; candidates = same bucket; exact cosine
-    // + top-k within candidates. Rows-only oracle; SimilaritySpec measures
+    // + top-k within candidates. Rows-only oracle; QueriesSpec measures
     // recall vs q33 on sf0.001.
     "q34_ann_srp" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -138,7 +138,7 @@ object VectorQueries {
     // lowest id → per-label kept summary. Shuffle key is (table, bucket):
     // Σ bucket² bounds the candidate join, the pair list is tiny vs the
     // corpus so the final anti-join broadcasts — same shape as q38 for
-    // text. Rows-only oracle (hash seeds aren't SQL); SimilaritySpec
+    // text. Rows-only oracle (hash seeds aren't SQL); QueriesSpec
     // proves planted-pair recall ≥ 0.9 and zero false positives.
     "q45_cosine_neardup_keep" -> ((s, dir) => {
       val base = Tables.embeddings(s, dir)

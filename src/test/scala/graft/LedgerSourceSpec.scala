@@ -37,6 +37,13 @@ class LedgerSourceSpec extends AnyFunSuite {
     assert(LedgerSource.advance(gappy, Cursor(9, 4), 10) == Cursor(9, 4))
   }
 
+  test("malformed offset JSON fails loudly, empty offset parses clean") {
+    import graft.sources.LedgerSource._
+    assert(LedgerOffset.parse("{}").cursors.isEmpty)
+    intercept[Exception](LedgerOffset.parse("""{"0":"garbage"}"""))
+    intercept[Exception](LedgerOffset.parse("""{"x":[1]}"""))
+  }
+
   test("offset JSON round-trips") {
     val off = LedgerOffset(Map(0 -> Cursor(3, 2), 1 -> Cursor(9, 0)))
     assert(LedgerOffset.parse(off.json()) == off)
