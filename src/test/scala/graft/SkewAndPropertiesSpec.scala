@@ -102,4 +102,28 @@ class SkewAndPropertiesSpec extends AnyFunSuite {
       assert(keys.size == 4)
     }
   }
+
+  test("property: perturb keeps cosine ≥ 0.95 and SRP buckets mostly stable") {
+    import graft.functions.VectorFunctions._
+    val rnd = new Random(7)
+    var bucketMatches = 0
+    val trials = 100
+    (1 to trials).foreach { t =>
+      // unit-ish vector like the synthetic embeddings (components ~ N(0,1)/√d)
+      val dim = 64
+      val v = Seq.fill(dim)((rnd.nextGaussian() / math.sqrt(dim)).toFloat)
+      val p = perturb(v, seed = t.toLong, eps = 0.02)
+      def dotd(a: Seq[Float], b: Seq[Float]) =
+        a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val cos = dotd(v, p) / math.sqrt(dotd(v, v) * dotd(p, p))
+      assert(cos >= 0.95, s"trial $t cosine $cos")
+      // determinism
+      assert(perturb(v, t.toLong, 0.02) == p)
+      if (srpBucketAt(v, 8, 0) == srpBucketAt(p, 8, 0)) bucketMatches += 1
+    }
+    // near-identical vectors should share their 8-bit SRP bucket most of
+    // the time — this is exactly the property q45's blocking relies on
+    assert(bucketMatches >= trials * 0.7,
+      s"only $bucketMatches/$trials bucket-stable")
+  }
 }
