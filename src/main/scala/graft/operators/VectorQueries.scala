@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.VectorFunctions._
-import graft.functions.expressions.VectorExpressions.cosineSim
+import graft.functions.expressions.VectorExpressions.{cosineSim, srpBucketExpr}
 
 /** Similarity search over the `embeddings` table + multimodal plumbing.
   *
@@ -58,7 +58,7 @@ object VectorQueries {
     // recall vs q33 on sf0.001.
     "q34_ann_srp" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-        .withColumn("bucket", srpBucketUdf(10)(col("embedding")))
+        .withColumn("bucket", srpBucketExpr(col("embedding"), 10))
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
           col("bucket"))
@@ -80,7 +80,7 @@ object VectorQueries {
     "q37_ann_srp_multiprobe" -> ((s, dir) => {
       val nPlanes = 10
       val e = Tables.embeddings(s, dir)
-        .withColumn("bucket", srpBucketUdf(nPlanes)(col("embedding")))
+        .withColumn("bucket", srpBucketExpr(col("embedding"), nPlanes))
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
           col("bucket").as("q_bucket"))
@@ -150,8 +150,8 @@ object VectorQueries {
       val corpus = base.unionByName(planted)
       val banded = corpus.select(col("vec_id"), col("embedding"),
         explode(array(
-          struct(lit(0).as("t"), srpBucketAtUdf(8, 0)(col("embedding")).as("b")),
-          struct(lit(1).as("t"), srpBucketAtUdf(8, 8)(col("embedding")).as("b"))
+          struct(lit(0).as("t"), srpBucketExpr(col("embedding"), 8, 0).as("b")),
+          struct(lit(1).as("t"), srpBucketExpr(col("embedding"), 8, 8).as("b"))
         )).as("tb"))
       val cand = banded.as("a").join(banded.as("b"),
           col("a.tb") === col("b.tb") && col("a.vec_id") < col("b.vec_id"))

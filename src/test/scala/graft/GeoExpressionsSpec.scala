@@ -59,6 +59,21 @@ class GeoExpressionsSpec extends AnyFunSuite {
     assert(math.abs(cs - 0.6) < 1e-6, s"cosine_sim = $cs") // float32 inputs
   }
 
+  test("native SrpBucket expression is bit-identical to the UDF form") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorFunctions.{srpBucketUdf, srpBucketAtUdf}
+    import graft.functions.expressions.VectorExpressions.srpBucketExpr
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val mismatches = e.select(
+      srpBucketUdf(10)(col("embedding")).as("u10"),
+      srpBucketExpr(col("embedding"), 10).as("e10"),
+      srpBucketAtUdf(8, 8)(col("embedding")).as("u8_8"),
+      srpBucketExpr(col("embedding"), 8, 8).as("e8_8"))
+      .filter(col("u10") =!= col("e10") || col("u8_8") =!= col("e8_8"))
+      .count()
+    assert(mismatches == 0L)
+  }
+
   test("expression stays inside whole-stage codegen") {
     // parquet-backed input so ConvertToLocalRelation can't pre-evaluate
     val df = Tables.supplier(spark, "/root/testdata/sf0.001")
