@@ -150,7 +150,9 @@ object TextQueries {
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
           col("a.sim").as("s1"), col("b.sim").as("s2"))
         .distinct()
-        .withColumn("hamming", hammingUdf(col("s1"), col("s2")))
+        // builtin bit_count(xor) — codegen'd, no UDF; same value as
+        // TextFunctions.hamming64
+        .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
         .filter(col("hamming") <= 3)
         .select("d1", "d2", "hamming")
         .orderBy("d1", "d2")
