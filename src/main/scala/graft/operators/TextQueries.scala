@@ -198,6 +198,53 @@ object TextQueries {
         .limit(10)
     }),
 
+    // Connected-components dedup clustering: the transitive-closure step a
+    // production dedup pipeline ends with (greedy pair-drop under-merges
+    // chained near-dups A~B~C). Edges = jaccard ≥ 0.5 pairs; components
+    // via distributed min-label propagation iterated to fixpoint — each
+    // round is one shuffle on doc_id, rounds needed = cluster diameter
+    // (tiny for dup clusters), convergence checked with a count action
+    // (the k-means pattern, not a driver-side data loop). At 100 TB the
+    // edge list is ≪ corpus (post-LSH), so each round shuffles only the
+    // paired docs.
+    "q52_dedup_components" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("shared"))
+        .join(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+        .join(counts.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+        .filter(col("shared") / (col("n1") + col("n2") - col("shared")) >= 0.5)
+        .select(col("d1"), col("d2"))
+      val edges = pairs
+        .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        .cache()
+      var labels = edges.select(col("d1").as("doc_id"))
+        .distinct()
+        .withColumn("component", col("doc_id"))
+        .cache()
+      var changed = 1L
+      while (changed > 0) {
+        val next = labels
+          .join(edges, labels("doc_id") === edges("d1"), "left")
+          .join(labels.select(col("doc_id").as("nb"),
+            col("component").as("nb_comp")), col("d2") === col("nb"), "left")
+          .groupBy(labels("doc_id"))
+          .agg(least(min(col("component")), min(col("nb_comp"))).as("component"))
+          .cache()
+        changed = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
+          .filter(col("component") =!= col("old")).count()
+        labels = next
+      }
+      labels
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("component")
+    }),
+
     // Winnowing document fingerprints (k=5 chars, window=4): per-doc
     // fingerprint count + min fingerprint (stable identity). Rows-only.
     "q31_fingerprints" -> ((s, dir) => {
@@ -281,6 +328,33 @@ object TextQueries {
         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
         |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dups)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q52_dedup_components" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |shingles AS (
+        |  SELECT DISTINCT doc_id, s
+        |  FROM (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+        |        WHERE len(t) >= 3)),
+        |counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id d1, b.doc_id d2
+        |  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  JOIN counts c1 ON a.doc_id = c1.doc_id
+        |  JOIN counts c2 ON b.doc_id = c2.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, c1.n, c2.n
+        |  HAVING count(*) / (c1.n + c2.n - count(*)) >= 0.5),
+        |edges AS (SELECT d1, d2 FROM p UNION ALL SELECT d2 AS d1, d1 AS d2 FROM p),
+        |reach AS (
+        |  SELECT d1 AS d, d1 AS r FROM edges
+        |  UNION
+        |  SELECT e.d2 AS d, reach.r FROM reach JOIN edges e ON e.d1 = reach.d),
+        |comp AS (SELECT d, min(r) AS component FROM reach GROUP BY d)
+        |SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(d) AS keep_doc
+        |FROM comp GROUP BY 1 HAVING count(*) >= 2 ORDER BY component""".stripMargin,
 
     "q39_top_tokens" ->
       """WITH t AS (
