@@ -51,13 +51,17 @@ object Bench {
     // Janino codegen compile for that query's stages (~0.5-2 s each on this
     // host — measured with Dev time, e.g. token-frequency 5 s cold / 0.4 s
     // warm); pass 2 is the steady-state execution a long-running cluster
-    // actually experiences. Standard warm-measurement practice; both passes
-    // execute the full query.
+    // actually experiences. clearCache between passes: queries that cache
+    // intermediates (IVF centroids, component labels) must re-execute them
+    // — otherwise pass 2 reads pass 1's cached plans and the reported time
+    // excludes the dominant work.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val secs = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        secs
       }
       name -> math.min(once(), once())
     }

@@ -66,7 +66,8 @@ object Dev {
         replicate("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
         replicate("customer", Map("c_custkey" -> 1000000L))
         replicate("documents", Map("doc_id" -> 1000000L))
-        replicate("embeddings", Map("vec_id" -> 1000000L))
+        // stride must NOT collide with q45's planted-id offset (+1_000_000)
+        replicate("embeddings", Map("vec_id" -> 10000000L))
         Seq("region", "nation", "supplier", "part").foreach(t =>
           replicate(t, Map.empty))
         val names = args.drop(1) match {
@@ -80,7 +81,9 @@ object Dev {
           val fn = SparkEntry.queries(n)
           def run(dir: String): Double = {
             val t0 = System.nanoTime(); fn(spark, dir).count()
-            (System.nanoTime() - t0) / 1e9
+            val secs = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache() // no cross-run reuse of cached plans
+            secs
           }
           run(src) // warm plan/codegen on the small size first
           val small = run(src)
@@ -163,9 +166,10 @@ object Dev {
           .writeStream.format("noop")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(300000)
+        val finished = q.awaitTermination(300000)
         val secs = (System.nanoTime() - t0) / 1e9
         val total = nParts.toLong * perPart
+        require(finished, s"ledgerbench did not finish within 300 s")
         println(f"[dev] ledger source: $total entries in $secs%.2f s = ${total / secs}%.0f entries/s (${total / secs / nParts}%.0f per partition; reference cap 1000/s/partition)")
       case Some("ledger") =>
         // drive the DSv2 ledger source end-to-end: write a topic dir, read

@@ -143,7 +143,6 @@ object TextFunctions {
   val simhashUdf = udf(simhash64 _)
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
-  val hammingUdf = udf(hamming64 _)
 
   /** MinHash signature: for each of `numHashes` seeded affine permutations,
     * the min over the doc's shingle hashes. Input = array of shingles.

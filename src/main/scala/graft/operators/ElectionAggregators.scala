@@ -31,7 +31,13 @@ object ElectionAggregators {
 
     override def zero: ElectionBuf = ElectionBuf(Nil, 0L, None)
 
-    private def later(a: Pt, b: Pt): Pt = if (a.ts >= b.ts) a else b
+    // total order (ts, lat, lng): merge-order-independent choice when two
+    // distinct points share the max timestamp (matches the specs'
+    // sortBy(ts, lat, lng).last expectation)
+    private def later(a: Pt, b: Pt): Pt = {
+      val ord = Ordering.Tuple3[Long, Double, Double]
+      if (ord.gteq((a.ts, a.lat, a.lng), (b.ts, b.lat, b.lng))) a else b
+    }
 
     override def reduce(b: ElectionBuf, p: Pt): ElectionBuf = {
       val latest = b.latest.map(later(_, p)).orElse(Some(p))

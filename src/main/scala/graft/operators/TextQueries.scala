@@ -236,13 +236,18 @@ object TextQueries {
           .cache()
         changed = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
           .filter(col("component") =!= col("old")).count()
+        labels.unpersist() // superseded round — don't pin dead blocks
         labels = next
       }
-      labels
+      val out = labels
         .groupBy(col("component"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
         .filter(col("n_docs") >= 2)
         .orderBy("component")
+        .localCheckpoint() // materialize, then release the loop's caches
+      labels.unpersist()
+      edges.unpersist()
+      out
     }),
 
     // Winnowing document fingerprints (k=5 chars, window=4): per-doc

@@ -118,15 +118,19 @@ object LedgerSource {
     if (sortedHosts.isEmpty) Array.empty
     else Array(sortedHosts(partition % sortedHosts.size))
 
-  /** Live executor hosts from the active session, sorted; empty when no
-    * session (pure-metadata tests) — locality is a hint, never a must.
+  /** Live executor hosts (driver excluded — pinning a partition to the
+    * driver's host would fall back to ANY locality and shift the modulo
+    * mapping for every other partition), sorted; in local mode the driver
+    * IS the only executor, so fall back to it rather than none. Empty when
+    * no session (pure-metadata tests) — locality is a hint, never a must.
     */
   def executorHosts(): Seq[String] =
     try {
-      org.apache.spark.sql.SparkSession.getActiveSession
-        .map(_.sparkContext.statusTracker.getExecutorInfos
-          .map(_.host()).toSeq.distinct.sorted)
-        .getOrElse(Nil)
+      val ids = org.apache.spark.SparkEnv.get.blockManager.master
+        .getMemoryStatus.keys.toSeq
+      val execs = ids.filter(_.executorId != "driver").map(_.host)
+      val hosts = if (execs.nonEmpty) execs else ids.map(_.host)
+      hosts.distinct.sorted
     } catch { case _: Throwable => Nil }
 
   // -------------------------------------------------------- offset (JSON)

@@ -45,7 +45,9 @@ object RateAllocator {
           val maxRate = c.maxEntriesPerSec
           val backpressureRate =
             if (totalLag == 0) 0.0 else backlog / totalLag.toDouble * rate
-          if (maxRate > 0 && maxRate != Double.MaxValue)
+          // min() with an uncapped (MaxValue/Infinity) ceiling is a no-op,
+          // so the minRate floor applies uniformly — capped or not
+          if (maxRate > 0)
             math.max(math.min(backpressureRate, maxRate), c.minRatePerSec)
           else backpressureRate
         }
