@@ -27,6 +27,46 @@ object TextQueries {
       .distinct()
   }
 
+  /** Near-dup pairs at exact set-jaccard >= `threshold`, with candidate
+    * generation through MinHash-LSH banding instead of the exact shingle
+    * self-join. This is the scale path shared by q29/q38/q52: the band join
+    * moves only (bucket, doc_id) and its cost is Σ bucket² over docs that
+    * are actually similar, where the exact join pays Σ df(shingle)² over
+    * every doc sharing one template shingle (measured 42× at 10× corpus in
+    * round 1). Candidates are then verified with exact jaccard on the
+    * shingle sets, so the output is the same answer the exact join gives —
+    * up to banding recall, which the defaults pin at ~1: with 32 bands × 2
+    * rows, P(candidate) = 1-(1-j²)^32 is 0.9999 at the j=0.5 verify
+    * threshold and 1-6e-15 at j=0.8 (the weakest true pair in the corpus
+    * is j=0.8, DedupSpec pins zero misses). At 100 TB, template-heavy
+    * corpora would raise `rows` to sharpen the S-curve and cut marginal
+    * candidates; the verify stage keeps the answer exact either way.
+    */
+  private[graft] def lshNeardupPairs(s: SparkSession, dir: String,
+      threshold: Double, numHashes: Int = 64, bands: Int = 32,
+      rows: Int = 2): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), wordNgramsUdf(3)(col("text")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    // band join moves only (bucket, doc_id); the wide shingle payload joins
+    // back AFTER candidate dedup, crossing the shuffle once per surviving
+    // pair, not once per band.
+    val banded = docs.select(col("doc_id"),
+      explode(lshBandsUdf(bands, rows)(minhashUdf(numHashes)(col("shingles")))).as("bucket"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("d1"), col("shingles").as("sh1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("shingles").as("sh2")), "d2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("uni", size(array_union(col("sh1"), col("sh2"))))
+      .withColumn("jac", col("inter") / col("uni"))
+      .filter(col("jac") >= threshold)
+      .select(col("d1"), col("d2"), col("jac"))
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Token statistics per language: whitespace tokens + BPE-ish tokens.
@@ -112,26 +152,7 @@ object TextQueries {
     // bucket, Σ bucket² ≪ n². Rows-only oracle (hash seeds aren't SQL);
     // DedupSpec proves candidates ⊇ true pairs at jaccard ≥ 0.5.
     "q29_minhash_lsh" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), wordNgramsUdf(3)(col("text")).as("shingles"))
-        .filter(size(col("shingles")) > 0)
-      // band join moves only (bucket, doc_id) — the shingle arrays join
-      // back AFTER candidate dedup, so the wide payload crosses the
-      // shuffle once per surviving pair, not once per band.
-      val banded = docs
-        .select(col("doc_id"),
-          explode(lshBandsUdf(8, 4)(minhashUdf(32)(col("shingles")))).as("bucket"))
-      val cand = banded.as("a").join(banded.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-      cand
-        .join(docs.select(col("doc_id").as("d1"), col("shingles").as("sh1")), "d1")
-        .join(docs.select(col("doc_id").as("d2"), col("shingles").as("sh2")), "d2")
-        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
-        .withColumn("uni", size(array_union(col("sh1"), col("sh2"))))
-        .withColumn("jac", col("inter") / col("uni"))
-        .filter(col("jac") >= 0.5)
+      lshNeardupPairs(s, dir, 0.5, numHashes = 32, bands = 8, rows = 4)
         .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
         .orderBy("d1", "d2")
     }),
@@ -164,16 +185,9 @@ object TextQueries {
     // ends: the pair list is tiny relative to the corpus, so the final
     // anti-join broadcasts.
     "q38_dedup_keep" -> ((s, dir) => {
-      val sh = shingled(s, dir)
-      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val shared = sh.as("a").join(sh.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("shared"))
-      val dupIds = shared
-        .join(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-        .join(counts.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
-        .filter(col("shared") / (col("n1") + col("n2") - col("shared")) >= 0.5)
+      // pairs come from the LSH path (same answer as the exact join, near-
+      // linear candidate cost); the oracle still runs the exact join.
+      val dupIds = lshNeardupPairs(s, dir, 0.5)
         .select(col("d2").as("doc_id")).distinct()
       Tables.documents(s, dir)
         .join(broadcast(dupIds), Seq("doc_id"), "left_anti")
@@ -208,16 +222,8 @@ object TextQueries {
     // edge list is ≪ corpus (post-LSH), so each round shuffles only the
     // paired docs.
     "q52_dedup_components" -> ((s, dir) => {
-      val sh = shingled(s, dir)
-      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a").join(sh.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("shared"))
-        .join(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-        .join(counts.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
-        .filter(col("shared") / (col("n1") + col("n2") - col("shared")) >= 0.5)
-        .select(col("d1"), col("d2"))
+      // edge list from the LSH path (identical pair set, near-linear cost)
+      val pairs = lshNeardupPairs(s, dir, 0.5).select(col("d1"), col("d2"))
       val edges = pairs
         .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
         .cache()

@@ -50,6 +50,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall: missed ${exact -- lsh}")
   }
 
+  test("q38/q52 LSH pair path exactly matches the exact shingle join at 0.5") {
+    // 32 bands × 2 rows: P(candidate) at the verify threshold itself is
+    // 1-(1-0.25)^32 = 0.9999, and every true pair in the corpus sits at
+    // j ≥ 0.8 where the miss probability is ~6e-15 — the LSH pipeline must
+    // reproduce the exact join's answer pair-for-pair, which is what keeps
+    // q38/q52 hash-green against their exact-join DuckDB oracles.
+    val exact = TextQueries.defs("q28_jaccard_pairs")(spark, dir)
+      .filter(col("jac") >= 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextQueries.lshNeardupPairs(spark, dir, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"missed: ${exact -- lsh}, extra: ${lsh -- exact}")
+  }
+
   test("SRP-ANN results are a subset of brute-force candidate space") {
     val brute = VectorQueries.defs("q33_ann_bruteforce")(spark, dir)
       .select("q_id", "neighbor_id").collect()
