@@ -188,26 +188,36 @@ object VectorQueries {
         .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
         .select(col("cell"),
           expr("transform(pairs, p -> cast(p.c as float))").as("centroid"))
-      def assign(cent: DataFrame): DataFrame = {
-        val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
+      // nearest-centroid assignment as an aggregation, not a window: the
+      // round-1 row_number() form shuffled AND sorted corpus×nlist rows;
+      // min_by gets map-side partial aggregation, so only one (cell,
+      // embedding) buffer per vec_id crosses the shuffle — at 100 TB that
+      // is shuffling the corpus once instead of nlist× plus a sort.
+      // Ordering key struct(-csim, cell) == (csim DESC, cell ASC), the same
+      // deterministic tie-break the window used.
+      def assign(cent: DataFrame): DataFrame =
         e.crossJoin(broadcast(cent))
           .withColumn("csim", cosineSim(col("embedding"), col("centroid")))
-          .withColumn("crk", row_number().over(w))
-          .filter(col("crk") === 1)
-          .select(col("vec_id"), col("cell"), col("embedding"))
-      }
+          .groupBy(col("vec_id"))
+          .agg(min_by(struct(col("cell"), col("embedding")),
+            struct(negate(col("csim")), col("cell"))).as("best"))
+          .select(col("vec_id"), col("best.cell").as("cell"),
+            col("best.embedding").as("embedding"))
       // seed = label means; 2 Lloyd iterations of assign → recompute.
-      // cache: the trained centroids feed BOTH the corpus assignment and
-      // the query probes — without it each branch re-runs the full
-      // training lineage (train once, broadcast twice).
+      // localCheckpoint (not cache): the trained centroids feed BOTH the
+      // corpus assignment and the query probes — materialize once, and the
+      // blocks are released with the RDD instead of pinning the session's
+      // catalog cache for its lifetime.
       var cent = means(e.select(col("label").as("cell"), col("embedding")))
       for (_ <- 0 until 2) cent = means(assign(cent))
-      cent = cent.cache()
+      cent = cent.localCheckpoint()
       // final inverted file: tiny centroid table broadcasts; rank 1 = own cell
       val assigned = assign(cent)
       // query side probes nprobe=3 cells (the synthetic corpus clusters
       // only weakly — diffuse cells need a probe or two more than a
-      // well-separated corpus would)
+      // well-separated corpus would). The window here is fine at scale:
+      // it ranks queries×nlist rows, and the query set is small by
+      // definition — it's the corpus side that must not be windowed.
       val wAssign = Window.partitionBy("vec_id")
         .orderBy(col("csim").desc, col("cell"))
       val probes = e.filter(col("vec_id") < NQueries)

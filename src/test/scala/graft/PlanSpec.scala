@@ -76,6 +76,12 @@ class PlanSpec extends AnyFunSuite {
       s"native cosine missing:\n$plan")
   }
 
+  test("q46 IVF assignment aggregates partial min_by (no corpus-wide window sort)") {
+    val plan = physical(VectorQueries.defs("q46_ann_ivf")(spark, dir))
+    assert(plan.contains("partial_min_by"),
+      s"assignment not a partial min_by aggregation:\n$plan")
+  }
+
   test("events scan prunes columns for a two-column aggregate") {
     val plan = physical(RelationalQueries.defs("q13_distinct_types")(spark, dir))
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
