@@ -40,30 +40,34 @@ object Bench {
         .join(broadcast(dim), "g")
         .groupBy("g").agg(sum("d").as("sd"), count(lit(1)).as("n"))
         .withColumn("rk", row_number().over(Window.partitionBy(col("g") % 7).orderBy(col("sd"))))
-        .orderBy(col("sd").desc).limit(5).collect()
+        .orderBy(col("sd").desc).limit(5)
+        .write.format("noop").mode("overwrite").save() // warm the noop sink too
       Tables.names.foreach { tn =>
         try Tables(spark, sfDir, tn).limit(1).collect()
         catch { case _: Throwable => () }
       }
     }
 
-    // two passes per query, report the min: pass 1 pays the one-time plan +
-    // Janino codegen compile for that query's stages (~0.5-2 s each on this
-    // host — measured with Dev time, e.g. token-frequency 5 s cold / 0.4 s
-    // warm); pass 2 is the steady-state execution a long-running cluster
-    // actually experiences. clearCache between passes: queries that cache
-    // intermediates (IVF centroids, component labels) must re-execute them
-    // — otherwise pass 2 reads pass 1's cached plans and the reported time
-    // excludes the dominant work.
+    // three passes per query, report the median: pass 1 pays the one-time
+    // plan + Janino codegen compile for that query's stages (~0.5-2 s each
+    // on this host), and a median-of-3 absorbs one-off host-noise spikes
+    // that a min-of-2 can still inherit (round-1 q16 measured 8 s against
+    // a 0.5 s warm plan). Materialization is a noop-format WRITE, not
+    // count(): count() lets Catalyst prune deterministic projections (the
+    // election UDFs) and eliminate final sorts, under-measuring exactly the
+    // work the queries claim to do. clearCache between passes: queries that
+    // cache intermediates must re-execute them, not replay pass 1's blocks.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
         val secs = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         secs
       }
-      name -> math.min(once(), once())
+      val times = Seq(once(), once(), once()).sorted
+      name -> times(1)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
