@@ -64,14 +64,48 @@ object LedgerSource {
       .toSeq.sortBy(_.ledgerId)
   }
 
+  /** Entry counts cached by (size, mtime): the driver calls listLedgers on
+    * every latestOffset()/metrics() tick, and re-reading every segment's
+    * full bytes each tick made the driver loop O(data) per batch. With the
+    * cache it is O(partitions + ledgers) stat calls — the reference gets
+    * the same numbers from broker metadata. Append-only segments change
+    * (size, mtime) on every append, so a hit is always current; one entry
+    * per path, replaced in place, so the cache cannot grow unboundedly.
+    */
+  private val lineCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+
+  /** Test hook: number of full-file count scans actually performed. */
+  val countScans = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def countLines(p: Path): Long = {
-    val bytes = Files.readAllBytes(p)
-    if (bytes.isEmpty) 0L
+    val size = Files.size(p)
+    val mtime = Files.getLastModifiedTime(p).toMillis
+    val key = p.toAbsolutePath.toString
+    val hit = lineCountCache.get(key)
+    if (hit != null && hit._1 == size && hit._2 == mtime) hit._3
     else {
-      var n = 0L
-      bytes.foreach(b => if (b == '\n') n += 1)
-      if (bytes.last != '\n') n + 1 else n
+      val n = scanLineCount(p)
+      lineCountCache.put(key, (size, mtime, n))
+      n
     }
+  }
+
+  private def scanLineCount(p: Path): Long = {
+    countScans.incrementAndGet()
+    val in = new java.io.BufferedInputStream(Files.newInputStream(p), 1 << 16)
+    try {
+      var n = 0L
+      var last = -1
+      var b = in.read()
+      if (b == -1) return 0L
+      while (b != -1) {
+        if (b == '\n') n += 1
+        last = b
+        b = in.read()
+      }
+      if (last != '\n') n + 1 else n
+    } finally in.close()
   }
 
   /** Entries remaining at-or-after the cursor (reference computeBacklog,
@@ -118,19 +152,28 @@ object LedgerSource {
     if (sortedHosts.isEmpty) Array.empty
     else Array(sortedHosts(partition % sortedHosts.size))
 
-  /** Live executor hosts (driver excluded — pinning a partition to the
-    * driver's host would fall back to ANY locality and shift the modulo
-    * mapping for every other partition), sorted; in local mode the driver
-    * IS the only executor, so fall back to it rather than none. Empty when
-    * no session (pure-metadata tests) — locality is a hint, never a must.
+  /** Live executor locations in Spark's "executor_<host>_<id>" task-location
+    * form, sorted by numeric executor id (reference
+    * SparkPulsarRDD.getPreferredLocations pins ExecutorCacheTaskLocations
+    * sorted by executorId — on hosts running several executors, consumer/
+    * page-cache affinity is per-executor, and a host-only pin diverges from
+    * the reference's mapping). Driver excluded (pinning a partition to the
+    * driver would fall back to ANY locality and shift the modulo mapping
+    * for every other partition); in local mode the driver IS the only
+    * executor, so fall back to it rather than none. Empty when no session
+    * (pure-metadata tests) — locality is a hint, never a must.
     */
-  def executorHosts(): Seq[String] =
+  def executorLocations(): Seq[String] =
     try {
       val ids = org.apache.spark.SparkEnv.get.blockManager.master
         .getMemoryStatus.keys.toSeq
-      val execs = ids.filter(_.executorId != "driver").map(_.host)
-      val hosts = if (execs.nonEmpty) execs else ids.map(_.host)
-      hosts.distinct.sorted
+      val execs = ids.filter(_.executorId != "driver")
+      val chosen = if (execs.nonEmpty) execs else ids
+      chosen
+        .sortBy(e => (try BigInt(e.executorId) catch {
+          case _: Throwable => BigInt(Long.MaxValue)
+        }, e.executorId))
+        .map(e => s"executor_${e.host}_${e.executorId}")
     } catch { case _: Throwable => Nil }
 
   // -------------------------------------------------------- offset (JSON)
@@ -159,27 +202,125 @@ object LedgerSource {
   }
 }
 
+/** Reader-option validation, secret redaction, and the payload-schema
+  * option (reference: PulsarProvider.validateReaderOptions:65-98 fails fast
+  * on unknown/invalid options; PulsarConfigUpdater.scala:12-64 redacts
+  * auth params from every log line; SparkPulsarPartition.scala:14-51
+  * carries Schema[T] to executors for in-source decode). Round 1's
+  * provider accepted any option silently — the classic trap where a typo'd
+  * `maxRatePerPartitoin` falls back to defaults without a word.
+  */
+object LedgerOptions {
+  import org.apache.spark.sql.types._
+
+  private def posNum(v: String): Option[String] =
+    try { if (v.toDouble > 0) None else Some("must be > 0") }
+    catch { case _: NumberFormatException => Some("must be a number") }
+  private def nonNegNum(v: String): Option[String] =
+    try { if (v.toDouble >= 0) None else Some("must be >= 0") }
+    catch { case _: NumberFormatException => Some("must be a number") }
+
+  /** Types the in-source JSON decoder supports. */
+  val SupportedJsonTypes: Set[DataType] =
+    Set(StringType, IntegerType, LongType, DoubleType, BooleanType)
+
+  private def schemaErr(v: String): Option[String] =
+    try {
+      val st = StructType.fromDDL(v)
+      val bad = st.fields.filterNot(f => SupportedJsonTypes.contains(f.dataType))
+      val clash = st.fieldNames.map(_.toLowerCase)
+        .intersect(LedgerSource.Schema.fieldNames.map(_.toLowerCase))
+      if (bad.nonEmpty)
+        Some(s"unsupported field type(s) ${bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}; " +
+          s"supported: ${SupportedJsonTypes.map(_.simpleString).toSeq.sorted.mkString(", ")}")
+      else if (clash.nonEmpty)
+        Some(s"field name(s) ${clash.mkString(", ")} collide with the source's base columns")
+      else None
+    } catch { case e: Exception => Some(s"not a valid DDL schema (${e.getMessage})") }
+
+  /** Known option -> value validator (None = ok, Some(msg) = invalid). */
+  val Known: Map[String, String => Option[String]] = Map(
+    "path" -> (v => if (v == null || v.trim.isEmpty) Some("must be a non-empty directory path") else None),
+    "maxrateperpartition" -> posNum,
+    "minrateperpartition" -> nonNegNum,
+    "avgmsgsperentry" -> posNum,
+    "maxbyterateperpartition" -> posNum,
+    "batchintervalms" -> posNum,
+    "estimatedrate" -> posNum,
+    "format" -> (v => if (Set("binary", "json").contains(v.toLowerCase)) None
+      else Some("must be 'binary' or 'json'")),
+    "jsonschema" -> schemaErr,
+    "authtoken" -> (_ => None))
+
+  /** Options whose values must never reach logs or error messages. */
+  val Secrets: Set[String] = Set("authtoken")
+
+  /** Fail-fast validation; returns the lowercase-keyed option map. */
+  def validate(opts: Map[String, String]): Map[String, String] = {
+    val norm = opts.map { case (k, v) => k.toLowerCase -> v }
+    val unknown = norm.keys.filterNot(Known.contains).toSeq.sorted
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"graft-ledger: unknown option(s): ${unknown.mkString(", ")}. " +
+          s"Supported options: ${Known.keys.toSeq.sorted.mkString(", ")}")
+    if (!norm.contains("path"))
+      throw new IllegalArgumentException("graft-ledger: option 'path' is required")
+    for ((k, v) <- norm; err <- Known(k)(v))
+      throw new IllegalArgumentException(
+        s"graft-ledger: invalid value for option '$k'" +
+          (if (Secrets(k)) "" else s" = '$v'") + s": $err")
+    if (norm.get("format").exists(_.equalsIgnoreCase("json")) && !norm.contains("jsonschema"))
+      throw new IllegalArgumentException(
+        "graft-ledger: format=json requires the 'jsonSchema' option (DDL, e.g. \"name STRING, qty INT\")")
+    if (norm.contains("jsonschema") && !norm.get("format").exists(_.equalsIgnoreCase("json")))
+      throw new IllegalArgumentException(
+        "graft-ledger: 'jsonSchema' is only valid with format=json")
+    norm
+  }
+
+  /** Secrets masked for any rendering (table name, logs, errors). */
+  def redact(opts: Map[String, String]): Map[String, String] =
+    opts.map { case (k, v) => k -> (if (Secrets(k.toLowerCase)) "***" else v) }
+
+  /** Typed payload fields decoded in-source, when format=json. */
+  def payloadSchema(norm: Map[String, String]): Option[StructType] =
+    if (norm.get("format").exists(_.equalsIgnoreCase("json")))
+      Some(StructType.fromDDL(norm("jsonschema")))
+    else None
+
+  /** Full output schema: base columns ++ decoded payload fields. */
+  def fullSchema(norm: Map[String, String]): StructType =
+    payloadSchema(norm).fold(LedgerSource.Schema)(ps =>
+      StructType(LedgerSource.Schema.fields ++ ps.fields))
+}
+
 class LedgerSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-ledger"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    LedgerSource.Schema
+    LedgerOptions.fullSchema(LedgerOptions.validate(options.asScala.toMap))
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new LedgerTable(properties.get("path"), properties.asScala.toMap)
+                        properties: util.Map[String, String]): Table = {
+    val norm = LedgerOptions.validate(properties.asScala.toMap)
+    new LedgerTable(norm("path"), norm)
+  }
 }
 
 class LedgerTable(path: String, options: Map[String, String])
     extends Table with SupportsRead {
   override def name(): String = s"graft-ledger($path)"
-  override def schema(): StructType = LedgerSource.Schema
+  // any rendering of the option map (logs, plans, errors) goes through
+  // redact — auth secrets never appear in the clear
+  override def toString: String =
+    s"graft-ledger($path, ${LedgerOptions.redact(options - "path").toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(", ")})"
+  override def schema(): StructType = LedgerOptions.fullSchema(options)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    () => new LedgerScan(path, options ++ opts.asScala)
+    () => new LedgerScan(path, LedgerOptions.validate(options ++ opts.asScala))
 }
 
 class LedgerScan(path: String, options: Map[String, String]) extends Scan {
-  override def readSchema(): StructType = LedgerSource.Schema
+  override def readSchema(): StructType = LedgerOptions.fullSchema(options)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new LedgerMicroBatchStream(path, options)
 }
@@ -195,7 +336,10 @@ class LedgerMicroBatchStream(path: String, options: Map[String, String])
 
   /** Per-batch source metrics surfaced in StreamingQueryProgress
     * (replaces the reference's per-topic accumulator/Codahale subsystem,
-    * PulsarMetricType.scala:11-113 — engine-native observability).
+    * PulsarMetricType.scala:11-113: msgs/bytes per batch, rates, decode
+    * failures — engine-native observability). Entry/byte counts come from
+    * offset metadata (cached counts + file sizes); decode failures from an
+    * executor-side accumulator.
     */
   override def metrics(latestConsumedOffset: java.util.Optional[Offset]): java.util.Map[String, String] = {
     val consumed = if (latestConsumedOffset.isPresent)
@@ -211,9 +355,25 @@ class LedgerMicroBatchStream(path: String, options: Map[String, String])
     Map(
       "totalBacklog" -> backlogs.sum.toString,
       "maxPartitionBacklog" -> (if (backlogs.isEmpty) "0" else backlogs.max.toString),
-      "numPartitions" -> parts.size.toString
+      "numPartitions" -> parts.size.toString,
+      "batchEntries" -> lastBatchEntries.toString,
+      "batchBytes" -> lastBatchBytes.toString,
+      "entriesPerSecond" ->
+        f"${lastBatchEntries * 1000.0 / math.max(1L, batchIntervalMs)}%.1f",
+      "decodeFailures" ->
+        Option(decodeFailures).map(_.value.toString).getOrElse("0")
     ).asJava
   }
+
+  // ---- per-batch figures for metrics(): set on the driver when the batch
+  // is planned; decode failures accumulate from executors
+  @volatile private var lastBatchEntries = 0L
+  @volatile private var lastBatchBytes = 0L
+  private val decodeFailures: org.apache.spark.util.LongAccumulator =
+    try {
+      org.apache.spark.sql.SparkSession.active.sparkContext
+        .longAccumulator(s"graft-ledger($path).decodeFailures")
+    } catch { case _: Throwable => null }
 
   // Trigger.AvailableNow: snapshot the end target once, then keep emitting
   // rate-limited batches until every partition reaches it.
@@ -305,21 +465,38 @@ class LedgerMicroBatchStream(path: String, options: Map[String, String])
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LedgerOffset].cursors
     val e = end.asInstanceOf[LedgerOffset].cursors
-    // stable partition→executor pinning (idx mod sorted host list) so the
-    // same partition lands on the same executor across batches — consumer/
-    // page-cache reuse, reference SparkPulsarRDD.getPreferredLocations:66-97
-    val hosts = LedgerSource.executorHosts()
-    e.keys.toSeq.sorted.flatMap { p =>
+    // stable partition→executor pinning (idx mod executor-id-sorted
+    // location list) so the same partition lands on the same executor
+    // across batches — consumer/page-cache reuse, reference
+    // SparkPulsarRDD.getPreferredLocations:66-97
+    val locations = LedgerSource.executorLocations()
+    var batchEntries = 0L
+    var batchBytes = 0L
+    val planned = e.keys.toSeq.sorted.flatMap { p =>
       val from = s.getOrElse(p, Cursor(0L, 0L))
       val to = e(p)
       if (from == to) None
-      else Some(LedgerInputPartition(path, p, from.ledgerId, from.entryId,
-        to.ledgerId, to.entryId, LedgerSource.pinTo(hosts, p)): InputPartition)
+      else {
+        val ledgers = listLedgers(partitionDir(p))
+        val n = entriesBetween(ledgers, from, to)
+        val totalEntries = ledgers.map(_.entries).sum
+        val totalBytes = ledgers.map(l =>
+          try Files.size(partitionDir(p).resolve(s"ledger-${l.ledgerId}.log"))
+          catch { case _: Throwable => 0L }).sum
+        batchEntries += n
+        if (totalEntries > 0) batchBytes += (totalBytes.toDouble / totalEntries * n).toLong
+        Some(LedgerInputPartition(path, p, from.ledgerId, from.entryId,
+          to.ledgerId, to.entryId, LedgerSource.pinTo(locations, p)): InputPartition)
+      }
     }.toArray
+    lastBatchEntries = batchEntries
+    lastBatchBytes = batchBytes
+    planned
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LedgerReaderFactory
+    new LedgerReaderFactory(LedgerOptions.payloadSchema(options),
+      Option(decodeFailures))
 
   override def deserializeOffset(json: String): Offset = LedgerOffset.parse(json)
   override def commit(end: Offset): Unit = () // files are immutable; the
@@ -335,18 +512,28 @@ case class LedgerInputPartition(path: String, partition: Int,
   override def preferredLocations(): Array[String] = preferred
 }
 
-class LedgerReaderFactory extends PartitionReaderFactory {
+class LedgerReaderFactory(
+    payloadSchema: Option[StructType] = None,
+    decodeFailures: Option[org.apache.spark.util.LongAccumulator] = None)
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LedgerInputPartition]
-    new LedgerPartitionReader(p)
+    new LedgerPartitionReader(p, payloadSchema, decodeFailures)
   }
 }
 
 /** Bounded reader: iterate entries from (startLedger, startEntry)
   * inclusive to (endLedger, endEntry) exclusive, skipping gap/empty
   * ledgers (reference PulsarBoundedConsumer.internalIterator:37-65).
+  * With a payload schema, the JSON payload decodes to typed columns
+  * executor-side — the reference's Schema[T]-per-message decode
+  * (SparkPulsarPartition.scala:14-51); malformed payloads yield null
+  * typed columns and bump the decode-failure accumulator (PERMISSIVE
+  * semantics, a poison entry never kills the stream).
   */
-class LedgerPartitionReader(p: LedgerInputPartition)
+class LedgerPartitionReader(p: LedgerInputPartition,
+    payloadSchema: Option[StructType] = None,
+    decodeFailures: Option[org.apache.spark.util.LongAccumulator] = None)
     extends PartitionReader[InternalRow] {
   import LedgerSource._
 
@@ -373,13 +560,38 @@ class LedgerPartitionReader(p: LedgerInputPartition)
     if (entryIter.hasNext) { current = entryIter.next(); true } else false
   }
 
+  // Jackson ships in Spark's runtime jars — no extra dependency
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def decodeJson(payload: String, schema: StructType): Array[Any] =
+    try {
+      val node = mapper.readTree(payload)
+      schema.fields.map { f =>
+        val v = node.get(f.name)
+        if (v == null || v.isNull) null
+        else f.dataType match {
+          case StringType  => UTF8String.fromString(if (v.isTextual) v.asText else v.toString)
+          case IntegerType => v.asInt()
+          case LongType    => v.asLong()
+          case DoubleType  => v.asDouble()
+          case BooleanType => v.asBoolean()
+          case other => throw new IllegalStateException(s"unreachable: $other")
+        }
+      }
+    } catch {
+      case _: Exception =>
+        decodeFailures.foreach(_.add(1L))
+        schema.fields.map(_ => null: Any)
+    }
+
   override def get(): InternalRow = {
     val (ledgerId, entryId, line) = current
     val (key, payload) = line.indexOf(',') match {
       case -1 => (null, line)
       case i  => (line.substring(0, i), line.substring(i + 1))
     }
-    InternalRow(
+    val base = Array[Any](
       UTF8String.fromString(topic),
       p.partition,
       ledgerId,
@@ -387,6 +599,10 @@ class LedgerPartitionReader(p: LedgerInputPartition)
       if (key == null) null else UTF8String.fromString(key),
       payload.getBytes(StandardCharsets.UTF_8),
       ledgerId * 1000000L + entryId)
+    payloadSchema match {
+      case None     => InternalRow(base: _*)
+      case Some(ps) => InternalRow(base ++ decodeJson(payload, ps): _*)
+    }
   }
 
   override def close(): Unit = ()

@@ -2,18 +2,17 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 import org.apache.spark.sql.streaming.DataStreamWriter
 import graft.operators.Elections
 import graft.operators.Elections.Pt
 
 /** The reference's flagship pipeline (SURVEY.md §3.1, StreamingAppV3)
-  * end-to-end on engine components: ledger source → JSON schema-on-read →
-  * validity filters → per-key grouped history merge with dedup+cap →
-  * best-location election → idempotent upsert.
+  * end-to-end on engine components: ledger source with in-source JSON
+  * decode (format=json) → validity filters → per-key grouped history merge
+  * with dedup+cap → best-location election → idempotent upsert.
   *
   * Reference chain it restates (all Spark-first, no driver collects):
-  * ViestiPipeline → Jackson deserialize (P1: from_json) → DEL/PC + nonzero
+  * ViestiPipeline → Jackson deserialize (P1: source-side decode) → DEL/PC + nonzero
   * filter (P2) → accuracy band (P3) → combineByKey per addr_hash (A1:
   * collect_list) → stored-history merge (J4: union + re-aggregate) →
   * dedup + cap-100 (A2/A3) → election (A10/A11) → saveToCassandra (K1:
@@ -21,22 +20,22 @@ import graft.operators.Elections.Pt
   */
 object GeotagPipeline {
 
-  /** Payload schema (schema-on-read over the ledger `value` bytes). */
-  val PayloadSchema: StructType = StructType(Seq(
-    StructField("addr_hash", StringType),
-    StructField("type", StringType),
-    StructField("lat", DoubleType),
-    StructField("lng", DoubleType),
-    StructField("accuracy", DoubleType),
-    StructField("ts_ms", LongType)))
+  /** Payload schema, decoded IN the source (format=json): the typed
+    * columns arrive alongside the ledger metadata columns, the reference's
+    * Schema[T]-per-message shape — no hand-rolled from_json downstream.
+    */
+  val PayloadDdl: String =
+    "addr_hash STRING, type STRING, lat DOUBLE, lng DOUBLE, accuracy DOUBLE, ts_ms BIGINT"
 
-  /** Parse + validate one micro-batch of raw ledger records. */
-  def parse(raw: DataFrame): DataFrame =
-    raw
-      .select(from_json(col("value").cast("string"), PayloadSchema).as("p"))
-      .filter(col("p").isNotNull && col("p.addr_hash").isNotNull)
-      .select("p.*")
-      .filter(col("type").isin("DEL", "PC") &&
+  /** Validity filters over the already-typed source columns (P2/P3).
+    * Malformed payloads surface as null addr_hash (the source's PERMISSIVE
+    * decode) and drop here.
+    */
+  def validate(typed: DataFrame): DataFrame =
+    typed
+      .select("addr_hash", "type", "lat", "lng", "accuracy", "ts_ms")
+      .filter(col("addr_hash").isNotNull &&
+        col("type").isin("DEL", "PC") &&
         col("lat") =!= 0.0 && col("lng") =!= 0.0 &&
         col("accuracy") > 0 && col("accuracy") < 200)
 
@@ -47,7 +46,7 @@ object GeotagPipeline {
   def electAndUpsert(batch: DataFrame, tablePath: String): Unit = {
     val s = batch.sparkSession
     import s.implicits._
-    val fresh = parse(batch)
+    val fresh = validate(batch)
       .select(col("addr_hash"), col("ts_ms"), col("lat"), col("lng"),
         col("accuracy").as("acc"))
     val existing =
@@ -95,6 +94,8 @@ object GeotagPipeline {
     spark.readStream.format("graft-ledger")
       .option("path", topicPath)
       .option("maxRatePerPartition", maxRatePerPartition.toString)
+      .option("format", "json")
+      .option("jsonSchema", PayloadDdl)
       .load()
       .writeStream
       .option("checkpointLocation", checkpoint)

@@ -104,6 +104,104 @@ class LedgerSourceSpec extends AnyFunSuite {
     assert(lastMetrics.get("numPartitions") == "2")
   }
 
+  test("entry counts are cached by (size, mtime): no re-read until append") {
+    val dir = Files.createTempDirectory("graft_count_cache")
+    val f = dir.resolve("ledger-1.log")
+    Files.write(f, "a\nb\nc".getBytes(StandardCharsets.UTF_8))
+    val before = LedgerSource.countScans.get()
+    assert(LedgerSource.countLines(f) == 3)
+    assert(LedgerSource.countLines(f) == 3)
+    assert(LedgerSource.countLines(f) == 3)
+    assert(LedgerSource.countScans.get() == before + 1,
+      "repeated counts re-scanned an unchanged file")
+    // append invalidates: size/mtime change → exactly one more scan
+    Files.write(f, "a\nb\nc\nd".getBytes(StandardCharsets.UTF_8))
+    assert(LedgerSource.countLines(f) == 4)
+    assert(LedgerSource.countLines(f) == 4)
+    assert(LedgerSource.countScans.get() == before + 2)
+  }
+
+  test("unknown and invalid options fail loudly at load time") {
+    val topic = writeTopic()
+    // the classic silent-misconfig trap: a typo'd rate option
+    val typo = intercept[Exception] {
+      spark.readStream.format("graft-ledger")
+        .option("path", topic.toString)
+        .option("maxRatePerPartitoin", "10")
+        .load()
+    }
+    assert(typo.getMessage.contains("maxrateperpartitoin"), typo.getMessage)
+    assert(typo.getMessage.contains("maxrateperpartition"), typo.getMessage)
+    val neg = intercept[Exception] {
+      spark.readStream.format("graft-ledger")
+        .option("path", topic.toString)
+        .option("maxRatePerPartition", "-5")
+        .load()
+    }
+    assert(neg.getMessage.contains("must be > 0"), neg.getMessage)
+    val noPath = intercept[Exception] {
+      spark.readStream.format("graft-ledger").load()
+    }
+    assert(noPath.getMessage.contains("path"), noPath.getMessage)
+    // jsonSchema without format=json, and bad schema DDL
+    val orphanSchema = intercept[Exception] {
+      spark.readStream.format("graft-ledger")
+        .option("path", topic.toString)
+        .option("jsonSchema", "x STRING").load()
+    }
+    assert(orphanSchema.getMessage.contains("format=json"), orphanSchema.getMessage)
+    val badType = intercept[Exception] {
+      spark.readStream.format("graft-ledger")
+        .option("path", topic.toString)
+        .option("format", "json")
+        .option("jsonSchema", "x ARRAY<INT>").load()
+    }
+    assert(badType.getMessage.contains("unsupported field type"), badType.getMessage)
+  }
+
+  test("secret option values are redacted from rendering and errors") {
+    import graft.sources.LedgerOptions
+    val norm = LedgerOptions.validate(
+      Map("path" -> "/tmp/x", "authToken" -> "hunter2-secret"))
+    assert(norm("authtoken") == "hunter2-secret") // value retained internally
+    val shown = LedgerOptions.redact(norm).toString
+    assert(!shown.contains("hunter2-secret") && shown.contains("***"), shown)
+    // validation errors for a secret option never echo the value
+    val err = intercept[Exception] {
+      LedgerOptions.validate(Map("path" -> "", "authToken" -> "hunter2-secret"))
+    }
+    assert(!err.getMessage.contains("hunter2-secret"), err.getMessage)
+  }
+
+  test("format=json decodes typed columns in-source; malformed rows null out and count") {
+    val root = Files.createTempDirectory("graft_ledger_json")
+    val dir = root.resolve("partition-0"); Files.createDirectories(dir)
+    Files.write(dir.resolve("ledger-1.log"), Seq(
+      """k0,{"name":"alpha","qty":3,"score":1.5,"ok":true}""",
+      """k1,{"name":"beta","qty":7}""",
+      "k2,not-json-at-all").mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val q = spark.readStream.format("graft-ledger")
+      .option("path", root.toString)
+      .option("format", "json")
+      .option("jsonSchema", "name STRING, qty INT, score DOUBLE, ok BOOLEAN")
+      .load()
+      .writeStream.format("memory").queryName("ledger_json")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.sql(
+      "select key, name, qty, score, ok from ledger_json order by entry_id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getString(1) == "alpha" && rows(0).getInt(2) == 3 &&
+      rows(0).getDouble(3) == 1.5 && rows(0).getBoolean(4))
+    assert(rows(1).getString(1) == "beta" && rows(1).getInt(2) == 7 &&
+      rows(1).isNullAt(3) && rows(1).isNullAt(4)) // absent fields → null
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2)) // malformed → all null
+    val m = q.recentProgress.filter(_.numInputRows > 0).last.sources.head.metrics
+    assert(m.get("decodeFailures") == "1", s"metrics: $m")
+    assert(m.get("batchEntries") == "3", s"metrics: $m")
+    assert(m.get("batchBytes").toLong > 0, s"metrics: $m")
+  }
+
   test("checkpoint recovery resumes without duplicates after new data arrives") {
     val topic = writeTopic()
     val ckpt = Files.createTempDirectory("graft_ledger_ckpt2").toString
