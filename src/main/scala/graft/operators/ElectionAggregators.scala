@@ -102,4 +102,84 @@ object ElectionAggregators {
     override def bufferEncoder: Encoder[ElectionBuf] = Encoders.product[ElectionBuf]
     override def outputEncoder: Encoder[ScoredLoc] = Encoders.product[ScoredLoc]
   }
+
+  /** A12 trimmed-centroid as a typed Aggregator (same capped buffer as
+    * A10/A11). The reference applies A12 to bounded, time-sorted histories
+    * (≤100 after dedup), so finish runs the pure algorithm on the buffer's
+    * time-sorted points; for groups within the cap this is exactly
+    * Elections.trimmedCentroid on the sorted input (parity spec).
+    */
+  class TrimmedCentroidAgg(cap: Int = 500)
+      extends Aggregator[Pt, ElectionBuf, BestLoc] with Serializable {
+
+    private val inner = new BestLocationAgg(cap)
+
+    override def zero: ElectionBuf = inner.zero
+    override def reduce(b: ElectionBuf, p: Pt): ElectionBuf = inner.reduce(b, p)
+    override def merge(a: ElectionBuf, b: ElectionBuf): ElectionBuf = inner.merge(a, b)
+
+    override def finish(b: ElectionBuf): BestLoc = {
+      if (b.count == 0) return BestLoc(0.0, 0.0)
+      val sorted = b.pts.sortBy(p => (p.ts, p.lat, p.lng)).take(cap)
+      val (lat, lng) = Elections.trimmedCentroid(sorted)
+      BestLoc(lat, lng)
+    }
+
+    override def bufferEncoder: Encoder[ElectionBuf] = Encoders.product[ElectionBuf]
+    override def outputEncoder: Encoder[BestLoc] = Encoders.product[BestLoc]
+  }
+
+  /** One input row of the A13 aggregation: a ping joined to its delivery
+    * fix (the q41 join shape — every row of a (user, delivery) group
+    * carries the same delivery columns).
+    */
+  case class DelPing(delLat: Double, delLng: Double, delTs: Long,
+                     delAcc: Double, pingLat: Double, pingLng: Double,
+                     pingAcc: Double, pingTs: Long)
+
+  /** Buffer: capped ping list + exact count + the group's delivery fix. */
+  case class RefineBuf(pings: List[Pt], count: Long, delLat: Double,
+                       delLng: Double, delTs: Long, delAcc: Double,
+                       hasDel: Boolean)
+
+  case class Refined(lat: Double, lng: Double, refined: Boolean)
+
+  /** A13 delivery refinement as a typed Aggregator: capped O(cap) buffer
+    * and merge like A10; finish runs cluster → best-cluster → election on
+    * the time-sorted pings. Ping histories are bounded upstream (the ±30
+    * min range join), so groups within the cap match
+    * Elections.refineDeliveryLocation exactly (parity spec).
+    */
+  class RefineDeliveryAgg(cap: Int = 500, epsM: Int = 150, minCount: Int = 3)
+      extends Aggregator[DelPing, RefineBuf, Refined] with Serializable {
+
+    override def zero: RefineBuf =
+      RefineBuf(Nil, 0L, 0.0, 0.0, 0L, 0.0, hasDel = false)
+
+    override def reduce(b: RefineBuf, r: DelPing): RefineBuf = {
+      val pings =
+        if (b.count < cap) Pt(r.pingLat, r.pingLng, r.pingAcc, r.pingTs) :: b.pings
+        else b.pings
+      RefineBuf(pings, b.count + 1, r.delLat, r.delLng, r.delTs, r.delAcc,
+        hasDel = true)
+    }
+
+    override def merge(a: RefineBuf, b: RefineBuf): RefineBuf = {
+      val del = if (a.hasDel) a else b
+      RefineBuf((a.pings ++ b.pings).sortBy(p => (p.ts, p.lat, p.lng)).take(cap),
+        a.count + b.count, del.delLat, del.delLng, del.delTs, del.delAcc,
+        a.hasDel || b.hasDel)
+    }
+
+    override def finish(b: RefineBuf): Refined = {
+      if (!b.hasDel) return Refined(0.0, 0.0, refined = false)
+      val sorted = b.pings.sortBy(p => (p.ts, p.lat, p.lng))
+      val (lat, lng, ok) = Elections.refineDeliveryLocation(
+        b.delLat, b.delLng, b.delTs, b.delAcc, sorted, epsM, minCount)
+      Refined(lat, lng, ok)
+    }
+
+    override def bufferEncoder: Encoder[RefineBuf] = Encoders.product[RefineBuf]
+    override def outputEncoder: Encoder[Refined] = Encoders.product[Refined]
+  }
 }

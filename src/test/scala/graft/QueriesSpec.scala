@@ -116,6 +116,72 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("typed TrimmedCentroidAgg matches the pure A12 centroid per key") {
+    import spark.implicits._
+    val pts = GeoQueries.geoEvents(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("lat"), col("lng"), col("acc"), col("ts_ms"))
+    val ds = pts.as[(Long, Double, Double, Double, Long)]
+      .map { case (u, lat, lng, acc, ts) => (u, Pt(lat, lng, acc, ts)) }
+    val agg = new ElectionAggregators.TrimmedCentroidAgg().toColumn
+    val fromAgg = ds.groupByKey(_._1).mapValues(_._2).agg(agg).collect().toMap
+    val expected = pts.collect()
+      .map(r => (r.getLong(0), Pt(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .groupBy(_._1)
+      .map { case (u, arr) =>
+        u -> Elections.trimmedCentroid(
+          arr.map(_._2).sortBy(p => (p.ts, p.lat, p.lng)).toSeq)
+      }
+    expected.foreach { case (u, (elat, elng)) =>
+      val got = fromAgg(u)
+      assert(got.lat == elat && got.lng == elng, s"user $u: $got != ($elat,$elng)")
+    }
+  }
+
+  test("typed RefineDeliveryAgg matches the pure A13 refinement per delivery") {
+    import spark.implicits._
+    val g = GeoQueries.geoEvents(spark, dir)
+    // the q41 join shape: every row of a delivery group carries the fix
+    val deliveries = g.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("del_id"),
+        col("ts_ms").as("del_ts"), col("lat").as("del_lat"),
+        col("lng").as("del_lng"), col("acc").as("del_acc"))
+    val pings = g.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_ms").as("ping_ts"),
+        col("lat").as("ping_lat"), col("lng").as("ping_lng"),
+        col("acc").as("ping_acc"))
+    val joined = deliveries.join(pings,
+        deliveries("user_id") === pings("user_id") &&
+          pings("ping_ts").between(
+            deliveries("del_ts") - 1800000L, deliveries("del_ts") + 1800000L))
+      .select(col("del_id"), col("del_lat"), col("del_lng"), col("del_ts"),
+        col("del_acc"), col("ping_lat"), col("ping_lng"), col("ping_acc"),
+        col("ping_ts"))
+    val ds = joined
+      .as[(Long, Double, Double, Long, Double, Double, Double, Double, Long)]
+      .map { case (id, dlat, dlng, dts, dacc, plat, plng, pacc, pt) =>
+        (id, ElectionAggregators.DelPing(dlat, dlng, dts, dacc, plat, plng, pacc, pt))
+      }
+    val agg = new ElectionAggregators.RefineDeliveryAgg(
+      epsM = 200000, minCount = 3).toColumn
+    val fromAgg = ds.groupByKey(_._1).mapValues(_._2).agg(agg).collect().toMap
+    assert(fromAgg.nonEmpty)
+    val expected = joined.collect().map { r =>
+      (r.getLong(0), (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getDouble(4),
+        Pt(r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getLong(8))))
+    }.groupBy(_._1).map { case (id, arr) =>
+      val (dlat, dlng, dts, dacc, _) = arr.head._2
+      val sorted = arr.map(_._2._5).sortBy(p => (p.ts, p.lat, p.lng)).toSeq
+      id -> Elections.refineDeliveryLocation(dlat, dlng, dts, dacc, sorted,
+        epsM = 200000, minCount = 3)
+    }
+    expected.foreach { case (id, (elat, elng, eok)) =>
+      val got = fromAgg(id)
+      assert(got.lat == elat && got.lng == elng && got.refined == eok,
+        s"delivery $id: $got != ($elat,$elng,$eok)")
+    }
+  }
+
   test("typed ClusterScoreAgg matches the pure A11 election per key") {
     import spark.implicits._
     val pts = GeoQueries.geoEvents(spark, dir)
