@@ -250,7 +250,16 @@ object LedgerOptions {
     "format" -> (v => if (Set("binary", "json").contains(v.toLowerCase)) None
       else Some("must be 'binary' or 'json'")),
     "jsonschema" -> schemaErr,
+    // bounded batch reads: explicit [start, end) cursors in the offset-JSON
+    // format ({"0":[ledgerId,entryId],...})
+    "startoffsets" -> offsetErr,
+    "endoffsets" -> offsetErr,
     "authtoken" -> (_ => None))
+
+  private def offsetErr(v: String): Option[String] =
+    try { LedgerSource.LedgerOffset.parse(v); None }
+    catch { case _: Exception =>
+      Some("""must be offset JSON like {"0":[ledgerId,entryId]}""") }
 
   /** Options whose values must never reach logs or error messages. */
   val Secrets: Set[String] = Set("authtoken")
@@ -314,7 +323,7 @@ class LedgerTable(path: String, options: Map[String, String])
     s"graft-ledger($path, ${LedgerOptions.redact(options - "path").toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(", ")})"
   override def schema(): StructType = LedgerOptions.fullSchema(options)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     () => new LedgerScan(path, LedgerOptions.validate(options ++ opts.asScala))
 }
@@ -323,6 +332,48 @@ class LedgerScan(path: String, options: Map[String, String]) extends Scan {
   override def readSchema(): StructType = LedgerOptions.fullSchema(options)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new LedgerMicroBatchStream(path, options)
+  // bounded batch read over an explicit [startOffsets, endOffsets) range —
+  // the reference's createRDD-over-OffsetRange path (S2), used by the
+  // consistency checker to re-read exactly what a stream committed
+  override def toBatch(): Batch = new LedgerBatchRead(path, options)
+}
+
+/** One-shot bounded read: [startOffsets, endOffsets) per partition,
+  * defaulting to the full log (first ledger to current end). Same bounded
+  * readers and pinning as the streaming path.
+  */
+class LedgerBatchRead(path: String, options: Map[String, String]) extends Batch {
+  import LedgerSource._
+
+  private val root = Paths.get(path)
+
+  private def partitions(): Seq[Int] = {
+    if (!Files.isDirectory(root)) return Nil
+    Files.list(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("partition-"))
+      .map(_.getFileName.toString.stripPrefix("partition-").toInt)
+      .toSeq.sorted
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val startOpt = options.get("startoffsets").map(LedgerOffset.parse(_).cursors)
+    val endOpt = options.get("endoffsets").map(LedgerOffset.parse(_).cursors)
+    val locations = executorLocations()
+    partitions().flatMap { p =>
+      val ledgers = listLedgers(root.resolve(s"partition-$p"))
+      val from = startOpt.flatMap(_.get(p)).getOrElse(
+        Cursor(ledgers.headOption.map(_.ledgerId).getOrElse(0L), 0L))
+      val to = endOpt.flatMap(_.get(p)).getOrElse(
+        ledgers.lastOption.map(l => Cursor(l.ledgerId, l.entries))
+          .getOrElse(Cursor(0L, 0L)))
+      if (entriesBetween(ledgers, from, to) <= 0) None
+      else Some(LedgerInputPartition(path, p, from.ledgerId, from.entryId,
+        to.ledgerId, to.entryId, pinTo(locations, p)): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LedgerReaderFactory(LedgerOptions.payloadSchema(options), None)
 }
 
 /** The micro-batch stream: admission control lives in latestOffset —
