@@ -51,7 +51,17 @@ object Dev {
         val copies = 10
         def replicate(table: String, shifts: Map[String, Long]): Unit = {
           val out = s"$dst/$table.parquet"
-          if (java.nio.file.Files.exists(java.nio.file.Paths.get(out))) return
+          // cache keyed on a fingerprint of the source file + replication
+          // params — stale replicas after testdata/generator changes would
+          // silently corrupt measured ratios
+          val srcFile = java.nio.file.Paths.get(s"$src/$table.parquet")
+          val fp = s"${java.nio.file.Files.size(srcFile)}:" +
+            s"${java.nio.file.Files.getLastModifiedTime(srcFile).toMillis}:" +
+            s"$copies:${shifts.toSeq.sorted.mkString(",")}"
+          val marker = java.nio.file.Paths.get(s"$out.fingerprint")
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(out)) &&
+              java.nio.file.Files.exists(marker) &&
+              new String(java.nio.file.Files.readAllBytes(marker)) == fp) return
           val base = Tables(spark, src, table)
           val parts = (0 until copies).map { i =>
             shifts.foldLeft(base) { case (df, (c, stride)) =>
@@ -60,6 +70,7 @@ object Dev {
           }
           parts.reduce(_ unionByName _)
             .write.mode("overwrite").parquet(out)
+          java.nio.file.Files.write(marker, fp.getBytes)
         }
         replicate("events", Map("event_id" -> 10000000L, "user_id" -> 10000L))
         replicate("lineitem", Map("l_orderkey" -> 10000000L))

@@ -18,18 +18,43 @@ import graft.functions.expressions.{CosineSimilarity, GeoExpressions, GeohashEnc
   * (or `spark.sql.extensions=graft.GraftExtensions`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Arity check before indexing args — a wrong-arity SQL call must fail
+    * as a clean AnalysisException naming the expected signature, the way
+    * Spark's builtin builders do, not an IndexOutOfBoundsException.
+    */
+  private def checkArity(name: String, signature: String, expected: Int,
+                         args: Seq[Expression]): Unit =
+    if (args.length != expected)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> s"$expected (signature: $signature)",
+          "actualNum" -> args.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("vincenty"),
       new ExpressionInfo(classOf[VincentyDistance].getName, "vincenty"),
-      (args: Seq[Expression]) => GeoExpressions.vincentyExpr(args)))
+      (args: Seq[Expression]) => {
+        checkArity("vincenty", "vincenty(lat1, lng1, lat2, lng2)", 4, args)
+        GeoExpressions.vincentyExpr(args)
+      }))
     e.injectFunction((
       new FunctionIdentifier("geohash_encode"),
       new ExpressionInfo(classOf[GeohashEncode].getName, "geohash_encode"),
-      (args: Seq[Expression]) => GeoExpressions.geohashExpr(args)))
+      (args: Seq[Expression]) => {
+        checkArity("geohash_encode", "geohash_encode(lat, lng, precision)", 3, args)
+        GeoExpressions.geohashExpr(args)
+      }))
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        checkArity("cosine_sim", "cosine_sim(vec1, vec2)", 2, args)
+        CosineSimilarity(args(0), args(1))
+      }))
   }
 }

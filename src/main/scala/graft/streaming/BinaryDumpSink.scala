@@ -1,0 +1,41 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** K6 binary blob dump sink (reference: ImageDump.scala:17-60 — per-row
+  * signature PNGs under date directories with a random 0-500 fan-out
+  * subdir so no directory holds millions of files). Restated Spark-first:
+  * executor-side foreachPartition (no driver funnel, no collect), and the
+  * fan-out bucket is a STABLE hash of the id instead of the reference's
+  * Random — re-running the dump overwrites each blob at the same path
+  * (idempotent retry) instead of scattering duplicates.
+  */
+object BinaryDumpSink {
+
+  /** Write each row's binary column as `<root>/<yyyy-MM-dd>/<bucket>/<id>.<ext>`.
+    *
+    * @param idCol   unique blob id (file name)
+    * @param binCol  binary payload column
+    * @param dateCol timestamp column driving the date partition
+    * @param fanout  subdirectory count per date (reference uses 500)
+    */
+  def dump(df: DataFrame, root: String, idCol: String, binCol: String,
+           dateCol: String, ext: String = "bin", fanout: Int = 500): Unit = {
+    df.select(col(idCol).cast("string").as("id"), col(binCol).as("bin"),
+        date_format(col(dateCol), "yyyy-MM-dd").as("d"))
+      .foreachPartition { rows: Iterator[Row] =>
+        rows.foreach { r =>
+          val id = r.getString(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          if (id != null && bytes != null) {
+            val bucket = math.floorMod(id.hashCode, fanout)
+            val dir = Paths.get(root, r.getString(2), bucket.toString)
+            Files.createDirectories(dir)
+            Files.write(dir.resolve(s"$id.$ext"), bytes)
+          }
+        }
+      }
+  }
+}

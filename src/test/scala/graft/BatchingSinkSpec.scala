@@ -31,6 +31,39 @@ class BatchingSinkSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("K6 binary dump writes one file per blob, date-partitioned, idempotent") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    import graft.streaming.BinaryDumpSink
+    val root = Files.createTempDirectory("graft_blob_dump").toString
+    val df = spark.range(0, 20)
+      .select(concat(lit("tag"), col("id")).as("tag_id"),
+        encode(concat(lit("png-bytes-"), col("id")), "UTF-8").as("payload"),
+        // two distinct dates
+        to_timestamp(when(col("id") % 2 === 0, lit("2026-01-05 10:00:00"))
+          .otherwise(lit("2026-01-06 10:00:00"))).as("ts"))
+    BinaryDumpSink.dump(df, root, "tag_id", "payload", "ts", ext = "png", fanout = 7)
+    def files(): Seq[java.nio.file.Path] = {
+      val s = Files.walk(Paths.get(root))
+      try {
+        val it = s.iterator(); val out = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+        while (it.hasNext) { val p = it.next(); if (Files.isRegularFile(p)) out += p }
+        out.toSeq
+      } finally s.close()
+    }
+    val first = files()
+    assert(first.size == 20, s"got ${first.size} files")
+    // layout <root>/<date>/<bucket>/<id>.png with both dates present
+    val dates = first.map(_.getParent.getParent.getFileName.toString).toSet
+    assert(dates == Set("2026-01-05", "2026-01-06"), dates.toString)
+    val one = first.find(_.getFileName.toString == "tag3.png").get
+    assert(new String(Files.readAllBytes(one)) == "png-bytes-3")
+    // stable-hash fan-out: re-running lands every blob at the SAME path
+    BinaryDumpSink.dump(df, root, "tag_id", "payload", "ts", ext = "png", fanout = 7)
+    assert(files().map(_.toString).sorted == first.map(_.toString).sorted,
+      "re-run moved or duplicated blobs")
+  }
+
   test("streaming foreach writer batches per partition with tail flush") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

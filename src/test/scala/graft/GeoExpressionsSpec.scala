@@ -59,6 +59,17 @@ class GeoExpressionsSpec extends AnyFunSuite {
     assert(math.abs(cs - 0.6) < 1e-6, s"cosine_sim = $cs") // float32 inputs
   }
 
+  test("wrong-arity SQL calls fail as clean AnalysisException, not IOOBE") {
+    Seq("cosine_sim(array(cast(1.0 as float)))",
+        "vincenty(1.0, 2.0)",
+        "geohash_encode(1.0)").foreach { call =>
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $call").collect()
+      }
+      assert(e.getMessage.contains("requires"), s"$call: ${e.getMessage}")
+    }
+  }
+
   test("native SrpBucket expression is bit-identical to the UDF form") {
     import org.apache.spark.sql.functions.col
     import graft.functions.VectorFunctions.{srpBucketUdf, srpBucketAtUdf}
