@@ -109,6 +109,77 @@ object Elections {
     (best._1, best._2, if (high) 1.0 else 0.0)
   }
 
+  /** A10 + A11 in one pass over a shared pairwise-distance matrix. The two
+    * elections otherwise each compute the full ordered vincenty matrix —
+    * the q40/flagship hot path pays ~2n² iterative vincenty evaluations per
+    * group where n² suffice. The matrix stores d(i)(j) exactly as each
+    * election would compute it (ordered call, not symmetry-mirrored:
+    * vincenty(a,b) and vincenty(b,a) agree mathematically but not
+    * bit-for-bit, and boundary comparisons like d < radius must not flip),
+    * so results are identical to bestLatLng + clusterScore — pinned by a
+    * parity spec.
+    */
+  def electBoth(points: Seq[Pt], radiusM: Double = 300.0,
+                thresholdM: Double = 200.0): ((Double, Double), (Double, Double, Double)) = {
+    val n = points.length
+    val needA10 = n >= 4 && n <= 500
+    val needA11 = n >= 3
+    if (!needA10 || !needA11)
+      return (bestLatLng(points, radiusM), clusterScore(points, thresholdM))
+    val d = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        d(i)(j) = vincentyM(points(i).lat, points(i).lng, points(j).lat, points(j).lng)
+        j += 1
+      }
+      i += 1
+    }
+    // A10 on the matrix (same loop structure/tie-breaks as bestLatLng)
+    val counts = new Array[Int](n)
+    var maxIdx = 0
+    i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) { if (d(i)(j) < radiusM) counts(i) += 1; j += 1 }
+      if (counts(maxIdx) < counts(i)) maxIdx = i
+      i += 1
+    }
+    val a10 = (points(maxIdx).lat, points(maxIdx).lng)
+    // A11 on the matrix (same insertion-ordered maps as clusterScore)
+    val score = mutable.LinkedHashMap[(Double, Double), Double]()
+    val neighbors = mutable.LinkedHashMap[(Double, Double), Int]()
+    points.foreach { p => score((p.lat, p.lng)) = 0.0; neighbors((p.lat, p.lng)) = 0 }
+    i = 0
+    while (i < n) {
+      val ki = (points(i).lat, points(i).lng)
+      var j = 0
+      while (j < n) {
+        val kj = (points(j).lat, points(j).lng)
+        if (ki != kj) {
+          val dist = d(i)(j)
+          score(ki) = 1.0 / (1.0 + dist)
+          if (dist <= thresholdM) neighbors(ki) = neighbors(ki) + 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val maxScore = score.values.max
+    val maxLocs = score.iterator.filter(_._2 == maxScore).map(_._1).toSeq
+    var best = maxLocs.head
+    var maxNbrs = 0
+    var high = false
+    maxLocs.foreach { loc =>
+      val nb = neighbors(loc)
+      if (nb >= math.ceil(n / 2).toInt && nb > maxNbrs) {
+        maxNbrs = nb; best = loc; high = true
+      }
+    }
+    (a10, (best._1, best._2, if (high) 1.0 else 0.0))
+  }
+
   /** A11 cluster variant (get_cluster_best_lat_lng_with_score): winner is the
     * location with most neighbors within threshold (first-inserted wins
     * ties); confidence 1.0 iff n ≥ minPoints and winner's neighbor count

@@ -90,8 +90,8 @@ object GeoQueries {
         val points = pts.map(r => Pt(r.getDouble(1), r.getDouble(2),
           r.getDouble(3), r.getLong(0)))
         val deduped = Elections.dedupAndCap(points)
-        val (blat, blng) = Elections.bestLatLng(deduped)
-        val (slat, slng, conf) = Elections.clusterScore(deduped)
+        // one shared distance matrix for both elections (parity-spec'd)
+        val ((blat, blng), (slat, slng, conf)) = Elections.electBoth(deduped)
         (deduped.length, blat, blng, slat, slng, conf)
       }
       grouped

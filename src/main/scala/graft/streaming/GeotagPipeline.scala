@@ -61,8 +61,7 @@ object GeotagPipeline {
       val points = pts.map(r => Pt(r.getDouble(1), r.getDouble(2),
         r.getDouble(3), r.getLong(0)))
       val deduped = Elections.dedupAndCap(points)
-      val (blat, blng) = Elections.bestLatLng(deduped)
-      val (_, _, conf) = Elections.clusterScore(deduped)
+      val ((blat, blng), (_, _, conf)) = Elections.electBoth(deduped)
       (deduped.map(p => (p.ts, p.lat, p.lng, p.acc)), blat, blng, conf)
     }
     val result = merged

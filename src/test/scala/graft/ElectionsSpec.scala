@@ -35,6 +35,30 @@ class ElectionsSpec extends AnyFunSuite {
     assert((lat, lng) == (12.9716, 77.5946))
   }
 
+  test("electBoth matches bestLatLng + clusterScore exactly (shared matrix)") {
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { caseId =>
+      val n = rnd.nextInt(13) // 0..12 points, covers all early-exit paths
+      val baseLat = 5 + rnd.nextDouble() * 50
+      val baseLng = -100 + rnd.nextDouble() * 200
+      val pts = (0 until n).map { i =>
+        // mix of tight-cluster and scattered points so radius/threshold
+        // boundaries are exercised
+        val spread = if (rnd.nextBoolean()) 0.0005 else 0.5
+        Pt(baseLat + (rnd.nextDouble() - 0.5) * spread,
+          baseLng + (rnd.nextDouble() - 0.5) * spread,
+          rnd.nextDouble() * 100, i.toLong)
+      }
+      val expected = (Elections.bestLatLng(pts), Elections.clusterScore(pts))
+      assert(Elections.electBoth(pts) == expected, s"case $caseId n=$n")
+    }
+    // plus the canonical fixtures
+    Seq(cluster, cluster ++ outliers, cluster.take(3), Nil).foreach { pts =>
+      assert(Elections.electBoth(pts) ==
+        (Elections.bestLatLng(pts), Elections.clusterScore(pts)))
+    }
+  }
+
   test("A11 clusterScore: <3 points → last point, confidence 0") {
     val pts = cluster.take(2)
     val (lat, lng, conf) = Elections.clusterScore(pts)
