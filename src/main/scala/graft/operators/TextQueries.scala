@@ -231,19 +231,24 @@ object TextQueries {
         .distinct()
         .withColumn("component", col("doc_id"))
         .cache()
+      var cached = labels // the actually-cached plan backing this round
       var changed = 1L
       while (changed > 0) {
-        val next = labels
+        // every pre-group row of a key carries the key's own component, so
+        // min(component) IS the old label — change detection folds into the
+        // same aggregation instead of a second join against the old round
+        val step = labels
           .join(edges, labels("doc_id") === edges("d1"), "left")
           .join(labels.select(col("doc_id").as("nb"),
             col("component").as("nb_comp")), col("d2") === col("nb"), "left")
           .groupBy(labels("doc_id"))
-          .agg(least(min(col("component")), min(col("nb_comp"))).as("component"))
+          .agg(min(col("component")).as("old"),
+            least(min(col("component")), min(col("nb_comp"))).as("component"))
           .cache()
-        changed = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
-          .filter(col("component") =!= col("old")).count()
-        labels.unpersist() // superseded round — don't pin dead blocks
-        labels = next
+        changed = step.filter(col("component") =!= col("old")).count()
+        cached.unpersist() // superseded round — don't pin dead blocks
+        cached = step
+        labels = step.select(col("doc_id"), col("component"))
       }
       val out = labels
         .groupBy(col("component"))
@@ -251,7 +256,7 @@ object TextQueries {
         .filter(col("n_docs") >= 2)
         .orderBy("component")
         .localCheckpoint() // materialize, then release the loop's caches
-      labels.unpersist()
+      cached.unpersist()
       edges.unpersist()
       out
     }),
