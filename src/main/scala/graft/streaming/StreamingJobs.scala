@@ -32,6 +32,20 @@ object StreamingJobs {
         col("n"), col("total_value"))
   }
 
+  /** S9 socket text stream (reference socketTextStream ingestion,
+    * SURVEY §2.1): Spark's built-in socket source → line parse → running
+    * word counts. Debug-grade by design (no offsets, not fault-tolerant),
+    * exactly like the reference's use of it.
+    */
+  def socketWordCounts(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port.toString)
+      .load()
+      .select(explode(split(col("value"), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+
   /** A4 streaming latest-event dedup: keep the first arrival per
     * (user_id, event_type, event_id) inside the watermark — the streaming
     * form of the reference's reduceByKey argmax (EventService.scala:48-56).

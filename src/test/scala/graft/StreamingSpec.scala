@@ -20,6 +20,39 @@ class StreamingSpec extends AnyFunSuite {
                        value: Double): (Long, Long, Long, String, Double) =
     (id, tsUs, user, typ, value)
 
+  test("S9 socket text stream counts words through the built-in source") {
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val writer = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        out.println("alpha beta alpha")
+        out.println("beta alpha")
+        out.flush()
+        Thread.sleep(30000) // keep the connection open for the query's life
+        sock.close()
+      } catch { case _: Throwable => () }
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val q = StreamingJobs.socketWordCounts(spark, "localhost", port)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("socket_wc").start()
+    try {
+      var ok = false
+      val deadline = System.currentTimeMillis() + 60000
+      while (!ok && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        val m = spark.sql("select word, n from socket_wc").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        ok = m.get("alpha").contains(3L) && m.get("beta").contains(2L)
+        if (!ok) Thread.sleep(200)
+      }
+      assert(ok, spark.sql("select * from socket_wc").collect().mkString(","))
+    } finally { q.stop(); server.close() }
+  }
+
   test("windowed type counts aggregate into event-time windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
