@@ -28,14 +28,20 @@ object Dev {
         }
       case Some("time") =>
         // cold vs warm run per query: splits plan/codegen-compile cost from
-        // steady-state execution so bench tuning targets the right thing
+        // steady-state execution so bench tuning targets the right thing.
+        // noop write, same as Bench — count() would prune UDF projections
+        // and final sorts, under-measuring exactly the interesting queries
         val dir2 = args.lift(1).getOrElse("/root/testdata/sf0.1")
         args.drop(2).foreach { n =>
           val fn = SparkEntry.queries(n)
-          val t0 = System.nanoTime(); fn(spark, dir2).count()
-          val cold = (System.nanoTime() - t0) / 1e9
-          val t1 = System.nanoTime(); fn(spark, dir2).count()
-          val warm = (System.nanoTime() - t1) / 1e9
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            fn(spark, dir2).write.format("noop").mode("overwrite").save()
+            val secs = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache()
+            secs
+          }
+          val cold = once(); val warm = once()
           println(f"[dev] $n cold=$cold%.2f s warm=$warm%.2f s")
         }
       case Some("scale") =>
@@ -85,13 +91,16 @@ object Dev {
           case e if e.nonEmpty => e.toSeq
           case _ => Seq("q01_pricing_summary", "q03_segment_revenue",
             "q08_latest_event", "q12_user_type_counts", "q28_jaccard_pairs",
-            "q29_minhash_lsh", "q39_top_tokens", "q40_best_location",
-            "q45_cosine_neardup_keep", "q46_ann_ivf")
+            "q29_minhash_lsh", "q38_dedup_keep", "q39_top_tokens",
+            "q40_best_location", "q45_cosine_neardup_keep", "q46_ann_ivf",
+            "q52_dedup_components")
         }
         names.foreach { n =>
           val fn = SparkEntry.queries(n)
           def run(dir: String): Double = {
-            val t0 = System.nanoTime(); fn(spark, dir).count()
+            val t0 = System.nanoTime()
+            // noop write = full-plan evaluation (same rationale as Bench)
+            fn(spark, dir).write.format("noop").mode("overwrite").save()
             val secs = (System.nanoTime() - t0) / 1e9
             spark.catalog.clearCache() // no cross-run reuse of cached plans
             secs
