@@ -45,14 +45,22 @@ object TextQueries {
   private[graft] def lshNeardupPairs(s: SparkSession, dir: String,
       threshold: Double, numHashes: Int = 64, bands: Int = 32,
       rows: Int = 2): DataFrame = {
+    // materialize the shingled corpus once: it feeds the band table AND
+    // both payload-verify joins, and without a checkpoint the tokenize+
+    // shingle UDF lineage re-executes for every consumer (measured ~2× on
+    // q29). At 100 TB this is the staged intermediate table a real dedup
+    // pipeline writes anyway; localCheckpoint is its single-job stand-in.
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), wordNgramsUdf(3)(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .localCheckpoint()
     // band join moves only (bucket, doc_id); the wide shingle payload joins
     // back AFTER candidate dedup, crossing the shuffle once per surviving
-    // pair, not once per band.
+    // pair, not once per band. Checkpointed so the minhash UDF runs once,
+    // not once per self-join side.
     val banded = docs.select(col("doc_id"),
       explode(lshBandsUdf(bands, rows)(minhashUdf(numHashes)(col("shingles")))).as("bucket"))
+      .localCheckpoint()
     val cand = banded.as("a").join(banded.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
