@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Hash-bucketed parquet point upsert. The lookup table lives as
+  * `bucket=N` partition directories keyed by `crc32(key) % numBuckets`;
+  * an epoch reads ONLY the buckets its fresh keys touch (partition-pruned
+  * scan), runs the caller's merge over that slice, and atomically swaps
+  * ONLY those directories. Epoch cost is O(batch + touched-bucket rows),
+  * not O(table) — the parquet-fixture restatement of the reference's
+  * per-key Cassandra point writes (K1/K3), replacing round 1's
+  * whole-table rewrite. A real deployment would use MERGE INTO on a
+  * transactional format; the bucketing, pruning and swap mechanics are
+  * the same story.
+  */
+object BucketedUpsert {
+
+  private def bucketOf(keyCol: String, numBuckets: Int) =
+    pmod(crc32(col(keyCol).cast("string")), lit(numBuckets)).cast("int")
+
+  /** @param fresh  this epoch's rows (schema = the table's data columns,
+    *               or a subset that `merge` completes)
+    * @param merge  (existingTouchedRows, freshRows) => merged rows for the
+    *               touched keys; receives existing rows projected to
+    *               fresh's columns
+    */
+  def upsert(fresh: DataFrame, tablePath: String, keyCol: String,
+             numBuckets: Int = 64)(
+             merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+    val s = fresh.sparkSession
+    // checkpoint: the batch feeds the touched-bucket listing AND the merge;
+    // in foreachBatch the source batch must not re-execute anyway
+    val freshB = fresh.withColumn("bucket", bucketOf(keyCol, numBuckets))
+      .localCheckpoint()
+    // bounded driver-side metadata: at most numBuckets ints, never data
+    val touched = freshB.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val dataCols = fresh.columns.toSeq
+    val existingTouched =
+      try s.read.parquet(tablePath)
+        .filter(col("bucket").isin(touched.map(Int.box): _*))
+        .select(dataCols.map(col): _*)
+      catch { case _: Throwable =>
+        s.createDataFrame(s.sparkContext.emptyRDD[Row], fresh.schema)
+          .select(dataCols.map(col): _*)
+      }
+    val result = merge(existingTouched, freshB.select(dataCols.map(col): _*))
+      .withColumn("bucket", bucketOf(keyCol, numBuckets))
+    val tmp = tablePath + "_epoch_tmp"
+    result.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    touched.foreach { b =>
+      val dst = new org.apache.hadoop.fs.Path(tablePath, s"bucket=$b")
+      val src = new org.apache.hadoop.fs.Path(tmp, s"bucket=$b")
+      fs.delete(dst, true)
+      if (fs.exists(src)) fs.rename(src, dst)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+}

@@ -40,50 +40,45 @@ object GeotagPipeline {
         col("accuracy") > 0 && col("accuracy") < 200)
 
   /** Merge a batch of points into the stored per-key history and re-elect.
-    * The stored table keeps the deduped, capped history (bounded state) so
-    * each epoch's work is O(batch + touched-keys × cap).
+    * The table is hash-bucketed (BucketedUpsert): only the bucket
+    * directories holding this batch's keys are read and rewritten, so each
+    * epoch's work is O(batch + touched-buckets × cap) — keys in untouched
+    * buckets are never scanned or rewritten (round 1 rewrote the whole
+    * table per epoch).
     */
-  def electAndUpsert(batch: DataFrame, tablePath: String): Unit = {
-    val s = batch.sparkSession
-    import s.implicits._
+  def electAndUpsert(batch: DataFrame, tablePath: String,
+                     numBuckets: Int = 64): Unit = {
     val fresh = validate(batch)
       .select(col("addr_hash"), col("ts_ms"), col("lat"), col("lng"),
         col("accuracy").as("acc"))
-    val existing =
-      try s.read.parquet(tablePath).select("addr_hash", "ts_ms", "lat", "lng", "acc")
-      catch { case _: Throwable => s.emptyDataset[(String, Long, Double, Double, Double)]
-        .toDF("addr_hash", "ts_ms", "lat", "lng", "acc") }
-    val merged = existing.unionByName(fresh)
-      .groupBy(col("addr_hash"))
-      .agg(sort_array(collect_list(struct(
-        col("ts_ms"), col("lat"), col("lng"), col("acc")))).as("pts"))
-    val elect = udf { (pts: Seq[Row]) =>
-      val points = pts.map(r => Pt(r.getDouble(1), r.getDouble(2),
-        r.getDouble(3), r.getLong(0)))
-      val deduped = Elections.dedupAndCap(points)
-      val ((blat, blng), (_, _, conf)) = Elections.electBoth(deduped)
-      (deduped.map(p => (p.ts, p.lat, p.lng, p.acc)), blat, blng, conf)
+    BucketedUpsert.upsert(fresh, tablePath, "addr_hash", numBuckets) {
+      (existing, freshRows) =>
+        val merged = existing.unionByName(freshRows)
+          .groupBy(col("addr_hash"))
+          .agg(sort_array(collect_list(struct(
+            col("ts_ms"), col("lat"), col("lng"), col("acc")))).as("pts"))
+        val elect = udf { (pts: Seq[Row]) =>
+          val points = pts.map(r => Pt(r.getDouble(1), r.getDouble(2),
+            r.getDouble(3), r.getLong(0)))
+          val deduped = Elections.dedupAndCap(points)
+          val ((blat, blng), (_, _, conf)) = Elections.electBoth(deduped)
+          (deduped.map(p => (p.ts, p.lat, p.lng, p.acc)), blat, blng, conf)
+        }
+        val result = merged
+          .withColumn("r", elect(col("pts")))
+          .select(col("addr_hash"),
+            col("r._2").as("best_lat"), col("r._3").as("best_lng"),
+            col("r._4").as("confidence"),
+            transform(col("r._1"), p => struct(
+              p.getField("_1").as("ts_ms"), p.getField("_2").as("lat"),
+              p.getField("_3").as("lng"), p.getField("_4").as("acc"))).as("history"))
+        // history stored back flattened so the next epoch re-reads bounded state
+        result.select(col("addr_hash"), col("best_lat"),
+            col("best_lng"), col("confidence"), explode(col("history")).as("h"))
+          .select(col("addr_hash"), col("best_lat"), col("best_lng"),
+            col("confidence"), col("h.ts_ms"), col("h.lat"), col("h.lng"),
+            col("h.acc"))
     }
-    val result = merged
-      .withColumn("r", elect(col("pts")))
-      .select(col("addr_hash"),
-        col("r._2").as("best_lat"), col("r._3").as("best_lng"),
-        col("r._4").as("confidence"),
-        transform(col("r._1"), p => struct(
-          p.getField("_1").as("ts_ms"), p.getField("_2").as("lat"),
-          p.getField("_3").as("lng"), p.getField("_4").as("acc"))).as("history"))
-    // history stored back flattened so the next epoch re-reads bounded state
-    val flat = result.select(col("addr_hash"), col("best_lat"),
-      col("best_lng"), col("confidence"), explode(col("history")).as("h"))
-      .select(col("addr_hash"), col("best_lat"), col("best_lng"),
-        col("confidence"), col("h.ts_ms"), col("h.lat"), col("h.lng"),
-        col("h.acc"))
-    flat.write.mode("overwrite").parquet(tablePath + "_new")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(tablePath)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tablePath + "_new"), dst)
   }
 
   /** Wire the pipeline to a ledger topic directory. */

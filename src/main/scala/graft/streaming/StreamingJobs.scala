@@ -120,14 +120,13 @@ object StreamingJobs {
       .agg(count(lit(1)).as("n"))
 
   /** §3.1 flagship as a streaming pipeline: per micro-batch, upsert each
-    * user's best-known location into a parquet "lookup table" keyed by
-    * user_id — the foreachBatch idempotent-upsert that replaces the
-    * reference's saveToCassandra + manual offset commit ordering.
-    *
-    * The merge reads the existing table, unions the batch's points, and
-    * rewrites — at warehouse scale this would be a MERGE INTO on a
-    * transactional table format; the batch-side logic (group, elect,
-    * bounded state) is identical.
+    * user's recent points into a hash-bucketed parquet "lookup table"
+    * keyed by user_id — the foreachBatch idempotent-upsert that replaces
+    * the reference's saveToCassandra + manual offset commit ordering.
+    * Only bucket directories holding the batch's keys are read and
+    * rewritten (BucketedUpsert): epoch cost O(batch + touched buckets),
+    * not O(table); a warehouse deployment would be MERGE INTO on a
+    * transactional format with identical batch-side logic.
     */
   def bestLocationUpsert(events: DataFrame, tablePath: String,
                          checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
@@ -136,34 +135,21 @@ object StreamingJobs {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("10 seconds"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
         val pts = batch
           .withColumn("lat", (col("user_id") % 120) - 60 + col("value") / 1000.0)
           .withColumn("lng", (col("event_id") % 340) - 170 + col("value") / 1000.0)
           .withColumn("acc", col("value") % 120.0)
           .withColumn("ts_ms", expr("ts_us div 1000"))
           .select("user_id", "lat", "lng", "acc", "ts_ms")
-        val existing =
-          try s.read.parquet(tablePath)
-          catch { case _: Throwable => s.emptyDataFrame }
-        val merged =
-          if (existing.isEmpty) pts
-          else existing.select("user_id", "lat", "lng", "acc", "ts_ms").unionByName(pts)
-        // bounded per-key history: newest 100 rows per user (reference
-        // cap-100 semantics) keeps the table O(keys), not O(stream)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id").orderBy(col("ts_ms").desc)
-        merged
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 100).drop("rn")
-          .write.mode("overwrite").parquet(tablePath + "_new")
-        // atomic-ish swap for the local fixture; a real deployment uses a
-        // transactional table format instead
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          s.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(tablePath)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tablePath + "_new"), dst)
+        BucketedUpsert.upsert(pts, tablePath, "user_id") { (existing, fresh) =>
+          // bounded per-key history: newest 100 rows per user (reference
+          // cap-100 semantics) keeps the table O(keys), not O(stream)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy(col("ts_ms").desc)
+          existing.unionByName(fresh)
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 100).drop("rn")
+        }
         ()
       }
   }
