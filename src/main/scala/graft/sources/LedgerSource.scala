@@ -325,24 +325,40 @@ class LedgerTable(path: String, options: Map[String, String])
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    () => new LedgerScan(path, LedgerOptions.validate(options ++ opts.asScala))
+    new LedgerScanBuilder(path, LedgerOptions.validate(options ++ opts.asScala))
 }
 
-class LedgerScan(path: String, options: Map[String, String]) extends Scan {
-  override def readSchema(): StructType = LedgerOptions.fullSchema(options)
+/** Column pruning pushed into the source (S7 for the connector itself):
+  * a projection like select(key) reads only that column — and with
+  * format=json, only the REQUIRED payload fields are decoded per entry,
+  * so a 3-column projection over a 50-field payload schema does 3 field
+  * lookups, not 50.
+  */
+class LedgerScanBuilder(path: String, options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = LedgerOptions.fullSchema(options)
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new LedgerScan(path, options, required)
+}
+
+class LedgerScan(path: String, options: Map[String, String],
+                 required: StructType) extends Scan {
+  override def readSchema(): StructType = required
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new LedgerMicroBatchStream(path, options)
+    new LedgerMicroBatchStream(path, options, required)
   // bounded batch read over an explicit [startOffsets, endOffsets) range —
   // the reference's createRDD-over-OffsetRange path (S2), used by the
   // consistency checker to re-read exactly what a stream committed
-  override def toBatch(): Batch = new LedgerBatchRead(path, options)
+  override def toBatch(): Batch = new LedgerBatchRead(path, options, required)
 }
 
 /** One-shot bounded read: [startOffsets, endOffsets) per partition,
   * defaulting to the full log (first ledger to current end). Same bounded
   * readers and pinning as the streaming path.
   */
-class LedgerBatchRead(path: String, options: Map[String, String]) extends Batch {
+class LedgerBatchRead(path: String, options: Map[String, String],
+    required: StructType = LedgerSource.Schema) extends Batch {
   import LedgerSource._
 
   private val root = Paths.get(path)
@@ -373,14 +389,15 @@ class LedgerBatchRead(path: String, options: Map[String, String]) extends Batch 
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LedgerReaderFactory(LedgerOptions.payloadSchema(options), None)
+    new LedgerReaderFactory(required, None)
 }
 
 /** The micro-batch stream: admission control lives in latestOffset —
   * the Structured-Streaming analogue of the reference's backpressure
   * (SupportsAdmissionControl replaces the DStream RateController).
   */
-class LedgerMicroBatchStream(path: String, options: Map[String, String])
+class LedgerMicroBatchStream(path: String, options: Map[String, String],
+    required: StructType = LedgerSource.Schema)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow with ReportsSourceMetrics {
   import LedgerSource._
@@ -546,8 +563,7 @@ class LedgerMicroBatchStream(path: String, options: Map[String, String])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LedgerReaderFactory(LedgerOptions.payloadSchema(options),
-      Option(decodeFailures))
+    new LedgerReaderFactory(required, Option(decodeFailures))
 
   override def deserializeOffset(json: String): Offset = LedgerOffset.parse(json)
   override def commit(end: Offset): Unit = () // files are immutable; the
@@ -564,26 +580,28 @@ case class LedgerInputPartition(path: String, partition: Int,
 }
 
 class LedgerReaderFactory(
-    payloadSchema: Option[StructType] = None,
+    readSchema: StructType = LedgerSource.Schema,
     decodeFailures: Option[org.apache.spark.util.LongAccumulator] = None)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LedgerInputPartition]
-    new LedgerPartitionReader(p, payloadSchema, decodeFailures)
+    new LedgerPartitionReader(p, readSchema, decodeFailures)
   }
 }
 
 /** Bounded reader: iterate entries from (startLedger, startEntry)
   * inclusive to (endLedger, endEntry) exclusive, skipping gap/empty
   * ledgers (reference PulsarBoundedConsumer.internalIterator:37-65).
-  * With a payload schema, the JSON payload decodes to typed columns
+  * Emits exactly the pruned readSchema columns. Payload fields (any
+  * readSchema field outside the base schema) decode from the JSON payload
   * executor-side — the reference's Schema[T]-per-message decode
-  * (SparkPulsarPartition.scala:14-51); malformed payloads yield null
-  * typed columns and bump the decode-failure accumulator (PERMISSIVE
-  * semantics, a poison entry never kills the stream).
+  * (SparkPulsarPartition.scala:14-51) — and ONLY the required fields are
+  * looked up; malformed payloads yield null typed columns and bump the
+  * decode-failure accumulator (PERMISSIVE semantics, a poison entry never
+  * kills the stream).
   */
 class LedgerPartitionReader(p: LedgerInputPartition,
-    payloadSchema: Option[StructType] = None,
+    readSchema: StructType = LedgerSource.Schema,
     decodeFailures: Option[org.apache.spark.util.LongAccumulator] = None)
     extends PartitionReader[InternalRow] {
   import LedgerSource._
@@ -615,10 +633,16 @@ class LedgerPartitionReader(p: LedgerInputPartition,
   @transient private lazy val mapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private def decodeJson(payload: String, schema: StructType): Array[Any] =
+  private val baseNames = LedgerSource.Schema.fieldNames.toSet
+  // only the payload fields the projection actually needs are decoded
+  private val payloadFields: Array[StructField] =
+    readSchema.fields.filterNot(f => baseNames.contains(f.name))
+  private val topicUtf8 = UTF8String.fromString(topic)
+
+  private def decodeJson(payload: String): Array[Any] =
     try {
       val node = mapper.readTree(payload)
-      schema.fields.map { f =>
+      payloadFields.map { f =>
         val v = node.get(f.name)
         if (v == null || v.isNull) null
         else f.dataType match {
@@ -633,7 +657,7 @@ class LedgerPartitionReader(p: LedgerInputPartition,
     } catch {
       case _: Exception =>
         decodeFailures.foreach(_.add(1L))
-        schema.fields.map(_ => null: Any)
+        payloadFields.map(_ => null: Any)
     }
 
   override def get(): InternalRow = {
@@ -642,18 +666,22 @@ class LedgerPartitionReader(p: LedgerInputPartition,
       case -1 => (null, line)
       case i  => (line.substring(0, i), line.substring(i + 1))
     }
-    val base = Array[Any](
-      UTF8String.fromString(topic),
-      p.partition,
-      ledgerId,
-      entryId,
-      if (key == null) null else UTF8String.fromString(key),
-      payload.getBytes(StandardCharsets.UTF_8),
-      ledgerId * 1000000L + entryId)
-    payloadSchema match {
-      case None     => InternalRow(base: _*)
-      case Some(ps) => InternalRow(base ++ decodeJson(payload, ps): _*)
+    lazy val decoded: Array[Any] =
+      if (payloadFields.isEmpty) Array.empty else decodeJson(payload)
+    var pf = 0
+    val values = readSchema.fields.map { f =>
+      f.name match {
+        case "topic"      => topicUtf8
+        case "partition"  => p.partition
+        case "ledger_id"  => ledgerId
+        case "entry_id"   => entryId
+        case "key"        => if (key == null) null else UTF8String.fromString(key)
+        case "value"      => payload.getBytes(StandardCharsets.UTF_8)
+        case "publish_us" => ledgerId * 1000000L + entryId
+        case _            => val v = decoded(pf); pf += 1; v
+      }
     }
+    InternalRow(values.toIndexedSeq: _*)
   }
 
   override def close(): Unit = ()

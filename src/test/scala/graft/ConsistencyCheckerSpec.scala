@@ -56,6 +56,17 @@ class ConsistencyCheckerSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("offset JSON"), bad.getMessage)
   }
 
+  test("column pruning pushes into the ledger scan") {
+    val topic = writeTopic()
+    val df = spark.read.format("graft-ledger")
+      .option("path", topic.toString).load().select("key")
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(scan.output.map(_.name) == Seq("key"), scan.output.toString())
+    assert(df.collect().map(_.getString(0)).toSet == (0 until 10).map(i => s"k$i").toSet)
+  }
+
   test("checker reports exactly the injected sink gap, then a clean pass") {
     val topic = writeTopic()
     val source = decode(spark.read.format("graft-ledger")
