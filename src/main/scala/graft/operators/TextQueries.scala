@@ -269,6 +269,48 @@ object TextQueries {
       out
     }),
 
+    // Deterministic train/valid/test split — the training-data op every
+    // corpus pipeline needs: assignment is a pure function of the stable
+    // doc_id (salted md5, first hex nibble: 12/16 train, 2/16 valid, 2/16
+    // test), so it is reproducible across runs, engines and re-partitions,
+    // and joins/filters on `split` need no shuffle of any split table.
+    // Fully oracle-checked (md5 hex is engine-identical).
+    "q53_train_split" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("h", substring(
+          md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1))
+        .withColumn("split",
+          when(col("h").isin("c", "d"), "valid")
+            .when(col("h").isin("e", "f"), "test")
+            .otherwise("train"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          sum("doc_id").as("id_checksum"))
+        .orderBy("split")
+    }),
+
+    // Repetition / boilerplate scoring (Gopher-style quality rule): per-doc
+    // duplicate-3-gram ratio (1 - distinct/total), aggregated per source
+    // with a >0.2 boilerplate count. Per-row bounded work (the doc's own
+    // gram list) — scales as a pure map + one agg shuffle. Oracle-checked
+    // against the same lateral-unnest gram construction q28 uses.
+    "q54_repetition" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          wordNgramsUdf(3)(col("text")).as("g"))
+        .select(col("source"), size(col("g")).as("total"),
+          size(array_distinct(col("g"))).as("dist"))
+        .withColumn("dup_ratio", when(col("total") === 0, 0.0)
+          .otherwise(lit(1.0) - col("dist") / col("total").cast("double")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("dup_ratio"), 4).as("avg_dup_ratio"),
+          round(max("dup_ratio"), 4).as("max_dup_ratio"),
+          sum(when(col("dup_ratio") > 0.2, 1L).otherwise(0L)).as("n_boilerplate"))
+        .orderBy("source")
+    }),
+
     // Winnowing document fingerprints (k=5 chars, window=4): per-doc
     // fingerprint count + min fingerprint (stable identity). Rows-only.
     "q31_fingerprints" -> ((s, dir) => {
@@ -379,6 +421,46 @@ object TextQueries {
         |SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
         |  min(d) AS keep_doc
         |FROM comp GROUP BY 1 HAVING count(*) >= 2 ORDER BY component""".stripMargin,
+
+    "q53_train_split" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT CASE WHEN h IN ('c','d') THEN 'valid'
+        |              WHEN h IN ('e','f') THEN 'test'
+        |              ELSE 'train' END AS split,
+        |    n_chars, doc_id FROM s)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q54_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) gg
+        |  WHERE len(t) >= 3),
+        |per AS (
+        |  SELECT doc_id, count(*) AS total, count(DISTINCT s) AS dist
+        |  FROM g GROUP BY 1),
+        |allper AS (
+        |  SELECT d.source,
+        |    coalesce(p.total, 0) AS total, coalesce(p.dist, 0) AS dist
+        |  FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id),
+        |r AS (
+        |  SELECT source, CASE WHEN total = 0 THEN 0.0
+        |    ELSE 1.0 - dist / CAST(total AS DOUBLE) END AS dup_ratio
+        |  FROM allper)
+        |SELECT source, count(*) AS n_docs,
+        |  round(avg(dup_ratio), 4) AS avg_dup_ratio,
+        |  round(max(dup_ratio), 4) AS max_dup_ratio,
+        |  CAST(sum(CASE WHEN dup_ratio > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q39_top_tokens" ->
       """WITH t AS (
