@@ -311,6 +311,33 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Split-leakage / contamination check: near-dup pairs whose members
+    // land in DIFFERENT q53 splits — the eval-set contamination a training
+    // pipeline must catch before anything ships. Pairs come from the LSH
+    // path (near-linear); the oracle recomputes them with the exact join,
+    // so this doubles as an end-to-end proof that LSH candidates + the
+    // split function compose losslessly.
+    "q55_split_leakage" -> ((s, dir) => {
+      val split = Tables.documents(s, dir)
+        .withColumn("h", substring(
+          md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1))
+        .withColumn("split",
+          when(col("h").isin("c", "d"), "valid")
+            .when(col("h").isin("e", "f"), "test")
+            .otherwise("train"))
+        .select(col("doc_id"), col("split"))
+      lshNeardupPairs(s, dir, 0.5)
+        .join(split.select(col("doc_id").as("d1"), col("split").as("s1")), "d1")
+        .join(split.select(col("doc_id").as("d2"), col("split").as("s2")), "d2")
+        .filter(col("s1") =!= col("s2"))
+        .withColumn("leak_pair",
+          concat_ws("|", array_sort(array(col("s1"), col("s2")))))
+        .groupBy(col("leak_pair"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("d1") + col("d2")).as("id_checksum"))
+        .orderBy("leak_pair")
+    }),
+
     // Winnowing document fingerprints (k=5 chars, window=4): per-doc
     // fingerprint count + min fingerprint (stable identity). Rows-only.
     "q31_fingerprints" -> ((s, dir) => {
@@ -461,6 +488,41 @@ object TextQueries {
         |  round(max(dup_ratio), 4) AS max_dup_ratio,
         |  CAST(sum(CASE WHEN dup_ratio > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q55_split_leakage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |shingles AS (
+        |  SELECT DISTINCT doc_id, s
+        |  FROM (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+        |        WHERE len(t) >= 3)),
+        |counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id d1, b.doc_id d2, count(*) shared
+        |  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |near AS (
+        |  SELECT p.d1, p.d2
+        |  FROM pairs p JOIN counts c1 ON p.d1 = c1.doc_id
+        |  JOIN counts c2 ON p.d2 = c2.doc_id
+        |  WHERE p.shared / (c1.n + c2.n - p.shared) >= 0.5),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'valid'
+        |         WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |         ELSE 'train' END AS split
+        |  FROM documents),
+        |leaks AS (
+        |  SELECT array_to_string(list_sort([sa.split, sb.split]), '|') AS leak_pair,
+        |    n.d1, n.d2
+        |  FROM near n JOIN sp sa ON n.d1 = sa.doc_id
+        |  JOIN sp sb ON n.d2 = sb.doc_id
+        |  WHERE sa.split <> sb.split)
+        |SELECT leak_pair, count(*) AS n_pairs,
+        |  CAST(sum(d1 + d2) AS BIGINT) AS id_checksum
+        |FROM leaks GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q39_top_tokens" ->
       """WITH t AS (
