@@ -131,6 +131,34 @@ object VectorQueries {
         .orderBy("d1", "d2")
     }),
 
+    // Embedding split-leakage: near-similar vectors (cosine ≥ 0.35, the
+    // corpus's "related pair" band) crossing the q53-style deterministic
+    // split — the embedding-side eval-contamination gate, the multimodal
+    // sibling of q55. Exact pairwise form so the DuckDB oracle verifies it
+    // end-to-end; at 100 TB the candidate pairs come from the q45 SRP
+    // blocking instead, exactly as q38/q52 consume the text LSH path.
+    "q56_embedding_leakage" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("h", substring(
+          md5(concat(lit("split:"), col("vec_id").cast("string"))), 1, 1))
+        .withColumn("split",
+          when(col("h").isin("c", "d"), "valid")
+            .when(col("h").isin("e", "f"), "test")
+            .otherwise("train"))
+      val a = e.select(col("vec_id").as("d1"), col("embedding").as("v1"),
+        col("split").as("s1"))
+      val b = e.select(col("vec_id").as("d2"), col("embedding").as("v2"),
+        col("split").as("s2"))
+      a.join(b, col("d1") < col("d2") && col("s1") =!= col("s2") &&
+          cosineSim(col("v1"), col("v2")) >= 0.35)
+        .withColumn("leak_pair",
+          concat_ws("|", array_sort(array(col("s1"), col("s2")))))
+        .groupBy(col("leak_pair"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("d1") + col("d2")).as("id_checksum"))
+        .orderBy("leak_pair")
+    }),
+
     // Embedding-cosine near-dup at scale: the full dedup pipeline shape —
     // corpus (with planted perturbed duplicates, deterministic hash noise)
     // → 2 independent 8-bit SRP hash tables (OR-amplification) → bucket
@@ -323,6 +351,23 @@ object VectorQueries {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.35
         |ORDER BY 1, 2""".stripMargin,
+
+    "q56_embedding_leakage" ->
+      """WITH sp AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN substring(md5('split:' || CAST(vec_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'valid'
+        |         WHEN substring(md5('split:' || CAST(vec_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |         ELSE 'train' END AS split
+        |  FROM embeddings),
+        |leaks AS (
+        |  SELECT array_to_string(list_sort([a.split, b.split]), '|') AS leak_pair,
+        |    a.vec_id AS d1, b.vec_id AS d2
+        |  FROM sp a JOIN sp b ON a.vec_id < b.vec_id AND a.split <> b.split
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.35)
+        |SELECT leak_pair, count(*) AS n_pairs,
+        |  CAST(sum(d1 + d2) AS BIGINT) AS id_checksum
+        |FROM leaks GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q35_label_centroids" ->
       """SELECT label, CAST(dim - 1 AS INT) AS dim,
