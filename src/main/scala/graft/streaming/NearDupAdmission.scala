@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import graft.functions.TextFunctions._
+
+/** Streaming near-dup admission — the streaming form of q38's dedup-keep:
+  * a document is admitted iff it does not near-duplicate (exact
+  * set-jaccard >= threshold, MinHash-LSH band candidates) any previously
+  * admitted document, or a lower-id document of its own batch (the same
+  * greedy pair-drop q38 applies). Admitted fingerprints append to the
+  * store as `epoch=<batchId>` partitions; overwriting the deterministic
+  * epoch directory makes foreachBatch retries idempotent.
+  *
+  * Scale shape: the store keeps two tables — `bands` (bucket, doc_id),
+  * the compact blocking index, and `docs` (doc_id, shingles), the verify
+  * payload. Candidate generation is a distributed bucket equi-join of the
+  * batch's bands against the store's bands (shuffle key = bucket, cost
+  * Σ bucket²); shingle payloads join back only for surviving candidate
+  * pairs. Nothing data-sized crosses the driver.
+  */
+object NearDupAdmission {
+
+  def admit(batch: DataFrame, batchId: Long, storePath: String,
+            keptPath: String, threshold: Double = 0.5, numHashes: Int = 64,
+            bands: Int = 32, rows: Int = 2): Unit = {
+    val s = batch.sparkSession
+    val docs = batch
+      .select(col("doc_id"), col("text"),
+        wordNgramsUdf(3)(col("text")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .localCheckpoint()
+    val banded = docs.select(col("doc_id"),
+        explode(lshBandsUdf(bands, rows)(minhashUdf(numHashes)(col("shingles")))).as("bucket"))
+      .localCheckpoint()
+
+    def readStore(sub: String): Option[DataFrame] =
+      try Some(s.read.parquet(s"$storePath/$sub")) catch { case _: Throwable => None }
+
+    def jaccardOk(df: DataFrame): DataFrame = df
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("inter") / col("uni") >= threshold)
+
+    // dups vs the already-admitted store
+    val dupVsStore = readStore("bands") match {
+      case None => docs.select(col("doc_id")).limit(0)
+      case Some(storeBands) =>
+        val cand = banded
+          .join(storeBands.select(col("bucket"), col("doc_id").as("sd")), "bucket")
+          // a doc never duplicates its own stored fingerprint — this is
+          // what keeps a RETRIED epoch idempotent (its admitted docs are
+          // already in the store under the same ids)
+          .filter(col("doc_id") =!= col("sd"))
+          .select(col("doc_id"), col("sd")).distinct()
+        jaccardOk(cand
+          .join(docs.select(col("doc_id"), col("shingles").as("sh_a")), "doc_id")
+          .join(readStore("docs").get
+            .select(col("doc_id").as("sd"), col("shingles").as("sh_b")), "sd"))
+          .select(col("doc_id")).distinct()
+    }
+    // dups within the batch: greedy pair-drop, higher id loses (q38)
+    val selfCand = banded.as("a").join(banded.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    val dupInBatch = jaccardOk(selfCand
+        .join(docs.select(col("doc_id").as("d1"), col("shingles").as("sh_a")), "d1")
+        .join(docs.select(col("doc_id").as("d2"), col("shingles").as("sh_b")), "d2"))
+      .select(col("d2").as("doc_id")).distinct()
+
+    val kept = docs
+      .join(dupVsStore.unionByName(dupInBatch).distinct(), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // deterministic epoch dirs: a retried batch overwrites its own output
+    kept.select("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$keptPath/epoch=$batchId")
+    kept.select("doc_id", "shingles")
+      .write.mode("overwrite").parquet(s"$storePath/docs/epoch=$batchId")
+    banded.join(kept.select("doc_id"), "doc_id")
+      .write.mode("overwrite").parquet(s"$storePath/bands/epoch=$batchId")
+  }
+
+  /** Wire as a streaming sink over a (doc_id, text) stream. */
+  def stream(docs: DataFrame, storePath: String, keptPath: String,
+             checkpoint: String, threshold: Double = 0.5): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        admit(batch, id, storePath, keptPath, threshold)
+      }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.NearDupAdmission
+
+/** Streaming near-dup admission: batch-2 docs that near-duplicate admitted
+  * batch-1 docs (or lower-id batch-2 docs) must be dropped; novel docs
+  * admitted; retried epochs idempotent.
+  */
+class NearDupAdmissionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val textX =
+    "the quick brown fox jumps over the lazy dog again today in the park"
+  private val textXDup = // one tail word changed: 3-gram jaccard ~0.85
+    "the quick brown fox jumps over the lazy dog again today in the garden"
+  private val textY =
+    "completely different content about spark partitions and shuffle plans here"
+  private val textZ =
+    "a third unrelated document discussing window functions and watermarks now"
+  private val textZDup =
+    "a third unrelated document discussing window functions and watermarks soon"
+
+  test("admission filter drops near-dups vs store and within batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = Files.createTempDirectory("ndup_store").toString
+    val kept = Files.createTempDirectory("ndup_kept").toString
+    val ckpt = Files.createTempDirectory("ndup_ckpt").toString
+
+    val mem = MemoryStream[(Long, String)]
+    val q = NearDupAdmission.stream(
+      mem.toDF().toDF("doc_id", "text"), store, kept, ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+
+    // batch 1: two distinct docs → both admitted
+    mem.addData((1L, textX), (2L, textY))
+    val q1 = q.start(); q1.awaitTermination(120000)
+    val kept1 = spark.read.parquet(kept).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept1 == Set(1L, 2L), kept1.toString)
+
+    // batch 2: dup-of-store (3), novel (4), dup-of-4-within-batch (5)
+    mem.addData((3L, textXDup), (4L, textZ), (5L, textZDup))
+    val q2 = q.start(); q2.awaitTermination(120000)
+    val kept2 = spark.read.parquet(kept).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(1L, 2L, 4L), kept2.toString)
+
+    // store holds exactly the admitted fingerprints
+    val storeIds = spark.read.parquet(store + "/docs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(storeIds == Set(1L, 2L, 4L), storeIds.toString)
+
+    // idempotent retry: re-running an epoch's admit overwrites, not appends
+    val batch2 = Seq((3L, textXDup), (4L, textZ), (5L, textZDup))
+      .toDF("doc_id", "text")
+    NearDupAdmission.admit(batch2, 1L, store, kept)
+    val keptRetry = spark.read.parquet(kept).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(keptRetry == Seq(1L, 2L, 4L), keptRetry.toString)
+  }
+}
