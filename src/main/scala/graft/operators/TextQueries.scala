@@ -42,25 +42,23 @@ object TextQueries {
     * corpora would raise `rows` to sharpen the S-curve and cut marginal
     * candidates; the verify stage keeps the answer exact either way.
     */
-  private[graft] def lshNeardupPairs(s: SparkSession, dir: String,
-      threshold: Double, numHashes: Int = 64, bands: Int = 32,
-      rows: Int = 2): DataFrame = {
-    // materialize the shingled corpus once: it feeds the band table AND
-    // both payload-verify joins, and without a checkpoint the tokenize+
-    // shingle UDF lineage re-executes for every consumer (measured ~2× on
-    // q29). At 100 TB this is the staged intermediate table a real dedup
-    // pipeline writes anyway; localCheckpoint is its single-job stand-in.
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), wordNgramsUdf(3)(col("text")).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .localCheckpoint()
+  /** (doc_id, shingles) → LSH band table (bucket, doc_id). */
+  private[graft] def bandedOf(docs: DataFrame, numHashes: Int = 64,
+      bands: Int = 32, rows: Int = 2): DataFrame =
+    docs.select(col("doc_id"),
+      explode(lshBandsUdf(bands, rows)(minhashUdf(numHashes)(col("shingles")))).as("bucket"))
+
+  /** DataFrame-level LSH pair core shared by the batch queries (q29/q38/
+    * q52) and the streaming admission filter: band self-join candidates,
+    * exact set-jaccard verify. `docs` = (doc_id, shingles), `banded` =
+    * bandedOf(docs) — pass both pre-materialized so the UDF lineage runs
+    * once, not once per self-join side.
+    */
+  private[graft] def lshPairsFromDocs(docs: DataFrame, banded: DataFrame,
+      threshold: Double): DataFrame = {
     // band join moves only (bucket, doc_id); the wide shingle payload joins
     // back AFTER candidate dedup, crossing the shuffle once per surviving
-    // pair, not once per band. Checkpointed so the minhash UDF runs once,
-    // not once per self-join side.
-    val banded = docs.select(col("doc_id"),
-      explode(lshBandsUdf(bands, rows)(minhashUdf(numHashes)(col("shingles")))).as("bucket"))
-      .localCheckpoint()
+    // pair, not once per band.
     val cand = banded.as("a").join(banded.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -73,6 +71,22 @@ object TextQueries {
       .withColumn("jac", col("inter") / col("uni"))
       .filter(col("jac") >= threshold)
       .select(col("d1"), col("d2"), col("jac"))
+  }
+
+  private[graft] def lshNeardupPairs(s: SparkSession, dir: String,
+      threshold: Double, numHashes: Int = 64, bands: Int = 32,
+      rows: Int = 2): DataFrame = {
+    // materialize the shingled corpus once: it feeds the band table AND
+    // both payload-verify joins, and without a checkpoint the tokenize+
+    // shingle UDF lineage re-executes for every consumer (measured ~2× on
+    // q29). At 100 TB this is the staged intermediate table a real dedup
+    // pipeline writes anyway; localCheckpoint is its single-job stand-in.
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), wordNgramsUdf(3)(col("text")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .localCheckpoint()
+    val banded = bandedOf(docs, numHashes, bands, rows).localCheckpoint()
+    lshPairsFromDocs(docs, banded, threshold)
   }
 
   val defs: Map[String, Q] = Map(

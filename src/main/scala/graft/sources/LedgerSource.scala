@@ -51,6 +51,15 @@ object LedgerSource {
   /** Resume position within a partition: next entry to read. */
   case class Cursor(ledgerId: Long, entryId: Long)
 
+  /** List partition indices under a topic root (sorted). */
+  def listPartitions(root: Path): Seq[Int] = {
+    if (!Files.isDirectory(root)) return Nil
+    Files.list(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("partition-"))
+      .map(_.getFileName.toString.stripPrefix("partition-").toInt)
+      .toSeq.sorted
+  }
+
   /** List ledgers (sorted, including empties) for a partition dir. */
   def listLedgers(partitionDir: Path): Seq[LedgerInfo] = {
     if (!Files.isDirectory(partitionDir)) return Nil
@@ -363,13 +372,7 @@ class LedgerBatchRead(path: String, options: Map[String, String],
 
   private val root = Paths.get(path)
 
-  private def partitions(): Seq[Int] = {
-    if (!Files.isDirectory(root)) return Nil
-    Files.list(root).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("partition-"))
-      .map(_.getFileName.toString.stripPrefix("partition-").toInt)
-      .toSeq.sorted
-  }
+  private def partitions(): Seq[Int] = listPartitions(root)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val startOpt = options.get("startoffsets").map(LedgerOffset.parse(_).cursors)
@@ -473,20 +476,28 @@ class LedgerMicroBatchStream(path: String, options: Map[String, String],
   // driver-estimated rate (the PID estimate in the reference); optional
   private val estimatedRate = options.get("estimatedrate").map(_.toLong)
 
-  private def partitions(): Seq[Int] = {
-    if (!Files.isDirectory(root)) return Nil
-    Files.list(root).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("partition-"))
-      .map(_.getFileName.toString.stripPrefix("partition-").toInt)
-      .toSeq.sorted
-  }
+  private def partitions(): Seq[Int] = listPartitions(root)
+
+  // streams have no end: a configured end bound is a misconfiguration, not
+  // an option to ignore (the batch path honors it; silence here would be
+  // the same trap LedgerOptions.validate exists to kill)
+  require(!options.contains("endoffsets"),
+    "graft-ledger: 'endOffsets' is only valid for batch reads (spark.read); a stream has no end")
+
+  // explicit start position for NEW checkpoints (the reference's
+  // external-offset resume made explicit; Kafka startingOffsets analogue).
+  // Partitions absent from the JSON start at their first ledger.
+  private val startOverride: Map[Int, Cursor] =
+    options.get("startoffsets")
+      .map(LedgerOffset.parse(_).cursors).getOrElse(Map.empty)
 
   private def partitionDir(p: Int): Path = root.resolve(s"partition-$p")
 
   override def initialOffset(): Offset =
     LedgerOffset(partitions().map { p =>
       val first = listLedgers(partitionDir(p)).headOption
-      p -> Cursor(first.map(_.ledgerId).getOrElse(0L), 0L)
+      p -> startOverride.getOrElse(p,
+        Cursor(first.map(_.ledgerId).getOrElse(0L), 0L))
     }.toMap)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
@@ -639,26 +650,60 @@ class LedgerPartitionReader(p: LedgerInputPartition,
     readSchema.fields.filterNot(f => baseNames.contains(f.name))
   private val topicUtf8 = UTF8String.fromString(topic)
 
+  /** Strict per-field decode: a PRESENT field of the wrong JSON kind is a
+    * decode failure (null + counter), never a silent Jackson coercion to
+    * 0/false — `{"qty":"oops"}` with `qty INT` must not flow downstream
+    * as qty=0.
+    */
   private def decodeJson(payload: String): Array[Any] =
     try {
       val node = mapper.readTree(payload)
-      payloadFields.map { f =>
+      var badField = false
+      val out = payloadFields.map { f =>
         val v = node.get(f.name)
         if (v == null || v.isNull) null
         else f.dataType match {
-          case StringType  => UTF8String.fromString(if (v.isTextual) v.asText else v.toString)
-          case IntegerType => v.asInt()
-          case LongType    => v.asLong()
-          case DoubleType  => v.asDouble()
-          case BooleanType => v.asBoolean()
+          case StringType =>
+            UTF8String.fromString(if (v.isTextual) v.asText else v.toString)
+          case IntegerType =>
+            if (v.isNumber) v.asInt() else { badField = true; null }
+          case LongType =>
+            if (v.isNumber) v.asLong() else { badField = true; null }
+          case DoubleType =>
+            if (v.isNumber) v.asDouble() else { badField = true; null }
+          case BooleanType =>
+            if (v.isBoolean) v.asBoolean() else { badField = true; null }
           case other => throw new IllegalStateException(s"unreachable: $other")
         }
       }
+      if (badField) decodeFailures.foreach(_.add(1L))
+      out
     } catch {
       case _: Exception =>
         decodeFailures.foreach(_.add(1L))
         payloadFields.map(_ => null: Any)
     }
+
+  // per-row hot path: opcodes precomputed at construction — no per-field
+  // string matching per row
+  private val OpTopic = 0; private val OpPartition = 1; private val OpLedger = 2
+  private val OpEntry = 3; private val OpKey = 4; private val OpValue = 5
+  private val OpPublish = 6; private val OpPayload = 7
+  private val fieldOps: Array[Int] = {
+    var pf = 0
+    readSchema.fields.map { f =>
+      f.name match {
+        case "topic"      => OpTopic
+        case "partition"  => OpPartition
+        case "ledger_id"  => OpLedger
+        case "entry_id"   => OpEntry
+        case "key"        => OpKey
+        case "value"      => OpValue
+        case "publish_us" => OpPublish
+        case _            => val op = OpPayload + pf; pf += 1; op
+      }
+    }
+  }
 
   override def get(): InternalRow = {
     val (ledgerId, entryId, line) = current
@@ -666,20 +711,22 @@ class LedgerPartitionReader(p: LedgerInputPartition,
       case -1 => (null, line)
       case i  => (line.substring(0, i), line.substring(i + 1))
     }
-    lazy val decoded: Array[Any] =
-      if (payloadFields.isEmpty) Array.empty else decodeJson(payload)
-    var pf = 0
-    val values = readSchema.fields.map { f =>
-      f.name match {
-        case "topic"      => topicUtf8
-        case "partition"  => p.partition
-        case "ledger_id"  => ledgerId
-        case "entry_id"   => entryId
-        case "key"        => if (key == null) null else UTF8String.fromString(key)
-        case "value"      => payload.getBytes(StandardCharsets.UTF_8)
-        case "publish_us" => ledgerId * 1000000L + entryId
-        case _            => val v = decoded(pf); pf += 1; v
+    val decoded: Array[Any] =
+      if (payloadFields.isEmpty) null else decodeJson(payload)
+    val values = new Array[Any](fieldOps.length)
+    var i = 0
+    while (i < fieldOps.length) {
+      values(i) = fieldOps(i) match {
+        case OpTopic      => topicUtf8
+        case OpPartition  => p.partition
+        case OpLedger     => ledgerId
+        case OpEntry      => entryId
+        case OpKey        => if (key == null) null else UTF8String.fromString(key)
+        case OpValue      => payload.getBytes(StandardCharsets.UTF_8)
+        case OpPublish    => ledgerId * 1000000L + entryId
+        case op           => decoded(op - OpPayload)
       }
+      i += 1
     }
     InternalRow(values.toIndexedSeq: _*)
   }

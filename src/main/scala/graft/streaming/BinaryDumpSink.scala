@@ -29,7 +29,9 @@ object BinaryDumpSink {
         rows.foreach { r =>
           val id = r.getString(0)
           val bytes = r.getAs[Array[Byte]](1)
-          if (id != null && bytes != null) {
+          // null date is skipped like null id/bytes — one bad row must not
+          // NPE the task and fail the whole dump
+          if (id != null && bytes != null && r.getString(2) != null) {
             val bucket = math.floorMod(id.hashCode, fanout)
             val dir = Paths.get(root, r.getString(2), bucket.toString)
             Files.createDirectories(dir)

@@ -38,26 +38,33 @@ object BucketedUpsert {
       .collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return
     val dataCols = fresh.columns.toSeq
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    // only a genuinely-missing table means "empty": any other read failure
+    // (corrupt file, IO error) must abort the epoch — swallowing it would
+    // merge against nothing and overwrite touched buckets' history
     val existingTouched =
-      try s.read.parquet(tablePath)
-        .filter(col("bucket").isin(touched.map(Int.box): _*))
-        .select(dataCols.map(col): _*)
-      catch { case _: Throwable =>
+      if (!fs.exists(root))
         s.createDataFrame(s.sparkContext.emptyRDD[Row], fresh.schema)
           .select(dataCols.map(col): _*)
-      }
+      else s.read.parquet(tablePath)
+        .filter(col("bucket").isin(touched.map(Int.box): _*))
+        .select(dataCols.map(col): _*)
     val result = merge(existingTouched, freshB.select(dataCols.map(col): _*))
       .withColumn("bucket", bucketOf(keyCol, numBuckets))
     val tmp = tablePath + "_epoch_tmp"
     result.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-    val root = new org.apache.hadoop.fs.Path(tablePath)
     if (!fs.exists(root)) fs.mkdirs(root)
     touched.foreach { b =>
       val dst = new org.apache.hadoop.fs.Path(tablePath, s"bucket=$b")
       val src = new org.apache.hadoop.fs.Path(tmp, s"bucket=$b")
       fs.delete(dst, true)
-      if (fs.exists(src)) fs.rename(src, dst)
+      // Hadoop rename reports many failures as `false`, not an exception —
+      // after the delete above, an unchecked false would silently drop the
+      // bucket's entire history
+      if (fs.exists(src) && !fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"bucketed upsert: rename $src -> $dst failed; bucket $b left empty")
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }

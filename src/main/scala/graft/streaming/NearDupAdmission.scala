@@ -26,24 +26,21 @@ object NearDupAdmission {
             keptPath: String, threshold: Double = 0.5, numHashes: Int = 64,
             bands: Int = 32, rows: Int = 2): Unit = {
     val s = batch.sparkSession
-    val docs = batch
+    val all = batch
       .select(col("doc_id"), col("text"),
         wordNgramsUdf(3)(col("text")).as("shingles"))
-      .filter(size(col("shingles")) > 0)
       .localCheckpoint()
-    val banded = docs.select(col("doc_id"),
-        explode(lshBandsUdf(bands, rows)(minhashUdf(numHashes)(col("shingles")))).as("bucket"))
-      .localCheckpoint()
+    val docs = all.filter(size(col("shingles")) > 0)
+    // shingle-less docs (< 3 alphabetic words) cannot near-duplicate
+    // anything — always admitted, exactly as the batch q38 keeps them
+    val trivial = all.filter(size(col("shingles")) === 0)
+    val banded = graft.operators.TextQueries
+      .bandedOf(docs, numHashes, bands, rows).localCheckpoint()
 
     def readStore(sub: String): Option[DataFrame] =
       try Some(s.read.parquet(s"$storePath/$sub")) catch { case _: Throwable => None }
 
-    def jaccardOk(df: DataFrame): DataFrame = df
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("inter") / col("uni") >= threshold)
-
-    // dups vs the already-admitted store
+    // dups vs the already-admitted store (bipartite band join)
     val dupVsStore = readStore("bands") match {
       case None => docs.select(col("doc_id")).limit(0)
       case Some(storeBands) =>
@@ -54,19 +51,19 @@ object NearDupAdmission {
           // already in the store under the same ids)
           .filter(col("doc_id") =!= col("sd"))
           .select(col("doc_id"), col("sd")).distinct()
-        jaccardOk(cand
+        cand
           .join(docs.select(col("doc_id"), col("shingles").as("sh_a")), "doc_id")
           .join(readStore("docs").get
-            .select(col("doc_id").as("sd"), col("shingles").as("sh_b")), "sd"))
+            .select(col("doc_id").as("sd"), col("shingles").as("sh_b")), "sd")
+          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+          .filter(col("inter") / col("uni") >= threshold)
           .select(col("doc_id")).distinct()
     }
-    // dups within the batch: greedy pair-drop, higher id loses (q38)
-    val selfCand = banded.as("a").join(banded.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-    val dupInBatch = jaccardOk(selfCand
-        .join(docs.select(col("doc_id").as("d1"), col("shingles").as("sh_a")), "d1")
-        .join(docs.select(col("doc_id").as("d2"), col("shingles").as("sh_b")), "d2"))
+    // dups within the batch: the shared LSH pair core; greedy pair-drop,
+    // higher id loses (q38 semantics)
+    val dupInBatch = graft.operators.TextQueries
+      .lshPairsFromDocs(docs, banded, threshold)
       .select(col("d2").as("doc_id")).distinct()
 
     val kept = docs
@@ -74,6 +71,7 @@ object NearDupAdmission {
       .localCheckpoint()
     // deterministic epoch dirs: a retried batch overwrites its own output
     kept.select("doc_id", "text")
+      .unionByName(trivial.select("doc_id", "text"))
       .write.mode("overwrite").parquet(s"$keptPath/epoch=$batchId")
     kept.select("doc_id", "shingles")
       .write.mode("overwrite").parquet(s"$storePath/docs/epoch=$batchId")

@@ -202,6 +202,56 @@ class LedgerSourceSpec extends AnyFunSuite {
     assert(m.get("batchBytes").toLong > 0, s"metrics: $m")
   }
 
+  test("mis-typed JSON field values null out and count as decode failures") {
+    val root = Files.createTempDirectory("graft_ledger_badtype")
+    val dir = root.resolve("partition-0"); Files.createDirectories(dir)
+    Files.write(dir.resolve("ledger-1.log"), Seq(
+      """k0,{"qty":3}""",
+      """k1,{"qty":"oops"}""").mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val q = spark.readStream.format("graft-ledger")
+      .option("path", root.toString)
+      .option("format", "json")
+      .option("jsonSchema", "qty INT")
+      .load()
+      .writeStream.format("memory").queryName("ledger_badtype")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.sql("select qty from ledger_badtype order by entry_id").collect()
+    assert(rows(0).getInt(0) == 3)
+    assert(rows(1).isNullAt(0), "wrong-typed field must be null, not Jackson-coerced 0")
+    val m = q.recentProgress.filter(_.numInputRows > 0).last.sources.head.metrics
+    assert(m.get("decodeFailures") == "1", s"metrics: $m")
+  }
+
+  test("streaming honors startOffsets for new checkpoints; rejects endOffsets") {
+    val topic = writeTopic()
+    // start partition 0 at (ledger 1, entry 4): skips 4 of its 10 entries
+    val q = spark.readStream.format("graft-ledger")
+      .option("path", topic.toString)
+      .option("startOffsets", """{"0":[1,4]}""")
+      .load()
+      .writeStream.format("memory").queryName("ledger_start")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.sql(
+      "select partition, ledger_id, entry_id from ledger_start").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 11, rows.mkString(",")) // 15 - 4 skipped
+    assert(!rows.contains((0, 1L, 3L)) && rows.contains((0, 1L, 4L)))
+    assert(rows.count(_._1 == 1) == 5) // partition 1 untouched by override
+    val err = intercept[Exception] {
+      val qq = spark.readStream.format("graft-ledger")
+        .option("path", topic.toString)
+        .option("endOffsets", """{"0":[1,5]}""")
+        .load()
+        .writeStream.format("noop")
+        .trigger(Trigger.AvailableNow()).start()
+      qq.awaitTermination(120000)
+      qq.exception.foreach(throw _)
+    }
+    assert(err.getMessage.contains("endOffsets"), err.getMessage)
+  }
+
   test("checkpoint recovery resumes without duplicates after new data arrives") {
     val topic = writeTopic()
     val ckpt = Files.createTempDirectory("graft_ledger_ckpt2").toString

@@ -41,19 +41,20 @@ class NearDupAdmissionSpec extends AnyFunSuite {
       mem.toDF().toDF("doc_id", "text"), store, kept, ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
 
-    // batch 1: two distinct docs → both admitted
-    mem.addData((1L, textX), (2L, textY))
+    // batch 1: two distinct docs + a shingle-less doc (< 3 words, cannot
+    // near-dup anything) → all admitted
+    mem.addData((1L, textX), (2L, textY), (9L, "hi there"))
     val q1 = q.start(); q1.awaitTermination(120000)
     val kept1 = spark.read.parquet(kept).select("doc_id")
       .collect().map(_.getLong(0)).toSet
-    assert(kept1 == Set(1L, 2L), kept1.toString)
+    assert(kept1 == Set(1L, 2L, 9L), kept1.toString)
 
     // batch 2: dup-of-store (3), novel (4), dup-of-4-within-batch (5)
     mem.addData((3L, textXDup), (4L, textZ), (5L, textZDup))
     val q2 = q.start(); q2.awaitTermination(120000)
     val kept2 = spark.read.parquet(kept).select("doc_id")
       .collect().map(_.getLong(0)).toSet
-    assert(kept2 == Set(1L, 2L, 4L), kept2.toString)
+    assert(kept2 == Set(1L, 2L, 4L, 9L), kept2.toString)
 
     // store holds exactly the admitted fingerprints
     val storeIds = spark.read.parquet(store + "/docs").select("doc_id")
@@ -66,6 +67,6 @@ class NearDupAdmissionSpec extends AnyFunSuite {
     NearDupAdmission.admit(batch2, 1L, store, kept)
     val keptRetry = spark.read.parquet(kept).select("doc_id")
       .collect().map(_.getLong(0)).toSeq.sorted
-    assert(keptRetry == Seq(1L, 2L, 4L), keptRetry.toString)
+    assert(keptRetry == Seq(1L, 2L, 4L, 9L), keptRetry.toString)
   }
 }
