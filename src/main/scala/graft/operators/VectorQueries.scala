@@ -264,6 +264,92 @@ object VectorQueries {
         .orderBy("q_id", "rk")
     }),
 
+    // PQ-ADC ANN (product quantization, the vector-compression sketch):
+    // L2-normalize → split 64 dims into m=8 subspaces → per-subspace
+    // codebook of k=16 centroids (deterministic md5-sampled seeds + one
+    // Lloyd iteration, the q46 training pattern per subspace) → corpus
+    // stored as 8 one-byte codes per vector (16× smaller than raw floats —
+    // at 100 TB the scan cost and memory footprint shrink by that factor)
+    // → queries score candidates with an asymmetric-distance table (per-
+    // query dot of each subspace centroid, broadcast: queries × 8 × 16
+    // rows) summed over codes → exact cosine re-rank of the top candidates.
+    // Rows-only oracle; recall-vs-brute-force pinned in QueriesSpec.
+    "q57_ann_pq" -> ((s, dir) => {
+      val m = 8; val dsub = 8; val k = 16; val rerank = 50
+      val e = Tables.embeddings(s, dir)
+      val nrm = l2Norm(col("embedding"))
+      val normed = e.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double") / nrm).as("nv"))
+        .localCheckpoint()
+      val subvecs = normed
+        .select(col("vec_id"), col("nv"),
+          explode(sequence(lit(0), lit(m - 1))).as("sub"))
+        .withColumn("subvec",
+          expr(s"transform(sequence(0, ${dsub - 1}), i -> nv[sub * $dsub + i])"))
+        .select(col("vec_id"), col("sub"), col("subvec"))
+        .localCheckpoint()
+      // deterministic seed sample: the k vectors with smallest salted hash
+      // (TakeOrderedAndProject — no full sort at scale)
+      val seedOrder = Window.orderBy(
+        md5(concat(lit("pq:"), col("vec_id").cast("string"))), col("vec_id"))
+      val seeds = normed
+        .orderBy(md5(concat(lit("pq:"), col("vec_id").cast("string"))), col("vec_id"))
+        .limit(k)
+        .withColumn("code", row_number().over(seedOrder) - 1)
+      val cb0 = seeds
+        .select(col("code"), col("nv"),
+          explode(sequence(lit(0), lit(m - 1))).as("sub"))
+        .withColumn("centroid",
+          expr(s"transform(sequence(0, ${dsub - 1}), i -> nv[sub * $dsub + i])"))
+        .select(col("sub"), col("code"), col("centroid"))
+        .localCheckpoint()
+      // nearest-code assignment: partial min_by, no window (q46 lesson)
+      def assign(cb: DataFrame): DataFrame =
+        subvecs.join(broadcast(cb), "sub")
+          .withColumn("d2", sqDist(col("subvec"), col("centroid")))
+          .groupBy(col("vec_id"), col("sub"))
+          .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+      // one Lloyd iteration per subspace
+      val cb1 = assign(cb0)
+        .join(subvecs, Seq("vec_id", "sub"))
+        .select(col("sub"), col("code"), posexplode(col("subvec")).as(Seq("dim", "x")))
+        .groupBy(col("sub"), col("code"), col("dim"))
+        .agg(avg(col("x")).as("c"))
+        .groupBy(col("sub"), col("code"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
+        .select(col("sub"), col("code"),
+          expr("transform(pairs, p -> p.c)").as("centroid"))
+        .localCheckpoint()
+      val codes = assign(cb1)
+      // per-query ADC tables: dot of each query subvector with each
+      // centroid — queries × m × k rows, broadcastable by construction
+      val queries = subvecs.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("sub"), col("subvec").as("qsub"))
+      val tables = queries.join(cb1, "sub")
+        .withColumn("pdot", dot(col("qsub"), col("centroid")))
+        .select(col("q_id"), col("sub"), col("code"), col("pdot"))
+      // ADC scoring: sum the 8 table lookups per (query, vector)
+      val approx = codes.join(broadcast(tables), Seq("sub", "code"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("pdot")).as("approx"))
+      val wA = Window.partitionBy("q_id").orderBy(col("approx").desc, col("vec_id"))
+      val cand = approx
+        .withColumn("crk", row_number().over(wA))
+        .filter(col("crk") <= rerank)
+        .select(col("q_id"), col("vec_id"))
+      // exact re-rank of the surviving candidates only
+      val wE = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      cand
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_vec")), "q_id")
+        .withColumn("cos", cosineSim(col("q_vec"), col("embedding")))
+        .withColumn("rk", row_number().over(wE))
+        .filter(col("rk") <= K)
+        .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"))
+        .orderBy("q_id", "rk")
+    }),
+
     // Multimodal plumbing (SURVEY brief): binary payload column + typed
     // metadata + a clearly-stubbed deterministic "decode" producing feature
     // columns. The Spark-side shape (binary col, schema, mapPartitions

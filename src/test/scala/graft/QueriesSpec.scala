@@ -79,6 +79,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("PQ-ADC ANN recall vs brute force clears the compression tradeoff") {
+    def pairs(name: String): Set[(Long, Long)] =
+      VectorQueries.defs(name)(spark, dir)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs("q33_ann_bruteforce")
+    val pq = pairs("q57_ann_pq")
+    assert(brute.nonEmpty && pq.nonEmpty)
+    val recall = (pq & brute).size.toDouble / brute.size
+    // 16x-compressed codes + top-50 exact re-rank on the weakly-clustered
+    // synthetic corpus; deterministic seeds make this a fixed number
+    assert(recall >= 0.6, s"PQ recall $recall")
+  }
+
   test("multiprobe SRP-LSH recall is at least single-probe recall") {
     def pairs(name: String): Set[(Long, Long)] =
       VectorQueries.defs(name)(spark, dir)
