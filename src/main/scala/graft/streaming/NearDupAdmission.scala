@@ -79,6 +79,29 @@ object NearDupAdmission {
       .write.mode("overwrite").parquet(s"$storePath/bands/epoch=$batchId")
   }
 
+  /** Compact the store's accumulated epoch partitions into a single base
+    * epoch — unbounded epoch-dir growth is the one O(epochs) listing cost
+    * in the admission design. Offline maintenance (not concurrent with an
+    * active stream); the delete+rename swap is the same atomic-ish fixture
+    * pattern as BucketedUpsert, with rename results checked so a failure
+    * cannot silently empty the store.
+    */
+  def compact(s: SparkSession, storePath: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    Seq("docs", "bands").foreach { sub =>
+      val live = s"$storePath/$sub"
+      val tmp = s"$storePath/${sub}_compact_tmp"
+      val df = try s.read.parquet(live) catch { case _: Throwable => return }
+      df.drop("epoch").write.mode("overwrite").parquet(s"$tmp/epoch=0")
+      val livePath = new org.apache.hadoop.fs.Path(live)
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      if (!fs.delete(livePath, true) && fs.exists(livePath))
+        throw new java.io.IOException(s"compact: cannot remove $live")
+      if (!fs.rename(tmpPath, livePath))
+        throw new java.io.IOException(s"compact: rename $tmp -> $live failed")
+    }
+  }
+
   /** Wire as a streaming sink over a (doc_id, text) stream. */
   def stream(docs: DataFrame, storePath: String, keptPath: String,
              checkpoint: String, threshold: Double = 0.5): DataStreamWriter[Row] =

@@ -68,5 +68,17 @@ class NearDupAdmissionSpec extends AnyFunSuite {
     val keptRetry = spark.read.parquet(kept).select("doc_id")
       .collect().map(_.getLong(0)).toSeq.sorted
     assert(keptRetry == Seq(1L, 2L, 4L, 9L), keptRetry.toString)
+
+    // compaction folds epochs into one; dedup behavior unchanged after it
+    NearDupAdmission.compact(spark, store)
+    val epochDirs = new java.io.File(store + "/docs").listFiles()
+      .filter(_.getName.startsWith("epoch=")).map(_.getName).toSeq
+    assert(epochDirs == Seq("epoch=0"), epochDirs.toString)
+    assert(spark.read.parquet(store + "/docs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+    NearDupAdmission.admit(Seq((6L, textXDup)).toDF("doc_id", "text"), 2L, store, kept)
+    val keptAfter = spark.read.parquet(kept).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptAfter == Set(1L, 2L, 4L, 9L), s"dup admitted after compact: $keptAfter")
   }
 }
