@@ -302,7 +302,8 @@ object VectorQueries {
         .withColumn("centroid",
           expr(s"transform(sequence(0, ${dsub - 1}), i -> nv[sub * $dsub + i])"))
         .select(col("sub"), col("code"), col("centroid"))
-        .localCheckpoint()
+      // (cb0 is consumed exactly once — no checkpoint; only the reused
+      // tables earn an eager materialization)
       // nearest-code assignment: partial min_by, no window (q46 lesson)
       def assign(cb: DataFrame): DataFrame =
         subvecs.join(broadcast(cb), "sub")
