@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Deterministic train/valid/test assignment from a stable id (q53's
+    * salted-md5 first nibble: 12/16 train, 2/16 valid, 2/16 test) — the
+    * SINGLE source of truth; the leakage checks (q55/q56) are only
+    * meaningful if they use exactly this split.
+    */
+  def splitAssign(id: Column): Column = {
+    val h = substring(md5(concat(lit("split:"), id.cast("string"))), 1, 1)
+    when(h.isin("c", "d"), "valid")
+      .when(h.isin("e", "f"), "test")
+      .otherwise("train")
+  }
+
   /** Lowercase + strip everything but `[a-z ]` (reference clean step). */
   def normalizeText(c: Column): Column =
     regexp_replace(lower(c), "[^a-z ]", " ")

@@ -53,14 +53,23 @@ object Elections {
     val n = points.length
     if (n == 0) return (0.0, 0.0)
     if (n < 4 || n > 500) return (points(n - 1).lat, points(n - 1).lng)
+    a10Core(points, (i, j) =>
+      vincentyM(points(i).lat, points(i).lng, points(j).lat, points(j).lng), radiusM)
+  }
+
+  /** A10 election body over a distance lookup — the single copy shared by
+    * bestLatLng (direct vincenty) and electBoth (precomputed matrix).
+    */
+  private def a10Core(points: Seq[Pt], dist: (Int, Int) => Double,
+                      radiusM: Double): (Double, Double) = {
+    val n = points.length
     val counts = new Array[Int](n)
     var maxIdx = 0
     var i = 0
     while (i < n) {
       var j = 0
       while (j < n) {
-        if (vincentyM(points(i).lat, points(i).lng, points(j).lat, points(j).lng) < radiusM)
-          counts(i) += 1
+        if (dist(i, j) < radiusM) counts(i) += 1
         j += 1
       }
       if (counts(maxIdx) < counts(i)) maxIdx = i
@@ -80,20 +89,34 @@ object Elections {
     val n = points.length
     if (n == 0) return (0.0, 0.0, 0.0)
     if (n < 3) return (points(n - 1).lat, points(n - 1).lng, 0.0)
-    // insertion-ordered maps → deterministic tie-breaks
+    a11Core(points, (i, j) =>
+      vincentyM(points(i).lat, points(i).lng, points(j).lat, points(j).lng), thresholdM)
+  }
+
+  /** A11 election body over a distance lookup — the single copy shared by
+    * clusterScore (direct vincenty) and electBoth (precomputed matrix).
+    * Insertion-ordered maps → deterministic tie-breaks.
+    */
+  private def a11Core(points: Seq[Pt], dist: (Int, Int) => Double,
+                      thresholdM: Double): (Double, Double, Double) = {
+    val n = points.length
     val score = mutable.LinkedHashMap[(Double, Double), Double]()
     val neighbors = mutable.LinkedHashMap[(Double, Double), Int]()
     points.foreach { p => score((p.lat, p.lng)) = 0.0; neighbors((p.lat, p.lng)) = 0 }
-    points.foreach { pi =>
-      val ki = (pi.lat, pi.lng)
-      points.foreach { pj =>
-        val kj = (pj.lat, pj.lng)
+    var i = 0
+    while (i < n) {
+      val ki = (points(i).lat, points(i).lng)
+      var j = 0
+      while (j < n) {
+        val kj = (points(j).lat, points(j).lng)
         if (ki != kj) {
-          val d = vincentyM(pi.lat, pi.lng, pj.lat, pj.lng)
+          val d = dist(i, j)
           score(ki) = 1.0 / (1.0 + d)
           if (d <= thresholdM) neighbors(ki) = neighbors(ki) + 1
         }
+        j += 1
       }
+      i += 1
     }
     val maxScore = score.values.max
     val maxLocs = score.iterator.filter(_._2 == maxScore).map(_._1).toSeq
@@ -136,48 +159,8 @@ object Elections {
       }
       i += 1
     }
-    // A10 on the matrix (same loop structure/tie-breaks as bestLatLng)
-    val counts = new Array[Int](n)
-    var maxIdx = 0
-    i = 0
-    while (i < n) {
-      var j = 0
-      while (j < n) { if (d(i)(j) < radiusM) counts(i) += 1; j += 1 }
-      if (counts(maxIdx) < counts(i)) maxIdx = i
-      i += 1
-    }
-    val a10 = (points(maxIdx).lat, points(maxIdx).lng)
-    // A11 on the matrix (same insertion-ordered maps as clusterScore)
-    val score = mutable.LinkedHashMap[(Double, Double), Double]()
-    val neighbors = mutable.LinkedHashMap[(Double, Double), Int]()
-    points.foreach { p => score((p.lat, p.lng)) = 0.0; neighbors((p.lat, p.lng)) = 0 }
-    i = 0
-    while (i < n) {
-      val ki = (points(i).lat, points(i).lng)
-      var j = 0
-      while (j < n) {
-        val kj = (points(j).lat, points(j).lng)
-        if (ki != kj) {
-          val dist = d(i)(j)
-          score(ki) = 1.0 / (1.0 + dist)
-          if (dist <= thresholdM) neighbors(ki) = neighbors(ki) + 1
-        }
-        j += 1
-      }
-      i += 1
-    }
-    val maxScore = score.values.max
-    val maxLocs = score.iterator.filter(_._2 == maxScore).map(_._1).toSeq
-    var best = maxLocs.head
-    var maxNbrs = 0
-    var high = false
-    maxLocs.foreach { loc =>
-      val nb = neighbors(loc)
-      if (nb >= math.ceil(n / 2).toInt && nb > maxNbrs) {
-        maxNbrs = nb; best = loc; high = true
-      }
-    }
-    (a10, (best._1, best._2, if (high) 1.0 else 0.0))
+    val lookup = (a: Int, b: Int) => d(a)(b)
+    (a10Core(points, lookup, radiusM), a11Core(points, lookup, thresholdM))
   }
 
   /** A11 cluster variant (get_cluster_best_lat_lng_with_score): winner is the

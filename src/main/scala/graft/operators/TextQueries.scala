@@ -291,12 +291,7 @@ object TextQueries {
     // Fully oracle-checked (md5 hex is engine-identical).
     "q53_train_split" -> ((s, dir) => {
       Tables.documents(s, dir)
-        .withColumn("h", substring(
-          md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1))
-        .withColumn("split",
-          when(col("h").isin("c", "d"), "valid")
-            .when(col("h").isin("e", "f"), "test")
-            .otherwise("train"))
+        .withColumn("split", splitAssign(col("doc_id")))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").as("total_chars"),
@@ -333,13 +328,7 @@ object TextQueries {
     // split function compose losslessly.
     "q55_split_leakage" -> ((s, dir) => {
       val split = Tables.documents(s, dir)
-        .withColumn("h", substring(
-          md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1))
-        .withColumn("split",
-          when(col("h").isin("c", "d"), "valid")
-            .when(col("h").isin("e", "f"), "test")
-            .otherwise("train"))
-        .select(col("doc_id"), col("split"))
+        .select(col("doc_id"), splitAssign(col("doc_id")).as("split"))
       lshNeardupPairs(s, dir, 0.5)
         .join(split.select(col("doc_id").as("d1"), col("split").as("s1")), "d1")
         .join(split.select(col("doc_id").as("d2"), col("split").as("s2")), "d2")

@@ -139,12 +139,8 @@ object VectorQueries {
     // blocking instead, exactly as q38/q52 consume the text LSH path.
     "q56_embedding_leakage" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-        .withColumn("h", substring(
-          md5(concat(lit("split:"), col("vec_id").cast("string"))), 1, 1))
         .withColumn("split",
-          when(col("h").isin("c", "d"), "valid")
-            .when(col("h").isin("e", "f"), "test")
-            .otherwise("train"))
+          graft.functions.TextFunctions.splitAssign(col("vec_id")))
       val a = e.select(col("vec_id").as("d1"), col("embedding").as("v1"),
         col("split").as("s1"))
       val b = e.select(col("vec_id").as("d2"), col("embedding").as("v2"),

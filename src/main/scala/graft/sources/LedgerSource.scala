@@ -367,7 +367,7 @@ class LedgerScan(path: String, options: Map[String, String],
   * readers and pinning as the streaming path.
   */
 class LedgerBatchRead(path: String, options: Map[String, String],
-    required: StructType = LedgerSource.Schema) extends Batch {
+    required: StructType) extends Batch {
   import LedgerSource._
 
   private val root = Paths.get(path)
@@ -400,7 +400,7 @@ class LedgerBatchRead(path: String, options: Map[String, String],
   * (SupportsAdmissionControl replaces the DStream RateController).
   */
 class LedgerMicroBatchStream(path: String, options: Map[String, String],
-    required: StructType = LedgerSource.Schema)
+    required: StructType)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow with ReportsSourceMetrics {
   import LedgerSource._
@@ -625,7 +625,12 @@ class LedgerPartitionReader(p: LedgerInputPartition,
   private val entryIter: Iterator[(Long, Long, String)] =
     ledgers.iterator.flatMap { l =>
       val from = if (l.ledgerId == p.startLedger) p.startEntry else 0L
-      val until = if (l.ledgerId == p.endLedger) p.endEntry else l.entries
+      // clamp to what the segment actually holds: streaming cursors are
+      // always in-range (advance() produces them), but batch reads accept
+      // user-supplied endOffsets JSON — a generous entryId means "to the
+      // end", not an IndexOutOfBounds crash
+      val until = math.min(
+        if (l.ledgerId == p.endLedger) p.endEntry else l.entries, l.entries)
       if (until <= from) Iterator.empty
       else {
         val lines = Files.readAllLines(
@@ -728,7 +733,8 @@ class LedgerPartitionReader(p: LedgerInputPartition,
       }
       i += 1
     }
-    InternalRow(values.toIndexedSeq: _*)
+    // ownership transfer of the per-call array — no Seq wrap + re-copy
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
   }
 
   override def close(): Unit = ()

@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
 object BucketedUpsert {
 
   private def bucketOf(keyCol: String, numBuckets: Int) =
-    pmod(crc32(col(keyCol).cast("string")), lit(numBuckets)).cast("int")
+    // null keys → bucket -1, caught with a named error at the touched-
+    // bucket check (crc32(null) would otherwise surface as an opaque
+    // driver-side NPE)
+    coalesce(pmod(crc32(col(keyCol).cast("string")), lit(numBuckets)).cast("int"),
+      lit(-1))
 
   /** @param fresh  this epoch's rows (schema = the table's data columns,
     *               or a subset that `merge` completes)
@@ -36,6 +40,9 @@ object BucketedUpsert {
     // bounded driver-side metadata: at most numBuckets ints, never data
     val touched = freshB.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted
+    if (touched.contains(-1))
+      throw new IllegalArgumentException(
+        s"bucketed upsert: null values in key column '$keyCol' — filter or fix upstream")
     if (touched.isEmpty) return
     val dataCols = fresh.columns.toSeq
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)

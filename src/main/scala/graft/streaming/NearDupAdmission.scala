@@ -37,8 +37,15 @@ object NearDupAdmission {
     val banded = graft.operators.TextQueries
       .bandedOf(docs, numHashes, bands, rows).localCheckpoint()
 
-    def readStore(sub: String): Option[DataFrame] =
-      try Some(s.read.parquet(s"$storePath/$sub")) catch { case _: Throwable => None }
+    // only a genuinely-missing store reads as empty; any other failure
+    // (corrupt file, IO error) aborts the epoch — swallowing it would
+    // admit duplicates of everything previously admitted
+    val storeFs = org.apache.hadoop.fs.FileSystem
+      .get(s.sparkContext.hadoopConfiguration)
+    def readStore(sub: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(s"$storePath/$sub")
+      if (storeFs.exists(p)) Some(s.read.parquet(p.toString)) else None
+    }
 
     // dups vs the already-admitted store (bipartite band join)
     val dupVsStore = readStore("bands") match {
