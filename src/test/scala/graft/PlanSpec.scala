@@ -82,6 +82,17 @@ class PlanSpec extends AnyFunSuite {
       s"assignment not a partial min_by aggregation:\n$plan")
   }
 
+  test("q54 repetition ratio aggregates partial then final") {
+    val plan = physical(TextQueries.defs("q54_repetition")(spark, dir))
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+  }
+
+  test("q57 PQ code assignment is a partial min_by, not a window") {
+    val plan = physical(VectorQueries.defs("q57_ann_pq")(spark, dir))
+    assert(plan.contains("partial_min_by"),
+      s"PQ assignment not a partial min_by aggregation:\n$plan")
+  }
+
   test("events scan prunes columns for a two-column aggregate") {
     val plan = physical(RelationalQueries.defs("q13_distinct_types")(spark, dir))
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
