@@ -55,11 +55,29 @@ object TextQueries {
     * once, not once per self-join side.
     */
   private[graft] def lshPairsFromDocs(docs: DataFrame, banded: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxBucket: Int = 0): DataFrame = {
+    // optional skew guard for adversarial template-heavy corpora: a band
+    // bucket holding B docs contributes B² candidate pairs, so one boiler-
+    // plate template shared by 10^6 docs would explode the join exactly
+    // like the hot-shingle Σdf² the LSH path exists to avoid. Buckets over
+    // the cap are dropped (hot-bucket list is tiny → broadcast anti-join).
+    // Lossy by declared design: a true pair is lost only if EVERY band it
+    // collides in is hot, and exact dedup (q27) runs before LSH so hot
+    // buckets are near-dup templates, not identical copies. Off (0) for
+    // the oracle-checked queries, which must reproduce the exact join.
+    val capped =
+      if (maxBucket <= 0) banded
+      else {
+        val hot = banded.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("bn"))
+          .filter(col("bn") > maxBucket)
+          .select(col("bucket"))
+        banded.join(broadcast(hot), Seq("bucket"), "left_anti")
+      }
     // band join moves only (bucket, doc_id); the wide shingle payload joins
     // back AFTER candidate dedup, crossing the shuffle once per surviving
     // pair, not once per band.
-    val cand = banded.as("a").join(banded.as("b"),
+    val cand = capped.as("a").join(capped.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()

@@ -50,6 +50,34 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall: missed ${exact -- lsh}")
   }
 
+  test("LSH hot-bucket cap bounds template blowup, keeps distinct near-dups") {
+    import spark.implicits._
+    // 200 docs stamped from one template (mutually near-dup: 200² pair
+    // explosion without the cap) + one distinct near-dup pair
+    val template = (1 to 200).map(i =>
+      (i.toLong, "the big shared boilerplate template sentence repeats here again " + (i % 3)))
+    val pairDocs = Seq(
+      (900L, "a genuinely distinct document about watermark state cleanup semantics"),
+      (901L, "a genuinely distinct document about watermark state cleanup behavior"))
+    val docs = (template ++ pairDocs).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.wordNgramsUdf(3)(col("text")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val banded = TextQueries.bandedOf(docs)
+    val capped = TextQueries.lshPairsFromDocs(docs, banded, 0.5, maxBucket = 50)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the distinct pair survives (its buckets are cold)...
+    assert(capped.contains((900L, 901L)), capped.toString)
+    // ...and the template cluster's quadratic pair set is capped out
+    assert(!capped.exists(p => p._1 <= 200 && p._2 <= 200),
+      s"hot-bucket pairs leaked: ${capped.filter(p => p._1 <= 200).take(5)}")
+    // uncapped control: the template cluster does produce pairs
+    val uncapped = TextQueries.lshPairsFromDocs(docs, banded, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.exists(p => p._1 <= 200 && p._2 <= 200))
+    assert(uncapped.contains((900L, 901L)))
+  }
+
   test("q38/q52 LSH pair path exactly matches the exact shingle join at 0.5") {
     // 32 bands × 2 rows: P(candidate) at the verify threshold itself is
     // 1-(1-0.25)^32 = 0.9999, and every true pair in the corpus sits at
