@@ -24,7 +24,7 @@ object NearDupAdmission {
 
   def admit(batch: DataFrame, batchId: Long, storePath: String,
             keptPath: String, threshold: Double = 0.5, numHashes: Int = 64,
-            bands: Int = 32, rows: Int = 2): Unit = {
+            bands: Int = 32, rows: Int = 2, maxBucket: Int = 0): Unit = {
     val s = batch.sparkSession
     val all = batch
       .select(col("doc_id"), col("text"),
@@ -70,7 +70,7 @@ object NearDupAdmission {
     // dups within the batch: the shared LSH pair core; greedy pair-drop,
     // higher id loses (q38 semantics)
     val dupInBatch = graft.operators.TextQueries
-      .lshPairsFromDocs(docs, banded, threshold)
+      .lshPairsFromDocs(docs, banded, threshold, maxBucket)
       .select(col("d2").as("doc_id")).distinct()
 
     val kept = docs
