@@ -51,6 +51,14 @@ object LedgerSource {
   /** Resume position within a partition: next entry to read. */
   case class Cursor(ledgerId: Long, entryId: Long)
 
+  /** Topic path option → local Path. The session catalog hands DDL-created
+    * tables their path back as a file: URI; Paths.get would treat that as
+    * a relative name with a colon and silently list nothing.
+    */
+  def toLocalPath(p: String): Path =
+    if (p.startsWith("file:")) Paths.get(java.net.URI.create(p))
+    else Paths.get(p)
+
   /** List partition indices under a topic root (sorted). */
   def listPartitions(root: Path): Seq[Int] = {
     if (!Files.isDirectory(root)) return Nil
@@ -273,9 +281,16 @@ object LedgerOptions {
   /** Options whose values must never reach logs or error messages. */
   val Secrets: Set[String] = Set("authtoken")
 
+  /** Table properties Spark's session catalog itself injects for
+    * DDL-created tables (CREATE TABLE ... USING graft-ledger) — engine
+    * metadata, not reader options; never validated as user input.
+    */
+  private val EngineInjected =
+    Set("location", "owner", "provider", "external", "comment")
+
   /** Fail-fast validation; returns the lowercase-keyed option map. */
   def validate(opts: Map[String, String]): Map[String, String] = {
-    val norm = opts.map { case (k, v) => k.toLowerCase -> v }
+    val norm = opts.map { case (k, v) => k.toLowerCase -> v } -- EngineInjected
     val unknown = norm.keys.filterNot(Known.contains).toSeq.sorted
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
@@ -370,7 +385,7 @@ class LedgerBatchRead(path: String, options: Map[String, String],
     required: StructType) extends Batch {
   import LedgerSource._
 
-  private val root = Paths.get(path)
+  private val root = toLocalPath(path)
 
   private def partitions(): Seq[Int] = listPartitions(root)
 
@@ -464,7 +479,7 @@ class LedgerMicroBatchStream(path: String, options: Map[String, String],
       p -> end
     }.toMap)
 
-  private val root = Paths.get(path)
+  private val root = toLocalPath(path)
   private val maxRate = options.getOrElse("maxrateperpartition", "1000").toDouble
   private val minRate = options.getOrElse("minrateperpartition", "1").toDouble
   private val avgMsgsPerEntry = options.getOrElse("avgmsgsperentry", "1").toDouble
@@ -617,10 +632,10 @@ class LedgerPartitionReader(p: LedgerInputPartition,
     extends PartitionReader[InternalRow] {
   import LedgerSource._
 
-  private val dir = Paths.get(p.path).resolve(s"partition-${p.partition}")
+  private val dir = toLocalPath(p.path).resolve(s"partition-${p.partition}")
   private val ledgers = listLedgers(dir)
     .filter(l => l.ledgerId >= p.startLedger && l.ledgerId <= p.endLedger)
-  private val topic = Paths.get(p.path).getFileName.toString
+  private val topic = toLocalPath(p.path).getFileName.toString
 
   private val entryIter: Iterator[(Long, Long, String)] =
     ledgers.iterator.flatMap { l =>

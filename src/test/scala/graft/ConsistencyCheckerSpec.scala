@@ -56,6 +56,20 @@ class ConsistencyCheckerSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("offset JSON"), bad.getMessage)
   }
 
+  test("SQL DDL surface: CREATE TABLE USING graft-ledger, query with SQL") {
+    val topic = writeTopic()
+    spark.sql("DROP TABLE IF EXISTS ledger_sql")
+    spark.sql(
+      s"CREATE TABLE ledger_sql USING `graft-ledger` OPTIONS (path '${topic.toString}')")
+    try {
+      assert(spark.sql("SELECT count(*) FROM ledger_sql").collect().head.getLong(0) == 10)
+      val keys = spark.sql(
+        "SELECT key FROM ledger_sql WHERE partition = 1 ORDER BY entry_id")
+        .collect().map(_.getString(0)).toSeq
+      assert(keys == (6 until 10).map(i => s"k$i"), keys.toString)
+    } finally spark.sql("DROP TABLE IF EXISTS ledger_sql")
+  }
+
   test("column pruning pushes into the ledger scan") {
     val topic = writeTopic()
     val df = spark.read.format("graft-ledger")
