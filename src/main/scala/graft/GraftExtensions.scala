@@ -56,5 +56,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         checkArity("cosine_sim", "cosine_sim(vec1, vec2)", 2, args)
         CosineSimilarity(args(0), args(1))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("srp_bucket"),
+      new ExpressionInfo(classOf[graft.functions.expressions.SrpBucket].getName, "srp_bucket"),
+      (args: Seq[Expression]) => {
+        if (args.length < 2 || args.length > 3)
+          checkArity("srp_bucket", "srp_bucket(vec, nPlanes[, offset])",
+            if (args.length < 2) 2 else 3, args)
+        def intLit(i: Int, name: String): Int = args(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "SEED_EXPRESSION_IS_UNFOLDABLE",
+            messageParameters = Map(
+              "seedExpr" -> s"$name argument of srp_bucket",
+              "exprWithSeed" -> "srp_bucket(vec, nPlanes[, offset]) requires integer literals"))
+        }
+        graft.functions.expressions.SrpBucket(args(0), intLit(1, "nPlanes"),
+          if (args.length == 3) intLit(2, "offset") else 0)
+      }))
   }
 }

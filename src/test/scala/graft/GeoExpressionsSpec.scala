@@ -70,6 +70,23 @@ class GeoExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("srp_bucket is SQL-callable and matches the Column form") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.expressions.VectorExpressions.srpBucketExpr
+    Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .limit(50).createOrReplaceTempView("emb_sql")
+    val viaSql = spark.sql("SELECT vec_id, srp_bucket(embedding, 10) AS b FROM emb_sql")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCol = spark.table("emb_sql")
+      .select(col("vec_id"), srpBucketExpr(col("embedding"), 10).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT srp_bucket(embedding, vec_id) FROM emb_sql").collect()
+    }
+    assert(bad.getMessage.toLowerCase.contains("srp_bucket"), bad.getMessage)
+  }
+
   test("native SrpBucket expression is bit-identical to the UDF form") {
     import org.apache.spark.sql.functions.col
     import graft.functions.VectorFunctions.{srpBucketUdf, srpBucketAtUdf}
