@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.TextFunctions._
 
@@ -359,6 +360,47 @@ object TextQueries {
         .orderBy("leak_pair")
     }),
 
+    // Sequence-length bucketing for training batches: docs binned by
+    // token count into power-ish buckets, with per-bucket packing
+    // efficiency (tokens used / slots padded to the bucket length) — the
+    // batching-efficiency report a sequence-packing pipeline runs before
+    // choosing bucket boundaries. Pure map + one agg shuffle.
+    "q58_length_buckets" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(tokenCount(col("text")).as("n_tok"))
+        .withColumn("bucket",
+          when(col("n_tok") <= 32, 32)
+            .when(col("n_tok") <= 48, 48)
+            .when(col("n_tok") <= 64, 64)
+            .otherwise(128))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("total_tokens"),
+          round(sum("n_tok") / (count(lit(1)) * col("bucket")).cast("double"), 4)
+            .as("packing_efficiency"))
+        .orderBy("bucket")
+    }),
+
+    // Source-mixture weighting: per-source corpus share vs a uniform
+    // target mixture → capped sampling rate per source (the data-mixing
+    // step before a training run; a real pipeline would take target
+    // weights as config). Two tiny aggregates — scales trivially.
+    "q59_source_mixture" -> ((s, dir) => {
+      val w = Window.partitionBy(lit(1))
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("share",
+          col("n_docs") / sum(col("n_docs")).over(w).cast("double"))
+        .withColumn("target_share",
+          lit(1.0) / count(lit(1)).over(w).cast("double"))
+        .select(col("source"), col("n_docs"),
+          round(col("share"), 4).as("share"),
+          round(least(lit(1.0), col("target_share") / col("share")), 4)
+            .as("sample_rate"))
+        .orderBy("source")
+    }),
+
     // Winnowing document fingerprints (k=5 chars, window=4): per-doc
     // fingerprint count + min fingerprint (stable identity). Rows-only.
     "q31_fingerprints" -> ((s, dir) => {
@@ -544,6 +586,33 @@ object TextQueries {
         |SELECT leak_pair, count(*) AS n_pairs,
         |  CAST(sum(d1 + d2) AS BIGINT) AS id_checksum
         |FROM leaks GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q58_length_buckets" ->
+      """WITH t AS (
+        |  SELECT len(string_split_regex(trim(text), '\s+')) AS n_tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT CASE WHEN n_tok <= 32 THEN 32
+        |              WHEN n_tok <= 48 THEN 48
+        |              WHEN n_tok <= 64 THEN 64
+        |              ELSE 128 END AS bucket, n_tok
+        |  FROM t)
+        |SELECT bucket, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  round(sum(n_tok) / CAST(count(*) * bucket AS DOUBLE), 4) AS packing_efficiency
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q59_source_mixture" ->
+      """WITH b AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT source, n_docs,
+        |    n_docs / CAST((SELECT sum(n_docs) FROM b) AS DOUBLE) AS share,
+        |    1.0 / (SELECT count(*) FROM b) AS target_share
+        |  FROM b)
+        |SELECT source, n_docs, round(share, 4) AS share,
+        |  round(least(1.0, target_share / share), 4) AS sample_rate
+        |FROM t ORDER BY 1""".stripMargin,
 
     "q39_top_tokens" ->
       """WITH t AS (
