@@ -401,6 +401,54 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Unigram surprisal scoring (perplexity-style quality filter): token
+    // -log(corpus frequency) averaged per doc, rolled up per source — docs
+    // full of rare tokens score high, boilerplate scores low. Two passes:
+    // corpus unigram table (one agg), then explode + broadcast-join the
+    // frequency table + per-doc average. The frequency table is vocabulary-
+    // sized (≪ corpus) so it broadcasts at any corpus scale.
+    "q60_unigram_surprisal" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(split(regexp_replace(lower(col("text")), "[^a-z ]", " "), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      val freq = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy(lit(1))
+      val probs = freq.withColumn("p",
+        col("tf") / sum(col("tf")).over(w).cast("double"))
+      toks.join(broadcast(probs.select(col("token"), col("p"))), "token")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(avg(-log(col("p"))).as("surprisal"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("surprisal"), 4).as("avg_surprisal"),
+          round(max("surprisal"), 4).as("max_surprisal"))
+        .orderBy("source")
+    }),
+
+    // End-to-end training-corpus export — the query a pipeline runs LAST:
+    // keep docs that are (a) not the dropped side of a near-dup pair (the
+    // LSH path, same answer as the exact join), (b) in the q53 train
+    // split, (c) above a quality floor; report per-lang counts + id
+    // checksum + token total. Composes q38 + q53 + q25 machinery; the
+    // oracle recomputes all three from scratch in SQL.
+    "q61_train_export" -> ((s, dir) => {
+      val dupIds = lshNeardupPairs(s, dir, 0.5)
+        .select(col("d2").as("doc_id")).distinct()
+      Tables.documents(s, dir)
+        .join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+        .withColumn("split", splitAssign(col("doc_id")))
+        .filter(col("split") === "train")
+        .withColumn("q", qualityScore(col("text")))
+        .filter(col("q") >= 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").as("id_checksum"),
+          sum(tokenCount(col("text"))).as("total_tokens"))
+        .orderBy("lang")
+    }),
+
     // Winnowing document fingerprints (k=5 chars, window=4): per-doc
     // fingerprint count + min fingerprint (stable identity). Rows-only.
     "q31_fingerprints" -> ((s, dir) => {
@@ -613,6 +661,64 @@ object TextQueries {
         |SELECT source, n_docs, round(share, 4) AS share,
         |  round(least(1.0, target_share / share), 4) AS sample_rate
         |FROM t ORDER BY 1""".stripMargin,
+
+    "q60_unigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, count(*) AS tf FROM toks GROUP BY 1),
+        |p AS (SELECT token, tf / CAST((SELECT sum(tf) FROM freq) AS DOUBLE) AS p FROM freq),
+        |per AS (
+        |  SELECT t.doc_id, t.source, avg(-ln(p.p)) AS surprisal
+        |  FROM toks t JOIN p ON t.token = p.token
+        |  GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  round(avg(surprisal), 4) AS avg_surprisal,
+        |  round(max(surprisal), 4) AS max_surprisal
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q61_train_export" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |shingles AS (
+        |  SELECT DISTINCT doc_id, s
+        |  FROM (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+        |        WHERE len(t) >= 3)),
+        |counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id d1, b.doc_id d2, count(*) shared
+        |  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dups AS (
+        |  SELECT DISTINCT p.d2 AS doc_id
+        |  FROM pairs p JOIN counts c1 ON p.d1 = c1.doc_id
+        |  JOIN counts c2 ON p.d2 = c2.doc_id
+        |  WHERE p.shared / (c1.n + c2.n - p.shared) >= 0.5),
+        |q AS (
+        |  SELECT d.doc_id, d.lang,
+        |    len(string_split_regex(trim(d.text), '\s+')) AS n_tok,
+        |    CASE WHEN len(tk.t) = 0 THEN 0.0
+        |      ELSE len(list_filter(tk.t, x -> x IN ('the','a','an','of','and','in','to','is','on','for'))) / CAST(len(tk.t) AS DOUBLE) END AS stop_r,
+        |    CASE WHEN len(regexp_replace(d.text, '\s', '', 'g')) = 0 THEN 0.0
+        |      ELSE len(regexp_replace(d.text, '[A-Za-z0-9\s]', '', 'g')) / CAST(len(regexp_replace(d.text, '\s', '', 'g')) AS DOUBLE) END AS punct_r,
+        |    substring(md5('split:' || CAST(d.doc_id AS VARCHAR)), 1, 1) AS h
+        |  FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM dups)),
+        |f AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    round(least(n_tok / 20.0, 1.0) * 0.4 +
+        |      (1.0 - least(punct_r * 4, 1.0)) * 0.3 +
+        |      least(stop_r * 5, 1.0) * 0.3, 6) AS qual
+        |  FROM q
+        |  WHERE h NOT IN ('c','d','e','f'))
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        |FROM f WHERE qual >= 0.5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q39_top_tokens" ->
       """WITH t AS (
