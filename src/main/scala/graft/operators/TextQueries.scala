@@ -414,9 +414,12 @@ object TextQueries {
         .filter(length(col("token")) > 0)
       val freq = toks.groupBy(col("token"))
         .agg(count(lit(1)).as("tf"))
-      val w = Window.partitionBy(lit(1))
-      val probs = freq.withColumn("p",
-        col("tf") / sum(col("tf")).over(w).cast("double"))
+      // corpus-total as a broadcast 1-row join, NOT a single-partition
+      // window: vocabulary is unbounded, so a partitionBy(lit(1)) window
+      // would funnel the whole frequency table through one task
+      val total = freq.agg(sum(col("tf")).as("tot"))
+      val probs = freq.crossJoin(broadcast(total))
+        .withColumn("p", col("tf") / col("tot").cast("double"))
       toks.join(broadcast(probs.select(col("token"), col("p"))), "token")
         .groupBy(col("doc_id"), col("source"))
         .agg(avg(-log(col("p"))).as("surprisal"))
