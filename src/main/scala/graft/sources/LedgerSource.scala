@@ -71,14 +71,16 @@ object LedgerSource {
   /** List ledgers (sorted, including empties) for a partition dir. */
   def listLedgers(partitionDir: Path): Seq[LedgerInfo] = {
     if (!Files.isDirectory(partitionDir)) return Nil
-    Files.list(partitionDir).iterator().asScala
+    val paths = Files.list(partitionDir).iterator().asScala
       .filter(_.getFileName.toString.matches("ledger-\\d+\\.log"))
-      .map { p =>
+      .toSeq
+    pruneCountCache(partitionDir, paths)
+    paths.map { p =>
         val id = p.getFileName.toString.stripPrefix("ledger-").stripSuffix(".log").toLong
         val n = countLines(p)
         LedgerInfo(id, n)
       }
-      .toSeq.sortBy(_.ledgerId)
+      .sortBy(_.ledgerId)
   }
 
   /** Entry counts cached by (size, mtime): the driver calls listLedgers on
@@ -91,6 +93,22 @@ object LedgerSource {
     */
   private val lineCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+
+  /** Drop cache entries for segments no longer present in `partitionDir`
+    * (deleted/compacted segments, removed topics): without eviction a
+    * long-running driver leaks one tuple per segment ever seen. Called from
+    * listLedgers, which already holds the fresh directory listing, so this
+    * costs no extra IO.
+    */
+  private def pruneCountCache(partitionDir: Path, live: Seq[Path]): Unit = {
+    val dirPrefix = partitionDir.toAbsolutePath.toString + java.io.File.separator
+    val liveKeys = live.map(_.toAbsolutePath.toString).toSet
+    val it = lineCountCache.keySet.iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k.startsWith(dirPrefix) && !liveKeys.contains(k)) it.remove()
+    }
+  }
 
   /** Test hook: number of full-file count scans actually performed. */
   val countScans = new java.util.concurrent.atomic.AtomicLong(0L)

@@ -14,6 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object BinaryDumpSink {
 
+  /** Blob ids become file names, and they are arbitrary row data: an id
+    * containing '/' or '..' would resolve outside the dump root (data-driven
+    * path traversal in an executor-side sink). Safe charset passes through
+    * unchanged; anything else is hex-encoded, which is injective so distinct
+    * ids never collide on disk.
+    */
+  private[streaming] def safeName(id: String): String =
+    if (id.nonEmpty && id != "." && id != ".." && id.forall(c =>
+        c.isLetterOrDigit && c < 128 || c == '.' || c == '_' || c == '-')) id
+    else "x" + id.getBytes("UTF-8").map("%02x".format(_)).mkString
+
   /** Write each row's binary column as `<root>/<yyyy-MM-dd>/<bucket>/<id>.<ext>`.
     *
     * @param idCol   unique blob id (file name)
@@ -32,10 +43,18 @@ object BinaryDumpSink {
           // null date is skipped like null id/bytes — one bad row must not
           // NPE the task and fail the whole dump
           if (id != null && bytes != null && r.getString(2) != null) {
+            // bucket on the RAW id so renaming via safeName never moves a
+            // blob between fan-out dirs for ids that were already safe
             val bucket = math.floorMod(id.hashCode, fanout)
             val dir = Paths.get(root, r.getString(2), bucket.toString)
             Files.createDirectories(dir)
-            Files.write(dir.resolve(s"$id.$ext"), bytes)
+            val target = dir.resolve(s"${safeName(id)}.$ext").normalize()
+            // defense in depth: safeName should make escape impossible, but
+            // a write outside the root must never happen regardless
+            require(target.startsWith(Paths.get(root).toAbsolutePath.normalize()) ||
+                    target.startsWith(Paths.get(root).normalize()),
+              s"binary dump: resolved path $target escapes root $root")
+            Files.write(target, bytes)
           }
         }
       }

@@ -50,11 +50,21 @@ object BucketedUpsert {
     // only a genuinely-missing table means "empty": any other read failure
     // (corrupt file, IO error) must abort the epoch — swallowing it would
     // merge against nothing and overwrite touched buckets' history
+    // explicit schema (data columns + the bucket partition column): schema
+    // inference over a root that exists but holds no bucket directories —
+    // the crash window after mkdirs but before the first rename, or a merge
+    // that legitimately emptied every bucket — throws "unable to infer
+    // schema" and wedges the pipeline; with the schema given, an empty root
+    // simply reads as zero rows
+    val storedSchema = org.apache.spark.sql.types.StructType(
+      fresh.schema.fields :+
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.IntegerType))
     val existingTouched =
       if (!fs.exists(root))
         s.createDataFrame(s.sparkContext.emptyRDD[Row], fresh.schema)
           .select(dataCols.map(col): _*)
-      else s.read.parquet(tablePath)
+      else s.read.schema(storedSchema).parquet(tablePath)
         .filter(col("bucket").isin(touched.map(Int.box): _*))
         .select(dataCols.map(col): _*)
     val result = merge(existingTouched, freshB.select(dataCols.map(col): _*))

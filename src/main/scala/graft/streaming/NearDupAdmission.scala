@@ -50,8 +50,24 @@ object NearDupAdmission {
     // dups vs the already-admitted store (bipartite band join)
     val dupVsStore = readStore("bands") match {
       case None => docs.select(col("doc_id")).limit(0)
-      case Some(storeBands) =>
-        val cand = banded
+      case Some(storeBandsRaw) =>
+        // the hot-bucket cap must also gate this bipartite join: a hot
+        // template bucket ACCUMULATED in the store would otherwise still
+        // produce batch×store quadratic candidates even with the in-batch
+        // cap on. Hotness is judged on the combined population (store +
+        // batch) so a bucket just under the cap on each side alone cannot
+        // slip through at 2× the cap combined.
+        val (batchBands, storeBands) =
+          if (maxBucket <= 0) (banded, storeBandsRaw)
+          else {
+            val hot = storeBandsRaw.select(col("bucket"))
+              .unionAll(banded.select(col("bucket")))
+              .groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+              .filter(col("bn") > maxBucket).select(col("bucket"))
+            (banded.join(broadcast(hot), Seq("bucket"), "left_anti"),
+              storeBandsRaw.join(broadcast(hot), Seq("bucket"), "left_anti"))
+          }
+        val cand = batchBands
           .join(storeBands.select(col("bucket"), col("doc_id").as("sd")), "bucket")
           // a doc never duplicates its own stored fingerprint — this is
           // what keeps a RETRIED epoch idempotent (its admitted docs are
@@ -111,11 +127,12 @@ object NearDupAdmission {
 
   /** Wire as a streaming sink over a (doc_id, text) stream. */
   def stream(docs: DataFrame, storePath: String, keptPath: String,
-             checkpoint: String, threshold: Double = 0.5): DataStreamWriter[Row] =
+             checkpoint: String, threshold: Double = 0.5,
+             maxBucket: Int = 0): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        admit(batch, id, storePath, keptPath, threshold)
+        admit(batch, id, storePath, keptPath, threshold, maxBucket = maxBucket)
       }
 }

@@ -64,6 +64,38 @@ class BatchingSinkSpec extends AnyFunSuite {
       "re-run moved or duplicated blobs")
   }
 
+  test("K6 binary dump neutralizes path-traversal ids and keeps them distinct") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    import graft.streaming.BinaryDumpSink
+    val root = Files.createTempDirectory("graft_blob_evil").toString
+    val outside = Files.createTempDirectory("graft_blob_outside")
+    // ids that would escape the root or collide if interpolated raw
+    val evil = Seq(
+      ("../../" + outside.getFileName.toString + "/pwn", "a"),
+      ("/etc/graft_abs", "b"),
+      ("..", "c"),
+      ("nested/child", "d"),
+      ("ok-id_1.x", "e"))
+    val df = spark.createDataFrame(evil).toDF("tag_id", "txt")
+      .select(col("tag_id"), encode(col("txt"), "UTF-8").as("payload"),
+        to_timestamp(lit("2026-01-05 10:00:00")).as("ts"))
+    BinaryDumpSink.dump(df, root, "tag_id", "payload", "ts", ext = "bin", fanout = 3)
+    val s = Files.walk(Paths.get(root))
+    val written = try {
+      val it = s.iterator(); val out = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+      while (it.hasNext) { val p = it.next(); if (Files.isRegularFile(p)) out += p }
+      out.toSeq
+    } finally s.close()
+    // all 5 blobs land inside the root, none outside, safe id passes through
+    assert(written.size == 5, written.map(_.toString).toString)
+    assert(written.forall(_.toAbsolutePath.startsWith(Paths.get(root).toAbsolutePath)))
+    assert(Files.list(outside).count() == 0, "blob escaped the dump root")
+    assert(written.exists(_.getFileName.toString == "ok-id_1.x.bin"))
+    // hex-encoding is injective: distinct evil ids stay distinct files
+    assert(written.map(_.getFileName.toString).distinct.size == 5)
+  }
+
   test("streaming foreach writer batches per partition with tail flush") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -83,4 +83,18 @@ class BucketedUpsertSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
     assert(rows == Set((kA, 1L, "a1"), (kB, 2L, "b2")), rows.toString)
   }
+
+  test("an existing but empty table root reads as zero rows, not a wedge") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_bupsert_empty").toString + "/lookup"
+    // simulate the crash window: root created, no bucket directory ever
+    // renamed in — the next epoch must behave like a missing table
+    Files.createDirectories(Paths.get(table))
+    BucketedUpsert.upsert(
+      Seq(("k1", 1L, "v1")).toDF("k", "ts", "v"), table, "k")(latestWins)
+    val rows = spark.read.parquet(table)
+      .select("k", "ts", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set(("k1", 1L, "v1")), rows.toString)
+  }
 }

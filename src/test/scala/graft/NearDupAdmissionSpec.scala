@@ -81,4 +81,40 @@ class NearDupAdmissionSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(keptAfter == Set(1L, 2L, 4L, 9L), s"dup admitted after compact: $keptAfter")
   }
+
+  test("hot-bucket cap also gates the batch-vs-store band join") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("ndup_hot_store").toString
+    val kept = Files.createTempDirectory("ndup_hot_kept").toString
+    // epoch 0 admits a template cluster into the STORE: 30 IDENTICAL docs,
+    // so every one of their band buckets deterministically holds all 30
+    // entries (with the in-batch cap on, none pairs with another → all 30
+    // admitted, accumulating the hot buckets in the store)
+    val template = (0 until 30).map(i => (i.toLong, textX))
+    NearDupAdmission.admit(template.toDF("doc_id", "text"), 0L, store, kept,
+      maxBucket = 10)
+    // epoch 1: one more template doc + one novel doc. Every bucket doc 100
+    // lands in is hot (30 store entries > 10), so the batch-vs-store join
+    // must NOT produce 30 candidate pairs for it — it is admitted
+    // (declared-lossy skew guard), and the novel doc admits too
+    NearDupAdmission.admit(
+      Seq((100L, textX), (101L, textY))
+        .toDF("doc_id", "text"), 1L, store, kept, maxBucket = 10)
+    val keptIds = spark.read.parquet(kept).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIds.contains(101L), keptIds.toString)
+    assert(keptIds.contains(100L),
+      s"hot-bucket store join was not capped (100 judged vs template): $keptIds")
+    // control: without the cap the same doc IS recognized as a store dup
+    // (epoch-0 control admits only doc 0; the rest drop as in-batch dups)
+    val store2 = Files.createTempDirectory("ndup_hot_store2").toString
+    val kept2 = Files.createTempDirectory("ndup_hot_kept2").toString
+    NearDupAdmission.admit(template.toDF("doc_id", "text"), 0L, store2, kept2)
+    NearDupAdmission.admit(
+      Seq((100L, textX)).toDF("doc_id", "text"),
+      1L, store2, kept2)
+    val keptIds2 = spark.read.parquet(kept2).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!keptIds2.contains(100L), keptIds2.toString)
+  }
 }

@@ -90,6 +90,17 @@ class QueriesSpec extends AnyFunSuite {
     val lsh = TextQueries.lshNeardupPairs(spark, dir, 0.5)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == exact, s"missed: ${exact -- lsh}, extra: ${lsh -- exact}")
+    // Canary for the parity assumption itself: LSH-vs-exact equality holds
+    // only because every true pair sits WELL above the 0.5 verify threshold
+    // (at j=0.5 exactly, 32×2 banding misses with p≈1e-4). If regenerated
+    // testdata ever plants a threshold-grazing pair, fail HERE with a clear
+    // message instead of going hash-red in the driver's oracle compare.
+    val weakest = TextQueries.defs("q28_jaccard_pairs")(spark, dir)
+      .filter(col("jac") >= 0.5)
+      .agg(org.apache.spark.sql.functions.min(col("jac"))).head.getDouble(0)
+    assert(weakest >= 0.7,
+      f"weakest true pair j=$weakest%.3f grazes the 0.5 LSH threshold — " +
+        "band/row parameters no longer guarantee exact-join parity on this corpus")
   }
 
   test("SRP-ANN results are a subset of brute-force candidate space") {
