@@ -325,29 +325,38 @@ object RelationalQueries {
     // As-of join (time-series point-in-time lookup — the operator Spark
     // lacks natively, composed per the preference order from existing
     // ops): for each purchase, the latest click by the same user at or
-    // before it. One equi-shuffle on user_id with the range predicate
-    // inside the join, then a per-left-row argmax window — no cartesian,
-    // no driver loop. At 100 TB both sides co-partition on user_id and
-    // the window state is bounded by matches per purchase.
+    // before it. Stated as union + carry-forward, NOT as a range join:
+    // one scan, one shuffle on user_id, one window pass in which every
+    // click row updates a running "last click" and every purchase row
+    // reads it (clicks sort before purchases at equal ts — the `<=`
+    // semantics). The obvious equi-join with the range predicate inside
+    // materializes clicks×purchases per user before its rank=1 window —
+    // a skewed key (bot user: 10⁶ clicks × 10³ purchases) makes that 10⁹
+    // rows in one partition; this form's window state is one row, and a
+    // hot user costs exactly its own row count.
     "q47_asof_latest_click" -> ((s, dir) => {
       val e = ev(s, dir)
-      val purchases = e.filter(col("event_type") === "purchase")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("kind"))
+      // (ts_us, kind, event_id) is a unique total order per user; among
+      // same-ts clicks the LAST in this order is the max event_id — the
+      // same (c_ts desc, c_id desc) tie-break the join form used
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e
+        .withColumn("last_click_id", last(
+          when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("last_click_ts", last(
+          when(col("kind") === 0, col("ts_us")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
         .select(col("user_id"), col("event_id").as("p_id"),
-          col("ts_us").as("p_ts"))
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
-          col("ts_us").as("c_ts"))
-      val w = Window.partitionBy("p_id").orderBy(col("c_ts").desc, col("c_id").desc)
-      purchases
-        .join(clicks, purchases("user_id") === clicks("c_user") &&
-          clicks("c_ts") <= purchases("p_ts"), "left")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("p_id"), col("p_ts"),
+          col("ts_us").as("p_ts"),
           // no-match → -1 sentinels: deterministic sorting for the oracle
           // hash compare (null orderings differ across engines/tools)
-          coalesce(col("c_id"), lit(-1L)).as("last_click_id"),
-          coalesce(col("c_ts"), lit(-1L)).as("last_click_ts"))
+          coalesce(col("last_click_id"), lit(-1L)).as("last_click_id"),
+          coalesce(col("last_click_ts"), lit(-1L)).as("last_click_ts"))
         .orderBy("user_id", "p_id")
     }),
 

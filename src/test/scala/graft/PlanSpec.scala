@@ -93,6 +93,20 @@ class PlanSpec extends AnyFunSuite {
       s"PQ assignment not a partial min_by aggregation:\n$plan")
   }
 
+  test("q47 as-of is one user_id exchange + window — no join, no pair blowup") {
+    // AQE prints "Final Plan" then "Initial Plan" — judge the final only
+    val plan = physical(RelationalQueries.defs("q47_asof_latest_click")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join"), s"as-of carry-forward form must not join:\n$plan")
+    // exactly one hash exchange (the user_id window shuffle); the trailing
+    // ORDER BY adds a range exchange, which is fine
+    val hashEx = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx:\n$plan")
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"window shuffle not on user_id:\n$plan")
+  }
+
   test("events scan prunes columns for a two-column aggregate") {
     val plan = physical(RelationalQueries.defs("q13_distinct_types")(spark, dir))
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

@@ -287,6 +287,38 @@ class QueriesSpec extends AnyFunSuite {
       s"an original id was dropped (checksum $checksum)")
   }
 
+  test("q47 carry-forward matches the join-form as-of semantics row-for-row") {
+    // the join form (what q47 shipped as before round 4) is the semantic
+    // reference: equi-join on user_id + in-join range predicate + rank=1
+    // window, -1 sentinels for purchases with no prior click. The restated
+    // single-window form must agree on every row at both verify SFs.
+    def joinForm(d: String) = {
+      val e = RelationalQueries.ev(spark, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts_us").as("p_ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+          col("ts_us").as("c_ts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("p_id").orderBy(col("c_ts").desc, col("c_id").desc)
+      purchases
+        .join(clicks, purchases("user_id") === clicks("c_user") &&
+          clicks("c_ts") <= purchases("p_ts"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("p_id"), col("p_ts"),
+          coalesce(col("c_id"), lit(-1L)).as("last_click_id"),
+          coalesce(col("c_ts"), lit(-1L)).as("last_click_ts"))
+    }
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val got = RelationalQueries.defs("q47_asof_latest_click")(spark, d)
+        .collect().map(_.toSeq).toSet
+      val want = joinForm(d).collect().map(_.toSeq).toSet
+      assert(got == want,
+        s"$d: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    }
+  }
+
   test("q48 approx sketches land within tolerance of exact answers") {
     val approx = RelationalQueries.defs("q48_approx_stats")(spark, dir)
       .collect().map(r => r.getString(0) ->
