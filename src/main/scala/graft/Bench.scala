@@ -48,25 +48,31 @@ object Bench {
       }
     }
 
-    // three passes per query, report the median: pass 1 pays the one-time
-    // plan + Janino codegen compile for that query's stages (~0.5-2 s each
-    // on this host), and a median-of-3 absorbs one-off host-noise spikes
-    // that a min-of-2 can still inherit (round-1 q16 measured 8 s against
-    // a 0.5 s warm plan). Materialization is a noop-format WRITE, not
-    // count(): count() lets Catalyst prune deterministic projections (the
-    // election UDFs) and eliminate final sorts, under-measuring exactly the
-    // work the queries claim to do. clearCache between passes: queries that
-    // cache intermediates must re-execute them, not replay pass 1's blocks.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
-        val secs = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        secs
-      }
-      val times = Seq(once(), once(), once()).sorted
+    // three INTERLEAVED sweeps (sweep-major, not query-major), report the
+    // per-query median across sweeps: back-to-back passes of one query
+    // share any host stall that happens to span them (r2→r3 showed ±3×
+    // ghost swings on untouched light queries from exactly that), while
+    // sweeps separate a query's samples by the full ~40 s sweep length, so
+    // one stall poisons at most one sample of each query. Sweep 1 still
+    // pays each query's one-time plan + Janino codegen compile (~0.5-2 s),
+    // which the median discards. Materialization is a noop-format WRITE,
+    // not count(): count() lets Catalyst prune deterministic projections
+    // (the election UDFs) and eliminate final sorts, under-measuring
+    // exactly the work the queries claim to do. clearCache between runs:
+    // queries that cache intermediates must re-execute them, not replay a
+    // previous pass's blocks.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
+      val secs = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      secs
+    }
+    val sweeps = Seq.fill(3)(ordered.map { case (name, fn) => name -> once(fn) })
+    val results = ordered.map { case (name, _) =>
+      val times = sweeps.map(_.toMap.apply(name)).sorted
       name -> times(1)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -339,6 +339,17 @@ object RelationalQueries {
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("user_id"), col("event_id"), col("ts_us"),
           when(col("event_type") === "purchase", 1).otherwise(0).as("kind"))
+        // NULL-key parity with the join form: an equi-join on user_id never
+        // matches NULL users and a NULL click ts never satisfies c_ts <=
+        // p_ts, but Window.partitionBy groups NULLs into one partition
+        // (where a NULL-user click would wrongly carry into a NULL-user
+        // purchase) and a NULL ts sorts first (where a NULL-ts click would
+        // wrongly carry forward). Dropping exactly the un-matchable CLICK
+        // rows restores join semantics: purchases with NULL keys survive
+        // and get the -1 no-match sentinels, as the left join gave them.
+        // (Scan-pushed; free on the current testdata, which has no NULLs.)
+        .filter(col("kind") === 1 ||
+          (col("user_id").isNotNull && col("ts_us").isNotNull))
       // (ts_us, kind, event_id) is a unique total order per user; among
       // same-ts clicks the LAST in this order is the max event_id — the
       // same (c_ts desc, c_id desc) tie-break the join form used

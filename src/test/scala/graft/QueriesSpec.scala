@@ -319,6 +319,38 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q47 NULL keys keep join-form semantics (no NULL-partition carry)") {
+    // the carry-forward window groups NULL user_ids into one partition and
+    // sorts NULL ts first — without the click-side NULL guard a NULL-key
+    // click would carry into purchases the equi-join form never matched.
+    // Synthetic table: NULL-user click+purchase, NULL-ts click, NULL-ts
+    // purchase; every purchase must survive with -1 no-match sentinels.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q47null").toString
+    Seq[(Long, Option[Long], Option[Long], String)](
+      (10L, Some(1000L), Some(1L), "click"),    // normal click, user 1
+      (20L, Some(2000L), Some(1L), "purchase"), // matches click 10
+      (30L, Some(1500L), None, "click"),        // NULL user — must not carry
+      (40L, Some(3000L), None, "purchase"),     // NULL user — sentinel row
+      (50L, None, Some(2L), "click"),           // NULL ts — must not carry
+      (60L, Some(5000L), Some(2L), "purchase"), // only NULL-ts click before
+      (70L, None, Some(1L), "purchase")         // NULL ts purchase, user 1
+    ).toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = RelationalQueries.defs("q47_asof_latest_click")(spark, tmp)
+      .collect()
+      .map(r => (Option(r.get(0)), r.getLong(1), Option(r.get(2)),
+        r.getLong(3), r.getLong(4))).toSet
+    val want = Set(
+      (Some(1L), 20L, Some(2L), 10L, 1L), // ts_us = ns div 1000
+      (Some(1L), 70L, None, -1L, -1L),
+      (None, 40L, Some(3L), -1L, -1L),
+      (Some(2L), 60L, Some(5L), -1L, -1L))
+    assert(got.map(t => (t._1.map(_.toString), t._2, t._3.map(_.toString), t._4, t._5)) ==
+      want.map(t => (t._1.map(_.toString), t._2, t._3.map(_.toString), t._4, t._5)),
+      s"got $got")
+  }
+
   test("q48 approx sketches land within tolerance of exact answers") {
     val approx = RelationalQueries.defs("q48_approx_stats")(spark, dir)
       .collect().map(r => r.getString(0) ->
