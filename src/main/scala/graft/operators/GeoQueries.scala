@@ -152,6 +152,42 @@ object GeoQueries {
           col("r._3").as("was_refined"),
           size(col("pings")).as("n_pings"))
         .orderBy("del_id")
+    }),
+
+    // The deterministic grouping half of the q40 flagship made
+    // oracle-checkable: per-user first-occurrence dedup of (lat,lng,acc)
+    // + tail cap, run through the REAL Elections.dedupAndCap, summarized
+    // as a count and a ts checksum over exactly the kept points. The
+    // checksum pins WHICH points survive (the cap keeps the LAST `cap`
+    // entries of the time-sorted deduped list), not just how many; the
+    // DuckDB oracle recomputes the same semantics relationally (min-ts
+    // per triple = first occurrence; rank-desc ≤ cap = the tail). cap=20
+    // because the verify corpus tops out at ~40 points/user — the default
+    // 100 would never bind and the tail selection would go unchecked.
+    // q40's election half stays spec-pinned (vincenty isn't SQL).
+    "q64_dedup_cap_counts" -> ((s, dir) => {
+      import s.implicits._
+      val pts = geoEvents(s, dir)
+        .filter(col("event_type").isin("click", "purchase") &&
+          col("acc") > 0 && col("acc") < 200)
+        .select(col("user_id"), col("lat"), col("lng"), col("acc"),
+          col("ts_ms"))
+      val grouped = pts
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(
+          col("ts_ms"), col("lat"), col("lng"), col("acc")))).as("pts"))
+      val stats = udf { (rows: Seq[Row]) =>
+        val points = rows.map(r => Pt(r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(0)))
+        val kept = Elections.dedupAndCap(points, cap = 20)
+        (kept.length, kept.map(_.ts).sum)
+      }
+      grouped
+        .withColumn("r", stats(col("pts")))
+        .select(col("user_id"),
+          col("r._1").as("n_points"),
+          col("r._2").as("ts_checksum"))
+        .orderBy("user_id")
     })
   )
 
@@ -189,6 +225,33 @@ object GeoQueries {
         |  CAST(sum(CASE WHEN d1 < 3000.0 THEN 1 ELSE 0 END) AS BIGINT) AS in_india_3000km,
         |  CAST(sum(CASE WHEN d2 < 1000.0 THEN 1 ELSE 0 END) AS BIGINT) AS in_europe_1000km,
         |  CAST(sum(CASE WHEN d3 < 1500.0 THEN 1 ELSE 0 END) AS BIGINT) AS in_sam_1500km
-        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // first occurrence of a (lat,lng,acc) triple in the time-sorted list
+    // = the row with that triple's minimum ts (rows sharing a triple
+    // differ only in ts); the deduped list is ordered by (first_ts, lat,
+    // lng, acc) — the struct sort order — so takeRight(20) = the 20
+    // largest under that order = rank-desc ≤ 20.
+    "q64_dedup_cap_counts" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    (user_id % 120) - 60 + value / 1000.0 AS lat,
+        |    (event_id % 340) - 170 + value / 1000.0 AS lng,
+        |    value % 120.0 AS acc,
+        |    epoch_ms(ts) AS ts_ms
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |f AS (
+        |  SELECT user_id, lat, lng, acc, min(ts_ms) AS fts
+        |  FROM g WHERE acc > 0 AND acc < 200
+        |  GROUP BY 1, 2, 3, 4),
+        |r AS (
+        |  SELECT user_id, fts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY fts DESC, lat DESC, lng DESC, acc DESC) AS rn
+        |  FROM f)
+        |SELECT user_id, CAST(count(*) AS INT) AS n_points,
+        |  CAST(sum(fts) AS BIGINT) AS ts_checksum
+        |FROM r WHERE rn <= 20 GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
