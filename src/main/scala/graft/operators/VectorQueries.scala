@@ -191,6 +191,37 @@ object VectorQueries {
         .orderBy("label")
     }),
 
+    // Embedding split-leakage at scale — the q56 contamination gate's
+    // 100 TB sibling: candidate pairs come from SRP banding (the q45
+    // blocking) instead of the O(n²) cross join, then the same exact
+    // cosine verify + cross-split filter + q56 output shape. The gate
+    // runs at the NEAR-DUP threshold (cosine ≥ 0.95) — the band a
+    // training pipeline actually polices for eval contamination —
+    // because there the banding is measurably lossless: at cos ≈ 0.999
+    // per-plane collision ≈ 0.99, so a pair misses all three 8-bit
+    // tables with prob ≈ (1 − 0.99⁸)³ ≈ 5e-4, and QueriesSpec proves
+    // pair-for-pair parity against the exact join on both verify SFs.
+    // q56's looser 0.35 "related" band is deliberately NOT restated this
+    // way: measured on this corpus those pairs are diffuse cross-label
+    // noise (per-plane collision ≈ 0.61), where any banding whose recall
+    // approaches 1 costs more than the exact join — LSH has no
+    // sub-quadratic operating point at that angle. q56 stays the exact,
+    // oracle-checked form of the wide band; this query is the scale form
+    // of the band that scales. The corpus has no natural near-dups
+    // (max pairwise cosine ≈ 0.5 at verify SFs), so cross-split
+    // contamination is PLANTED with the q45 pattern: every 5th vector
+    // re-ids to +1_000_000 — an independent md5 split draw — and gets
+    // eps=0.02 deterministic hash noise.
+    "q62_embedding_leakage_lsh" -> ((s, dir) => {
+      embeddingLeakPairsLsh(s, dir)
+        .withColumn("leak_pair",
+          concat_ws("|", array_sort(array(col("s1"), col("s2")))))
+        .groupBy(col("leak_pair"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("d1") + col("d2")).as("id_checksum"))
+        .orderBy("leak_pair")
+    }),
+
     // IVF ANN: k-means coarse centroids (Lloyd iterations, deterministically
     // seeded from the label means — the q35 training step carried to its
     // use), every corpus vector assigned to its nearest cell, queries
@@ -202,54 +233,10 @@ object VectorQueries {
     // Rows-only oracle; QueriesSpec pins recall vs q33 on sf0.001.
     "q46_ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      // mean vector per existing cell assignment: posexplode →
-      // per-(cell,dim) mean → re-assemble in dim order
-      def means(assigned: DataFrame): DataFrame = assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim"))
-        .agg(avg(col("x").cast("double")).as("c"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
-        .select(col("cell"),
-          expr("transform(pairs, p -> cast(p.c as float))").as("centroid"))
-      // nearest-centroid assignment as an aggregation, not a window: the
-      // round-1 row_number() form shuffled AND sorted corpus×nlist rows;
-      // min_by gets map-side partial aggregation, so only one (cell,
-      // embedding) buffer per vec_id crosses the shuffle — at 100 TB that
-      // is shuffling the corpus once instead of nlist× plus a sort.
-      // Ordering key struct(-csim, cell) == (csim DESC, cell ASC), the same
-      // deterministic tie-break the window used.
-      def assign(cent: DataFrame): DataFrame =
-        e.crossJoin(broadcast(cent))
-          .withColumn("csim", cosineSim(col("embedding"), col("centroid")))
-          .groupBy(col("vec_id"))
-          .agg(min_by(struct(col("cell"), col("embedding")),
-            struct(negate(col("csim")), col("cell"))).as("best"))
-          .select(col("vec_id"), col("best.cell").as("cell"),
-            col("best.embedding").as("embedding"))
-      // seed = label means; 2 Lloyd iterations of assign → recompute.
-      // localCheckpoint (not cache): the trained centroids feed BOTH the
-      // corpus assignment and the query probes — materialize once, and the
-      // blocks are released with the RDD instead of pinning the session's
-      // catalog cache for its lifetime.
-      var cent = means(e.select(col("label").as("cell"), col("embedding")))
-      for (_ <- 0 until 2) cent = means(assign(cent))
-      cent = cent.localCheckpoint()
+      val cent = trainCells(e)
       // final inverted file: tiny centroid table broadcasts; rank 1 = own cell
-      val assigned = assign(cent)
-      // query side probes nprobe=3 cells (the synthetic corpus clusters
-      // only weakly — diffuse cells need a probe or two more than a
-      // well-separated corpus would). The window here is fine at scale:
-      // it ranks queries×nlist rows, and the query set is small by
-      // definition — it's the corpus side that must not be windowed.
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("csim").desc, col("cell"))
-      val probes = e.filter(col("vec_id") < NQueries)
-        .crossJoin(broadcast(cent))
-        .withColumn("csim", cosineSim(col("embedding"), col("centroid")))
-        .withColumn("crk", row_number().over(wAssign))
-        .filter(col("crk") <= 3)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("cell"))
+      val assigned = assignCells(e, cent)
+      val probes = probeCells(e, cent, nprobe = 3)
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
       assigned.join(broadcast(probes), Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))
@@ -258,6 +245,44 @@ object VectorQueries {
         .filter(col("rk") <= K)
         .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"))
         .orderBy("q_id", "rk")
+    }),
+
+    // IVF-PQ ANN — the composition of q46 (prune: scan only probed
+    // cells) and q57 (compress: score one-byte codes, not floats), the
+    // standard 100 TB ANN index shape: train coarse cells (q46 pattern),
+    // PQ-encode every vector (q57 pattern), key the code table by cell,
+    // and ADC-score each query ONLY against codes in its nprobe probed
+    // cells — q57's one corpus-linear stage (its ADC join touches every
+    // code per query batch) drops to ~nprobe/nlist of the corpus, which
+    // QueriesSpec pins with a row-count assertion. At 100 TB the
+    // inverted file is the partitioning (shuffle once on cell_id), codes
+    // are 16× smaller than raw floats, centroids + codebooks + per-query
+    // ADC tables all broadcast, and the exact re-rank touches only
+    // rerank=50 rows per query. Rows-only oracle; recall vs q33 pinned
+    // in QueriesSpec alongside q57's.
+    "q63_ann_ivfpq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cent = trainCells(e)
+      val cellOf = assignCells(e, cent).select(col("vec_id"), col("cell"))
+      val normed = pqNormalize(e)
+      val subvecs = pqSubvecs(normed)
+      val cb = pqCodebook(normed, subvecs)
+      val codes = pqAssign(subvecs, cb)
+      val probes = probeCells(e, cent, nprobe = 3)
+        .select(col("q_id"), col("cell"))
+      val tables = pqAdcTables(subvecs, cb)
+      val approx = codes.join(cellOf, "vec_id")
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(broadcast(tables), Seq("q_id", "sub", "code"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("pdot")).as("approx"))
+      val wA = Window.partitionBy("q_id").orderBy(col("approx").desc, col("vec_id"))
+      val cand = approx
+        .withColumn("crk", row_number().over(wA))
+        .filter(col("crk") <= PqRerank)
+        .select(col("q_id"), col("vec_id"))
+      exactRerank(cand, e)
     }),
 
     // PQ-ADC ANN (product quantization, the vector-compression sketch):
@@ -271,61 +296,16 @@ object VectorQueries {
     // rows) summed over codes → exact cosine re-rank of the top candidates.
     // Rows-only oracle; recall-vs-brute-force pinned in QueriesSpec.
     "q57_ann_pq" -> ((s, dir) => {
-      val m = 8; val dsub = 8; val k = 16; val rerank = 50
       val e = Tables.embeddings(s, dir)
-      val nrm = l2Norm(col("embedding"))
-      val normed = e.select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double") / nrm).as("nv"))
-        .localCheckpoint()
-      val subvecs = normed
-        .select(col("vec_id"), col("nv"),
-          explode(sequence(lit(0), lit(m - 1))).as("sub"))
-        .withColumn("subvec",
-          expr(s"transform(sequence(0, ${dsub - 1}), i -> nv[sub * $dsub + i])"))
-        .select(col("vec_id"), col("sub"), col("subvec"))
-        .localCheckpoint()
-      // deterministic seed sample: the k vectors with smallest salted hash
-      // (TakeOrderedAndProject — no full sort at scale)
-      val seedOrder = Window.orderBy(
-        md5(concat(lit("pq:"), col("vec_id").cast("string"))), col("vec_id"))
-      val seeds = normed
-        .orderBy(md5(concat(lit("pq:"), col("vec_id").cast("string"))), col("vec_id"))
-        .limit(k)
-        .withColumn("code", row_number().over(seedOrder) - 1)
-      val cb0 = seeds
-        .select(col("code"), col("nv"),
-          explode(sequence(lit(0), lit(m - 1))).as("sub"))
-        .withColumn("centroid",
-          expr(s"transform(sequence(0, ${dsub - 1}), i -> nv[sub * $dsub + i])"))
-        .select(col("sub"), col("code"), col("centroid"))
-      // (cb0 is consumed exactly once — no checkpoint; only the reused
-      // tables earn an eager materialization)
-      // nearest-code assignment: partial min_by, no window (q46 lesson)
-      def assign(cb: DataFrame): DataFrame =
-        subvecs.join(broadcast(cb), "sub")
-          .withColumn("d2", sqDist(col("subvec"), col("centroid")))
-          .groupBy(col("vec_id"), col("sub"))
-          .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
-      // one Lloyd iteration per subspace
-      val cb1 = assign(cb0)
-        .join(subvecs, Seq("vec_id", "sub"))
-        .select(col("sub"), col("code"), posexplode(col("subvec")).as(Seq("dim", "x")))
-        .groupBy(col("sub"), col("code"), col("dim"))
-        .agg(avg(col("x")).as("c"))
-        .groupBy(col("sub"), col("code"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
-        .select(col("sub"), col("code"),
-          expr("transform(pairs, p -> p.c)").as("centroid"))
-        .localCheckpoint()
-      val codes = assign(cb1)
-      // per-query ADC tables: dot of each query subvector with each
-      // centroid — queries × m × k rows, broadcastable by construction
-      val queries = subvecs.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("q_id"), col("sub"), col("subvec").as("qsub"))
-      val tables = queries.join(cb1, "sub")
-        .withColumn("pdot", dot(col("qsub"), col("centroid")))
-        .select(col("q_id"), col("sub"), col("code"), col("pdot"))
-      // ADC scoring: sum the 8 table lookups per (query, vector)
+      val normed = pqNormalize(e)
+      val subvecs = pqSubvecs(normed)
+      val cb1 = pqCodebook(normed, subvecs)
+      val codes = pqAssign(subvecs, cb1)
+      val tables = pqAdcTables(subvecs, cb1)
+      // ADC scoring: sum the 8 table lookups per (query, vector). This
+      // stage is corpus-linear per query batch — 16× cheaper than brute
+      // force but still touching every code; q63 composes the q46 cells
+      // in front of it so only probed cells are scored.
       val approx = codes.join(broadcast(tables), Seq("sub", "code"))
         .filter(col("vec_id") =!= col("q_id"))
         .groupBy(col("q_id"), col("vec_id"))
@@ -333,18 +313,9 @@ object VectorQueries {
       val wA = Window.partitionBy("q_id").orderBy(col("approx").desc, col("vec_id"))
       val cand = approx
         .withColumn("crk", row_number().over(wA))
-        .filter(col("crk") <= rerank)
+        .filter(col("crk") <= PqRerank)
         .select(col("q_id"), col("vec_id"))
-      // exact re-rank of the surviving candidates only
-      val wE = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      cand
-        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
-        .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_vec")), "q_id")
-        .withColumn("cos", cosineSim(col("q_vec"), col("embedding")))
-        .withColumn("rk", row_number().over(wE))
-        .filter(col("rk") <= K)
-        .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"))
-        .orderBy("q_id", "rk")
+      exactRerank(cand, e)
     }),
 
     // Multimodal plumbing (SURVEY brief): binary payload column + typed
@@ -404,6 +375,197 @@ object VectorQueries {
         .orderBy("doc_id", "frame_idx")
     })
   )
+
+  // ---- IVF coarse-quantizer stages (q46, q63) ----------------------------
+
+  /** Mean vector per existing cell assignment: posexplode → per-(cell,dim)
+    * mean → re-assemble in dim order.
+    */
+  private[graft] def cellMeans(assigned: DataFrame): DataFrame = assigned
+    .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+    .groupBy(col("cell"), col("dim"))
+    .agg(avg(col("x").cast("double")).as("c"))
+    .groupBy(col("cell"))
+    .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
+    .select(col("cell"),
+      expr("transform(pairs, p -> cast(p.c as float))").as("centroid"))
+
+  /** Nearest-centroid assignment as an aggregation, not a window: the
+    * round-1 row_number() form shuffled AND sorted corpus×nlist rows;
+    * min_by gets map-side partial aggregation, so only one (cell,
+    * embedding) buffer per vec_id crosses the shuffle — at 100 TB that
+    * is shuffling the corpus once instead of nlist× plus a sort.
+    * Ordering key struct(-csim, cell) == (csim DESC, cell ASC), the same
+    * deterministic tie-break the window used.
+    */
+  private[graft] def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent))
+      .withColumn("csim", cosineSim(col("embedding"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cell"), col("embedding")),
+        struct(negate(col("csim")), col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        col("best.embedding").as("embedding"))
+
+  /** Coarse-centroid training: seed = label means; 2 Lloyd iterations of
+    * assign → recompute. localCheckpoint (not cache): the trained
+    * centroids feed BOTH the corpus assignment and the query probes —
+    * materialize once, and the blocks are released with the RDD instead
+    * of pinning the session's catalog cache for its lifetime.
+    */
+  private[graft] def trainCells(e: DataFrame): DataFrame = {
+    var cent = cellMeans(e.select(col("label").as("cell"), col("embedding")))
+    for (_ <- 0 until 2) cent = cellMeans(assignCells(e, cent))
+    cent.localCheckpoint()
+  }
+
+  /** Query-side probe list: each query's `nprobe` nearest cells (the
+    * synthetic corpus clusters only weakly — diffuse cells need a probe
+    * or two more than a well-separated corpus would). The window here is
+    * fine at scale: it ranks queries×nlist rows, and the query set is
+    * small by definition — it's the corpus side that must not be
+    * windowed.
+    */
+  private[graft] def probeCells(e: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cell"))
+    e.filter(col("vec_id") < NQueries)
+      .crossJoin(broadcast(cent))
+      .withColumn("csim", cosineSim(col("embedding"), col("centroid")))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("cell"))
+  }
+
+  // ---- product-quantization stages (q57, q63) ----------------------------
+
+  private val PqM = 8      // subspaces
+  private val PqDsub = 8   // dims per subspace
+  private val PqK = 16     // codes per subspace codebook
+  private[graft] val PqRerank = 50
+
+  /** L2-normalized double vectors (PQ trains on the unit sphere so ADC
+    * dot sums approximate cosine).
+    */
+  private[graft] def pqNormalize(e: DataFrame): DataFrame = {
+    val nrm = l2Norm(col("embedding"))
+    e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / nrm).as("nv"))
+      .localCheckpoint()
+  }
+
+  /** One row per (vec_id, subspace) with the dsub-dim subvector. */
+  private[graft] def pqSubvecs(normed: DataFrame): DataFrame = normed
+    .select(col("vec_id"), col("nv"),
+      explode(sequence(lit(0), lit(PqM - 1))).as("sub"))
+    .withColumn("subvec",
+      expr(s"transform(sequence(0, ${PqDsub - 1}), i -> nv[sub * $PqDsub + i])"))
+    .select(col("vec_id"), col("sub"), col("subvec"))
+    .localCheckpoint()
+
+  /** Nearest-code assignment: partial min_by, no window (q46 lesson). */
+  private[graft] def pqAssign(subvecs: DataFrame, cb: DataFrame): DataFrame =
+    subvecs.join(broadcast(cb), "sub")
+      .withColumn("d2", sqDist(col("subvec"), col("centroid")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+
+  /** Per-subspace codebook of PqK centroids: deterministic md5-sampled
+    * seeds (TakeOrderedAndProject — no full sort at scale) + one Lloyd
+    * iteration. cb0 is consumed exactly once — no checkpoint; the reused
+    * cb1 earns the eager materialization.
+    */
+  private[graft] def pqCodebook(normed: DataFrame, subvecs: DataFrame): DataFrame = {
+    val seedOrder = Window.orderBy(
+      md5(concat(lit("pq:"), col("vec_id").cast("string"))), col("vec_id"))
+    val seeds = normed
+      .orderBy(md5(concat(lit("pq:"), col("vec_id").cast("string"))), col("vec_id"))
+      .limit(PqK)
+      .withColumn("code", row_number().over(seedOrder) - 1)
+    val cb0 = seeds
+      .select(col("code"), col("nv"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("sub"))
+      .withColumn("centroid",
+        expr(s"transform(sequence(0, ${PqDsub - 1}), i -> nv[sub * $PqDsub + i])"))
+      .select(col("sub"), col("code"), col("centroid"))
+    pqAssign(subvecs, cb0)
+      .join(subvecs, Seq("vec_id", "sub"))
+      .select(col("sub"), col("code"), posexplode(col("subvec")).as(Seq("dim", "x")))
+      .groupBy(col("sub"), col("code"), col("dim"))
+      .agg(avg(col("x")).as("c"))
+      .groupBy(col("sub"), col("code"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
+      .select(col("sub"), col("code"),
+        expr("transform(pairs, p -> p.c)").as("centroid"))
+      .localCheckpoint()
+  }
+
+  /** Per-query ADC tables: dot of each query subvector with each
+    * centroid — queries × PqM × PqK rows, broadcastable by construction.
+    */
+  private[graft] def pqAdcTables(subvecs: DataFrame, cb: DataFrame): DataFrame =
+    subvecs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("sub"), col("subvec").as("qsub"))
+      .join(cb, "sub")
+      .withColumn("pdot", dot(col("qsub"), col("centroid")))
+      .select(col("q_id"), col("sub"), col("code"), col("pdot"))
+
+  /** Exact cosine re-rank of a (q_id, vec_id) candidate list — the final
+    * stage every compressed/blocked ANN variant shares. Touches only the
+    * candidates.
+    */
+  private[graft] def exactRerank(cand: DataFrame, e: DataFrame): DataFrame = {
+    val wE = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_vec")), "q_id")
+      .withColumn("cos", cosineSim(col("q_vec"), col("embedding")))
+      .withColumn("rk", row_number().over(wE))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** q62's corpus: embeddings + planted near-dup contamination (the q45
+    * pattern — every 5th vector re-identified to +1_000_000, which draws
+    * an independent md5 split, and perturbed with eps=0.02 hash noise),
+    * each row tagged with its deterministic split.
+    */
+  private[graft] def leakCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        perturbUdf(0.02)(col("embedding"), col("vec_id")).as("embedding"))
+    base.unionByName(planted)
+      .withColumn("split",
+        graft.functions.TextFunctions.splitAssign(col("vec_id")))
+  }
+
+  /** q62's pair stage, factored out so QueriesSpec can compare it
+    * pair-for-pair against the exact-join recompute: SRP-banded
+    * candidates (3 OR-amplified 8-bit tables — at the ≥0.95 verify
+    * threshold per-pair miss ≈ (1−p⁸)³ ≈ 5e-4, measured lossless on the
+    * verify SFs) → dedup → exact cosine ≥ 0.95 verify → cross-split
+    * filter. Shuffle key is (table, bucket); Σ bucket² bounds the join.
+    */
+  private[graft] def embeddingLeakPairsLsh(s: SparkSession, dir: String): DataFrame = {
+    val corpus = leakCorpus(s, dir)
+    val banded = corpus.select(col("vec_id"), col("embedding"), col("split"),
+      explode(array(
+        struct(lit(0).as("t"), srpBucketExpr(col("embedding"), 8, 0).as("b")),
+        struct(lit(1).as("t"), srpBucketExpr(col("embedding"), 8, 8).as("b")),
+        struct(lit(2).as("t"), srpBucketExpr(col("embedding"), 8, 16).as("b"))
+      )).as("tb"))
+    banded.as("a").join(banded.as("b"),
+        col("a.tb") === col("b.tb") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+        col("a.embedding").as("v1"), col("b.embedding").as("v2"),
+        col("a.split").as("s1"), col("b.split").as("s2"))
+      .dropDuplicates("d1", "d2")
+      .filter(col("s1") =!= col("s2") &&
+        cosineSim(col("v1"), col("v2")) >= 0.95)
+      .select(col("d1"), col("d2"), col("s1"), col("s2"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q32_embedding_norms" ->

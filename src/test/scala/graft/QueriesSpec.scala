@@ -132,6 +132,33 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"PQ recall $recall")
   }
 
+  test("q63 IVF-PQ recall holds while ADC scoring touches only probed cells") {
+    val brute = VectorQueries.defs("q33_ann_bruteforce")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfpq = VectorQueries.defs("q63_ann_ivfpq")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (ivfpq & brute).size.toDouble / brute.size
+    println(s"[q63] recall vs brute force: $recall")
+    // composition loses recall twice (cell pruning × code quantization);
+    // it must still beat the ~30% scan fraction it pays for
+    assert(recall >= 0.35, s"IVF-PQ recall $recall < 0.35")
+    // the point of the composition: the ADC stage scores only codes in
+    // probed cells — ~nprobe/nlist of the (query × corpus) pairs q57's
+    // corpus-linear ADC join feeds through its lookup tables
+    val e = Tables.embeddings(spark, dir)
+    val cent = VectorQueries.trainCells(e)
+    val cellOf = VectorQueries.assignCells(e, cent)
+      .select(col("vec_id"), col("cell"))
+    val probes = VectorQueries.probeCells(e, cent, nprobe = 3)
+      .select(col("q_id"), col("cell"))
+    val probedPairs = cellOf.join(probes, Seq("cell")).count()
+    val fullPairs = e.count() * 20 // q57 scores every vector per query
+    val frac = probedPairs.toDouble / fullPairs
+    println(s"[q63] ADC scan fraction: $frac")
+    assert(frac <= 0.6, s"probed fraction $frac — cell pruning not pruning")
+    assert(frac >= 0.05, s"probed fraction $frac — probes suspiciously empty")
+  }
+
   test("multiprobe SRP-LSH recall is at least single-probe recall") {
     def pairs(name: String): Set[(Long, Long)] =
       VectorQueries.defs(name)(spark, dir)
@@ -285,6 +312,35 @@ class QueriesSpec extends AnyFunSuite {
     val originals = (0L until 500L).sum
     assert(checksum >= originals + (100 - dropped) * 1000000L,
       s"an original id was dropped (checksum $checksum)")
+  }
+
+  test("q62 LSH leakage gate is pair-for-pair identical to the exact join") {
+    import graft.functions.expressions.VectorExpressions.cosineSim
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val corpus = VectorQueries.leakCorpus(spark, d)
+      val a = corpus.select(col("vec_id").as("d1"),
+        col("embedding").as("v1"), col("split").as("s1"))
+      val b = corpus.select(col("vec_id").as("d2"),
+        col("embedding").as("v2"), col("split").as("s2"))
+      // the exact O(n²) form at q62's own threshold — the semantic
+      // reference the banded pipeline must reproduce losslessly
+      val exact = a.join(b, col("d1") < col("d2") && col("s1") =!= col("s2") &&
+          cosineSim(col("v1"), col("v2")) >= 0.95)
+        .select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = VectorQueries.embeddingLeakPairsLsh(spark, d)
+        .select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lsh == exact,
+        s"$d: missing=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
+      // the gate is exercised, not vacuously green: the 100 planted dups
+      // draw independent splits, so ~2/3 should cross — and every true
+      // pair is a planted (src, src+1_000_000) pair, pinning that the
+      // corpus really has no natural near-dups at this threshold
+      assert(exact.size >= 30, s"$d: only ${exact.size} cross-split pairs")
+      assert(exact.forall { case (d1, d2) => d2 == d1 + 1000000L },
+        s"$d: non-planted pair found")
+    }
   }
 
   test("q47 carry-forward matches the join-form as-of semantics row-for-row") {
