@@ -289,6 +289,10 @@ object LedgerOptions {
     // format ({"0":[ledgerId,entryId],...})
     "startoffsets" -> offsetErr,
     "endoffsets" -> offsetErr,
+    // write path: bucket count for key-hash routing of NULL partitions
+    "writepartitions" -> (v =>
+      try { if (v.toInt > 0) None else Some("must be > 0") }
+      catch { case _: NumberFormatException => Some("must be an integer") }),
     "authtoken" -> (_ => None))
 
   private def offsetErr(v: String): Option[String] =
@@ -300,11 +304,14 @@ object LedgerOptions {
   val Secrets: Set[String] = Set("authtoken")
 
   /** Table properties Spark's session catalog itself injects for
-    * DDL-created tables (CREATE TABLE ... USING graft-ledger) — engine
-    * metadata, not reader options; never validated as user input.
+    * DDL-created tables (CREATE TABLE ... USING graft-ledger) and
+    * options the streaming engine adds to every sink (checkpoint
+    * location) — engine metadata, not reader options; never validated
+    * as user input.
     */
   private val EngineInjected =
-    Set("location", "owner", "provider", "external", "comment")
+    Set("location", "owner", "provider", "external", "comment",
+      "checkpointlocation", "queryname")
 
   /** Fail-fast validation; returns the lowercase-keyed option map. */
   def validate(opts: Map[String, String]): Map[String, String] = {
@@ -357,17 +364,27 @@ class LedgerSourceProvider extends TableProvider with DataSourceRegister {
 }
 
 class LedgerTable(path: String, options: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-ledger($path)"
   // any rendering of the option map (logs, plans, errors) goes through
   // redact — auth secrets never appear in the clear
   override def toString: String =
     s"graft-ledger($path, ${LedgerOptions.redact(options - "path").toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(", ")})"
   override def schema(): StructType = LedgerOptions.fullSchema(options)
+  // ACCEPT_ANY_SCHEMA: append frames resolve columns BY NAME (key/value/
+  // partition; everything else is log-assigned), so a bare (key, value)
+  // frame appends without having to fabricate the broker-side columns
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new LedgerScanBuilder(path, LedgerOptions.validate(options ++ opts.asScala))
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new LedgerWriteBuilder(path, info,
+      LedgerOptions.validate(options ++ info.options().asScala))
 }
 
 /** Column pruning pushed into the source (S7 for the connector itself):
