@@ -93,7 +93,8 @@ object Dev {
             "q08_latest_event", "q12_user_type_counts", "q28_jaccard_pairs",
             "q29_minhash_lsh", "q38_dedup_keep", "q39_top_tokens",
             "q40_best_location", "q45_cosine_neardup_keep", "q46_ann_ivf",
-            "q52_dedup_components")
+            "q52_dedup_components", "q54_repetition", "q57_ann_pq",
+            "q61_train_export", "q62_embedding_leakage_lsh", "q63_ann_ivfpq")
         }
         names.foreach { n =>
           val fn = SparkEntry.queries(n)

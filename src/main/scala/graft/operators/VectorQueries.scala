@@ -543,18 +543,30 @@ object VectorQueries {
 
   /** q62's pair stage, factored out so QueriesSpec can compare it
     * pair-for-pair against the exact-join recompute: SRP-banded
-    * candidates (3 OR-amplified 8-bit tables — at the ≥0.95 verify
-    * threshold per-pair miss ≈ (1−p⁸)³ ≈ 5e-4, measured lossless on the
-    * verify SFs) → dedup → exact cosine ≥ 0.95 verify → cross-split
-    * filter. Shuffle key is (table, bucket); Σ bucket² bounds the join.
+    * candidates (3 OR-amplified tables) → dedup → exact cosine ≥ 0.95
+    * verify → cross-split filter. Shuffle key is (table, bucket);
+    * Σ bucket² bounds the join — and because a FIXED band width turns
+    * quadratic again once the corpus outgrows its bucket space, the
+    * width adapts to corpus size (≈ log₂(n)−3 bits, clamped to [8,16]):
+    * buckets stay ~8 rows deep at any scale, the way production LSH
+    * sizes its tables. At the ≥0.95 verify threshold per-plane
+    * collision ≈ 0.99, so per-pair miss is (1−0.99⁸)³ ≈ 5e-4 at 8 bits
+    * (measured lossless on the verify SFs, where the clamp keeps 8
+    * bits) and (1−0.99¹⁶)³ ≈ 3e-3 at the 16-bit cap — the documented
+    * recall/cost dial of OR-amplified banding.
     */
   private[graft] def embeddingLeakPairsLsh(s: SparkSession, dir: String): DataFrame = {
     val corpus = leakCorpus(s, dir)
+    // size the bands off the base table's metadata count (parquet
+    // row-count statistics — no scan); the planted +20% doesn't move log₂
+    val bits = math.min(16, math.max(8,
+      (math.log(Tables.embeddings(s, dir).count().toDouble) /
+        math.log(2)).ceil.toInt - 3))
     val banded = corpus.select(col("vec_id"), col("embedding"), col("split"),
       explode(array(
-        struct(lit(0).as("t"), srpBucketExpr(col("embedding"), 8, 0).as("b")),
-        struct(lit(1).as("t"), srpBucketExpr(col("embedding"), 8, 8).as("b")),
-        struct(lit(2).as("t"), srpBucketExpr(col("embedding"), 8, 16).as("b"))
+        struct(lit(0).as("t"), srpBucketExpr(col("embedding"), bits, 0).as("b")),
+        struct(lit(1).as("t"), srpBucketExpr(col("embedding"), bits, 16).as("b")),
+        struct(lit(2).as("t"), srpBucketExpr(col("embedding"), bits, 32).as("b"))
       )).as("tb"))
     banded.as("a").join(banded.as("b"),
         col("a.tb") === col("b.tb") && col("a.vec_id") < col("b.vec_id"))

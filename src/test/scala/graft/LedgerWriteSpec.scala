@@ -166,6 +166,26 @@ class LedgerWriteSpec extends AnyFunSuite {
     assert(Files.exists(root.resolve("_commits").resolve("qtest-5")))
   }
 
+  test("written topics stream through the micro-batch source end to end") {
+    // full producer→consumer loop: batch-append a topic, then consume it
+    // with the streaming read path (offsets, admission, bounded readers)
+    val root = newTopic("loop")
+    append(root, Seq((0, "w1", "v1"), (1, "w2", "v2"), (0, "w3", "v3")))
+    val out = Files.createTempDirectory("graft_write_loop_out").toString
+    val ckpt = Files.createTempDirectory("graft_write_loop_ckpt").toString
+    val q = spark.readStream.format("graft-ledger")
+      .option("path", root.toString).load()
+      .selectExpr("partition", "key", "CAST(value AS STRING) AS v")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((0, "w1", "v1"), (1, "w2", "v2"), (0, "w3", "v3")))
+  }
+
   test("INSERT INTO a DDL-created ledger table appends with log-assigned ids") {
     val root = newTopic("ddl")
     spark.sql("DROP TABLE IF EXISTS ledger_w")

@@ -93,6 +93,20 @@ class PlanSpec extends AnyFunSuite {
       s"PQ assignment not a partial min_by aggregation:\n$plan")
   }
 
+  test("q62 banded leakage joins on buckets — no nested-loop cartesian like q56") {
+    // q56's exact form is a BroadcastNestedLoopJoin by declared design;
+    // the q62 scale sibling must candidate via the (table, bucket)
+    // equi-join — a regression to a cartesian would silently reintroduce
+    // the O(n²) scan this query exists to remove
+    val plan = physical(VectorQueries.embeddingLeakPairsLsh(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"banded candidates degenerated to a nested-loop join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"no equi-join on the band buckets:\n$plan")
+  }
+
   test("q47 as-of is one user_id exchange + window — no join, no pair blowup") {
     // AQE prints "Final Plan" then "Initial Plan" — judge the final only
     val plan = physical(RelationalQueries.defs("q47_asof_latest_click")(spark, dir))
