@@ -186,6 +186,35 @@ class LedgerWriteSpec extends AnyFunSuite {
     assert(got == Set((0, "w1", "v1"), (1, "w2", "v2"), (0, "w3", "v3")))
   }
 
+  test("property: random newline-free payloads round-trip byte-for-byte") {
+    // seeded property run (scalacheck spirit): arbitrary printable keys
+    // and comma/unicode-bearing payloads must survive write → read
+    // unchanged — the line format's only exclusions are newlines in
+    // payloads and commas/newlines in keys
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val keyChars = (('a' to 'z') ++ ('0' to '9')).mkString
+    def randKey() = (0 until 1 + rnd.nextInt(8))
+      .map(_ => keyChars(rnd.nextInt(keyChars.length))).mkString
+    val payloadChars = keyChars + ",;|{}[]\"'=:€ñ中 "
+    def randPayload() = (0 until rnd.nextInt(40))
+      .map(_ => payloadChars(rnd.nextInt(payloadChars.length))).mkString
+    val rows = (0 until 200).map { i =>
+      (rnd.nextInt(3), s"${randKey()}_$i", randPayload())
+    }
+    val root = newTopic("prop")
+    rows.toDF("partition", "key", "v")
+      .select(col("partition"), col("key"),
+        encode(col("v"), "UTF-8").as("value"))
+      .write.format("graft-ledger").option("path", root.toString)
+      .mode("append").save()
+    val got = readBack(root).select("partition", "key", "value").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        new String(r.getAs[Array[Byte]](2), StandardCharsets.UTF_8))).toSet
+    assert(got == rows.toSet,
+      s"missing=${(rows.toSet -- got).take(3)} extra=${(got -- rows.toSet).take(3)}")
+  }
+
   test("INSERT INTO a DDL-created ledger table appends with log-assigned ids") {
     val root = newTopic("ddl")
     spark.sql("DROP TABLE IF EXISTS ledger_w")
