@@ -192,6 +192,29 @@ object Dev {
         val total = nParts.toLong * perPart
         require(finished, s"ledgerbench did not finish within 300 s")
         println(f"[dev] ledger source: $total entries in $secs%.2f s = ${total / secs}%.0f entries/s (${total / secs / nParts}%.0f per partition; reference cap 1000/s/partition)")
+
+      case Some("writebench") =>
+        // write-path throughput: 400k entries through the DSv2 batch
+        // append (encode → staged pieces → merged segments → atomic
+        // publish), then a full read-back count validates what landed.
+        // The reference has no producer to benchmark (PulsarProducer is a
+        // stub); this documents the engine's own write envelope.
+        import org.apache.spark.sql.functions._
+        val wtopic = java.nio.file.Files.createTempDirectory("writebench_topic")
+        val n = 400000L
+        val df = spark.range(n).select(
+          (col("id") % 8).cast("int").as("partition"),
+          concat(lit("k"), col("id")).as("key"),
+          encode(concat(lit("{\"payload\":\"entry-"), col("id"), lit("\"}")),
+            "UTF-8").as("value"))
+        val t0 = System.nanoTime()
+        df.write.format("graft-ledger").option("path", wtopic.toString)
+          .mode("append").save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val back = spark.read.format("graft-ledger")
+          .option("path", wtopic.toString).load().count()
+        require(back == n, s"read-back $back != $n")
+        println(f"[dev] ledger write: $n entries in $secs%.2f s = ${n / secs}%.0f entries/s (read-back verified)")
       case Some("ledger") =>
         // drive the DSv2 ledger source end-to-end: write a topic dir, read
         // it rate-limited through the public format("graft-ledger") API
