@@ -32,7 +32,11 @@ import org.apache.spark.sql.types._
   *    never read) into one NEW segment per partition, published with an
   *    atomic rename — readers either see the whole segment or none of
   *    it, and existing segments are never rewritten (the BucketedUpsert
-  *    touched-state-only discipline at the segment layer);
+  *    touched-state-only discipline at the segment layer). The merge is
+  *    driver-local file concatenation — the single-file-emulation
+  *    stand-in for a broker's server-side segment append; callers that
+  *    `repartition(col("partition"))` upstream hand commit one piece per
+  *    partition, keeping it one sequential copy per segment;
   *  - streaming commits are idempotent per (queryId, epochId): a
   *    manifest written before any rename records the merged-tmp → final
   *    segment plan, so a retried epoch re-executes the SAME plan
