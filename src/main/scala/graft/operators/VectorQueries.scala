@@ -254,7 +254,10 @@ object VectorQueries {
     // and ADC-score each query ONLY against codes in its nprobe probed
     // cells — q57's one corpus-linear stage (its ADC join touches every
     // code per query batch) drops to ~nprobe/nlist of the corpus, which
-    // QueriesSpec pins with a row-count assertion. At 100 TB the
+    // QueriesSpec pins with a row-count assertion. nprobe=4 (vs the q46
+    // exact-IVF's 3): the diffuse synthetic cells cost the PQ composition
+    // a probe to hold recall at q57's own bound (0.61 vs 0.46 at 3, for
+    // 0.4 vs 0.3 of the corpus scanned). At 100 TB the
     // inverted file is the partitioning (shuffle once on cell_id), codes
     // are 16× smaller than raw floats, centroids + codebooks + per-query
     // ADC tables all broadcast, and the exact re-rank touches only
@@ -268,7 +271,7 @@ object VectorQueries {
       val subvecs = pqSubvecs(normed)
       val cb = pqCodebook(normed, subvecs)
       val codes = pqAssign(subvecs, cb)
-      val probes = probeCells(e, cent, nprobe = 3)
+      val probes = probeCells(e, cent, nprobe = 4)
         .select(col("q_id"), col("cell"))
       val tables = pqAdcTables(subvecs, cb)
       val approx = codes.join(cellOf, "vec_id")

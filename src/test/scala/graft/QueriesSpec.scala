@@ -140,8 +140,9 @@ class QueriesSpec extends AnyFunSuite {
     val recall = (ivfpq & brute).size.toDouble / brute.size
     println(s"[q63] recall vs brute force: $recall")
     // composition loses recall twice (cell pruning × code quantization);
-    // it must still beat the ~30% scan fraction it pays for
-    assert(recall >= 0.35, s"IVF-PQ recall $recall < 0.35")
+    // nprobe=4 holds it at q57's own bound (measured 0.61) while still
+    // scanning only ~40% of the corpus codes
+    assert(recall >= 0.55, s"IVF-PQ recall $recall < 0.55")
     // the point of the composition: the ADC stage scores only codes in
     // probed cells — ~nprobe/nlist of the (query × corpus) pairs q57's
     // corpus-linear ADC join feeds through its lookup tables
@@ -149,7 +150,7 @@ class QueriesSpec extends AnyFunSuite {
     val cent = VectorQueries.trainCells(e)
     val cellOf = VectorQueries.assignCells(e, cent)
       .select(col("vec_id"), col("cell"))
-    val probes = VectorQueries.probeCells(e, cent, nprobe = 3)
+    val probes = VectorQueries.probeCells(e, cent, nprobe = 4)
       .select(col("q_id"), col("cell"))
     val probedPairs = cellOf.join(probes, Seq("cell")).count()
     val fullPairs = e.count() * 20 // q57 scores every vector per query
