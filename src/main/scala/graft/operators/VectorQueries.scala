@@ -157,13 +157,15 @@ object VectorQueries {
 
     // Embedding-cosine near-dup at scale: the full dedup pipeline shape —
     // corpus (with planted perturbed duplicates, deterministic hash noise)
-    // → 2 independent 8-bit SRP hash tables (OR-amplification) → bucket
-    // self-join candidates → exact-cosine verify ≥ 0.95 → greedy keep
-    // lowest id → per-label kept summary. Shuffle key is (table, bucket):
-    // Σ bucket² bounds the candidate join, the pair list is tiny vs the
-    // corpus so the final anti-join broadcasts — same shape as q38 for
-    // text. Rows-only oracle (hash seeds aren't SQL); QueriesSpec
-    // proves planted-pair recall ≥ 0.9 and zero false positives.
+    // → 2 independent corpus-adaptive SRP hash tables (OR-amplification;
+    // width from srpBandBits so the self-join's buckets stay ~8 deep at
+    // any scale) → bucket self-join candidates → exact-cosine verify
+    // ≥ 0.95 → greedy keep lowest id → per-label kept summary. Shuffle
+    // key is (table, bucket): Σ bucket² bounds the candidate join, the
+    // pair list is tiny vs the corpus so the final anti-join broadcasts —
+    // same shape as q38 for text. Rows-only oracle (hash seeds aren't
+    // SQL); QueriesSpec proves planted-pair recall ≥ 0.9 and zero false
+    // positives.
     "q45_cosine_neardup_keep" -> ((s, dir) => {
       val base = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding"), col("label"))
@@ -172,10 +174,11 @@ object VectorQueries {
           perturbUdf(0.02)(col("embedding"), col("vec_id")).as("embedding"),
           col("label"))
       val corpus = base.unionByName(planted)
+      val bits = srpBandBits(s, dir)
       val banded = corpus.select(col("vec_id"), col("embedding"),
         explode(array(
-          struct(lit(0).as("t"), srpBucketExpr(col("embedding"), 8, 0).as("b")),
-          struct(lit(1).as("t"), srpBucketExpr(col("embedding"), 8, 8).as("b"))
+          struct(lit(0).as("t"), srpBucketExpr(col("embedding"), bits, 0).as("b")),
+          struct(lit(1).as("t"), srpBucketExpr(col("embedding"), bits, 16).as("b"))
         )).as("tb"))
       val cand = banded.as("a").join(banded.as("b"),
           col("a.tb") === col("b.tb") && col("a.vec_id") < col("b.vec_id"))
@@ -529,6 +532,22 @@ object VectorQueries {
       .orderBy("q_id", "rk")
   }
 
+  /** Corpus-adaptive SRP band width for the SELF-joining LSH queries
+    * (q45/q62): a fixed width turns the bucket join quadratic once the
+    * corpus outgrows its 2^bits bucket space, so the width tracks
+    * ≈ log₂(n)−3 (clamped [8,16]) — buckets stay ~8 rows deep at any
+    * scale, the way production LSH sizes its tables. Sized off the base
+    * table's parquet row-count statistics (metadata only, no scan); the
+    * planted +20% doesn't move log₂. Per-query ANN banding (q34/q37)
+    * deliberately does NOT use this: there the corpus side is probed by
+    * a fixed small query set, so candidates stay linear in n per query
+    * and the band width is a pure recall/cost dial.
+    */
+  private[graft] def srpBandBits(s: SparkSession, dir: String): Int =
+    math.min(16, math.max(8,
+      (math.log(Tables.embeddings(s, dir).count().toDouble) /
+        math.log(2)).ceil.toInt - 3))
+
   /** q62's corpus: embeddings + planted near-dup contamination (the q45
     * pattern — every 5th vector re-identified to +1_000_000, which draws
     * an independent md5 split, and perturbed with eps=0.02 hash noise),
@@ -560,11 +579,7 @@ object VectorQueries {
     */
   private[graft] def embeddingLeakPairsLsh(s: SparkSession, dir: String): DataFrame = {
     val corpus = leakCorpus(s, dir)
-    // size the bands off the base table's metadata count (parquet
-    // row-count statistics — no scan); the planted +20% doesn't move log₂
-    val bits = math.min(16, math.max(8,
-      (math.log(Tables.embeddings(s, dir).count().toDouble) /
-        math.log(2)).ceil.toInt - 3))
+    val bits = srpBandBits(s, dir)
     val banded = corpus.select(col("vec_id"), col("embedding"), col("split"),
       explode(array(
         struct(lit(0).as("t"), srpBucketExpr(col("embedding"), bits, 0).as("b")),

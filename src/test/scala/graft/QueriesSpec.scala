@@ -408,6 +408,23 @@ class QueriesSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("q64's oracle-checked grouping is consistent with the q40 flagship") {
+    // q64 runs the SAME dedupAndCap as q40 at cap=20 (q40 caps at 100,
+    // which never binds on this corpus) — so per user, q64's n_points
+    // must equal min(q40's n_points, 20): the flagship's grouping half
+    // is thereby transitively tied to the DuckDB oracle
+    val q40 = GeoQueries.defs("q40_best_location")(spark, dir)
+      .select("user_id", "n_points").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val q64 = GeoQueries.defs("q64_dedup_cap_counts")(spark, dir)
+      .select("user_id", "n_points").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(q40.keySet == q64.keySet)
+    q40.foreach { case (u, n) =>
+      assert(q64(u) == math.min(n, 20), s"user $u: q40=$n q64=${q64(u)}")
+    }
+  }
+
   test("q48 approx sketches land within tolerance of exact answers") {
     val approx = RelationalQueries.defs("q48_approx_stats")(spark, dir)
       .collect().map(r => r.getString(0) ->
