@@ -74,5 +74,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.expressions.SrpBucket(args(0), intLit(1, "nPlanes"),
           if (args.length == 3) intLit(2, "offset") else 0)
       }))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_band_keys"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.MinHashBandKeys].getName,
+        "minhash_band_keys"),
+      (args: Seq[Expression]) => {
+        checkArity("minhash_band_keys",
+          "minhash_band_keys(shingles, numHashes, bands, rows)", 4, args)
+        def intLit(i: Int, name: String): Int = args(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "SEED_EXPRESSION_IS_UNFOLDABLE",
+            messageParameters = Map(
+              "seedExpr" -> s"$name argument of minhash_band_keys",
+              "exprWithSeed" ->
+                "minhash_band_keys(shingles, numHashes, bands, rows) requires integer literals"))
+        }
+        graft.functions.expressions.MinHashBandKeys(args(0),
+          intLit(1, "numHashes"), intLit(2, "bands"), intLit(3, "rows"))
+      }))
   }
 }

@@ -43,11 +43,16 @@ object TextQueries {
     * corpora would raise `rows` to sharpen the S-curve and cut marginal
     * candidates; the verify stage keeps the answer exact either way.
     */
-  /** (doc_id, shingles) → LSH band table (bucket, doc_id). */
+  /** (doc_id, shingles) → LSH band table (bucket, doc_id). The fused
+    * native expression replaces the minhashUdf→lshBandsUdf chain with
+    * one codegen call; bucket keys are string-identical — see
+    * TextExpressions (incl. the honest perf note).
+    */
   private[graft] def bandedOf(docs: DataFrame, numHashes: Int = 64,
       bands: Int = 32, rows: Int = 2): DataFrame =
     docs.select(col("doc_id"),
-      explode(lshBandsUdf(bands, rows)(minhashUdf(numHashes)(col("shingles")))).as("bucket"))
+      explode(graft.functions.expressions.TextExpressions
+        .minhashBandKeysExpr(col("shingles"), numHashes, bands, rows)).as("bucket"))
 
   /** DataFrame-level LSH pair core shared by the batch queries (q29/q38/
     * q52) and the streaming admission filter: band self-join candidates,

@@ -87,6 +87,29 @@ class GeoExpressionsSpec extends AnyFunSuite {
     assert(bad.getMessage.toLowerCase.contains("srp_bucket"), bad.getMessage)
   }
 
+  test("minhash_band_keys is SQL-callable and matches the Column form") {
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.functions.TextFunctions.wordNgramsUdf
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(50)
+      .select(col("doc_id"), wordNgramsUdf(3)(col("text")).as("shingles"))
+      .createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id, explode(minhash_band_keys(shingles, 64, 32, 2)) AS b
+        |FROM docs_sql""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaCol = spark.table("docs_sql")
+      .select(col("doc_id"), explode(graft.functions.expressions.TextExpressions
+        .minhashBandKeysExpr(col("shingles"), 64, 32, 2)).as("b"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_band_keys(shingles, doc_id, 32, 2) FROM docs_sql")
+        .collect()
+    }
+    assert(bad.getMessage.toLowerCase.contains("minhash_band_keys"), bad.getMessage)
+  }
+
   test("native SrpBucket expression is bit-identical to the UDF form") {
     import org.apache.spark.sql.functions.col
     import graft.functions.VectorFunctions.{srpBucketUdf, srpBucketAtUdf}

@@ -37,6 +37,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(!row.isNullAt(row.fieldIndex("best_lat")))
   }
 
+  test("native minhash_band_keys equals the UDF chain bucket-for-bucket") {
+    import graft.functions.TextFunctions.{wordNgramsUdf, minhashUdf, lshBandsUdf}
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), wordNgramsUdf(3)(col("text")).as("shingles"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaExpr = pairs(docs.select(col("doc_id"),
+      explode(graft.functions.expressions.TextExpressions
+        .minhashBandKeysExpr(col("shingles"), 64, 32, 2)).as("bucket")))
+    val viaUdf = pairs(docs.select(col("doc_id"),
+      explode(lshBandsUdf(32, 2)(minhashUdf(64)(col("shingles")))).as("bucket")))
+    assert(viaExpr == viaUdf,
+      s"missing=${(viaUdf -- viaExpr).take(3)} extra=${(viaExpr -- viaUdf).take(3)}")
+  }
+
   test("MinHash-LSH finds exactly the high-jaccard pairs (vs exact shingle join)") {
     val exact = TextQueries.defs("q28_jaccard_pairs")(spark, dir)
       .filter(col("jac") >= 0.5)
