@@ -157,6 +157,45 @@ class LedgerSourceSpec extends AnyFunSuite {
         .option("jsonSchema", "x ARRAY<INT>").load()
     }
     assert(badType.getMessage.contains("unsupported field type"), badType.getMessage)
+    // the write path's bucket-count option validates like any other
+    val badWp = intercept[Exception] {
+      spark.readStream.format("graft-ledger")
+        .option("path", topic.toString)
+        .option("writePartitions", "0").load()
+    }
+    assert(badWp.getMessage.contains("must be > 0"), badWp.getMessage)
+  }
+
+  test("property: advance/backlog/entriesBetween agree on random gapped logs") {
+    // seeded sweep over random sparse-ledger configurations (the shape
+    // retention produces): for any cursor and any n,
+    //   entriesBetween(cur, advance(cur, n)) == min(n, backlog(cur))
+    // and advance is monotone + idempotent at the end of the log
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 200) {
+      val nLedgers = 1 + rnd.nextInt(6)
+      var id = rnd.nextInt(3).toLong
+      val ledgers = (0 until nLedgers).map { _ =>
+        val l = LedgerInfo(id, rnd.nextInt(5).toLong) // empties included
+        id += 1 + rnd.nextInt(4) // gaps included
+        l
+      }
+      val first = ledgers.head.ledgerId
+      val cur = Cursor(first + rnd.nextInt(math.max(1, id.toInt)),
+        rnd.nextInt(6).toLong)
+      val n = rnd.nextInt(12).toLong
+      val b = LedgerSource.backlog(ledgers, cur)
+      val adv = LedgerSource.advance(ledgers, cur, n)
+      val moved = LedgerSource.entriesBetween(ledgers, cur, adv)
+      assert(moved == math.min(n, b),
+        s"ledgers=$ledgers cur=$cur n=$n: moved=$moved backlog=$b")
+      // nothing remains past a full drain; advancing further is a no-op
+      val end = LedgerSource.advance(ledgers, cur, b + 10)
+      assert(LedgerSource.backlog(ledgers, end) == 0,
+        s"ledgers=$ledgers cur=$cur: drain left backlog")
+      assert(LedgerSource.advance(ledgers, end, 5) == end,
+        s"ledgers=$ledgers: advance past end moved")
+    }
   }
 
   test("secret option values are redacted from rendering and errors") {
