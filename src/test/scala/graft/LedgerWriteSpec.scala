@@ -215,6 +215,32 @@ class LedgerWriteSpec extends AnyFunSuite {
       s"missing=${(rows.toSet -- got).take(3)} extra=${(got -- rows.toSet).take(3)}")
   }
 
+  test("written JSON payloads decode typed columns through format=json") {
+    // write path composed with the in-source decoder: payloads written by
+    // the engine read back as typed columns with per-field pruning
+    import spark.implicits._
+    val root = newTopic("json")
+    Seq((0, "j1", """{"name":"ada","qty":3}"""),
+        (0, "j2", """{"name":"bob","qty":7}"""),
+        (0, "j3", """not json at all"""))
+      .toDF("partition", "key", "v")
+      .select(col("partition"), col("key"), col("v").cast("binary").as("value"))
+      .write.format("graft-ledger").option("path", root.toString)
+      .mode("append").save()
+    val typed = spark.read.format("graft-ledger")
+      .option("path", root.toString)
+      .option("format", "json")
+      .option("jsonSchema", "name STRING, qty INT")
+      .load()
+      .select("key", "name", "qty").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSet
+    assert(typed == Set(
+      ("j1", Some("ada"), Some(3)),
+      ("j2", Some("bob"), Some(7)),
+      ("j3", None, None)), typed.toString) // malformed → nulls, not a crash
+  }
+
   test("INSERT INTO a DDL-created ledger table appends with log-assigned ids") {
     val root = newTopic("ddl")
     spark.sql("DROP TABLE IF EXISTS ledger_w")
