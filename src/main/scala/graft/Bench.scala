@@ -75,10 +75,15 @@ object Bench {
       val times = sweeps.map(_.toMap.apply(name)).sorted
       name -> times(1)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision: full doubles push the line past the driver's
+    // 2000-char tail capture (r03/r04 both recorded parsed=null from a
+    // mid-line truncation), and sub-ms digits are pure measurement noise
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
