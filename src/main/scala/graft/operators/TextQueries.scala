@@ -465,6 +465,145 @@ object TextQueries {
         .select(col("doc_id"), size(col("fps")).as("n_fps"),
           array_min(col("fps")).as("min_fp"))
         .orderBy("doc_id")
+    }),
+
+    // Deterministic mixture downsampling — q59's sampling rates APPLIED:
+    // rebalance the corpus toward a uniform language mixture by keeping
+    // each doc iff a salted-md5 hash of its id falls under its language's
+    // sample rate. The hash-threshold keep decision is a pure function of
+    // (doc_id, rate): reproducible across engines, partitionings, and
+    // re-runs — rerunning the pipeline after adding docs never flips the
+    // verdict on an old doc (the property reservoir/random sampling lacks).
+    // Plan: tiny per-lang rate table (cardinality = #langs, bounded) built
+    // with a one-row-per-lang window, broadcast to the corpus scan, one
+    // agg shuffle. The 16-bit hash bucket divides by 2^16 exactly, so the
+    // `< rate` compare has no float ambiguity against the oracle.
+    "q65_mixture_downsample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = Window.partitionBy(lit(1)) // input = per-lang agg, bounded
+      val rates = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("share",
+          col("n_docs") / sum(col("n_docs")).over(w).cast("double"))
+        .withColumn("target_share",
+          lit(1.0) / count(lit(1)).over(w).cast("double"))
+        .select(col("lang"),
+          round(least(lit(1.0), col("target_share") / col("share")), 4)
+            .as("sample_rate"))
+      val bucket = conv(substring(
+        md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 4),
+        16, 10).cast("long")
+      docs.join(broadcast(rates), "lang")
+        .withColumn("keep", bucket / lit(65536.0) < col("sample_rate"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("sample_rate")).as("sample_rate"),
+          sum(when(col("keep"), 1).otherwise(0)).cast("long").as("n_kept"),
+          coalesce(sum(when(col("keep"), col("doc_id"))), lit(0L))
+            .as("id_checksum"))
+        .orderBy("lang")
+    }),
+
+    // PII scrub (redaction) — emails, phone numbers, IPv4 addresses
+    // replaced with typed placeholders, with per-source redaction counts.
+    // The corpus is synthetic word-soup with no real PII, so the query
+    // first injects deterministic PII derived from doc_id (one email, one
+    // phone, one IP per doc) and then scrubs it — the operator is
+    // exercised on known-positive input and the oracle checks both the
+    // match counts and the scrubbed text lengths. Patterns are kept in
+    // the Java∩RE2 common dialect so Spark and DuckDB agree. Per-row
+    // bounded regex work + one agg shuffle — scales linearly.
+    "q66_pii_scrub" -> ((s, dir) => {
+      val emailRe = "[A-Za-z0-9.]+@[A-Za-z0-9]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+1-555-\\d{4}"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val raw = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.1"))
+      val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+        col("raw"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>")
+      Tables.documents(s, dir)
+        .select(col("source"), raw.as("raw"))
+        .select(col("source"),
+          regexp_count(col("raw"), lit(emailRe)).as("n_email"),
+          regexp_count(col("raw"), lit(phoneRe)).as("n_phone"),
+          regexp_count(col("raw"), lit(ipRe)).as("n_ip"),
+          length(scrubbed).as("scrubbed_len"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_email").as("n_emails"),
+          sum("n_phone").as("n_phones"),
+          sum("n_ip").as("n_ips"),
+          sum("scrubbed_len").as("scrubbed_chars"))
+        .orderBy("source")
+    }),
+
+    // Bigram conditional surprisal — q60's unigram filter upgraded to a
+    // first-order language model: per-doc avg -log p(w2|w1) with
+    // p(w2|w1) = c(w1 w2) / c(w1·) over the corpus. Repetitive/template
+    // docs score near 0 (their bigrams are predictable), diverse docs
+    // score high. Bigrams are built with array zip_with (pure Column
+    // math, no window/shuffle per doc); the bigram table is checkpointed
+    // once and feeds both count tables plus the scoring join. Unlike
+    // q60's vocabulary table, the bigram table is O(V²)-unbounded, so
+    // the scoring join is a plain shuffle join on the bigram key — NOT a
+    // forced broadcast (AQE may still choose one at small SF).
+    "q67_bigram_surprisal" -> ((s, dir) => {
+      val t = tokens(col("text"))
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), t.as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(zip_with(
+            slice(col("t"), lit(1), size(col("t")) - 1),
+            slice(col("t"), lit(2), size(col("t")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bg"))
+        .localCheckpoint() // 3 consumers: c2, c1, scoring join
+      val f2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      val f1 = bg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+        .agg(count(lit(1)).as("c1"))
+      val p = f2.withColumn("w1", substring_index(col("bg"), " ", 1))
+        .join(f1, "w1")
+        .select(col("bg"), (col("c2") / col("c1").cast("double")).as("p"))
+      bg.join(p, "bg")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(avg(-log(col("p"))).as("surprisal"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("surprisal"), 4).as("avg_surprisal"),
+          round(max("surprisal"), 4).as("max_surprisal"))
+        .orderBy("source")
+    }),
+
+    // Eval-set contamination by exact n-gram collision — the classic
+    // "does any eval doc share a long n-gram with train" check, the
+    // exact-overlap complement of q55's Jaccard-near-dup leakage: q55
+    // catches whole-document near-dups, this catches verbatim phrase
+    // reuse between splits (5-gram here ≈ the 8-13 gram checks at real
+    // corpus scale, scaled to these short synthetic docs). Plan: one
+    // distinct over (doc_id, gram), split assignment is a pure hash of
+    // doc_id, then a single shuffle join keyed on the gram. At 100 TB
+    // the standard hardening applies: drop ultra-frequent grams first
+    // (they indicate boilerplate, not contamination) — same hot-key cap
+    // machinery as lshPairsFromDocs.
+    "q68_ngram_contamination" -> ((s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(wordNgramsUdf(5)(col("text"))).as("g"))
+        .distinct()
+        .withColumn("split", splitAssign(col("doc_id")))
+        .localCheckpoint() // feeds both sides of the train/eval join
+      val train = grams.filter(col("split") === "train")
+        .select(col("g")).distinct()
+      val j = grams.filter(col("split") =!= "train")
+        .join(train, "g")
+        .localCheckpoint() // 2 consumers: gram count, doc count
+      val sharedGrams = j.select(col("split"), col("g")).distinct()
+        .groupBy(col("split")).agg(count(lit(1)).as("n_shared_grams"))
+      val docsHit = j.select(col("split"), col("doc_id")).distinct()
+        .groupBy(col("split")).agg(count(lit(1)).as("n_contaminated_docs"))
+      sharedGrams.join(docsHit, "split").orderBy("split")
     })
   )
 
@@ -754,6 +893,88 @@ object TextQueries {
         |FROM pairs p JOIN counts c1 ON p.d1 = c1.doc_id
         |JOIN counts c2 ON p.d2 = c2.doc_id
         |WHERE p.shared / (c1.n + c2.n - p.shared) >= 0.3
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // hex→int spelled with strpos so it works on any DuckDB (no from_hex
+    // dependency); bucket/65536.0 is exact binary division on both sides
+    "q65_mixture_downsample" ->
+      """WITH b AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT lang, n_docs,
+        |        n_docs / CAST((SELECT sum(n_docs) FROM b) AS DOUBLE) AS share,
+        |        1.0 / (SELECT count(*) FROM b) AS target_share FROM b),
+        |r AS (SELECT lang, round(least(1.0, target_share / share), 4) AS sample_rate FROM t),
+        |k AS (SELECT d.lang, d.doc_id, r.sample_rate,
+        |        (((strpos('0123456789abcdef', substring(h,1,1))-1)*4096
+        |         +(strpos('0123456789abcdef', substring(h,2,1))-1)*256
+        |         +(strpos('0123456789abcdef', substring(h,3,1))-1)*16
+        |         +(strpos('0123456789abcdef', substring(h,4,1))-1)) / 65536.0) < r.sample_rate AS keep
+        |      FROM (SELECT lang, doc_id, substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h
+        |            FROM documents) d JOIN r USING(lang))
+        |SELECT lang, count(*) AS n_docs, min(sample_rate) AS sample_rate,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(sum(CASE WHEN keep THEN doc_id END), 0) AS BIGINT) AS id_checksum
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q66_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT source,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS raw
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(raw, '[A-Za-z0-9.]+@[A-Za-z0-9]+\.[A-Za-z]{2,}')) AS n_email,
+        |    len(regexp_extract_all(raw, '\+1-555-\d{4}')) AS n_phone,
+        |    len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |    len(regexp_replace(regexp_replace(regexp_replace(raw,
+        |      '[A-Za-z0-9.]+@[A-Za-z0-9]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+1-555-\d{4}', '<PHONE>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS scrubbed_len
+        |  FROM aug)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_email) AS BIGINT) AS n_emails,
+        |  CAST(sum(n_phone) AS BIGINT) AS n_phones,
+        |  CAST(sum(n_ip) AS BIGINT) AS n_ips,
+        |  CAST(sum(scrubbed_len) AS BIGINT) AS scrubbed_chars
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q67_bigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, source, array_to_string(t[i:i+1], ' ') AS bg
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
+        |  WHERE len(t) >= 2),
+        |f2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+        |f1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |p AS (SELECT f2.bg, f2.c2 / CAST(f1.c1 AS DOUBLE) AS p
+        |      FROM f2 JOIN f1 ON split_part(f2.bg, ' ', 1) = f1.w1),
+        |per AS (
+        |  SELECT b.doc_id, b.source, avg(-ln(p.p)) AS surprisal
+        |  FROM bg b JOIN p ON b.bg = p.bg GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  round(avg(surprisal), 4) AS avg_surprisal,
+        |  round(max(surprisal), 4) AS max_surprisal
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q68_ngram_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+        |      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-4)) AS i) gg
+        |      WHERE len(t) >= 5),
+        |sp AS (SELECT doc_id,
+        |         CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'valid'
+        |              WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |              ELSE 'train' END AS split
+        |       FROM documents),
+        |gs AS (SELECT g.doc_id, sp.split, g.g FROM g JOIN sp USING(doc_id)),
+        |tr AS (SELECT DISTINCT g FROM gs WHERE split = 'train'),
+        |j AS (SELECT gs.split, gs.doc_id, gs.g FROM gs JOIN tr USING(g) WHERE gs.split <> 'train')
+        |SELECT split, count(DISTINCT g) AS n_shared_grams,
+        |  count(DISTINCT doc_id) AS n_contaminated_docs
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
