@@ -402,7 +402,8 @@ class LedgerScanBuilder(path: String, options: Map[String, String])
 }
 
 class LedgerScan(path: String, options: Map[String, String],
-                 required: StructType) extends Scan {
+                 required: StructType) extends Scan
+    with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new LedgerMicroBatchStream(path, options, required)
@@ -410,6 +411,25 @@ class LedgerScan(path: String, options: Map[String, String],
   // the reference's createRDD-over-OffsetRange path (S2), used by the
   // consistency checker to re-read exactly what a stream committed
   override def toBatch(): Batch = new LedgerBatchRead(path, options, required)
+
+  /** The scan's data IS clustered by the log partition (one InputPartition
+    * per `partition-<i>` dir, keyed via `HasPartitionKey`), so report it:
+    * with `spark.sql.sources.v2.bucketing.enabled`, a `GROUP BY partition`
+    * aggregation (the per-partition lag/throughput rollups a log operator
+    * runs constantly) and storage-partitioned joins against another scan
+    * of the same layout need NO Exchange — at 100 TB that's the difference
+    * between a metadata statement and reshuffling the whole log. Reported
+    * only when the `partition` column survives pruning (the key must
+    * resolve against the scan output) and the layout is non-empty.
+    */
+  override def outputPartitioning(): partitioning.Partitioning = {
+    val n = LedgerSource.listPartitions(LedgerSource.toLocalPath(path)).size
+    if (n > 0 && required.fieldNames.contains("partition"))
+      new partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity("partition")), n)
+    else new partitioning.UnknownPartitioning(0)
+  }
 }
 
 /** One-shot bounded read: [startOffsets, endOffsets) per partition,
@@ -636,8 +656,11 @@ class LedgerMicroBatchStream(path: String, options: Map[String, String],
 case class LedgerInputPartition(path: String, partition: Int,
     startLedger: Long, startEntry: Long, endLedger: Long, endEntry: Long,
     preferred: Array[String] = Array.empty)
-  extends InputPartition {
+  extends InputPartition with HasPartitionKey {
   override def preferredLocations(): Array[String] = preferred
+  // one split per log partition → the split key IS the partition id;
+  // lets BatchScanExec honor LedgerScan.outputPartitioning (key-grouped)
+  override def partitionKey(): InternalRow = InternalRow(partition)
 }
 
 class LedgerReaderFactory(

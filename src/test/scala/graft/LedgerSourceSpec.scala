@@ -121,6 +121,43 @@ class LedgerSourceSpec extends AnyFunSuite {
     assert(LedgerSource.countScans.get() == before + 2)
   }
 
+  test("reported key-grouped partitioning: GROUP BY partition has no Exchange") {
+    val topic = writeTopic()
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      import org.apache.spark.sql.functions._
+      val agg = spark.read.format("graft-ledger")
+        .option("path", topic.toString).load()
+        .groupBy("partition").agg(count(lit(1)).as("n"))
+      // the scan reports KeyGroupedPartitioning(partition) and every split
+      // carries its partition id (HasPartitionKey), so EnsureRequirements
+      // sees the clustered distribution already satisfied — the per-
+      // partition rollup runs shuffle-free on top of the scan
+      val plan = agg.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      val res = agg.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(res == Map(0 -> 10L, 1 -> 5L), res.toString)
+      // storage-partitioned join: two scans of the same layout joined on
+      // the partition key are co-clustered by report — no Exchange on
+      // either side (the J8 "replica-aligned" co-location, made real)
+      def scan() = spark.read.format("graft-ledger")
+        .option("path", topic.toString).load()
+      val spj = scan().groupBy("partition").agg(count(lit(1)).as("n"))
+        .join(scan().groupBy("partition")
+          .agg(max(col("entry_id")).as("maxe")), "partition")
+      val spjPlan = spj.queryExecution.executedPlan.toString()
+      assert(!spjPlan.contains("Exchange"), s"unexpected shuffle:\n$spjPlan")
+      assert(spj.collect().length == 2)
+      // pruning the partition column away must degrade gracefully to an
+      // unknown partitioning (the key can't resolve against the output) —
+      // same aggregate on `key` still answers correctly, with a shuffle
+      val byKey = spark.read.format("graft-ledger")
+        .option("path", topic.toString).load()
+        .select("key").groupBy("key").count()
+      assert(byKey.collect().map(_.getLong(1)).sum == 15L)
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
   test("unknown and invalid options fail loudly at load time") {
     val topic = writeTopic()
     // the classic silent-misconfig trap: a typo'd rate option
