@@ -604,6 +604,52 @@ object TextQueries {
       val docsHit = j.select(col("split"), col("doc_id")).distinct()
         .groupBy(col("split")).agg(count(lit(1)).as("n_contaminated_docs"))
       sharedGrams.join(docsHit, "split").orderBy("split")
+    }),
+
+    // Per-domain cap (crawl-domain balancing): keep at most 15 docs per
+    // source, ranked by quality — the standard guard against one domain
+    // flooding the mixture. (q quality desc, doc_id) is a total order, so
+    // the kept set is deterministic. One shuffle + per-key sort. At 100 TB
+    // a hot domain makes the per-key sort the bottleneck; the skew-proof
+    // form is the A2 capped top-K aggregator (Elections.dedupAndCap /
+    // BestLocationAgg pattern: O(cap) merge buffers, no full-group sort),
+    // which q64 already oracle-pins — this query states the operator in
+    // its window form where the oracle can recompute it row-for-row.
+    "q69_domain_cap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("q").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("q", qualityScore(col("text")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 15)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum("doc_id").as("id_checksum"),
+          round(min("q"), 6).as("min_quality"))
+        .orderBy("source")
+    }),
+
+    // Token-budget selection: per language, take docs best-quality-first
+    // until a fixed token budget is exhausted — how a mixture is actually
+    // drawn when the recipe says "2000 tokens of each language", not "N
+    // docs". Running-sum window over the same total order as q69; the
+    // cumulative count is monotone, so `cum <= budget` keeps exactly the
+    // affordable prefix. Same scale note as q69: per-key sort, hot-key
+    // skew handled by capped partial top-K at real scale.
+    "q70_token_budget" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("q").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .withColumn("q", qualityScore(col("text")))
+        .withColumn("ntok", tokenCount(col("text")))
+        .withColumn("cum", sum("ntok").over(w))
+        .filter(col("cum") <= 2000)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ntok").as("total_tokens"),
+          sum("doc_id").as("id_checksum"))
+        .orderBy("lang")
     })
   )
 
@@ -975,6 +1021,61 @@ object TextQueries {
         |j AS (SELECT gs.split, gs.doc_id, gs.g FROM gs JOIN tr USING(g) WHERE gs.split <> 'train')
         |SELECT split, count(DISTINCT g) AS n_shared_grams,
         |  count(DISTINCT doc_id) AS n_contaminated_docs
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q69_domain_cap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |q AS (
+        |  SELECT d.doc_id, d.source,
+        |    len(string_split_regex(trim(d.text), '\s+')) AS n_tok,
+        |    CASE WHEN len(tk.t) = 0 THEN 0.0
+        |      ELSE len(list_filter(tk.t, x -> x IN ('the','a','an','of','and','in','to','is','on','for'))) / CAST(len(tk.t) AS DOUBLE) END AS stop_r,
+        |    CASE WHEN len(regexp_replace(d.text, '\s', '', 'g')) = 0 THEN 0.0
+        |      ELSE len(regexp_replace(d.text, '[A-Za-z0-9\s]', '', 'g')) / CAST(len(regexp_replace(d.text, '\s', '', 'g')) AS DOUBLE) END AS punct_r
+        |  FROM documents d JOIN toks tk USING(doc_id)),
+        |f AS (
+        |  SELECT doc_id, source,
+        |    round(least(n_tok / 20.0, 1.0) * 0.4 +
+        |      (1.0 - least(punct_r * 4, 1.0)) * 0.3 +
+        |      least(stop_r * 5, 1.0) * 0.3, 6) AS qual
+        |  FROM q),
+        |r AS (
+        |  SELECT source, doc_id, qual,
+        |    row_number() OVER (PARTITION BY source ORDER BY qual DESC, doc_id) AS rk
+        |  FROM f)
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+        |  round(min(qual), 6) AS min_quality
+        |FROM r WHERE rk <= 15 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q70_token_budget" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |q AS (
+        |  SELECT d.doc_id, d.lang,
+        |    len(string_split_regex(trim(d.text), '\s+')) AS n_tok,
+        |    CASE WHEN len(tk.t) = 0 THEN 0.0
+        |      ELSE len(list_filter(tk.t, x -> x IN ('the','a','an','of','and','in','to','is','on','for'))) / CAST(len(tk.t) AS DOUBLE) END AS stop_r,
+        |    CASE WHEN len(regexp_replace(d.text, '\s', '', 'g')) = 0 THEN 0.0
+        |      ELSE len(regexp_replace(d.text, '[A-Za-z0-9\s]', '', 'g')) / CAST(len(regexp_replace(d.text, '\s', '', 'g')) AS DOUBLE) END AS punct_r
+        |  FROM documents d JOIN toks tk USING(doc_id)),
+        |f AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    round(least(n_tok / 20.0, 1.0) * 0.4 +
+        |      (1.0 - least(punct_r * 4, 1.0)) * 0.3 +
+        |      least(stop_r * 5, 1.0) * 0.3, 6) AS qual
+        |  FROM q),
+        |c AS (
+        |  SELECT lang, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY qual DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM f)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM c WHERE cum <= 2000 GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
