@@ -55,9 +55,12 @@ object GeoQueries {
         .orderBy("event_type")
     }),
 
-    // Geohash spatial index cells (UDF — no SQL equivalent in DuckDB, so
-    // rows-only; encode/decode exactness is pinned by GeoFunctionsSpec
-    // against public test vectors).
+    // Geohash spatial index cells. Encode/decode exactness is pinned by
+    // GeoFunctionsSpec against public test vectors, AND the DuckDB oracle
+    // re-derives the precision-5 hash with a recursive-CTE interval-
+    // halving (25 steps): every interval endpoint is a dyadic rational,
+    // so the double math is exact on both engines and the comparison
+    // cascade reproduces geohashEncodeScala bit-for-bit.
     "q23_geohash_cells" -> ((s, dir) => {
       geoEvents(s, dir)
         .withColumn("cell", geohashEncode(col("lat"), col("lng"), 5))
@@ -252,6 +255,48 @@ object GeoQueries {
         |  FROM f)
         |SELECT user_id, CAST(count(*) AS INT) AS n_points,
         |  CAST(sum(fts) AS BIGINT) AS ts_checksum
-        |FROM r WHERE rn <= 20 GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM r WHERE rn <= 20 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // interval-halving with strict `>` exactly as geohashEncodeScala;
+    // endpoints stay dyadic (k-th midpoints are j*360/2^k) so (lo+hi)/2
+    // is computed without rounding and the bits match the Scala loop
+    // bit-for-bit — verified identical on the full sf0.01 cell table
+    "q23_geohash_cells" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT event_id,
+        |    (user_id % 120) - 60 + value / 1000.0 AS lat,
+        |    (event_id % 340) - 170 + value / 1000.0 AS lng,
+        |    value
+        |  FROM events),
+        |steps AS (
+        |  SELECT event_id, lat, lng, value,
+        |    CAST(-90.0 AS DOUBLE) AS minlat, CAST(90.0 AS DOUBLE) AS maxlat,
+        |    CAST(-180.0 AS DOUBLE) AS minlng, CAST(180.0 AS DOUBLE) AS maxlng,
+        |    0 AS i, '' AS bits
+        |  FROM pts
+        |  UNION ALL
+        |  SELECT event_id, lat, lng, value,
+        |    CASE WHEN i % 2 = 1 AND lat > (minlat+maxlat)/2 THEN (minlat+maxlat)/2 ELSE minlat END,
+        |    CASE WHEN i % 2 = 1 AND NOT (lat > (minlat+maxlat)/2) THEN (minlat+maxlat)/2 ELSE maxlat END,
+        |    CASE WHEN i % 2 = 0 AND lng > (minlng+maxlng)/2 THEN (minlng+maxlng)/2 ELSE minlng END,
+        |    CASE WHEN i % 2 = 0 AND NOT (lng > (minlng+maxlng)/2) THEN (minlng+maxlng)/2 ELSE maxlng END,
+        |    i + 1,
+        |    bits || CASE WHEN i % 2 = 0
+        |      THEN (CASE WHEN lng > (minlng+maxlng)/2 THEN '1' ELSE '0' END)
+        |      ELSE (CASE WHEN lat > (minlat+maxlat)/2 THEN '1' ELSE '0' END) END
+        |  FROM steps WHERE i < 25),
+        |fin AS (SELECT event_id, value, bits FROM steps WHERE i = 25),
+        |ch AS (
+        |  SELECT event_id, value, g,
+        |    16*CAST(substring(bits, 5*g+1, 1) AS INT) + 8*CAST(substring(bits, 5*g+2, 1) AS INT)
+        |    + 4*CAST(substring(bits, 5*g+3, 1) AS INT) + 2*CAST(substring(bits, 5*g+4, 1) AS INT)
+        |    + CAST(substring(bits, 5*g+5, 1) AS INT) AS v
+        |  FROM fin, LATERAL (SELECT unnest(generate_series(0, 4)) AS g) t),
+        |cells AS (
+        |  SELECT event_id, value,
+        |    string_agg(substring('0123456789bcdefghjkmnpqrstuvwxyz', v+1, 1), '' ORDER BY g) AS cell
+        |  FROM ch GROUP BY 1, 2)
+        |SELECT cell, count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM cells GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin
   )
 }

@@ -192,13 +192,17 @@ object TextQueries {
         .orderBy("d1", "d2")
     }),
 
-    // MinHash + LSH banding: 32-hash signature, 8 bands × 4 rows. Candidate
-    // pairs = docs sharing a band bucket; verified with exact Jaccard on
-    // the candidates only. This is the scale path: shuffle key = band
-    // bucket, Σ bucket² ≪ n². Rows-only oracle (hash seeds aren't SQL);
-    // DedupSpec proves candidates ⊇ true pairs at jaccard ≥ 0.5.
+    // MinHash + LSH banding (the 32 bands × 2 rows production shape shared
+    // with q38/q52/q61): candidate pairs = docs sharing a band bucket,
+    // verified with exact Jaccard on the candidates only. This is the
+    // scale path: shuffle key = band bucket, Σ bucket² ≪ n². The banding
+    // S-curve gives P(candidate) = 0.9999 at the 0.5 verify threshold and
+    // 1-6e-15 at the corpus's weakest true pair (j=0.8, DedupSpec canary),
+    // so the answer equals the exact join's pair-for-pair — which is
+    // exactly what the oracle recomputes (the same LSH-losslessness
+    // statement q38/q52/q55/q61 already make end-to-end).
     "q29_minhash_lsh" -> ((s, dir) => {
-      lshNeardupPairs(s, dir, 0.5, numHashes = 32, bands = 8, rows = 4)
+      lshNeardupPairs(s, dir, 0.5)
         .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
         .orderBy("d1", "d2")
     }),
@@ -939,6 +943,31 @@ object TextQueries {
         |FROM pairs p JOIN counts c1 ON p.d1 = c1.doc_id
         |JOIN counts c2 ON p.d2 = c2.doc_id
         |WHERE p.shared / (c1.n + c2.n - p.shared) >= 0.3
+        |ORDER BY 1, 2""".stripMargin,
+
+    // the exact shingle self-join at the q29 verify threshold: the LSH
+    // path must reproduce it pair-for-pair (banding recall ≈ 1 at 32×2,
+    // pinned by the DedupSpec canary) — the same losslessness proof the
+    // q38/q52/q55/q61 oracles already make through their pipelines
+    "q29_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |shingles AS (
+        |  SELECT DISTINCT doc_id, s
+        |  FROM (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+        |        WHERE len(t) >= 3)),
+        |counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id d1, b.doc_id d2, count(*) shared
+        |  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.d1, p.d2,
+        |  round(p.shared / (c1.n + c2.n - p.shared), 4) AS jac
+        |FROM pairs p JOIN counts c1 ON p.d1 = c1.doc_id
+        |JOIN counts c2 ON p.d2 = c2.doc_id
+        |WHERE p.shared / (c1.n + c2.n - p.shared) >= 0.5
         |ORDER BY 1, 2""".stripMargin,
 
     // hex→int spelled with strpos so it works on any DuckDB (no from_hex
