@@ -403,7 +403,7 @@ class LedgerScanBuilder(path: String, options: Map[String, String])
 
 class LedgerScan(path: String, options: Map[String, String],
                  required: StructType) extends Scan
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsReportOrdering {
   override def readSchema(): StructType = required
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new LedgerMicroBatchStream(path, options, required)
@@ -429,6 +429,27 @@ class LedgerScan(path: String, options: Map[String, String],
         Array(org.apache.spark.sql.connector.expressions.Expressions
           .identity("partition")), n)
     else new partitioning.UnknownPartitioning(0)
+  }
+
+  /** Each split reads one log partition strictly in (ledger_id, entry_id)
+    * order — the log IS sorted — so report it and let the planner drop
+    * Sort nodes: a per-partition window (latest-entry dedup, offset-gap
+    * audit) or a sorted-merge against another log scan runs sort-free.
+    * `partition` leads the ordering (constant within a split, so
+    * trivially satisfied) to line up with windows PARTITION BY partition
+    * ORDER BY ledger_id, entry_id. Only reported when all three columns
+    * survive pruning — a reported ordering must resolve against the
+    * scan's output schema.
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val cols = Seq("partition", "ledger_id", "entry_id")
+    if (cols.forall(required.fieldNames.contains))
+      cols.map(c => org.apache.spark.sql.connector.expressions.Expressions
+        .sort(org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+        .toArray
+    else Array.empty
   }
 }
 

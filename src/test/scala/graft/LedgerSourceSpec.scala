@@ -148,6 +148,24 @@ class LedgerSourceSpec extends AnyFunSuite {
       val spjPlan = spj.queryExecution.executedPlan.toString()
       assert(!spjPlan.contains("Exchange"), s"unexpected shuffle:\n$spjPlan")
       assert(spj.collect().length == 2)
+      // reported ordering (partition, ledger_id, entry_id asc): a
+      // per-partition window over the log's native order needs neither
+      // Exchange (key-grouped) nor Sort (SupportsReportOrdering) — the
+      // latest-entry-per-partition dedup becomes a streaming pass
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("partition")
+        .orderBy(col("ledger_id"), col("entry_id"))
+      val windowed = scan()
+        .select(col("partition"), col("ledger_id"), col("entry_id"))
+        .withColumn("rn", row_number().over(w))
+      val wPlan = windowed.queryExecution.executedPlan.toString()
+      assert(!wPlan.contains("Exchange"), s"unexpected shuffle:\n$wPlan")
+      assert(!wPlan.contains("Sort"), s"unexpected sort:\n$wPlan")
+      // rn restates per-partition read order: contiguous from 1
+      val got = windowed.collect()
+      assert(got.length == 15)
+      val perPart = got.groupBy(_.getInt(0)).values
+      assert(perPart.forall(rs => rs.map(_.getInt(3)).sorted.sameElements(1 to rs.length)))
       // pruning the partition column away must degrade gracefully to an
       // unknown partitioning (the key can't resolve against the output) —
       // same aggregate on `key` still answers correctly, with a shuffle
