@@ -52,14 +52,6 @@ object TextFunctions {
     concat(wordNgrams(t, 2), wordNgrams(t, 3))
   }
 
-  /** Character k-shingles (for minhash). Pure Column math. */
-  def charShingles(c: Column, k: Int): Column = {
-    val s = trim(normalizeText(c))
-    when(length(s) < k, array(s)).otherwise(
-      transform(sequence(lit(1), length(s) - lit(k - 1)),
-        i => s.substr(i, lit(k))))
-  }
-
   /** Single-pass compiled word-n-gram shingling. Semantically identical to
     * `wordNgrams(tokens(c), n)` but ~10× faster on the hot dedup paths:
     * Catalyst's higher-order functions are interpreted and CollapseProject

@@ -127,4 +127,31 @@ class PlanSpec extends AnyFunSuite {
     assert(readSchema.contains("event_type") && !readSchema.contains("props"),
       s"distinct scan reads too much: $readSchema")
   }
+
+  test("q65 rate table broadcasts; both documents scans prune to used columns") {
+    val plan = physical(TextQueries.defs("q65_mixture_downsample")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-lang rate table not broadcast:\n$plan")
+    // neither scan may read the text payload: the rate side needs lang
+    // only, the keep side (lang, doc_id)
+    val schemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.nonEmpty && schemas.forall(!_.contains("text")),
+      s"downsample scans read the text payload: $schemas")
+  }
+
+  test("q67 bigrams come from zip_with, not a per-doc window") {
+    // a Window form would re-shuffle and sort the whole corpus by doc;
+    // the array form keeps bigram construction inside the scan projection
+    val plan = physical(TextQueries.defs("q67_bigram_surprisal")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), s"bigram build regressed to a window:\n$plan")
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+  }
+
+  test("q68 contamination candidates equi-join on the gram — no cartesian") {
+    val plan = physical(TextQueries.defs("q68_ngram_contamination")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"gram join degenerated:\n$plan")
+  }
 }
