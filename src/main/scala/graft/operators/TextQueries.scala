@@ -610,45 +610,79 @@ object TextQueries {
       sharedGrams.join(docsHit, "split").orderBy("split")
     }),
 
-    // Per-domain cap (crawl-domain balancing): keep at most 15 docs per
-    // source, ranked by quality — the standard guard against one domain
-    // flooding the mixture. (q quality desc, doc_id) is a total order, so
-    // the kept set is deterministic. One shuffle + per-key sort. At 100 TB
-    // a hot domain makes the per-key sort the bottleneck; the skew-proof
-    // form is the A2 capped top-K aggregator (Elections.dedupAndCap /
-    // BestLocationAgg pattern: O(cap) merge buffers, no full-group sort),
-    // which q64 already oracle-pins — this query states the operator in
-    // its window form where the oracle can recompute it row-for-row.
+    // Per-domain cap (crawl-domain balancing): keep the top 15 docs per
+    // source ranked by (quality desc, doc_id) — the standard guard
+    // against one domain flooding the mixture. Stated as a bounded-state
+    // typed Aggregator, NOT a window: a window partitioned by source
+    // sorts every domain's full history through one task (a hot domain =
+    // terabytes through one sort at 100 TB), while the aggregator's
+    // map-side combine discards everything below the local top-15, so a
+    // key's shuffle state is O(15) no matter how many docs it has. The
+    // oracle recomputes the identical answer with a row_number window —
+    // the form DuckDB can check row-for-row.
     "q69_domain_cap" -> ((s, dir) => {
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("q").desc, col("doc_id"))
+      import s.implicits._
+      val agg = new CorpusAggregators.TopKByQualityAgg(15)
       Tables.documents(s, dir)
         .withColumn("q", qualityScore(col("text")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 15)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_kept"),
-          sum("doc_id").as("id_checksum"),
-          round(min("q"), 6).as("min_quality"))
+        .select(col("source"), col("q"), col("doc_id"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .agg(agg.toColumn.name("top"))
+        .select(col("key").as("source"),
+          col("top.n_kept").as("n_kept"),
+          col("top.id_checksum").as("id_checksum"),
+          round(col("top.min_quality"), 6).as("min_quality"))
         .orderBy("source")
     }),
 
     // Token-budget selection: per language, take docs best-quality-first
     // until a fixed token budget is exhausted — how a mixture is actually
     // drawn when the recipe says "2000 tokens of each language", not "N
-    // docs". Running-sum window over the same total order as q69; the
-    // cumulative count is monotone, so `cum <= budget` keeps exactly the
-    // affordable prefix. Same scale note as q69: per-key sort, hot-key
-    // skew handled by capped partial top-K at real scale.
+    // docs". Two-phase cutoff form, NOT a corpus-wide running-sum window
+    // (lang cardinality is tiny, so that window would pull a fifth of a
+    // 100 TB corpus through one sorted task):
+    //   1. aggregate token totals per (lang, quality level) — quality is
+    //      rounded to 6 dp, so this table is bounded by langs × distinct
+    //      levels, and the budget cutoff is found by a window over THAT;
+    //   2. levels fully under budget keep every doc via a broadcast
+    //      semi-join — no ordering needed;
+    //   3. the one partially-afforded level per lang spends its remainder
+    //      doc_id-first with a window over just that tie-group (bounded
+    //      by the quality-tie cardinality, not the corpus).
+    // Equivalent to the prefix of the (q desc, doc_id) total order with
+    // running tokens <= budget — which is exactly what the oracle
+    // recomputes as a single SQL window.
     "q70_token_budget" -> ((s, dir) => {
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("q").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, dir)
+      val budget = 2000L
+      val base = Tables.documents(s, dir)
         .withColumn("q", qualityScore(col("text")))
         .withColumn("ntok", tokenCount(col("text")))
-        .withColumn("cum", sum("ntok").over(w))
-        .filter(col("cum") <= 2000)
+        .select(col("lang"), col("doc_id"), col("q"), col("ntok"))
+        .localCheckpoint() // 3 consumers: level agg + both keep joins
+      val byQ = base.groupBy(col("lang"), col("q"))
+        .agg(sum("ntok").as("qtok"))
+      val wAbove = Window.partitionBy(col("lang")).orderBy(col("q").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val levels = byQ
+        .withColumn("above", coalesce(sum(col("qtok")).over(wAbove), lit(0L)))
+        .filter(col("above") < budget)
+        .withColumn("remaining", lit(budget) - col("above"))
+        .withColumn("full", col("qtok") <= col("remaining"))
+      val fullKeep = base.join(broadcast(
+        levels.filter(col("full")).select(col("lang"), col("q"))),
+        Seq("lang", "q"))
+      val wTie = Window.partitionBy(col("lang"), col("q"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val partialKeep = base.join(broadcast(
+        levels.filter(!col("full"))
+          .select(col("lang"), col("q"), col("remaining"))),
+        Seq("lang", "q"))
+        .withColumn("cum", sum(col("ntok")).over(wTie))
+        .filter(col("cum") <= col("remaining"))
+        .select(col("lang"), col("doc_id"), col("q"), col("ntok"))
+      fullKeep.unionByName(partialKeep)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum("ntok").as("total_tokens"),

@@ -154,4 +154,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"gram join degenerated:\n$plan")
   }
+
+  test("q69 domain cap is a bounded partial aggregate, not a per-source window") {
+    val plan = physical(TextQueries.defs("q69_domain_cap")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"),
+      s"domain cap regressed to a full-history window sort:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_"),
+      s"top-K aggregator lost its map-side combine:\n$plan")
+  }
+
+  test("q70 budget keeps join broadcast cutoff levels — corpus is never window-sorted") {
+    val plan = physical(TextQueries.defs("q70_token_budget")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    // both windows run over bounded inputs (the per-level aggregate and
+    // one tie-group); the corpus side reaches them only through the
+    // broadcast level joins
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cutoff levels not broadcast:\n$plan")
+  }
 }
