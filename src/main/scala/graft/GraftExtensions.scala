@@ -94,5 +94,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.expressions.MinHashBandKeys(args(0),
           intLit(1, "numHashes"), intLit(2, "bands"), intLit(3, "rows"))
       }))
+
+    // table function: per-partition segment/entry/byte status of a ledger
+    // topic — the `kafka-consumer-groups --describe` / pulsar-admin stats
+    // analogue, as plain SQL. Metadata-only (dir listing + cached entry
+    // counts + file sizes), materialized driver-side into a LocalRelation:
+    //   SELECT * FROM graft_ledger_status('/path/to/topic')
+    e.injectTableFunction((
+      new FunctionIdentifier("graft_ledger_status"),
+      new ExpressionInfo("graft.sources.LedgerSource", "graft_ledger_status"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_ledger_status", "graft_ledger_status(path)", 1, args)
+        val path = args.head match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+              s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+          case _ => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "SEED_EXPRESSION_IS_UNFOLDABLE",
+            messageParameters = Map(
+              "seedExpr" -> "path argument of graft_ledger_status",
+              "exprWithSeed" ->
+                "graft_ledger_status(path) requires a string literal"))
+        }
+        graft.sources.LedgerSource.statusRelation(path)
+      }))
   }
 }

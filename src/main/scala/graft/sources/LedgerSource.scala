@@ -216,6 +216,38 @@ object LedgerSource {
   /** {"0": [ledgerId, entryId], "1": [...]} — minimal hand-rolled JSON so
     * no extra deps; format is stable for checkpoint recovery.
     */
+  /** Driver-side status snapshot of a topic as a LocalRelation — backs the
+    * `graft_ledger_status(path)` SQL table function (GraftExtensions): the
+    * pulsar-admin topics-stats / kafka-consumer-groups --describe analogue.
+    * Metadata only: dir listing, cached entry counts, file sizes.
+    */
+  def statusRelation(path: String)
+      : org.apache.spark.sql.catalyst.plans.logical.LocalRelation = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val root = toLocalPath(path)
+    val out = Seq(
+      AttributeReference("partition", IntegerType, nullable = false)(),
+      AttributeReference("segments", IntegerType, nullable = false)(),
+      AttributeReference("first_ledger", LongType, nullable = false)(),
+      AttributeReference("last_ledger", LongType, nullable = false)(),
+      AttributeReference("entries", LongType, nullable = false)(),
+      AttributeReference("bytes", LongType, nullable = false)())
+    val rows = listPartitions(root).map { p =>
+      val dir = root.resolve(s"partition-$p")
+      val ledgers = listLedgers(dir)
+      val bytes = ledgers.map { l =>
+        try Files.size(dir.resolve(s"ledger-${l.ledgerId}.log"))
+        catch { case _: Throwable => 0L }
+      }.sum
+      InternalRow(p, ledgers.size,
+        ledgers.headOption.map(_.ledgerId).getOrElse(0L),
+        ledgers.lastOption.map(_.ledgerId).getOrElse(0L),
+        ledgers.map(_.entries).sum, bytes)
+    }
+    LocalRelation(out, rows, isStreaming = false)
+  }
+
   case class LedgerOffset(cursors: Map[Int, Cursor]) extends Offset {
     override def json(): String =
       cursors.toSeq.sortBy(_._1).map { case (p, c) =>

@@ -125,6 +125,35 @@ class GeoExpressionsSpec extends AnyFunSuite {
     assert(mismatches == 0L)
   }
 
+  test("graft_ledger_status table function reports topic metadata in SQL") {
+    import java.nio.file.Files
+    import java.nio.charset.StandardCharsets
+    val root = Files.createTempDirectory("graft_status_topic")
+    def write(p: Int, ledger: Long, lines: Seq[String]): Unit = {
+      val dir = root.resolve(s"partition-$p")
+      Files.createDirectories(dir)
+      Files.write(dir.resolve(s"ledger-$ledger.log"),
+        lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+    write(0, 1, Seq("a,1", "b,2", "c,3"))
+    write(0, 5, Seq("d,4")) // gap 2-4
+    write(1, 2, Seq("e,5", "f,6"))
+    val rows = spark.sql(
+      s"SELECT * FROM graft_ledger_status('${root.toString}') ORDER BY partition")
+      .collect()
+    assert(rows.length == 2)
+    val p0 = rows(0)
+    assert((p0.getInt(0), p0.getInt(1), p0.getLong(2), p0.getLong(3), p0.getLong(4)) ==
+      (0, 2, 1L, 5L, 4L), p0.toString)
+    assert(p0.getLong(5) > 0L) // bytes on disk
+    assert((rows(1).getInt(0), rows(1).getLong(4)) == (1, 2L))
+    // non-literal path must fail as a clean AnalysisException
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft_ledger_status(concat('a', 'b'))").collect()
+    }
+    assert(bad.getMessage.contains("graft_ledger_status"), bad.getMessage)
+  }
+
   test("expression stays inside whole-stage codegen") {
     // parquet-backed input so ConvertToLocalRelation can't pre-evaluate
     val df = Tables.supplier(spark, "/root/testdata/sf0.001")
