@@ -240,4 +240,12 @@ object TextFunctions {
   }
 
   val langIdUdf = udf(langIdScala _)
+
+  /** A language's 3-gram profile rendered as a SQL IN-list — the q26
+    * oracle builds its scoring from THIS map, so the DuckDB check can
+    * never drift from the UDF's profiles.
+    */
+  def langProfileSql(lang: String): String =
+    LangProfiles(lang).toSeq.sorted
+      .map(s => "'" + s.replace("'", "''") + "'").mkString(", ")
 }

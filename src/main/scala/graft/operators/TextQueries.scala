@@ -1086,6 +1086,53 @@ object TextQueries {
         |  count(DISTINCT doc_id) AS n_contaminated_docs
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the lang-ID heuristic restated relationally: Han-script share via
+    // \p{Han} (same script class in Java and RE2), char-3-gram hits
+    // against the same literal profiles, argmax with the (count desc,
+    // lang asc) tie-break spelled as a CASE cascade (de<en<es<fr).
+    // Caveat pinned by TextFunctionsSpec: Scala indexes UTF-16 code
+    // units, DuckDB characters — identical on BMP text (the corpus is
+    // ASCII; real astral input would need the UDF's definition).
+    "q26_langid" ->
+      ("""WITH g AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(text, '\p{Han}')) AS han,
+        |    len(text) AS n, lower(text) AS lt
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, lang, han, n,
+        |    CASE WHEN len(lt) >= 3
+        |      THEN list_transform(generate_series(1, len(lt)-2), i -> substring(lt, i, 3))
+        |      ELSE [] END AS grams
+        |  FROM g),
+        |sc AS (
+        |  SELECT doc_id, lang, han, n, len(grams) AS ngrams,
+        |    len(list_filter(grams, x -> x IN (PROF_EN))) AS s_en,
+        |    len(list_filter(grams, x -> x IN (PROF_ES))) AS s_es,
+        |    len(list_filter(grams, x -> x IN (PROF_DE))) AS s_de,
+        |    len(list_filter(grams, x -> x IN (PROF_FR))) AS s_fr
+        |  FROM gr),
+        |pred AS (
+        |  SELECT lang,
+        |    CASE WHEN han * 2 > n THEN 'zh'
+        |         WHEN ngrams = 0 THEN 'und'
+        |         WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+        |         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |         WHEN s_es >= s_fr THEN 'es'
+        |         ELSE 'fr' END AS predicted
+        |  FROM sc)
+        |SELECT lang, predicted, count(*) AS n
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        .replace("PROF_EN", graft.functions.TextFunctions
+          .langProfileSql("en"))
+        .replace("PROF_ES", graft.functions.TextFunctions
+          .langProfileSql("es"))
+        .replace("PROF_DE", graft.functions.TextFunctions
+          .langProfileSql("de"))
+        .replace("PROF_FR", graft.functions.TextFunctions
+          .langProfileSql("fr"))),
+
     "q69_domain_cap" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
