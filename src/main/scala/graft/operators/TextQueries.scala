@@ -208,7 +208,9 @@ object TextQueries {
     }),
 
     // SimHash near-dup: 64-bit signature, 4×16-bit bands as blocking keys,
-    // hamming ≤ 3 verification within buckets. Rows-only oracle.
+    // hamming ≤ 3 verification within buckets. Oracle-checked: the FNV
+    // hashing, bit-majority votes, banding and hamming verify are all
+    // deterministic, and the DuckDB oracle recomputes every step.
     "q30_simhash_pairs" -> ((s, dir) => {
       val sh = Tables.documents(s, dir)
         .select(col("doc_id"), simhashUdf(col("text")).as("sim"))
@@ -462,7 +464,9 @@ object TextQueries {
     }),
 
     // Winnowing document fingerprints (k=5 chars, window=4): per-doc
-    // fingerprint count + min fingerprint (stable identity). Rows-only.
+    // fingerprint count + min fingerprint (stable identity). Oracle-
+    // checked: the oracle recomputes the same FNV k-gram hashes and
+    // Schleimer windows relationally (HUGEINT mod-2^64 arithmetic).
     "q31_fingerprints" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"), winnowingUdf(5, 4)(col("text")).as("fps"))
@@ -690,6 +694,27 @@ object TextQueries {
         .orderBy("lang")
     })
   )
+
+  // ---- SQL-side FNV-1a 64 (bit-exact vs TextFunctions.fnv1a64): DuckDB
+  // BIGINT arithmetic traps on overflow, so the accumulator lives in
+  // HUGEINT mod 2^64 and the xor round-trips through the signed BIGINT
+  // bit pattern. Feeds the q30/q31 oracles so the driver can recompute
+  // the exact hash-based answers.
+  private val U64 = "18446744073709551616"
+  private val Half = "9223372036854775808"
+  private def fnvU(expr: String): String = {
+    val x = s"xor(CASE WHEN h < $Half THEN CAST(h AS BIGINT) ELSE " +
+      s"CAST(h - $U64 AS BIGINT) END, CAST(c AS BIGINT))"
+    val ux = s"(CASE WHEN $x < 0 THEN CAST($x AS HUGEINT) + $U64 " +
+      s"ELSE CAST($x AS HUGEINT) END)"
+    s"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+      s"list_transform(regexp_extract_all($expr, '.'), " +
+      s"c -> CAST(unicode(c) AS HUGEINT))), " +
+      s"(h, c) -> (($ux * 1099511628211) % $U64))"
+  }
+  private def fnvS(expr: String): String =
+    s"(CASE WHEN ${fnvU(expr)} < $Half THEN CAST(${fnvU(expr)} AS BIGINT) " +
+      s"ELSE CAST(${fnvU(expr)} - $U64 AS BIGINT) END)"
 
   val oracles: Map[String, String] = Map(
     "q24_token_stats" ->
@@ -1085,6 +1110,63 @@ object TextQueries {
         |SELECT split, count(DISTINCT g) AS n_shared_grams,
         |  count(DISTINCT doc_id) AS n_contaminated_docs
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // winnowing recomputed relationally (same Schleimer windows over the
+    // same FNV k-gram hashes, compared as SIGNED longs exactly like the
+    // Scala Array[Long] min) — verified bit-identical on the full sf0.01
+    // fingerprint table before wiring in
+    "q31_fingerprints" ->
+      s"""WITH s AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z]', '', 'g') AS s FROM documents),
+        |h AS (
+        |  SELECT doc_id, s, len(s) AS n,
+        |    CASE WHEN len(s) >= 5
+        |      THEN list_transform(generate_series(1, len(s)-4), i -> ${fnvS("substring(s, i, 5)")})
+        |      ELSE NULL END AS hs
+        |  FROM s),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(hs)-3), i -> list_min(hs[i:i+3])) AS wins
+        |  FROM h WHERE n >= 5 AND len(hs) > 4),
+        |big AS (
+        |  SELECT doc_id, len(list_distinct(wins)) AS n_fps, list_min(wins) AS min_fp FROM w),
+        |fewh AS (
+        |  SELECT doc_id, 1 AS n_fps, list_min(hs) AS min_fp FROM h WHERE n >= 5 AND len(hs) <= 4),
+        |small AS (
+        |  SELECT doc_id, 1 AS n_fps, ${fnvS("s")} AS min_fp FROM h WHERE n < 5)
+        |SELECT doc_id, CAST(n_fps AS INT) AS n_fps, CAST(min_fp AS BIGINT) AS min_fp
+        |FROM (SELECT * FROM big UNION ALL SELECT * FROM fewh UNION ALL SELECT * FROM small)
+        |ORDER BY doc_id""".stripMargin,
+
+    // simhash recomputed relationally: per-token FNV (unsigned form), the
+    // 64 bit-majority votes via a LATERAL bit explode, signature
+    // reassembled as sum of 2^b, then the same 4×16-bit band self-join
+    // and bit_count(xor) hamming verify as the Spark side
+    "q30_simhash_pairs" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\\s+'), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, tok, ${fnvU("tok")} AS hu FROM toks),
+        |bits AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (hu // power(2::HUGEINT, b)::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, LATERAL (SELECT unnest(generate_series(0, 63)) AS b) g
+        |  GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN power(2::HUGEINT, b)::HUGEINT ELSE 0::HUGEINT END) AS HUGEINT) AS su
+        |  FROM bits GROUP BY 1),
+        |ss AS (SELECT doc_id, (CASE WHEN su < $Half THEN CAST(su AS BIGINT) ELSE CAST(su - $U64 AS BIGINT) END) AS sim FROM sig),
+        |banded AS (
+        |  SELECT doc_id, sim, b,
+        |    CAST(b AS VARCHAR) || ':' || CAST(((CASE WHEN sim < 0 THEN CAST(sim AS HUGEINT) + $U64 ELSE CAST(sim AS HUGEINT) END) // power(2::HUGEINT, b*16)::HUGEINT) % 65536 AS VARCHAR) AS bucket
+        |  FROM ss, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) g),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sim AS s1, b.sim AS s2
+        |  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
 
     // the lang-ID heuristic restated relationally: Han-script share via
     // \p{Han} (same script class in Java and RE2), char-3-gram hits
