@@ -166,6 +166,15 @@ class LedgerSourceSpec extends AnyFunSuite {
       assert(got.length == 15)
       val perPart = got.groupBy(_.getInt(0)).values
       assert(perPart.forall(rs => rs.map(_.getInt(3)).sorted.sameElements(1 to rs.length)))
+      // edge: a partition dir holding only an empty ledger produces NO
+      // split, so the reported numPartitions (3 dirs) exceeds the actual
+      // split count (2) — the grouped exec must tolerate that, not assert
+      Files.createDirectories(topic.resolve("partition-2"))
+      Files.write(topic.resolve("partition-2").resolve("ledger-1.log"),
+        Array.empty[Byte])
+      val withEmpty = scan().groupBy("partition").agg(count(lit(1)).as("n"))
+      assert(withEmpty.collect().map(r => (r.getInt(0), r.getLong(1))).toMap ==
+        Map(0 -> 10L, 1 -> 5L))
       // pruning the partition column away must degrade gracefully to an
       // unknown partitioning (the key can't resolve against the output) —
       // same aggregate on `key` still answers correctly, with a shuffle
