@@ -126,4 +126,31 @@ class SkewAndPropertiesSpec extends AnyFunSuite {
     assert(bucketMatches >= trials * 0.7,
       s"only $bucketMatches/$trials bucket-stable")
   }
+
+  test("property: TopKByQualityAgg is partition-order independent and equals sort") {
+    import graft.operators.CorpusAggregators.TopKByQualityAgg
+    val rnd = new Random(7)
+    val agg = new TopKByQualityAgg(15)
+    (1 to 50).foreach { trial =>
+      val n = rnd.between(0, 60)
+      // duplicate qualities on purpose — the doc_id tie-break must hold
+      val rows = (0 until n).map(i =>
+        ("g", math.round(rnd.nextDouble() * 5) / 5.0, rnd.between(0L, 1000L)))
+        .distinct
+      val expected = rows.map(r => (r._2, r._3)).sortBy { case (q, id) => (-q, id) }
+        .take(15)
+      val expOut = (expected.length.toLong, expected.map(_._2).sum,
+        if (expected.isEmpty) 0.0 else expected.map(_._1).min)
+      // random partitioning + random merge tree: reduce into k buffers,
+      // merge in shuffled order — result must not depend on either
+      val k = rnd.between(1, 5)
+      val buffers = rnd.shuffle(rows).zipWithIndex
+        .groupBy(_._2 % k).values.toSeq
+        .map(part => part.map(_._1).foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(buffers).foldLeft(agg.zero)(agg.merge)
+      val out = agg.finish(merged)
+      assert((out.n_kept, out.id_checksum, out.min_quality) == expOut,
+        s"trial $trial: $out vs $expOut")
+    }
+  }
 }
