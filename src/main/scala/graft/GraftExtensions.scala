@@ -117,5 +117,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.sources.LedgerSource.statusRelation(path)
       }))
+
+    // companion lag TVF: backlog per partition relative to a checkpoint
+    // offsets JSON (the consumer-lag column):
+    //   SELECT * FROM graft_ledger_lag('/path', '{"0":[3,2]}')   -- the
+    //   checkpoint offset JSON format: partition -> [ledgerId, entryId]
+    e.injectTableFunction((
+      new FunctionIdentifier("graft_ledger_lag"),
+      new ExpressionInfo("graft.sources.LedgerSource", "graft_ledger_lag"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_ledger_lag", "graft_ledger_lag(path, offsetsJson)", 2, args)
+        def strLit(i: Int, name: String): String = args(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+              s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+          case _ => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "SEED_EXPRESSION_IS_UNFOLDABLE",
+            messageParameters = Map(
+              "seedExpr" -> s"$name argument of graft_ledger_lag",
+              "exprWithSeed" ->
+                "graft_ledger_lag(path, offsetsJson) requires string literals"))
+        }
+        graft.sources.LedgerSource.lagRelation(
+          strLit(0, "path"), strLit(1, "offsetsJson"))
+      }))
   }
 }

@@ -248,6 +248,37 @@ object LedgerSource {
     LocalRelation(out, rows, isStreaming = false)
   }
 
+  /** Consumer-lag snapshot: per-partition backlog of a topic relative to
+    * a checkpoint offsets JSON — backs `graft_ledger_lag(path, offsets)`,
+    * the kafka-consumer-groups --describe lag column. Same gap-walking
+    * backlog math the admission control uses; a stale cursor (before the
+    * retained log) degrades to the full log exactly like recovery does.
+    */
+  def lagRelation(path: String, offsetsJson: String)
+      : org.apache.spark.sql.catalyst.plans.logical.LocalRelation = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val root = toLocalPath(path)
+    val cursors = LedgerOffset.parse(offsetsJson).cursors
+    val out = Seq(
+      AttributeReference("partition", IntegerType, nullable = false)(),
+      AttributeReference("cursor_ledger", LongType, nullable = false)(),
+      AttributeReference("cursor_entry", LongType, nullable = false)(),
+      AttributeReference("end_ledger", LongType, nullable = false)(),
+      AttributeReference("end_entry", LongType, nullable = false)(),
+      AttributeReference("lag", LongType, nullable = false)())
+    val rows = listPartitions(root).map { p =>
+      val ledgers = listLedgers(root.resolve(s"partition-$p"))
+      val c = cursors.getOrElse(p,
+        Cursor(ledgers.headOption.map(_.ledgerId).getOrElse(0L), 0L))
+      val end = ledgers.lastOption.map(l => Cursor(l.ledgerId, l.entries))
+        .getOrElse(Cursor(0L, 0L))
+      InternalRow(p, c.ledgerId, c.entryId, end.ledgerId, end.entryId,
+        backlog(ledgers, c))
+    }
+    LocalRelation(out, rows, isStreaming = false)
+  }
+
   case class LedgerOffset(cursors: Map[Int, Cursor]) extends Offset {
     override def json(): String =
       cursors.toSeq.sortBy(_._1).map { case (p, c) =>

@@ -152,6 +152,14 @@ class GeoExpressionsSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM graft_ledger_status(concat('a', 'b'))").collect()
     }
     assert(bad.getMessage.contains("graft_ledger_status"), bad.getMessage)
+    // companion lag TVF: backlog relative to a checkpoint offsets JSON —
+    // p0 cursor mid-ledger-1 (2 of 3 remain + 1 in gap ledger 5 = 3), p1
+    // absent from the JSON → full log (2)
+    val lag = spark.sql(
+      s"""SELECT partition, lag FROM graft_ledger_lag('${root.toString}',
+         |  '{"0":[1,1]}') ORDER BY partition""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(lag == Map(0 -> 3L, 1 -> 2L), lag.toString)
   }
 
   test("expression stays inside whole-stage codegen") {
