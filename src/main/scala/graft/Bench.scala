@@ -75,12 +75,15 @@ object Bench {
       val times = sweeps.map(_.toMap.apply(name)).sorted
       name -> times(1)
     }
-    // millisecond precision: full doubles push the line past the driver's
+    // bounded precision: full doubles push the line past the driver's
     // 2000-char tail capture (r03/r04 both recorded parsed=null from a
-    // mid-line truncation), and sub-ms digits are pure measurement noise
+    // mid-line truncation). Per-query at 10 ms resolution keeps ~70
+    // queries comfortably under the cap; the total keeps milliseconds.
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    def fmtQ(v: Double): String = BigDecimal(v)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmtQ(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfName = sfDir.split('/').last // basename: keeps the line short

@@ -97,6 +97,50 @@ object TextQueries {
       .select(col("d1"), col("d2"), col("jac"))
   }
 
+  /** (doc_id, component) labels of the near-dup graph at jaccard ≥ 0.5:
+    * edges from the LSH path (identical pair set, near-linear cost),
+    * components via distributed min-label propagation iterated to
+    * fixpoint — each round one shuffle on doc_id, rounds = cluster
+    * diameter (tiny for dup clusters), convergence checked with a count
+    * action (the k-means pattern, not a driver-side data loop). Shared by
+    * q52 (component listing) and q72 (size histogram). Returns a
+    * localCheckpoint so the loop's caches are released before the caller
+    * aggregates.
+    */
+  private[graft] def neardupComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = lshNeardupPairs(s, dir, 0.5).select(col("d1"), col("d2"))
+    val edges = pairs
+      .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .cache()
+    var labels = edges.select(col("d1").as("doc_id"))
+      .distinct()
+      .withColumn("component", col("doc_id"))
+      .cache()
+    var cached = labels // the actually-cached plan backing this round
+    var changed = 1L
+    while (changed > 0) {
+      // every pre-group row of a key carries the key's own component, so
+      // min(component) IS the old label — change detection folds into the
+      // same aggregation instead of a second join against the old round
+      val step = labels
+        .join(edges, labels("doc_id") === edges("d1"), "left")
+        .join(labels.select(col("doc_id").as("nb"),
+          col("component").as("nb_comp")), col("d2") === col("nb"), "left")
+        .groupBy(labels("doc_id"))
+        .agg(min(col("component")).as("old"),
+          least(min(col("component")), min(col("nb_comp"))).as("component"))
+        .cache()
+      changed = step.filter(col("component") =!= col("old")).count()
+      cached.unpersist() // superseded round — don't pin dead blocks
+      cached = step
+      labels = step.select(col("doc_id"), col("component"))
+    }
+    val out = labels.localCheckpoint()
+    cached.unpersist()
+    edges.unpersist()
+    out
+  }
+
   private[graft] def lshNeardupPairs(s: SparkSession, dir: String,
       threshold: Double, numHashes: Int = 64, bands: Int = 32,
       rows: Int = 2): DataFrame = {
@@ -274,43 +318,26 @@ object TextQueries {
     // edge list is ≪ corpus (post-LSH), so each round shuffles only the
     // paired docs.
     "q52_dedup_components" -> ((s, dir) => {
-      // edge list from the LSH path (identical pair set, near-linear cost)
-      val pairs = lshNeardupPairs(s, dir, 0.5).select(col("d1"), col("d2"))
-      val edges = pairs
-        .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-        .cache()
-      var labels = edges.select(col("d1").as("doc_id"))
-        .distinct()
-        .withColumn("component", col("doc_id"))
-        .cache()
-      var cached = labels // the actually-cached plan backing this round
-      var changed = 1L
-      while (changed > 0) {
-        // every pre-group row of a key carries the key's own component, so
-        // min(component) IS the old label — change detection folds into the
-        // same aggregation instead of a second join against the old round
-        val step = labels
-          .join(edges, labels("doc_id") === edges("d1"), "left")
-          .join(labels.select(col("doc_id").as("nb"),
-            col("component").as("nb_comp")), col("d2") === col("nb"), "left")
-          .groupBy(labels("doc_id"))
-          .agg(min(col("component")).as("old"),
-            least(min(col("component")), min(col("nb_comp"))).as("component"))
-          .cache()
-        changed = step.filter(col("component") =!= col("old")).count()
-        cached.unpersist() // superseded round — don't pin dead blocks
-        cached = step
-        labels = step.select(col("doc_id"), col("component"))
-      }
-      val out = labels
+      neardupComponents(s, dir)
         .groupBy(col("component"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
         .filter(col("n_docs") >= 2)
         .orderBy("component")
-        .localCheckpoint() // materialize, then release the loop's caches
-      cached.unpersist()
-      edges.unpersist()
-      out
+    }),
+
+    // Dedup-audit histogram — the report a dedup pass ends with: how many
+    // clusters of each size did transitive closure find, and how many docs
+    // sit in them (size 2 = simple pairs, long tail = template families
+    // worth a human look). Same component machinery as q52; the histogram
+    // is two tiny aggregations over the component labels.
+    "q72_cluster_histogram" -> ((s, dir) => {
+      neardupComponents(s, dir)
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .filter(col("sz") >= 2)
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+        .select(col("sz").as("cluster_size"), col("n_clusters"), col("n_docs"))
+        .orderBy("cluster_size")
     }),
 
     // Deterministic train/valid/test split — the training-data op every
@@ -815,6 +842,36 @@ object TextQueries {
         |SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
         |  min(d) AS keep_doc
         |FROM comp GROUP BY 1 HAVING count(*) >= 2 ORDER BY component""".stripMargin,
+
+    // q52's recursive closure, summarized as the size histogram
+    "q72_cluster_histogram" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |shingles AS (
+        |  SELECT DISTINCT doc_id, s
+        |  FROM (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+        |        WHERE len(t) >= 3)),
+        |counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id d1, b.doc_id d2
+        |  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  JOIN counts c1 ON a.doc_id = c1.doc_id
+        |  JOIN counts c2 ON b.doc_id = c2.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, c1.n, c2.n
+        |  HAVING count(*) / (c1.n + c2.n - count(*)) >= 0.5),
+        |edges AS (SELECT d1, d2 FROM p UNION ALL SELECT d2 AS d1, d1 AS d2 FROM p),
+        |reach AS (
+        |  SELECT d1 AS d, d1 AS r FROM edges
+        |  UNION
+        |  SELECT e.d2 AS d, reach.r FROM reach JOIN edges e ON e.d1 = reach.d),
+        |comp AS (SELECT d, min(r) AS component FROM reach GROUP BY d),
+        |sizes AS (
+        |  SELECT component, count(*) AS sz FROM comp GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sum(sz) AS BIGINT) AS n_docs
+        |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q53_train_split" ->
       """WITH s AS (
