@@ -641,6 +641,42 @@ object TextQueries {
       sharedGrams.join(docsHit, "split").orderBy("split")
     }),
 
+    // Sequence-packing manifest — the doc→pack assignment for training
+    // sequence packing (concatenate docs to 2048-token packs, splitting a
+    // doc across the boundary it straddles, the GPT-style packing shape
+    // q58 only measures the efficiency of). Packing is inherently a
+    // running sum, so it is SHARDED to stay parallel: pack group =
+    // doc_id % 16 (pure function of the stable id — reproducible), each
+    // group packs independently with a cumsum window over its own docs.
+    // At 100 TB the group count is the parallelism knob (id % 100k);
+    // packs per group = ceil(group tokens / 2048) exactly because splits
+    // fill every boundary. Reports per group: docs, tokens, packs, fill
+    // of the last (only partially filled) pack, and which docs straddle
+    // boundaries (count + id checksum) — the manifest a pack-writer job
+    // consumes.
+    "q73_sequence_packing" -> ((s, dir) => {
+      val p = 2048L
+      val w = Window.partitionBy(col("grp")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 16).as("grp"),
+          tokenCount(col("text")).cast("long").as("ntok"))
+        .withColumn("cum", sum(col("ntok")).over(w))
+        // a doc occupies 0-based token positions [cum-ntok, cum-1]; it is
+        // split iff its first and last positions land in different packs
+        // (integer div — the long `/` would be double division)
+        .withColumn("straddle",
+          expr(s"((cum - ntok) div $p) != ((cum - 1) div $p)"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          expr(s"(max(cum) + ${p - 1}) div $p").as("n_packs"),
+          sum(when(col("straddle"), 1).otherwise(0)).cast("long").as("n_split_docs"),
+          coalesce(sum(when(col("straddle"), col("doc_id"))), lit(0L))
+            .as("split_id_checksum"))
+        .orderBy("grp")
+    }),
+
     // Per-domain cap (crawl-domain balancing): keep the top 15 docs per
     // source ranked by (quality desc, doc_id) — the standard guard
     // against one domain flooding the mixture. Stated as a bounded-state
@@ -1271,6 +1307,26 @@ object TextQueries {
           .langProfileSql("de"))
         .replace("PROF_FR", graft.functions.TextFunctions
           .langProfileSql("fr"))),
+
+    "q73_sequence_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 16 AS grp,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |c AS (
+        |  SELECT grp, doc_id, ntok,
+        |    sum(ntok) OVER (PARTITION BY grp ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d),
+        |s AS (
+        |  SELECT grp, doc_id, ntok, cum,
+        |    ((cum - ntok) // 2048) != ((cum - 1) // 2048) AS straddle
+        |  FROM c)
+        |SELECT grp, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST((max(cum) + 2047) // 2048 AS BIGINT) AS n_packs,
+        |  CAST(sum(CASE WHEN straddle THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+        |  CAST(coalesce(sum(CASE WHEN straddle THEN doc_id END), 0) AS BIGINT) AS split_id_checksum
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q69_domain_cap" ->
       """WITH toks AS (
