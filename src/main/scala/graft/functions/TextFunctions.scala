@@ -248,4 +248,32 @@ object TextFunctions {
   def langProfileSql(lang: String): String =
     LangProfiles(lang).toSeq.sorted
       .map(s => "'" + s.replace("'", "''") + "'").mkString(", ")
+
+  // ------------------------------------------------------------------ BPE
+
+  /** A word as its initial BPE symbol sequence: characters + end-of-word
+    * marker (Sennrich et al. 2016, public algorithm).
+    */
+  def bpeInitialSymbols(word: String): Seq[String] =
+    word.map(_.toString) :+ "</w>"
+
+  /** One BPE merge applied greedily left-to-right: every adjacent
+    * (left, right) occurrence becomes the concatenated symbol. Pure,
+    * per-row bounded — the per-iteration UDF of the trainer loop.
+    */
+  def bpeApplyMerge(syms: Seq[String], left: String, right: String): Seq[String] = {
+    if (syms == null || syms.length < 2) return syms
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == left && syms(i + 1) == right) {
+        out += left + right
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toSeq
+  }
 }

@@ -141,6 +141,57 @@ object TextQueries {
     out
   }
 
+  /** BPE merge-table training (Sennrich et al. 2016, public algorithm)
+    * over a (freq, syms) vocabulary DataFrame. The scale shape that makes
+    * this tractable at 100 TB: BPE trains on the WORD-TYPE aggregate, not
+    * the corpus — one corpus-sized shuffle builds (word, freq), and every
+    * iteration after that is two vocabulary-sized operations (pair count
+    * via zip_with explode + the merge map) plus a 1-row argmax action —
+    * scalar coordination like q52's convergence count, not a driver data
+    * loop. Ties break (count desc, left asc, right asc) so the merge
+    * table is deterministic across partitionings.
+    */
+  private[graft] def bpeMergesFromVocab(s: SparkSession, vocabIn: DataFrame,
+      steps: Int): DataFrame = {
+    import s.implicits._
+    var vocab = vocabIn.localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var step = 1
+    var done = false
+    while (step <= steps && !done) {
+      val best = vocab.select(col("freq"),
+          explode(zip_with(slice(col("syms"), lit(1), size(col("syms")) - 1),
+                           slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step, l, r, cnt))
+        val mergeUdf = udf((syms: Seq[String]) => bpeApplyMerge(syms, l, r))
+        val next = vocab.select(col("freq"), mergeUdf(col("syms")).as("syms"))
+          .localCheckpoint()
+        vocab = next
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "left", "right", "pair_count")
+  }
+
+  private[graft] def bpeMergeTable(s: SparkSession, dir: String,
+      steps: Int): DataFrame = {
+    val initUdf = udf((w: String) => bpeInitialSymbols(w))
+    val vocab = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), initUdf(col("w")).as("syms"))
+    bpeMergesFromVocab(s, vocab, steps)
+  }
+
   private[graft] def lshNeardupPairs(s: SparkSession, dir: String,
       threshold: Double, numHashes: Int = 64, bands: Int = 32,
       rows: Int = 2): DataFrame = {
@@ -675,6 +726,16 @@ object TextQueries {
           coalesce(sum(when(col("straddle"), col("doc_id"))), lit(0L))
             .as("split_id_checksum"))
         .orderBy("grp")
+    }),
+
+    // BPE tokenizer training — the merge table (the tokenizer artifact) a
+    // training-data pipeline learns from its own corpus. Rows-only for
+    // the driver (an iterative argmax loop isn't a SQL oracle shape);
+    // TextFunctionsSpec pins the classic Sennrich corpus merges against
+    // an independent in-memory reference implementation, plus the
+    // deterministic tie-break.
+    "q74_bpe_merges" -> ((s, dir) => {
+      bpeMergeTable(s, dir, steps = 20).orderBy("step")
     }),
 
     // Per-domain cap (crawl-domain balancing): keep the top 15 docs per

@@ -70,4 +70,41 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(bigrams == Seq("flat no", "no mg", "mg road"))
     assert(trigrams == Seq("flat no mg", "no mg road"))
   }
+
+  test("BPE trainer matches an independent reference on the classic corpus") {
+    // independent in-memory BPE (Sennrich et al. 2016) — same tie-break
+    def referenceBpe(vocab: Map[String, Long], steps: Int): Seq[(String, String, Long)] = {
+      var v = vocab.map { case (w, f) => (bpeInitialSymbols(w), f) }.toSeq
+      (1 to steps).flatMap { _ =>
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        v.foreach { case (syms, f) =>
+          syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+        }
+        if (counts.isEmpty) None
+        else {
+          val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+          v = v.map { case (syms, f) => (bpeApplyMerge(syms, l, r), f) }
+          Some((l, r, c))
+        }
+      }
+    }
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, udf}
+    val corpus = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val vocabDf = corpus.toSeq.toDF("w", "freq")
+      .select(col("freq"),
+        udf((w: String) => bpeInitialSymbols(w)).apply(col("w")).as("syms"))
+    val got = graft.operators.TextQueries
+      .bpeMergesFromVocab(spark, vocabDf, steps = 10)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val exp = referenceBpe(corpus, 10)
+    assert(got == exp, s"\ngot: $got\nexp: $exp")
+    // human-checkable grounding: the classic first merges
+    assert(got.take(3).map(m => (m._1, m._2)) ==
+      Seq(("e", "s"), ("es", "t"), ("est", "</w>")), got.take(3).toString)
+  }
 }
