@@ -276,4 +276,13 @@ object TextFunctions {
     }
     out.toSeq
   }
+
+  /** Encode one word with a learned merge table: initial symbols, then
+    * every merge applied in training order (how a trained BPE tokenizer
+    * segments unseen text). Per-row bounded: O(merges × word length).
+    */
+  def bpeEncodeWord(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(bpeInitialSymbols(word)) {
+      case (syms, (l, r)) => bpeApplyMerge(syms, l, r)
+    }
 }

@@ -738,6 +738,31 @@ object TextQueries {
       bpeMergeTable(s, dir, steps = 20).orderBy("step")
     }),
 
+    // BPE encoding report — the trained tokenizer APPLIED: re-segment the
+    // corpus with q74's merge table and measure the compression it buys
+    // (chars per symbol, symbols per word) per source. The 20-row merge
+    // table is collected once and shipped inside the encode UDF closure —
+    // the broadcast-a-tiny-model pattern; encoding itself is per-row
+    // bounded. Rows-only (inherits the trainer's loop); the spec pins
+    // bpeEncodeWord against known merges.
+    "q75_bpe_encode" -> ((s, dir) => {
+      val merges = bpeMergeTable(s, dir, steps = 20)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val encodeUdf = udf((w: String) => bpeEncodeWord(w, merges).length)
+      Tables.documents(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .select(col("source"), col("w"), encodeUdf(col("w")).as("n_syms"),
+          (length(col("w")) + 1).as("n_chars")) // + the </w> marker
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_syms").as("total_symbols"),
+          round(avg(col("n_syms")), 4).as("avg_symbols_per_word"),
+          round(sum(col("n_chars")) / sum(col("n_syms")).cast("double"), 4)
+            .as("chars_per_symbol"))
+        .orderBy("source")
+    }),
+
     // Per-domain cap (crawl-domain balancing): keep the top 15 docs per
     // source ranked by (quality desc, doc_id) — the standard guard
     // against one domain flooding the mixture. Stated as a bounded-state

@@ -106,5 +106,13 @@ class TextFunctionsSpec extends AnyFunSuite {
     // human-checkable grounding: the classic first merges
     assert(got.take(3).map(m => (m._1, m._2)) ==
       Seq(("e", "s"), ("es", "t"), ("est", "</w>")), got.take(3).toString)
+    // encoding with the learned table segments a held-out word sensibly:
+    // "lowest" shares low- and -est with the training corpus
+    val table = got.map(m => (m._1, m._2))
+    val lowest = bpeEncodeWord("lowest", table)
+    assert(lowest.last == "est</w>" || lowest.contains("est</w>"),
+      s"encoded: $lowest")
+    assert(bpeEncodeWord("low", table) != bpeInitialSymbols("low"),
+      "training words must compress")
   }
 }
