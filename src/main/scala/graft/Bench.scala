@@ -81,8 +81,13 @@ object Bench {
     // queries comfortably under the cap; the total keeps milliseconds.
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def fmtQ(v: Double): String = BigDecimal(v)
-      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    def fmtQ(v: Double): String = {
+      val bd = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      val stripped = bd.underlying.stripTrailingZeros
+      // avoid scientific notation from stripTrailingZeros (e.g. 6E+1)
+      if (stripped.scale <= 0) bd.underlying.toBigInteger.toString
+      else stripped.toPlainString
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmtQ(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
