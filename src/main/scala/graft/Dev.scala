@@ -94,7 +94,11 @@ object Dev {
             "q29_minhash_lsh", "q38_dedup_keep", "q39_top_tokens",
             "q40_best_location", "q45_cosine_neardup_keep", "q46_ann_ivf",
             "q52_dedup_components", "q54_repetition", "q57_ann_pq",
-            "q61_train_export", "q62_embedding_leakage_lsh", "q63_ann_ivfpq")
+            "q61_train_export", "q62_embedding_leakage_lsh", "q63_ann_ivfpq",
+            "q65_mixture_downsample", "q67_bigram_surprisal",
+            "q68_ngram_contamination", "q69_domain_cap", "q70_token_budget",
+            "q72_cluster_histogram", "q73_sequence_packing",
+            "q74_bpe_merges", "q75_bpe_encode")
         }
         names.foreach { n =>
           val fn = SparkEntry.queries(n)

@@ -160,6 +160,23 @@ class GeoExpressionsSpec extends AnyFunSuite {
          |  '{"0":[1,1]}') ORDER BY partition""".stripMargin)
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     assert(lag == Map(0 -> 3L, 1 -> 2L), lag.toString)
+    // integration with the write path: an INSERT INTO the same topic must
+    // show up in both TVFs (status entries grow, lag grows by the same)
+    spark.sql("DROP TABLE IF EXISTS ledger_tvf")
+    spark.sql(
+      s"CREATE TABLE ledger_tvf USING `graft-ledger` OPTIONS (path '${root.toString}')")
+    try {
+      spark.sql("INSERT INTO ledger_tvf VALUES ('t', 1, 0, 0, 'k9', X'6869', 0)")
+      val after = spark.sql(
+        s"SELECT partition, entries FROM graft_ledger_status('${root.toString}') ORDER BY partition")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(after == Map(0 -> 4L, 1 -> 3L), after.toString)
+      val lag2 = spark.sql(
+        s"""SELECT partition, lag FROM graft_ledger_lag('${root.toString}',
+           |  '{"0":[1,1]}') ORDER BY partition""".stripMargin)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(lag2 == Map(0 -> 3L, 1 -> 3L), lag2.toString)
+    } finally spark.sql("DROP TABLE IF EXISTS ledger_tvf")
   }
 
   test("expression stays inside whole-stage codegen") {
