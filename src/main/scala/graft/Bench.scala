@@ -82,7 +82,11 @@ object Bench {
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def fmtQ(v: Double): String = {
-      val bd = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      // sub-second queries at 10 ms, second-plus at 100 ms: run-to-run
+      // noise exceeds both, and the mixed precision keeps 75+ queries
+      // inside the cap
+      val bd = BigDecimal(v).setScale(if (v >= 1.0) 1 else 2,
+        BigDecimal.RoundingMode.HALF_UP)
       val stripped = bd.underlying.stripTrailingZeros
       // avoid scientific notation from stripTrailingZeros (e.g. 6E+1)
       if (stripped.scale <= 0) bd.underlying.toBigInteger.toString

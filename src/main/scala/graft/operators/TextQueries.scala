@@ -728,6 +728,40 @@ object TextQueries {
         .orderBy("grp")
     }),
 
+    // Held-out perplexity evaluation — q60's surprisal done properly: the
+    // unigram LM is trained on the q53 TRAIN split only (add-1 smoothing
+    // over the train vocabulary, unseen tokens get the UNK mass) and
+    // scored on the VALID split — the metric that actually detects
+    // distribution shift between what a model trains on and what it is
+    // evaluated on. Same scale shape as q60: the LM is vocabulary-sized
+    // (broadcast), the corpus-total and vocab-size are 1-row broadcast
+    // scalars, never a one-partition window.
+    "q76_heldout_perplexity" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .withColumn("split", splitAssign(col("doc_id")))
+        .select(col("doc_id"), col("lang"), col("split"),
+          explode(tokens(col("text"))).as("token"))
+        .localCheckpoint() // feeds LM training AND valid-side scoring
+      val freq = toks.filter(col("split") === "train")
+        .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      val totals = freq.agg(sum(col("tf")).as("n"),
+        count(lit(1)).as("v"))
+      val scored = toks.filter(col("split") === "valid")
+        .join(broadcast(freq), Seq("token"), "left")
+        .crossJoin(broadcast(totals))
+        .withColumn("p",
+          (coalesce(col("tf"), lit(0L)) + 1) /
+            (col("n") + col("v") + 1).cast("double"))
+      scored
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(avg(-log(col("p"))).as("surprisal"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("surprisal"), 4).as("avg_surprisal"),
+          round(max("surprisal"), 4).as("max_surprisal"))
+        .orderBy("lang")
+    }),
+
     // BPE tokenizer training — the merge table (the tokenizer artifact) a
     // training-data pipeline learns from its own corpus. Rows-only for
     // the driver (an iterative argmax loop isn't a SQL oracle shape);
@@ -1393,6 +1427,29 @@ object TextQueries {
           .langProfileSql("de"))
         .replace("PROF_FR", graft.functions.TextFunctions
           .langProfileSql("fr"))),
+
+    "q76_heldout_perplexity" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'valid'
+        |         WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |         ELSE 'train' END AS split,
+        |    unnest(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, count(*) AS tf FROM t WHERE split = 'train' GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n, count(*) AS v FROM freq),
+        |scored AS (
+        |  SELECT t.doc_id, t.lang,
+        |    (coalesce(f.tf, 0) + 1) / CAST(tot.n + tot.v + 1 AS DOUBLE) AS p
+        |  FROM t LEFT JOIN freq f ON t.token = f.token, tot
+        |  WHERE t.split = 'valid'),
+        |per AS (
+        |  SELECT doc_id, lang, avg(-ln(p)) AS surprisal
+        |  FROM scored GROUP BY 1, 2)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(surprisal), 4) AS avg_surprisal,
+        |  round(max(surprisal), 4) AS max_surprisal
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q73_sequence_packing" ->
       """WITH d AS (
