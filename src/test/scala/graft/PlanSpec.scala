@@ -164,6 +164,15 @@ class PlanSpec extends AnyFunSuite {
       s"top-K aggregator lost its map-side combine:\n$plan")
   }
 
+  test("q76 held-out LM broadcasts; no one-partition window anywhere") {
+    val plan = physical(TextQueries.defs("q76_heldout_perplexity")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"train LM not broadcast:\n$plan")
+    assert(!plan.contains("Window"),
+      s"scalar totals regressed to a window:\n$plan")
+  }
+
   test("q70 budget keeps join broadcast cutoff levels — corpus is never window-sorted") {
     val plan = physical(TextQueries.defs("q70_token_budget")(spark, dir))
       .split("== Initial Plan ==")(0)
