@@ -77,26 +77,33 @@ object Bench {
     }
     // bounded precision: full doubles push the line past the driver's
     // 2000-char tail capture (r03/r04 both recorded parsed=null from a
-    // mid-line truncation). Per-query at 10 ms resolution keeps ~70
-    // queries comfortably under the cap; the total keeps milliseconds.
+    // mid-line truncation), so the line is rendered at decreasing
+    // precision tiers until it fits — run-to-run noise exceeds 10 ms
+    // (sub-second queries) and 100 ms (second-plus) anyway, so even the
+    // coarsest tier loses nothing a regression check could use.
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def fmtQ(v: Double): String = {
-      // sub-second queries at 10 ms, second-plus at 100 ms: run-to-run
-      // noise exceeds both, and the mixed precision keeps 75+ queries
-      // inside the cap
-      val bd = BigDecimal(v).setScale(if (v >= 1.0) 1 else 2,
+    def fmtQ(v: Double, subSecScale: Int, secScale: Int): String = {
+      val bd = BigDecimal(v).setScale(if (v >= 1.0) secScale else subSecScale,
         BigDecimal.RoundingMode.HALF_UP)
       val stripped = bd.underlying.stripTrailingZeros
       // avoid scientific notation from stripTrailingZeros (e.g. 6E+1)
       if (stripped.scale <= 0) bd.underlying.toBigInteger.toString
       else stripped.toPlainString
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmtQ(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfName = sfDir.split('/').last // basename: keeps the line short
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    def render(subSecScale: Int, secScale: Int): String = {
+      val qs = results
+        .map { case (k, v) => "\"" + k + "\":" + fmtQ(v, subSecScale, secScale) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    }
+    val line = Seq((2, 1), (1, 1), (1, 0))
+      .map { case (a, b) => render(a, b) }
+      .find(_.length <= 1990)
+      .getOrElse(render(1, 0))
+    println(line)
     spark.stop()
   }
 }
