@@ -71,6 +71,22 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(trigrams == Seq("flat no mg", "no mg road"))
   }
 
+  test("BPE merge edges: overlapping pairs are greedy left-to-right") {
+    // "aaa</w>" merging (a,a): the first pair wins, no re-scan of the
+    // merged symbol — ["aa","a","</w>"], the standard BPE convention
+    assert(bpeApplyMerge(Seq("a", "a", "a", "</w>"), "a", "a") ==
+      Seq("aa", "a", "</w>"))
+    // four in a row merge pairwise
+    assert(bpeApplyMerge(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    // absent pair is a no-op; single symbol untouched
+    assert(bpeApplyMerge(Seq("x", "y"), "a", "b") == Seq("x", "y"))
+    assert(bpeApplyMerge(Seq("x"), "x", "x") == Seq("x"))
+    // encode applies merges in training order (later merges see earlier
+    // ones): [a,a,</w>] → [aa,</w>] → [aa</w>]
+    assert(bpeEncodeWord("aa", Seq(("a", "a"), ("aa", "</w>"))) ==
+      Seq("aa</w>"))
+  }
+
   test("BPE trainer matches an independent reference on the classic corpus") {
     // independent in-memory BPE (Sennrich et al. 2016) — same tie-break
     def referenceBpe(vocab: Map[String, Long], steps: Int): Seq[(String, String, Long)] = {
