@@ -93,16 +93,34 @@ object Bench {
     }
     val total = results.map(_._2).sum
     val sfName = sfDir.split('/').last // basename: keeps the line short
-    def render(subSecScale: Int, secScale: Int): String = {
+    // key shortener for the last-resort tiers: the qNN prefix is unique
+    // across the inventory, so "q16":0.47 carries the same signal as
+    // "q16_json_extract":0.47 at ~40% of the characters.
+    def shortKey(k: String): String = k.takeWhile(_ != '_')
+    def render(subSecScale: Int, secScale: Int, key: String => String): String = {
       val qs = results
-        .map { case (k, v) => "\"" + k + "\":" + fmtQ(v, subSecScale, secScale) }
+        .map { case (k, v) => "\"" + key(k) + "\":" + fmtQ(v, subSecScale, secScale) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
-    val line = Seq((2, 1), (1, 1), (1, 0))
-      .map { case (a, b) => render(a, b) }
-      .find(_.length <= 1990)
-      .getOrElse(render(1, 0))
+    // The driver records only the LAST 2000 chars of stdout, which also
+    // contain sbt's trailing "[success] Total time: ..." line (~80 chars):
+    // r03-r05 all clipped the JSON head and recorded parsed=null. Two
+    // defenses: (a) budget the rendered line to 1870 chars so line +
+    // newline + trailer fit the tail with margin; (b) print the line TWICE
+    // back-to-back — even if the first copy is clipped mid-line, the
+    // second complete copy (which never starts mid-line, so any
+    // line-oriented parser skips the clipped fragment) still fits.
+    val full = identity[String] _
+    // never shorten if two queries would collide on the same qNN prefix
+    val short =
+      if (results.map(r => shortKey(r._1)).distinct.size == results.size) shortKey _
+      else full
+    val line = Seq((2, 1, full), (1, 1, full), (3, 3, short), (2, 2, short))
+      .map { case (a, b, k) => render(a, b, k) }
+      .find(_.length <= 1870)
+      .getOrElse(render(1, 1, short))
+    println(line)
     println(line)
     spark.stop()
   }

@@ -45,6 +45,13 @@ object GeoFunctions {
     2 * 6371.0 * math.asin(math.sqrt(a))
   }
 
+  /** Scala-side haversine in METERS — spelled op-for-op like the q77
+    * DuckDB oracle expression (((2*6371)*asin(...))*1000, left-assoc) so
+    * threshold compares and 1/(1+d) scores agree across engines.
+    */
+  def haversineMScala(lat1: Double, lng1: Double, lat2: Double, lng2: Double): Double =
+    haversineKmScala(lat1, lng1, lat2, lng2) * 1000.0
+
   // WGS84 ellipsoid
   private val SemiMajor = 6378137.0
   private val SemiMinor = 6356752.31420

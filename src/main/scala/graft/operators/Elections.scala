@@ -143,24 +143,49 @@ object Elections {
     * parity spec.
     */
   def electBoth(points: Seq[Pt], radiusM: Double = 300.0,
-                thresholdM: Double = 200.0): ((Double, Double), (Double, Double, Double)) = {
+                thresholdM: Double = 200.0): ((Double, Double), (Double, Double, Double)) =
+    electBothWith(points,
+      (a, b) => vincentyM(a.lat, a.lng, b.lat, b.lng), radiusM, thresholdM)
+
+  /** A10 + A11 over an arbitrary distance kernel (meters), with the same
+    * guards and machinery as the vincenty elections. Lets a closed-form
+    * kernel (haversine) stand in for vincenty so DuckDB can oracle-check
+    * the neighbor-count/argmax/first-max-wins/tie-break machinery
+    * end-to-end (q77); electBoth is the vincenty instantiation.
+    */
+  def electBothWith(points: Seq[Pt], dist: (Pt, Pt) => Double,
+                    radiusM: Double = 300.0, thresholdM: Double = 200.0)
+      : ((Double, Double), (Double, Double, Double)) = {
     val n = points.length
-    val needA10 = n >= 4 && n <= 500
-    val needA11 = n >= 3
-    if (!needA10 || !needA11)
-      return (bestLatLng(points, radiusM), clusterScore(points, thresholdM))
+    // guards identical to bestLatLng / clusterScore
+    val a10Guard: Option[(Double, Double)] =
+      if (n == 0) Some((0.0, 0.0))
+      else if (n < 4 || n > 500) Some((points(n - 1).lat, points(n - 1).lng))
+      else None
+    val a11Guard: Option[(Double, Double, Double)] =
+      if (n == 0) Some((0.0, 0.0, 0.0))
+      else if (n < 3) Some((points(n - 1).lat, points(n - 1).lng, 0.0))
+      else None
+    if (a10Guard.isDefined && a11Guard.isDefined)
+      return (a10Guard.get, a11Guard.get)
+    // one shared ORDERED distance matrix: d(i)(j) exactly as each election
+    // would compute it (vincenty(a,b) and vincenty(b,a) agree mathematically
+    // but not bit-for-bit, and boundary compares like d < radius must not
+    // flip), so results are identical to the per-election scalar paths —
+    // pinned by a parity spec.
     val d = Array.ofDim[Double](n, n)
     var i = 0
     while (i < n) {
       var j = 0
       while (j < n) {
-        d(i)(j) = vincentyM(points(i).lat, points(i).lng, points(j).lat, points(j).lng)
+        d(i)(j) = dist(points(i), points(j))
         j += 1
       }
       i += 1
     }
     val lookup = (a: Int, b: Int) => d(a)(b)
-    (a10Core(points, lookup, radiusM), a11Core(points, lookup, thresholdM))
+    (a10Guard.getOrElse(a10Core(points, lookup, radiusM)),
+      a11Guard.getOrElse(a11Core(points, lookup, thresholdM)))
   }
 
   /** A11 cluster variant (get_cluster_best_lat_lng_with_score): winner is the
@@ -198,7 +223,17 @@ object Elections {
     * the plain mean of qualifying points when iteration never ran).
     */
   def trimmedCentroid(points: Seq[Pt],
-                      thresholds: Seq[Int] = Seq(100, 75, 50, 25)): (Double, Double) = {
+                      thresholds: Seq[Int] = Seq(100, 75, 50, 25)): (Double, Double) =
+    trimmedCentroidWith(points, vincentyM, thresholds)
+
+  /** A12 over an arbitrary distance kernel (centroidLat, centroidLng,
+    * pointLat, pointLng) → meters. A haversine kernel makes the iterative
+    * trim loop DuckDB-expressible (q78's recursive-CTE oracle);
+    * trimmedCentroid is the vincenty instantiation used by q41/A13.
+    */
+  def trimmedCentroidWith(points: Seq[Pt],
+                          dist: (Double, Double, Double, Double) => Double,
+                          thresholds: Seq[Int] = Seq(100, 75, 50, 25)): (Double, Double) = {
     def centroidAt(threshold: Int): Option[(Double, Double)] = {
       var filtered = points.filter(_.acc <= 100)
       var centroid: Option[(Double, Double)] = None
@@ -207,7 +242,7 @@ object Elections {
         val cLat = filtered.map(_.lat).sum / filtered.size
         val cLng = filtered.map(_.lng).sum / filtered.size
         centroid = Some((cLat, cLng))
-        val byDist = filtered.map(p => (p, vincentyM(cLat, cLng, p.lat, p.lng))).sortBy(_._2)
+        val byDist = filtered.map(p => (p, dist(cLat, cLng, p.lat, p.lng))).sortBy(_._2)
         val avg = byDist.map(_._2).sum / byDist.size
         if (avg > threshold) {
           val outliers = math.max(filtered.size * 0.1, 1).toInt

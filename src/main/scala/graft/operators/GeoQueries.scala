@@ -101,10 +101,10 @@ object GeoQueries {
         .withColumn("r", elect(col("pts")))
         .select(col("user_id"),
           col("r._1").as("n_points"),
-          round(col("r._2"), 6).as("best_lat"),
-          round(col("r._3"), 6).as("best_lng"),
-          round(col("r._4"), 6).as("score_lat"),
-          round(col("r._5"), 6).as("score_lng"),
+          col("r._2").as("best_lat"),
+          col("r._3").as("best_lng"),
+          col("r._4").as("score_lat"),
+          col("r._5").as("score_lng"),
           col("r._6").as("confidence"))
         .orderBy("user_id")
     }),
@@ -168,6 +168,97 @@ object GeoQueries {
     // because the verify corpus tops out at ~40 points/user — the default
     // 100 would never bind and the tail selection would go unchecked.
     // q40's election half stays spec-pinned (vincenty isn't SQL).
+    // The flagship election machinery made oracle-checkable end-to-end
+    // (reference BestLatLngCalculator.scala:33-163): identical A10
+    // neighbor-count/argmax/first-max-wins and A11 score/majority/tie-break
+    // code paths as q40 (shared a10Core/a11Core via electBothWith), with
+    // the vincenty kernel swapped for closed-form haversine meters — the
+    // q21/q22 trick — so DuckDB recomputes the whole election. Geometry is
+    // re-derived with user-dependent band spacing (~28-111 m) plus ~1 m
+    // jitter so the 300 m radius and 200 m majority threshold both bind in
+    // both directions (86/64 confidence split at sf0.01; q40's
+    // whole-degree scatter would degenerate to self-counts). cap=20 as in
+    // q64 so the tail cap binds at the verify scale. q40/q41 stay as the
+    // vincenty twins, spec-pinned.
+    "q77_election_haversine" -> ((s, dir) => {
+      import s.implicits._
+      val pts = RelationalQueries.ev(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"),
+          ((col("user_id") % 120) - 60
+            + floor(col("value") % 7) / (lit(1000.0) * (lit(1) + col("user_id") % 4))
+            + (col("event_id") % 5) / 100000.0).as("lat"),
+          ((col("user_id") % 340) - 170
+            + (col("event_id") % 11) / (lit(1000.0) * (lit(1) + col("user_id") % 4))
+            + floor(col("value") % 13) / 100000.0).as("lng"),
+          (floor(col("value") % 3) * 30.0 + 10.0).as("acc"),
+          col("ts_ms"))
+      val grouped = pts
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(
+          col("ts_ms"), col("lat"), col("lng"), col("acc")))).as("pts"))
+      val elect = udf { (rows: Seq[Row]) =>
+        val points = rows.map(r => Pt(r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(0)))
+        val deduped = Elections.dedupAndCap(points, cap = 20)
+        val ((blat, blng), (slat, slng, conf)) = Elections.electBothWith(deduped,
+          (a, b) => haversineMScala(a.lat, a.lng, b.lat, b.lng))
+        (deduped.length, blat, blng, slat, slng, conf)
+      }
+      grouped
+        .withColumn("r", elect(col("pts")))
+        .select(col("user_id"),
+          col("r._1").as("n_points"),
+          col("r._2").as("best_lat"),
+          col("r._3").as("best_lng"),
+          col("r._4").as("score_lat"),
+          col("r._5").as("score_lng"),
+          col("r._6").as("confidence"))
+        .orderBy("user_id")
+    }),
+
+    // A12 trimmed centroid as its own oracle-checked entry (reference
+    // BestLatLngCalculator.scala:165-198; previously exercised only inside
+    // q41's A13 composite): per-user dedup+cap(20) history → iterative
+    // drop-worst-10%-while-mean-distance>25m centroid, haversine kernel so
+    // the DuckDB oracle can replay the loop as a recursive CTE carrying
+    // the point list (sort key (distance, position) = Scala's stable
+    // sortBy; drop count = greatest(floor(n*0.1),1) = max(n*0.1,1).toInt).
+    // acc bands {10,40,70,100,130} make the acc<=100 qualifying filter
+    // bind (~1/5 of points excluded). q41 keeps the vincenty twin.
+    "q78_trimmed_centroid" -> ((s, dir) => {
+      import s.implicits._
+      val pts = RelationalQueries.ev(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"),
+          ((col("user_id") % 120) - 60
+            + floor(col("value") % 7) / (lit(1000.0) * (lit(1) + col("user_id") % 4))
+            + (col("event_id") % 5) / 100000.0).as("lat"),
+          ((col("user_id") % 340) - 170
+            + (col("event_id") % 11) / (lit(1000.0) * (lit(1) + col("user_id") % 4))
+            + floor(col("value") % 13) / 100000.0).as("lng"),
+          (floor(col("value") % 5) * 30.0 + 10.0).as("acc"),
+          col("ts_ms"))
+      val grouped = pts
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(
+          col("ts_ms"), col("lat"), col("lng"), col("acc")))).as("pts"))
+      val trim = udf { (rows: Seq[Row]) =>
+        val points = rows.map(r => Pt(r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(0)))
+        val deduped = Elections.dedupAndCap(points, cap = 20)
+        val (clat, clng) = Elections.trimmedCentroidWith(deduped, haversineMScala)
+        (deduped.length, clat, clng)
+      }
+      grouped
+        .withColumn("r", trim(col("pts")))
+        .select(col("user_id"),
+          col("r._1").as("n_points"),
+          col("r._2").as("c_lat"),
+          col("r._3").as("c_lng"))
+        .orderBy("user_id")
+    }),
+
     "q64_dedup_cap_counts" -> ((s, dir) => {
       import s.implicits._
       val pts = geoEvents(s, dir)
@@ -256,6 +347,197 @@ object GeoQueries {
         |SELECT user_id, CAST(count(*) AS INT) AS n_points,
         |  CAST(sum(fts) AS BIGINT) AS ts_checksum
         |FROM r WHERE rn <= 20 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The election recomputed relationally: dedup+cap exactly as q64, then
+    // pairwise haversine meters over the kept points (ordered pairs incl.
+    // self, spelled op-for-op like haversineMScala). A10 = min index among
+    // max d<300 counts (self included, as in a10Core). A11 per distinct
+    // (lat,lng) location: score = 1/(1+d(last index of the location, last
+    // index of any OTHER location)) — the reference's per-neighbor
+    // overwrite leaves exactly that pairing — neighbors = ordered pairs at
+    // d<=200 to other locations; winner among max-score locations = max
+    // neighbors among those with >= floor(n/2), insertion-order tie-break,
+    // else the first-inserted max-score location; confidence 1.0 iff any
+    // location reached the majority. Fallbacks (n<4 / n<3 → last point)
+    // mirror the Scala guards.
+    "q77_election_haversine" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    (user_id % 120) - 60 + floor(value % 7) / (1000.0 * (1 + user_id % 4)) + (event_id % 5) / 100000.0 AS lat,
+        |    (user_id % 340) - 170 + (event_id % 11) / (1000.0 * (1 + user_id % 4)) + floor(value % 13) / 100000.0 AS lng,
+        |    floor(value % 3) * 30.0 + 10.0 AS acc,
+        |    epoch_ms(ts) AS ts_ms
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |f AS (
+        |  SELECT user_id, lat, lng, acc, min(ts_ms) AS fts
+        |  FROM g GROUP BY 1, 2, 3, 4),
+        |r AS (
+        |  SELECT user_id, lat, lng, acc, fts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY fts DESC, lat DESC, lng DESC, acc DESC) AS rnd
+        |  FROM f),
+        |idx AS (
+        |  SELECT user_id, lat, lng, fts, acc,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY fts, lat, lng, acc) AS i
+        |  FROM r WHERE rnd <= 20),
+        |un AS (SELECT user_id, max(i) AS n FROM idx GROUP BY 1),
+        |p AS (
+        |  SELECT a.user_id, a.i AS i, b.i AS j,
+        |    a.lat AS alat, a.lng AS alng,
+        |    (a.lat = b.lat AND a.lng = b.lng) AS same_loc,
+        |    (2 * 6371.0 * asin(sqrt(
+        |      pow(sin(radians(b.lat - a.lat) / 2), 2) +
+        |      cos(radians(a.lat)) * cos(radians(b.lat)) *
+        |      pow(sin(radians(b.lng - a.lng) / 2), 2)))) * 1000.0 AS d
+        |  FROM idx a JOIN idx b ON a.user_id = b.user_id),
+        |c10 AS (
+        |  SELECT user_id, i, sum(CASE WHEN d < 300.0 THEN 1 ELSE 0 END) AS cnt
+        |  FROM p GROUP BY 1, 2),
+        |m10 AS (SELECT user_id, max(cnt) AS mc FROM c10 GROUP BY 1),
+        |w10 AS (
+        |  SELECT c10.user_id, min(i) AS wi
+        |  FROM c10 JOIN m10 ON c10.user_id = m10.user_id AND c10.cnt = m10.mc
+        |  GROUP BY 1),
+        |locs AS (
+        |  SELECT user_id, lat, lng, min(i) AS first_i, max(i) AS last_i
+        |  FROM idx GROUP BY 1, 2, 3),
+        |oth AS (
+        |  SELECT l.user_id, l.lat, l.lng, max(x.i) AS last_other
+        |  FROM locs l JOIN idx x ON x.user_id = l.user_id
+        |    AND NOT (x.lat = l.lat AND x.lng = l.lng)
+        |  GROUP BY 1, 2, 3),
+        |nbr AS (
+        |  SELECT l.user_id, l.lat, l.lng,
+        |    sum(CASE WHEN NOT p.same_loc AND p.d <= 200.0 THEN 1 ELSE 0 END) AS nb
+        |  FROM locs l JOIN p ON p.user_id = l.user_id AND p.alat = l.lat AND p.alng = l.lng
+        |  GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT l.user_id, l.lat, l.lng, l.first_i,
+        |    CASE WHEN o.last_other IS NULL THEN 0.0 ELSE 1.0 / (1.0 + pd.d) END AS score
+        |  FROM locs l
+        |  LEFT JOIN oth o ON o.user_id = l.user_id AND o.lat = l.lat AND o.lng = l.lng
+        |  LEFT JOIN p pd ON pd.user_id = l.user_id AND pd.i = l.last_i AND pd.j = o.last_other),
+        |ms AS (SELECT user_id, max(score) AS mx FROM sc GROUP BY 1),
+        |cand AS (
+        |  SELECT sc.user_id, sc.lat, sc.lng, sc.first_i, nbr.nb, un.n,
+        |    CASE WHEN nbr.nb >= un.n // 2 THEN 1 ELSE 0 END AS qual
+        |  FROM sc
+        |  JOIN ms ON sc.user_id = ms.user_id AND sc.score = ms.mx
+        |  JOIN nbr ON nbr.user_id = sc.user_id AND nbr.lat = sc.lat AND nbr.lng = sc.lng
+        |  JOIN un ON un.user_id = sc.user_id),
+        |w11 AS (
+        |  SELECT user_id, lat, lng,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY qual DESC, CASE WHEN qual = 1 THEN nb ELSE 0 END DESC, first_i ASC) AS rk
+        |  FROM cand),
+        |conf AS (SELECT user_id, max(qual) AS q FROM cand GROUP BY 1),
+        |lastp AS (
+        |  SELECT idx.user_id, idx.lat, idx.lng
+        |  FROM idx JOIN un ON idx.user_id = un.user_id AND idx.i = un.n),
+        |b10 AS (
+        |  SELECT w10.user_id, idx.lat, idx.lng
+        |  FROM w10 JOIN idx ON idx.user_id = w10.user_id AND idx.i = w10.wi)
+        |SELECT un.user_id,
+        |  CAST(un.n AS INT) AS n_points,
+        |  CASE WHEN un.n < 4 THEN lastp.lat ELSE b10.lat END AS best_lat,
+        |  CASE WHEN un.n < 4 THEN lastp.lng ELSE b10.lng END AS best_lng,
+        |  CASE WHEN un.n < 3 THEN lastp.lat ELSE w.lat END AS score_lat,
+        |  CASE WHEN un.n < 3 THEN lastp.lng ELSE w.lng END AS score_lng,
+        |  CASE WHEN un.n < 3 THEN 0.0 ELSE CAST(conf.q AS DOUBLE) END AS confidence
+        |FROM un
+        |JOIN lastp ON lastp.user_id = un.user_id
+        |LEFT JOIN b10 ON b10.user_id = un.user_id
+        |LEFT JOIN (SELECT user_id, lat, lng FROM w11 WHERE rk = 1) w ON w.user_id = un.user_id
+        |LEFT JOIN conf ON conf.user_id = un.user_id
+        |ORDER BY un.user_id""".stripMargin,
+
+    // A12's trim loop replayed as a recursive CTE carrying the per-user
+    // point list: each step computes the centroid (list-order sums, same
+    // order as the Scala fold), per-point haversine meters (op-for-op
+    // haversineMScala), sorts by struct(d, position) (= Scala's stable
+    // sortBy(_._2)), and drops greatest(floor(n*0.1),1) farthest while
+    // mean distance > 25 and n > 3. The terminal row's centroid (computed
+    // BEFORE the final drop, as in the Scala loop) is the answer; users
+    // whose acc<=100 qualifying list never exceeds 3 points fall back to
+    // the plain mean (of qualifying points, else of all points).
+    "q78_trimmed_centroid" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT user_id,
+        |    (user_id % 120) - 60 + floor(value % 7) / (1000.0 * (1 + user_id % 4)) + (event_id % 5) / 100000.0 AS lat,
+        |    (user_id % 340) - 170 + (event_id % 11) / (1000.0 * (1 + user_id % 4)) + floor(value % 13) / 100000.0 AS lng,
+        |    floor(value % 5) * 30.0 + 10.0 AS acc,
+        |    epoch_ms(ts) AS ts_ms
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |f AS (
+        |  SELECT user_id, lat, lng, acc, min(ts_ms) AS fts
+        |  FROM g GROUP BY 1, 2, 3, 4),
+        |r AS (
+        |  SELECT user_id, lat, lng, acc, fts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY fts DESC, lat DESC, lng DESC, acc DESC) AS rnd
+        |  FROM f),
+        |idx AS (
+        |  SELECT user_id, lat, lng, acc,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY fts, lat, lng, acc) AS i
+        |  FROM r WHERE rnd <= 20),
+        |start AS (
+        |  SELECT user_id,
+        |    list(struct_pack(lat := lat, lng := lng) ORDER BY i) FILTER (WHERE acc <= 100) AS pts_q,
+        |    list(struct_pack(lat := lat, lng := lng) ORDER BY i) AS pts_all
+        |  FROM idx GROUP BY user_id),
+        |trim_loop AS (
+        |  SELECT user_id, pts_q AS pts, 0 AS iter, false AS done,
+        |    CAST(NULL AS DOUBLE) AS c_lat, CAST(NULL AS DOUBLE) AS c_lng
+        |  FROM start WHERE len(pts_q) > 3
+        |  UNION ALL
+        |  SELECT user_id,
+        |    CASE WHEN avg_d > 25.0
+        |      THEN list_transform(
+        |        list_sort(ds)[1:(n - CAST(greatest(floor(n * 0.1), 1) AS INT))],
+        |        s -> pts[s.k])
+        |      ELSE pts END,
+        |    iter + 1,
+        |    avg_d <= 25.0,
+        |    clat, clng
+        |  FROM (
+        |    SELECT user_id, pts, iter, n, clat, clng,
+        |      list_transform(generate_series(1, n), k -> struct_pack(
+        |        d := (2 * 6371.0 * asin(sqrt(
+        |          pow(sin(radians(pts[k].lat - clat) / 2), 2) +
+        |          cos(radians(clat)) * cos(radians(pts[k].lat)) *
+        |          pow(sin(radians(pts[k].lng - clng) / 2), 2)))) * 1000.0,
+        |        k := k)) AS ds
+        |    FROM (
+        |      SELECT user_id, pts, iter, len(pts) AS n,
+        |        list_aggregate(list_transform(pts, x -> x.lat), 'sum') / len(pts) AS clat,
+        |        list_aggregate(list_transform(pts, x -> x.lng), 'sum') / len(pts) AS clng
+        |      FROM trim_loop WHERE NOT done AND len(pts) > 3)
+        |  ) step,
+        |  LATERAL (SELECT list_aggregate(list_transform(list_sort(ds), s -> s.d), 'sum') / n AS avg_d) a
+        |),
+        |term AS (
+        |  SELECT user_id, c_lat, c_lng,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY iter DESC) AS rk
+        |  FROM trim_loop),
+        |fb AS (
+        |  SELECT user_id,
+        |    CASE WHEN len(pts_q) > 0
+        |      THEN list_aggregate(list_transform(pts_q, x -> x.lat), 'sum') / len(pts_q)
+        |      ELSE list_aggregate(list_transform(pts_all, x -> x.lat), 'sum') / len(pts_all) END AS f_lat,
+        |    CASE WHEN len(pts_q) > 0
+        |      THEN list_aggregate(list_transform(pts_q, x -> x.lng), 'sum') / len(pts_q)
+        |      ELSE list_aggregate(list_transform(pts_all, x -> x.lng), 'sum') / len(pts_all) END AS f_lng
+        |  FROM start)
+        |SELECT s.user_id,
+        |  CAST(len(s.pts_all) AS INT) AS n_points,
+        |  COALESCE(t.c_lat, fb.f_lat) AS c_lat,
+        |  COALESCE(t.c_lng, fb.f_lng) AS c_lng
+        |FROM start s
+        |LEFT JOIN (SELECT user_id, c_lat, c_lng FROM term WHERE rk = 1) t ON t.user_id = s.user_id
+        |JOIN fb ON fb.user_id = s.user_id
+        |ORDER BY s.user_id""".stripMargin,
 
     // interval-halving with strict `>` exactly as geohashEncodeScala;
     // endpoints stay dyadic (k-th midpoints are j*360/2^k) so (lo+hi)/2

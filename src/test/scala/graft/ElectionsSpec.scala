@@ -128,6 +128,35 @@ class ElectionsSpec extends AnyFunSuite {
     assert(math.abs(lat - 12.97165) < 0.001 && math.abs(lng - 77.59465) < 0.001)
   }
 
+  test("electBothWith/trimmedCentroidWith(vincenty) == the vincenty originals") {
+    val rnd = new scala.util.Random(7)
+    val vinc = (a: Pt, b: Pt) =>
+      graft.functions.GeoFunctions.vincentyM(a.lat, a.lng, b.lat, b.lng)
+    val vinc4 = graft.functions.GeoFunctions.vincentyM _
+    (0 until 100).foreach { caseId =>
+      val n = rnd.nextInt(13)
+      val pts = (0 until n).map { i =>
+        Pt(5 + rnd.nextDouble() * 50, -100 + rnd.nextDouble() * 200,
+          rnd.nextDouble() * 150, i.toLong)
+      }
+      assert(Elections.electBothWith(pts, vinc) == Elections.electBoth(pts),
+        s"case $caseId n=$n")
+      if (n > 0) // n=0 is NaN/NaN on both sides (0/0 fallback mean)
+        assert(Elections.trimmedCentroidWith(pts, vinc4) ==
+          Elections.trimmedCentroid(pts), s"case $caseId n=$n")
+    }
+  }
+
+  test("electBothWith actually applies the supplied kernel") {
+    // asymmetric kernel: the ts=2000 point sees d=0 to every j (neighbor
+    // count 4); every other point sees 1e9 everywhere (count 0, not even
+    // self) — A10 must elect the ts=2000 point, which vincenty would not
+    // (all four cluster points tie at 4 and the FIRST wins under vincenty).
+    val fake = (a: Pt, b: Pt) => if (a.ts == 2000L) 0.0 else 1e9
+    val ((blat, blng), _) = Elections.electBothWith(cluster, fake)
+    assert((blat, blng) == (12.9717, 77.5947))
+  }
+
   test("A13 refineDeliveryLocation picks ping cluster near delivery") {
     val pings = (1 to 6).map(i => Pt(12.9716 + i * 0.00005, 77.5946, 10, 1000L + i))
     val (lat, lng, refined) = Elections.refineDeliveryLocation(
