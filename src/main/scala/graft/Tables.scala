@@ -43,4 +43,32 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  private val rowCountCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Table row count from parquet FOOTER statistics — a metadata read, not
+    * a scan job (df.count() launches a job even for a columnless count
+    * unless aggregate pushdown is enabled). Cached per (file, mtime), so
+    * sizing decisions like srpBandBits cost nothing per invocation; at
+    * 100 TB this is the difference between a driver-side footer read and a
+    * driver-blocking cluster job per query build.
+    */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      else Array(root)
+    files.map { f =>
+      val key = f.toString + "@" + fs.getFileStatus(f).getModificationTime
+      rowCountCache.getOrElseUpdate(key, {
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try rd.getRecordCount finally rd.close()
+      })
+    }.sum
+  }
 }

@@ -268,11 +268,20 @@ object VectorQueries {
     // in QueriesSpec alongside q57's.
     "q63_ann_ivfpq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val cent = trainCells(e)
+      // Build the two index halves CONCURRENTLY: coarse-cell training and
+      // the PQ codebook chain are independent until the ADC join, and each
+      // ends in an eager localCheckpoint — run serially they are ~10
+      // back-to-back jobs of mostly-idle executors (r5's 11.9 s was stage
+      // latency, not work). Spark job submission is thread-safe; this is
+      // the same overlap a production index build gets from async stages.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val centF = Future { trainCells(e) }
+      val subvecs = pqSubvecs(pqNormalize(e))
+      val cb = pqCodebook(subvecs)
+      val cent = Await.result(centF, 10.minutes)
       val cellOf = assignCells(e, cent).select(col("vec_id"), col("cell"))
-      val normed = pqNormalize(e)
-      val subvecs = pqSubvecs(normed)
-      val cb = pqCodebook(normed, subvecs)
       val codes = pqAssign(subvecs, cb)
       val probes = probeCells(e, cent, nprobe = 4)
         .select(col("q_id"), col("cell"))
@@ -303,9 +312,8 @@ object VectorQueries {
     // Rows-only oracle; recall-vs-brute-force pinned in QueriesSpec.
     "q57_ann_pq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val normed = pqNormalize(e)
-      val subvecs = pqSubvecs(normed)
-      val cb1 = pqCodebook(normed, subvecs)
+      val subvecs = pqSubvecs(pqNormalize(e))
+      val cb1 = pqCodebook(subvecs)
       val codes = pqAssign(subvecs, cb1)
       val tables = pqAdcTables(subvecs, cb1)
       // ADC scoring: sum the 8 table lookups per (query, vector). This
@@ -451,13 +459,16 @@ object VectorQueries {
   private[graft] val PqRerank = 50
 
   /** L2-normalized double vectors (PQ trains on the unit sphere so ADC
-    * dot sums approximate cosine).
+    * dot sums approximate cosine). Pure transform, no checkpoint: its only
+    * consumer is pqSubvecs, whose checkpoint materializes this exactly
+    * once (r5 had a second checkpoint here — one serial job of pure idle
+    * at local[32], and at cluster scale a second full write of the
+    * normalized corpus).
     */
   private[graft] def pqNormalize(e: DataFrame): DataFrame = {
     val nrm = l2Norm(col("embedding"))
     e.select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double") / nrm).as("nv"))
-      .localCheckpoint()
+      transform(col("embedding"), x => x.cast("double") / nrm).as("nv"))
   }
 
   /** One row per (vec_id, subspace) with the dsub-dim subvector. */
@@ -478,22 +489,22 @@ object VectorQueries {
 
   /** Per-subspace codebook of PqK centroids: deterministic md5-sampled
     * seeds (TakeOrderedAndProject — no full sort at scale) + one Lloyd
-    * iteration. cb0 is consumed exactly once — no checkpoint; the reused
-    * cb1 earns the eager materialization.
+    * iteration. Seeds and their subvectors come from the checkpointed
+    * `subvecs` (the md5 order depends only on vec_id, and the sliced
+    * subvectors are the identical doubles), so the codebook no longer
+    * re-derives the normalized corpus. cb0 is consumed exactly once — no
+    * checkpoint; the reused result earns the eager materialization.
     */
-  private[graft] def pqCodebook(normed: DataFrame, subvecs: DataFrame): DataFrame = {
+  private[graft] def pqCodebook(subvecs: DataFrame): DataFrame = {
     val seedOrder = Window.orderBy(
       md5(concat(lit("pq:"), col("vec_id").cast("string"))), col("vec_id"))
-    val seeds = normed
+    val seeds = subvecs.filter(col("sub") === 0)
+      .select(col("vec_id"))
       .orderBy(md5(concat(lit("pq:"), col("vec_id").cast("string"))), col("vec_id"))
       .limit(PqK)
       .withColumn("code", row_number().over(seedOrder) - 1)
-    val cb0 = seeds
-      .select(col("code"), col("nv"),
-        explode(sequence(lit(0), lit(PqM - 1))).as("sub"))
-      .withColumn("centroid",
-        expr(s"transform(sequence(0, ${PqDsub - 1}), i -> nv[sub * $PqDsub + i])"))
-      .select(col("sub"), col("code"), col("centroid"))
+    val cb0 = broadcast(seeds).join(subvecs, "vec_id")
+      .select(col("sub"), col("code"), col("subvec").as("centroid"))
     pqAssign(subvecs, cb0)
       .join(subvecs, Seq("vec_id", "sub"))
       .select(col("sub"), col("code"), posexplode(col("subvec")).as(Seq("dim", "x")))
@@ -536,16 +547,17 @@ object VectorQueries {
     * (q45/q62): a fixed width turns the bucket join quadratic once the
     * corpus outgrows its 2^bits bucket space, so the width tracks
     * ≈ log₂(n)−3 (clamped [8,16]) — buckets stay ~8 rows deep at any
-    * scale, the way production LSH sizes its tables. Sized off the base
-    * table's parquet row-count statistics (metadata only, no scan); the
-    * planted +20% doesn't move log₂. Per-query ANN banding (q34/q37)
-    * deliberately does NOT use this: there the corpus side is probed by
-    * a fixed small query set, so candidates stay linear in n per query
-    * and the band width is a pure recall/cost dial.
+    * scale, the way production LSH sizes its tables. Sized from the
+    * parquet footer row count (a cached driver-side metadata read — a
+    * df.count() would launch a scan job per query build); the planted
+    * +20% doesn't move log₂. Per-query ANN banding (q34/q37) deliberately
+    * does NOT use this: there the corpus side is probed by a fixed small
+    * query set, so candidates stay linear in n per query and the band
+    * width is a pure recall/cost dial.
     */
   private[graft] def srpBandBits(s: SparkSession, dir: String): Int =
     math.min(16, math.max(8,
-      (math.log(Tables.embeddings(s, dir).count().toDouble) /
+      (math.log(Tables.rowCount(s, dir, "embeddings").toDouble) /
         math.log(2)).ceil.toInt - 3))
 
   /** q62's corpus: embeddings + planted near-dup contamination (the q45
