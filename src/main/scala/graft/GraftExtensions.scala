@@ -34,6 +34,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "actualNum" -> args.length.toString,
           "docroot" -> "https://spark.apache.org/docs/latest"))
 
+  /** Literal-argument check: index/config parameters of the native
+    * functions and TVFs must be foldable literals. Raised as Spark's own
+    * NON_FOLDABLE_ARGUMENT condition so the message names the function and
+    * parameter (the r5 code borrowed the seed-expression error class,
+    * whose wording was misleading for these arguments).
+    */
+  private def requireFoldable(func: String, param: String, tpe: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "NON_FOLDABLE_ARGUMENT",
+      messageParameters = Map(
+        "funcName" -> s"`$func`",
+        "paramName" -> s"`$param`",
+        "paramType" -> ("\"" + tpe + "\"")))
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("vincenty"),
@@ -65,11 +79,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             if (args.length < 2) 2 else 3, args)
         def intLit(i: Int, name: String): Int = args(i) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case _ => throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "SEED_EXPRESSION_IS_UNFOLDABLE",
-            messageParameters = Map(
-              "seedExpr" -> s"$name argument of srp_bucket",
-              "exprWithSeed" -> "srp_bucket(vec, nPlanes[, offset]) requires integer literals"))
+          case _ => requireFoldable("srp_bucket", name, "INT")
         }
         graft.functions.expressions.SrpBucket(args(0), intLit(1, "nPlanes"),
           if (args.length == 3) intLit(2, "offset") else 0)
@@ -84,12 +94,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "minhash_band_keys(shingles, numHashes, bands, rows)", 4, args)
         def intLit(i: Int, name: String): Int = args(i) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case _ => throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "SEED_EXPRESSION_IS_UNFOLDABLE",
-            messageParameters = Map(
-              "seedExpr" -> s"$name argument of minhash_band_keys",
-              "exprWithSeed" ->
-                "minhash_band_keys(shingles, numHashes, bands, rows) requires integer literals"))
+          case _ => requireFoldable("minhash_band_keys", name, "INT")
         }
         graft.functions.expressions.MinHashBandKeys(args(0),
           intLit(1, "numHashes"), intLit(2, "bands"), intLit(3, "rows"))
@@ -108,12 +113,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val path = args.head match {
           case org.apache.spark.sql.catalyst.expressions.Literal(
               s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
-          case _ => throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "SEED_EXPRESSION_IS_UNFOLDABLE",
-            messageParameters = Map(
-              "seedExpr" -> "path argument of graft_ledger_status",
-              "exprWithSeed" ->
-                "graft_ledger_status(path) requires a string literal"))
+          case _ => requireFoldable("graft_ledger_status", "path", "STRING")
         }
         graft.sources.LedgerSource.statusRelation(path)
       }))
@@ -130,12 +130,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         def strLit(i: Int, name: String): String = args(i) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(
               s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
-          case _ => throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "SEED_EXPRESSION_IS_UNFOLDABLE",
-            messageParameters = Map(
-              "seedExpr" -> s"$name argument of graft_ledger_lag",
-              "exprWithSeed" ->
-                "graft_ledger_lag(path, offsetsJson) requires string literals"))
+          case _ => requireFoldable("graft_ledger_lag", name, "STRING")
         }
         graft.sources.LedgerSource.lagRelation(
           strLit(0, "path"), strLit(1, "offsetsJson"))

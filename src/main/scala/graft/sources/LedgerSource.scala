@@ -470,10 +470,20 @@ class LedgerScan(path: String, options: Map[String, String],
   override def readSchema(): StructType = required
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new LedgerMicroBatchStream(path, options, required)
+  /** ONE partition-dir listing per scan: the partition count
+    * outputPartitioning reports and the splits the batch actually plans
+    * must come from the same snapshot — two independent listings under
+    * concurrent appends could disagree within a single query (reported
+    * n=4 vs 5 planned splits).
+    */
+  private lazy val partitionSnapshot: Seq[Int] =
+    LedgerSource.listPartitions(LedgerSource.toLocalPath(path))
+
   // bounded batch read over an explicit [startOffsets, endOffsets) range —
   // the reference's createRDD-over-OffsetRange path (S2), used by the
   // consistency checker to re-read exactly what a stream committed
-  override def toBatch(): Batch = new LedgerBatchRead(path, options, required)
+  override def toBatch(): Batch =
+    new LedgerBatchRead(path, options, required, Some(partitionSnapshot))
 
   /** The scan's data IS clustered by the log partition (one InputPartition
     * per `partition-<i>` dir, keyed via `HasPartitionKey`), so report it:
@@ -486,7 +496,7 @@ class LedgerScan(path: String, options: Map[String, String],
     * resolve against the scan output) and the layout is non-empty.
     */
   override def outputPartitioning(): partitioning.Partitioning = {
-    val n = LedgerSource.listPartitions(LedgerSource.toLocalPath(path)).size
+    val n = partitionSnapshot.size
     if (n > 0 && required.fieldNames.contains("partition"))
       new partitioning.KeyGroupedPartitioning(
         Array(org.apache.spark.sql.connector.expressions.Expressions
@@ -521,12 +531,16 @@ class LedgerScan(path: String, options: Map[String, String],
   * readers and pinning as the streaming path.
   */
 class LedgerBatchRead(path: String, options: Map[String, String],
-    required: StructType) extends Batch {
+    required: StructType,
+    partitionSnapshot: Option[Seq[Int]] = None) extends Batch {
   import LedgerSource._
 
   private val root = toLocalPath(path)
 
-  private def partitions(): Seq[Int] = listPartitions(root)
+  // reuse the owning scan's listing when given, so planned splits agree
+  // with the partitioning that scan reported (see LedgerScan)
+  private def partitions(): Seq[Int] =
+    partitionSnapshot.getOrElse(listPartitions(root))
 
   override def planInputPartitions(): Array[InputPartition] = {
     val startOpt = options.get("startoffsets").map(LedgerOffset.parse(_).cursors)
