@@ -831,11 +831,12 @@ object TextQueries {
     }),
 
     // BPE tokenizer training — the merge table (the tokenizer artifact) a
-    // training-data pipeline learns from its own corpus. Rows-only for
-    // the driver (an iterative argmax loop isn't a SQL oracle shape);
-    // TextFunctionsSpec pins the classic Sennrich corpus merges against
-    // an independent in-memory reference implementation, plus the
-    // deterministic tie-break.
+    // training-data pipeline learns from its own corpus. Oracle-checked:
+    // the DuckDB oracle replays all 20 greedy merges as a recursive CTE
+    // over the word-type vocabulary (pair counts, tie-break, and the
+    // left-to-right overlap rule all recomputed independently);
+    // TextFunctionsSpec additionally pins the classic Sennrich corpus
+    // merges against an in-memory reference implementation.
     "q74_bpe_merges" -> ((s, dir) => {
       bpeMergeTable(s, dir, steps = 20).orderBy("step")
     }),
@@ -1517,6 +1518,73 @@ object TextQueries {
         |  round(avg(surprisal), 4) AS avg_surprisal,
         |  round(max(surprisal), 4) AS max_surprisal
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The BPE trainer replayed as a recursive CTE carrying the word-type
+    // vocabulary as a list of (freq, syms) structs. Each step: every
+    // adjacent symbol pair scored with its group total (duplicates don't
+    // move an argmax, which sidesteps list_distinct's no-structs limit),
+    // struct-sorted by (-count, left, right) = the trainer's exact
+    // tie-break; the winning merge is applied greedily left-to-right via
+    // a list_reduce whose prepended empty-list init lets it skip
+    // occurrences overlapping a kept merge (bpeApplyMerge's i+=2), and
+    // the loop stops early when no pairs remain, exactly like the
+    // trainer's done flag.
+    "q74_bpe_merges" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |words AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+        |  FROM toks, LATERAL (SELECT unnest(t) AS w) u
+        |  GROUP BY w),
+        |vocab0 AS (
+        |  SELECT list(struct_pack(
+        |      freq := freq,
+        |      syms := list_append(list_transform(generate_series(1, len(w)), i -> w[i:i]), '</w>')
+        |    )) AS vocab
+        |  FROM words),
+        |loop AS (
+        |  SELECT 0 AS step, vocab,
+        |    CAST(NULL AS VARCHAR) AS l, CAST(NULL AS VARCHAR) AS r,
+        |    CAST(NULL AS BIGINT) AS cnt
+        |  FROM vocab0
+        |  UNION ALL
+        |  SELECT step + 1,
+        |    list_transform(
+        |      list_transform(vocab, w -> struct_pack(
+        |        freq := w.freq,
+        |        syms := w.syms,
+        |        kept := list_reduce(
+        |          list_prepend(CAST([] AS BIGINT[]), list_transform(
+        |            list_filter(generate_series(1, len(w.syms) - 1),
+        |              i -> w.syms[i] = best.bl AND w.syms[i + 1] = best.br),
+        |            m -> [m])),
+        |          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = x[1] - 1
+        |                           THEN acc ELSE list_concat(acc, x) END))),
+        |      wk -> struct_pack(
+        |        freq := wk.freq,
+        |        syms := flatten(list_transform(generate_series(1, len(wk.syms)), i ->
+        |          CASE WHEN list_contains(wk.kept, i) THEN [best.bl || best.br]
+        |               WHEN list_contains(wk.kept, i - 1) THEN CAST([] AS VARCHAR[])
+        |               ELSE [wk.syms[i]] END)))),
+        |    best.bl, best.br, best.bcnt
+        |  FROM (
+        |    SELECT step, vocab,
+        |      list_sort(list_transform(allpairs, u -> struct_pack(
+        |          negcnt := -list_aggregate(list_transform(
+        |            list_filter(allpairs, p -> p.l = u.l AND p.r = u.r), p -> p.f), 'sum'),
+        |          l := u.l, r := u.r)))[1] AS b0
+        |    FROM (
+        |      SELECT step, vocab,
+        |        flatten(list_transform(vocab, w ->
+        |          list_transform(generate_series(1, len(w.syms) - 1), i ->
+        |            struct_pack(l := w.syms[i], r := w.syms[i + 1], f := w.freq)))) AS allpairs
+        |      FROM loop WHERE step < 20) pairs
+        |    WHERE len(allpairs) > 0) stepped,
+        |  LATERAL (SELECT struct_pack(bl := b0.l, br := b0.r, bcnt := CAST(-b0.negcnt AS BIGINT)) AS best) b
+        |)
+        |SELECT CAST(step AS INT) AS step, l AS "left", r AS "right", cnt AS pair_count
+        |FROM loop WHERE step >= 1 ORDER BY step""".stripMargin,
 
     "q73_sequence_packing" ->
       """WITH d AS (
