@@ -847,8 +847,10 @@ object TextQueries {
     // comes from the fingerprinted artifact cache (q74 trains it; r5
     // retrained the identical 20-step loop here) and ships inside the
     // encode UDF closure — the broadcast-a-tiny-model pattern; encoding
-    // itself is per-row bounded. Rows-only (inherits the trainer's loop);
-    // the spec pins bpeEncodeWord against known merges.
+    // itself is per-row bounded. Oracle-checked end-to-end: the DuckDB
+    // oracle retrains the merge table (q74's recursive CTE) and replays
+    // the encode fold per word type; the spec additionally pins
+    // bpeEncodeWord against known merges.
     "q75_bpe_encode" -> ((s, dir) => {
       val merges = bpeMergesShared(s, dir, steps = 20)
       val encodeUdf = udf((w: String) => bpeEncodeWord(w, merges).length)
@@ -966,6 +968,66 @@ object TextQueries {
   private def fnvS(expr: String): String =
     s"(CASE WHEN ${fnvU(expr)} < $Half THEN CAST(${fnvU(expr)} AS BIGINT) " +
       s"ELSE CAST(${fnvU(expr)} - $U64 AS BIGINT) END)"
+
+  /** Shared CTE prefix of the q74/q75 oracles: the BPE trainer replayed as
+    * a recursive CTE (see the q74 oracle comment for the mechanics). Ends
+    * with the `loop` CTE; q74 selects the merge rows from it, q75 chains
+    * an encode CTE onto its merge table.
+    */
+  private val bpeLoopCte: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |words AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+      |  FROM toks, LATERAL (SELECT unnest(t) AS w) u
+      |  GROUP BY w),
+      |vocab0 AS (
+      |  SELECT list(struct_pack(
+      |      freq := freq,
+      |      syms := list_append(list_transform(generate_series(1, len(w)), i -> w[i:i]), '</w>')
+      |    )) AS vocab
+      |  FROM words),
+      |loop AS (
+      |  SELECT 0 AS step, vocab,
+      |    CAST(NULL AS VARCHAR) AS l, CAST(NULL AS VARCHAR) AS r,
+      |    CAST(NULL AS BIGINT) AS cnt
+      |  FROM vocab0
+      |  UNION ALL
+      |  SELECT step + 1,
+      |    list_transform(
+      |      list_transform(vocab, w -> struct_pack(
+      |        freq := w.freq,
+      |        syms := w.syms,
+      |        kept := list_reduce(
+      |          list_prepend(CAST([] AS BIGINT[]), list_transform(
+      |            list_filter(generate_series(1, len(w.syms) - 1),
+      |              i -> w.syms[i] = best.bl AND w.syms[i + 1] = best.br),
+      |            m -> [m])),
+      |          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = x[1] - 1
+      |                           THEN acc ELSE list_concat(acc, x) END))),
+      |      wk -> struct_pack(
+      |        freq := wk.freq,
+      |        syms := flatten(list_transform(generate_series(1, len(wk.syms)), i ->
+      |          CASE WHEN list_contains(wk.kept, i) THEN [best.bl || best.br]
+      |               WHEN list_contains(wk.kept, i - 1) THEN CAST([] AS VARCHAR[])
+      |               ELSE [wk.syms[i]] END)))),
+      |    best.bl, best.br, best.bcnt
+      |  FROM (
+      |    SELECT step, vocab,
+      |      list_sort(list_transform(allpairs, u -> struct_pack(
+      |          negcnt := -list_aggregate(list_transform(
+      |            list_filter(allpairs, p -> p.l = u.l AND p.r = u.r), p -> p.f), 'sum'),
+      |          l := u.l, r := u.r)))[1] AS b0
+      |    FROM (
+      |      SELECT step, vocab,
+      |        flatten(list_transform(vocab, w ->
+      |          list_transform(generate_series(1, len(w.syms) - 1), i ->
+      |            struct_pack(l := w.syms[i], r := w.syms[i + 1], f := w.freq)))) AS allpairs
+      |      FROM loop WHERE step < 20) pairs
+      |    WHERE len(allpairs) > 0) stepped,
+      |  LATERAL (SELECT struct_pack(bl := b0.l, br := b0.r, bcnt := CAST(-b0.negcnt AS BIGINT)) AS best) b
+      |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q24_token_stats" ->
@@ -1529,62 +1591,52 @@ object TextQueries {
     // occurrences overlapping a kept merge (bpeApplyMerge's i+=2), and
     // the loop stops early when no pairs remain, exactly like the
     // trainer's done flag.
-    "q74_bpe_merges" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
-        |  FROM documents),
-        |words AS (
-        |  SELECT w, CAST(count(*) AS BIGINT) AS freq
-        |  FROM toks, LATERAL (SELECT unnest(t) AS w) u
-        |  GROUP BY w),
-        |vocab0 AS (
-        |  SELECT list(struct_pack(
-        |      freq := freq,
-        |      syms := list_append(list_transform(generate_series(1, len(w)), i -> w[i:i]), '</w>')
-        |    )) AS vocab
-        |  FROM words),
-        |loop AS (
-        |  SELECT 0 AS step, vocab,
-        |    CAST(NULL AS VARCHAR) AS l, CAST(NULL AS VARCHAR) AS r,
-        |    CAST(NULL AS BIGINT) AS cnt
-        |  FROM vocab0
-        |  UNION ALL
-        |  SELECT step + 1,
-        |    list_transform(
-        |      list_transform(vocab, w -> struct_pack(
-        |        freq := w.freq,
-        |        syms := w.syms,
-        |        kept := list_reduce(
-        |          list_prepend(CAST([] AS BIGINT[]), list_transform(
-        |            list_filter(generate_series(1, len(w.syms) - 1),
-        |              i -> w.syms[i] = best.bl AND w.syms[i + 1] = best.br),
-        |            m -> [m])),
-        |          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = x[1] - 1
-        |                           THEN acc ELSE list_concat(acc, x) END))),
-        |      wk -> struct_pack(
-        |        freq := wk.freq,
-        |        syms := flatten(list_transform(generate_series(1, len(wk.syms)), i ->
-        |          CASE WHEN list_contains(wk.kept, i) THEN [best.bl || best.br]
-        |               WHEN list_contains(wk.kept, i - 1) THEN CAST([] AS VARCHAR[])
-        |               ELSE [wk.syms[i]] END)))),
-        |    best.bl, best.br, best.bcnt
-        |  FROM (
-        |    SELECT step, vocab,
-        |      list_sort(list_transform(allpairs, u -> struct_pack(
-        |          negcnt := -list_aggregate(list_transform(
-        |            list_filter(allpairs, p -> p.l = u.l AND p.r = u.r), p -> p.f), 'sum'),
-        |          l := u.l, r := u.r)))[1] AS b0
-        |    FROM (
-        |      SELECT step, vocab,
-        |        flatten(list_transform(vocab, w ->
-        |          list_transform(generate_series(1, len(w.syms) - 1), i ->
-        |            struct_pack(l := w.syms[i], r := w.syms[i + 1], f := w.freq)))) AS allpairs
-        |      FROM loop WHERE step < 20) pairs
-        |    WHERE len(allpairs) > 0) stepped,
-        |  LATERAL (SELECT struct_pack(bl := b0.l, br := b0.r, bcnt := CAST(-b0.negcnt AS BIGINT)) AS best) b
-        |)
+    "q74_bpe_merges" -> (bpeLoopCte +
+      """
         |SELECT CAST(step AS INT) AS step, l AS "left", r AS "right", cnt AS pair_count
-        |FROM loop WHERE step >= 1 ORDER BY step""".stripMargin,
+        |FROM loop WHERE step >= 1 ORDER BY step""".stripMargin),
+
+    // q74's merge table APPLIED: a second recursive CTE encodes each
+    // distinct word by replaying the merges in step order (same greedy
+    // left-to-right kept-list expression), then the per-occurrence token
+    // stream joins the word-type encodings and aggregates per source.
+    "q75_bpe_encode" -> (bpeLoopCte +
+      """,
+        |mt AS (SELECT step, l, r FROM loop WHERE step >= 1),
+        |enc AS (
+        |  SELECT w, list_append(list_transform(generate_series(1, len(w)), i -> w[i:i]), '</w>') AS syms, 0 AS estep
+        |  FROM words
+        |  UNION ALL
+        |  SELECT e.w,
+        |    (SELECT
+        |      flatten(list_transform(generate_series(1, len(e.syms)), i ->
+        |        CASE WHEN list_contains(kept, i) THEN [m.l || m.r]
+        |             WHEN list_contains(kept, i - 1) THEN CAST([] AS VARCHAR[])
+        |             ELSE [e.syms[i]] END))
+        |     FROM (SELECT list_reduce(
+        |          list_prepend(CAST([] AS BIGINT[]), list_transform(
+        |            list_filter(generate_series(1, len(e.syms) - 1),
+        |              i -> e.syms[i] = m.l AND e.syms[i + 1] = m.r),
+        |            x -> [x])),
+        |          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = x[1] - 1
+        |                           THEN acc ELSE list_concat(acc, x) END) AS kept) k),
+        |    e.estep + 1
+        |  FROM enc e JOIN mt m ON m.step = e.estep + 1
+        |),
+        |nsyms AS (
+        |  SELECT w, len(syms) AS n_syms, len(w) + 1 AS n_chars
+        |  FROM enc WHERE estep = (SELECT max(step) FROM mt)),
+        |occ AS (
+        |  SELECT source, w
+        |  FROM (SELECT source, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t FROM documents) d,
+        |    LATERAL (SELECT unnest(t) AS w) u)
+        |SELECT occ.source,
+        |  count(*) AS n_words,
+        |  CAST(sum(n.n_syms) AS BIGINT) AS total_symbols,
+        |  round(avg(n.n_syms), 4) AS avg_symbols_per_word,
+        |  round(CAST(sum(n.n_chars) AS DOUBLE) / CAST(sum(n.n_syms) AS DOUBLE), 4) AS chars_per_symbol
+        |FROM occ JOIN nsyms n ON occ.w = n.w
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "q73_sequence_packing" ->
       """WITH d AS (
