@@ -164,6 +164,20 @@ class PlanSpec extends AnyFunSuite {
       s"top-K aggregator lost its map-side combine:\n$plan")
   }
 
+  test("q77/q78 elections group as ObjectHashAggregate with bounded buffers, no window") {
+    // the same scale shape q40 carries: collect_list groupBy (map-side
+    // partial merge; group state capped by dedupAndCap) + a per-group UDF —
+    // never a corpus-wide window and never a cartesian
+    Seq("q77_election_haversine", "q78_trimmed_centroid").foreach { q =>
+      val plan = physical(GeoQueries.defs(q)(spark, dir))
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_"),
+        s"$q lost its partial collect_list aggregate:\n$plan")
+      assert(!plan.contains("Window"), s"$q grew a window:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q grew a cartesian:\n$plan")
+    }
+  }
+
   test("q76 held-out LM broadcasts; no one-partition window anywhere") {
     val plan = physical(TextQueries.defs("q76_heldout_perplexity")(spark, dir))
       .split("== Initial Plan ==")(0)
