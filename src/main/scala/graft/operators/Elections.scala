@@ -194,7 +194,18 @@ object Elections {
     * ≥ ceil(majority% × n).
     */
   def clusterBest(points: Seq[Pt], thresholdM: Double = 200.0,
-                  minPoints: Int = 3, majorityPct: Double = 50.0): (Double, Double, Double) = {
+                  minPoints: Int = 3, majorityPct: Double = 50.0): (Double, Double, Double) =
+    clusterBestWith(points, (a, b) => vincentyM(a.lat, a.lng, b.lat, b.lng),
+      thresholdM, minPoints, majorityPct)
+
+  /** clusterBest over an arbitrary distance kernel (meters) — the same
+    * kernel-swap that lets q79 oracle-check this election's
+    * most-neighbors/first-inserted-tie/majority machinery under haversine;
+    * clusterBest is the vincenty instantiation used by A13 refinement.
+    */
+  def clusterBestWith(points: Seq[Pt], dist: (Pt, Pt) => Double,
+                      thresholdM: Double = 200.0,
+                      minPoints: Int = 3, majorityPct: Double = 50.0): (Double, Double, Double) = {
     val n = points.length
     if (n == 0) return (0.0, 0.0, 0.0)
     val neighbors = mutable.LinkedHashMap[(Double, Double), Int]()
@@ -203,7 +214,7 @@ object Elections {
       val ki = (pi.lat, pi.lng)
       points.foreach { pj =>
         if (ki != (pj.lat, pj.lng)) {
-          val d = vincentyM(pi.lat, pi.lng, pj.lat, pj.lng)
+          val d = dist(pi, pj)
           if (d <= thresholdM) neighbors(ki) = neighbors(ki) + 1
         }
       }

@@ -25,6 +25,33 @@ object GeoQueries {
       .withColumn("lng", (col("event_id") % 340) - 170 + col("value") / 1000.0)
       .withColumn("acc", col("value") % 120.0)
 
+  /** Election-query geometry (q77/q78/q79): user-dependent band spacing
+    * (~28-111 m) plus ~1 m jitter so the elections' radius/threshold
+    * parameters bind in both directions; accMod controls how many of the
+    * acc bands {10,40,70,100,130,...} exist (5 makes the acc<=100
+    * qualifying filter of A12 bind; 3 keeps every point qualifying).
+    * Integer-mod → double arithmetic, bit-identical across engines.
+    */
+  private def electionPoints(s: SparkSession, dir: String, accMod: Int): DataFrame =
+    RelationalQueries.ev(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"),
+        ((col("user_id") % 120) - 60
+          + floor(col("value") % 7) / (lit(1000.0) * (lit(1) + col("user_id") % 4))
+          + (col("event_id") % 5) / 100000.0).as("lat"),
+        ((col("user_id") % 340) - 170
+          + (col("event_id") % 11) / (lit(1000.0) * (lit(1) + col("user_id") % 4))
+          + floor(col("value") % 13) / 100000.0).as("lng"),
+        (floor(col("value") % accMod) * 30.0 + 10.0).as("acc"),
+        col("ts_ms"))
+
+  /** Per-user time-sorted point history of the election geometry. */
+  private def electionGrouped(s: SparkSession, dir: String, accMod: Int): DataFrame =
+    electionPoints(s, dir, accMod)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(
+        col("ts_ms"), col("lat"), col("lng"), col("acc")))).as("pts"))
+
   val defs: Map[String, Q] = Map(
 
     // Haversine distance (pure Column math → codegen) from a fixed center,
@@ -182,21 +209,7 @@ object GeoQueries {
     // vincenty twins, spec-pinned.
     "q77_election_haversine" -> ((s, dir) => {
       import s.implicits._
-      val pts = RelationalQueries.ev(s, dir)
-        .filter(col("event_type").isin("click", "purchase"))
-        .select(col("user_id"),
-          ((col("user_id") % 120) - 60
-            + floor(col("value") % 7) / (lit(1000.0) * (lit(1) + col("user_id") % 4))
-            + (col("event_id") % 5) / 100000.0).as("lat"),
-          ((col("user_id") % 340) - 170
-            + (col("event_id") % 11) / (lit(1000.0) * (lit(1) + col("user_id") % 4))
-            + floor(col("value") % 13) / 100000.0).as("lng"),
-          (floor(col("value") % 3) * 30.0 + 10.0).as("acc"),
-          col("ts_ms"))
-      val grouped = pts
-        .groupBy(col("user_id"))
-        .agg(sort_array(collect_list(struct(
-          col("ts_ms"), col("lat"), col("lng"), col("acc")))).as("pts"))
+      val grouped = electionGrouped(s, dir, accMod = 3)
       val elect = udf { (rows: Seq[Row]) =>
         val points = rows.map(r => Pt(r.getDouble(1), r.getDouble(2),
           r.getDouble(3), r.getLong(0)))
@@ -217,6 +230,34 @@ object GeoQueries {
         .orderBy("user_id")
     }),
 
+    // The remaining election variant oracle-checked: clusterBest (the
+    // most-neighbors election with first-inserted tie-break and a
+    // percentage majority, reference BestLatLngCalculator.scala:123-163 —
+    // the confidence gate A13's refinement uses before falling back to
+    // the trimmed centroid). Same haversine-kernel trick and geometry as
+    // q77; clusterBestWith shares the exact code path with the vincenty
+    // clusterBest that q41 exercises.
+    "q79_cluster_best" -> ((s, dir) => {
+      import s.implicits._
+      val grouped = electionGrouped(s, dir, accMod = 3)
+      val elect = udf { (rows: Seq[Row]) =>
+        val points = rows.map(r => Pt(r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(0)))
+        val deduped = Elections.dedupAndCap(points, cap = 20)
+        val (lat, lng, conf) = Elections.clusterBestWith(deduped,
+          (a, b) => haversineMScala(a.lat, a.lng, b.lat, b.lng))
+        (deduped.length, lat, lng, conf)
+      }
+      grouped
+        .withColumn("r", elect(col("pts")))
+        .select(col("user_id"),
+          col("r._1").as("n_points"),
+          col("r._2").as("cb_lat"),
+          col("r._3").as("cb_lng"),
+          col("r._4").as("confidence"))
+        .orderBy("user_id")
+    }),
+
     // A12 trimmed centroid as its own oracle-checked entry (reference
     // BestLatLngCalculator.scala:165-198; previously exercised only inside
     // q41's A13 composite): per-user dedup+cap(20) history → iterative
@@ -228,21 +269,7 @@ object GeoQueries {
     // bind (~1/5 of points excluded). q41 keeps the vincenty twin.
     "q78_trimmed_centroid" -> ((s, dir) => {
       import s.implicits._
-      val pts = RelationalQueries.ev(s, dir)
-        .filter(col("event_type").isin("click", "purchase"))
-        .select(col("user_id"),
-          ((col("user_id") % 120) - 60
-            + floor(col("value") % 7) / (lit(1000.0) * (lit(1) + col("user_id") % 4))
-            + (col("event_id") % 5) / 100000.0).as("lat"),
-          ((col("user_id") % 340) - 170
-            + (col("event_id") % 11) / (lit(1000.0) * (lit(1) + col("user_id") % 4))
-            + floor(col("value") % 13) / 100000.0).as("lng"),
-          (floor(col("value") % 5) * 30.0 + 10.0).as("acc"),
-          col("ts_ms"))
-      val grouped = pts
-        .groupBy(col("user_id"))
-        .agg(sort_array(collect_list(struct(
-          col("ts_ms"), col("lat"), col("lng"), col("acc")))).as("pts"))
+      val grouped = electionGrouped(s, dir, accMod = 5)
       val trim = udf { (rows: Seq[Row]) =>
         val points = rows.map(r => Pt(r.getDouble(1), r.getDouble(2),
           r.getDouble(3), r.getLong(0)))
@@ -284,6 +311,53 @@ object GeoQueries {
         .orderBy("user_id")
     })
   )
+
+  /** Shared CTE prefix of the q77/q79 election oracles: dedup+cap exactly
+    * as q64 over the accMod=3 geometry, ordered pairwise haversine meters
+    * spelled op-for-op like haversineMScala (self pairs included, as in
+    * a10Core), per-location first/last indices, and cross-location
+    * neighbor counts at d<=200 (the definition both A11 and clusterBest
+    * share).
+    */
+  private val electionCte: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    (user_id % 120) - 60 + floor(value % 7) / (1000.0 * (1 + user_id % 4)) + (event_id % 5) / 100000.0 AS lat,
+      |    (user_id % 340) - 170 + (event_id % 11) / (1000.0 * (1 + user_id % 4)) + floor(value % 13) / 100000.0 AS lng,
+      |    floor(value % 3) * 30.0 + 10.0 AS acc,
+      |    epoch_ms(ts) AS ts_ms
+      |  FROM events
+      |  WHERE event_type IN ('click', 'purchase')),
+      |f AS (
+      |  SELECT user_id, lat, lng, acc, min(ts_ms) AS fts
+      |  FROM g GROUP BY 1, 2, 3, 4),
+      |r AS (
+      |  SELECT user_id, lat, lng, acc, fts,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY fts DESC, lat DESC, lng DESC, acc DESC) AS rnd
+      |  FROM f),
+      |idx AS (
+      |  SELECT user_id, lat, lng, fts, acc,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY fts, lat, lng, acc) AS i
+      |  FROM r WHERE rnd <= 20),
+      |un AS (SELECT user_id, max(i) AS n FROM idx GROUP BY 1),
+      |p AS (
+      |  SELECT a.user_id, a.i AS i, b.i AS j,
+      |    a.lat AS alat, a.lng AS alng,
+      |    (a.lat = b.lat AND a.lng = b.lng) AS same_loc,
+      |    (2 * 6371.0 * asin(sqrt(
+      |      pow(sin(radians(b.lat - a.lat) / 2), 2) +
+      |      cos(radians(a.lat)) * cos(radians(b.lat)) *
+      |      pow(sin(radians(b.lng - a.lng) / 2), 2)))) * 1000.0 AS d
+      |  FROM idx a JOIN idx b ON a.user_id = b.user_id),
+      |locs AS (
+      |  SELECT user_id, lat, lng, min(i) AS first_i, max(i) AS last_i
+      |  FROM idx GROUP BY 1, 2, 3),
+      |nbr AS (
+      |  SELECT l.user_id, l.lat, l.lng,
+      |    sum(CASE WHEN NOT p.same_loc AND p.d <= 200.0 THEN 1 ELSE 0 END) AS nb
+      |  FROM locs l JOIN p ON p.user_id = l.user_id AND p.alat = l.lat AND p.alng = l.lng
+      |  GROUP BY 1, 2, 3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q21_haversine_stats" ->
@@ -360,37 +434,8 @@ object GeoQueries {
     // else the first-inserted max-score location; confidence 1.0 iff any
     // location reached the majority. Fallbacks (n<4 / n<3 → last point)
     // mirror the Scala guards.
-    "q77_election_haversine" ->
-      """WITH g AS (
-        |  SELECT user_id,
-        |    (user_id % 120) - 60 + floor(value % 7) / (1000.0 * (1 + user_id % 4)) + (event_id % 5) / 100000.0 AS lat,
-        |    (user_id % 340) - 170 + (event_id % 11) / (1000.0 * (1 + user_id % 4)) + floor(value % 13) / 100000.0 AS lng,
-        |    floor(value % 3) * 30.0 + 10.0 AS acc,
-        |    epoch_ms(ts) AS ts_ms
-        |  FROM events
-        |  WHERE event_type IN ('click', 'purchase')),
-        |f AS (
-        |  SELECT user_id, lat, lng, acc, min(ts_ms) AS fts
-        |  FROM g GROUP BY 1, 2, 3, 4),
-        |r AS (
-        |  SELECT user_id, lat, lng, acc, fts,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY fts DESC, lat DESC, lng DESC, acc DESC) AS rnd
-        |  FROM f),
-        |idx AS (
-        |  SELECT user_id, lat, lng, fts, acc,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY fts, lat, lng, acc) AS i
-        |  FROM r WHERE rnd <= 20),
-        |un AS (SELECT user_id, max(i) AS n FROM idx GROUP BY 1),
-        |p AS (
-        |  SELECT a.user_id, a.i AS i, b.i AS j,
-        |    a.lat AS alat, a.lng AS alng,
-        |    (a.lat = b.lat AND a.lng = b.lng) AS same_loc,
-        |    (2 * 6371.0 * asin(sqrt(
-        |      pow(sin(radians(b.lat - a.lat) / 2), 2) +
-        |      cos(radians(a.lat)) * cos(radians(b.lat)) *
-        |      pow(sin(radians(b.lng - a.lng) / 2), 2)))) * 1000.0 AS d
-        |  FROM idx a JOIN idx b ON a.user_id = b.user_id),
+    "q77_election_haversine" -> (electionCte +
+      """,
         |c10 AS (
         |  SELECT user_id, i, sum(CASE WHEN d < 300.0 THEN 1 ELSE 0 END) AS cnt
         |  FROM p GROUP BY 1, 2),
@@ -399,18 +444,10 @@ object GeoQueries {
         |  SELECT c10.user_id, min(i) AS wi
         |  FROM c10 JOIN m10 ON c10.user_id = m10.user_id AND c10.cnt = m10.mc
         |  GROUP BY 1),
-        |locs AS (
-        |  SELECT user_id, lat, lng, min(i) AS first_i, max(i) AS last_i
-        |  FROM idx GROUP BY 1, 2, 3),
         |oth AS (
         |  SELECT l.user_id, l.lat, l.lng, max(x.i) AS last_other
         |  FROM locs l JOIN idx x ON x.user_id = l.user_id
         |    AND NOT (x.lat = l.lat AND x.lng = l.lng)
-        |  GROUP BY 1, 2, 3),
-        |nbr AS (
-        |  SELECT l.user_id, l.lat, l.lng,
-        |    sum(CASE WHEN NOT p.same_loc AND p.d <= 200.0 THEN 1 ELSE 0 END) AS nb
-        |  FROM locs l JOIN p ON p.user_id = l.user_id AND p.alat = l.lat AND p.alng = l.lng
         |  GROUP BY 1, 2, 3),
         |sc AS (
         |  SELECT l.user_id, l.lat, l.lng, l.first_i,
@@ -450,7 +487,31 @@ object GeoQueries {
         |LEFT JOIN b10 ON b10.user_id = un.user_id
         |LEFT JOIN (SELECT user_id, lat, lng FROM w11 WHERE rk = 1) w ON w.user_id = un.user_id
         |LEFT JOIN conf ON conf.user_id = un.user_id
-        |ORDER BY un.user_id""".stripMargin,
+        |ORDER BY un.user_id""".stripMargin),
+
+    // clusterBest: winner = most cross-location neighbors, strict-greater
+    // takeover in insertion order (= max nb, earliest first_i on ties);
+    // confidence 1.0 iff n >= minPoints(3) and the winner's count reaches
+    // ceil(50% of n). No fallback branches — the reference elects even
+    // from a single point.
+    "q79_cluster_best" -> (electionCte +
+      """,
+        |w79 AS (
+        |  SELECT nbr.user_id, nbr.lat, nbr.lng, nbr.nb,
+        |    row_number() OVER (PARTITION BY nbr.user_id
+        |      ORDER BY nbr.nb DESC, l.first_i ASC) AS rk
+        |  FROM nbr JOIN locs l ON l.user_id = nbr.user_id
+        |    AND l.lat = nbr.lat AND l.lng = nbr.lng)
+        |SELECT un.user_id,
+        |  CAST(un.n AS INT) AS n_points,
+        |  w.lat AS cb_lat,
+        |  w.lng AS cb_lng,
+        |  CASE WHEN un.n >= 3 AND w.nb >= CAST(ceil(0.5 * un.n) AS BIGINT)
+        |       THEN 1.0 ELSE 0.0 END AS confidence
+        |FROM un
+        |JOIN (SELECT user_id, lat, lng, nb FROM w79 WHERE rk = 1) w
+        |  ON w.user_id = un.user_id
+        |ORDER BY un.user_id""".stripMargin),
 
     // A12's trim loop replayed as a recursive CTE carrying the per-user
     // point list: each step computes the centroid (list-order sums, same

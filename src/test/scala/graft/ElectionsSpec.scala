@@ -141,6 +141,8 @@ class ElectionsSpec extends AnyFunSuite {
       }
       assert(Elections.electBothWith(pts, vinc) == Elections.electBoth(pts),
         s"case $caseId n=$n")
+      assert(Elections.clusterBestWith(pts, vinc) == Elections.clusterBest(pts),
+        s"case $caseId n=$n")
       if (n > 0) // n=0 is NaN/NaN on both sides (0/0 fallback mean)
         assert(Elections.trimmedCentroidWith(pts, vinc4) ==
           Elections.trimmedCentroid(pts), s"case $caseId n=$n")
