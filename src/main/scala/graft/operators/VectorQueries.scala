@@ -609,7 +609,116 @@ object VectorQueries {
       .select(col("d1"), col("d2"), col("s1"), col("s2"))
   }
 
+  /** Shared CTE prefix of the q34/q37 oracles: the splitmix64-style
+    * hyperplane hash (VectorFunctions.hyperplaneComponent) recomputed in
+    * HUGEINT mod-2^64 arithmetic — multiplications split at 2^32 so the
+    * 128-bit intermediate never overflows, xors routed through the signed
+    * BIGINT bit pattern (the q30 FNV technique) — then per-vector sign
+    * buckets from IN-ORDER list dot products. Every operation is integer
+    * or IEEE double arithmetic (no transcendentals), so buckets and
+    * cosines are bit-identical across engines, which is what lets a
+    * hash-seeded LSH query be hash-checked at all.
+    */
+  private val srpCte: String =
+    """WITH pj AS (
+      |  SELECT t1.p, t2.j FROM generate_series(0, 9) t1(p), generate_series(0, 63) t2(j)),
+      |s0 AS (
+      |  SELECT p, j,
+      |    (p * 11400714819323198485::HUGEINT + j * 13787848793156543929::HUGEINT)
+      |      % 18446744073709551616::HUGEINT AS h
+      |  FROM pj),
+      |x1 AS (
+      |  SELECT p, j,
+      |    (CASE WHEN x < 0 THEN x::HUGEINT + 18446744073709551616::HUGEINT ELSE x::HUGEINT END) AS h
+      |  FROM (SELECT p, j, xor(
+      |      CAST(CASE WHEN h < 9223372036854775808::HUGEINT THEN h
+      |                ELSE h - 18446744073709551616::HUGEINT END AS BIGINT),
+      |      CAST(h // 1073741824 AS BIGINT)) AS x
+      |    FROM s0) t),
+      |m1 AS (
+      |  SELECT p, j,
+      |    ( ((h // 4294967296) * (13787848793156543929::HUGEINT % 4294967296)) % 4294967296 * 4294967296
+      |      + (h % 4294967296) * 13787848793156543929::HUGEINT
+      |    ) % 18446744073709551616::HUGEINT AS h
+      |  FROM x1),
+      |x2 AS (
+      |  SELECT p, j,
+      |    (CASE WHEN x < 0 THEN x::HUGEINT + 18446744073709551616::HUGEINT ELSE x::HUGEINT END) AS h
+      |  FROM (SELECT p, j, xor(
+      |      CAST(CASE WHEN h < 9223372036854775808::HUGEINT THEN h
+      |                ELSE h - 18446744073709551616::HUGEINT END AS BIGINT),
+      |      CAST(h // 134217728 AS BIGINT)) AS x
+      |    FROM m1) t),
+      |m2 AS (
+      |  SELECT p, j,
+      |    ( ((h // 4294967296) * (10723151780598845931::HUGEINT % 4294967296)) % 4294967296 * 4294967296
+      |      + (h % 4294967296) * 10723151780598845931::HUGEINT
+      |    ) % 18446744073709551616::HUGEINT AS h
+      |  FROM x2),
+      |x3 AS (
+      |  SELECT p, j,
+      |    (CASE WHEN x < 0 THEN x::HUGEINT + 18446744073709551616::HUGEINT ELSE x::HUGEINT END) AS h
+      |  FROM (SELECT p, j, xor(
+      |      CAST(CASE WHEN h < 9223372036854775808::HUGEINT THEN h
+      |                ELSE h - 18446744073709551616::HUGEINT END AS BIGINT),
+      |      CAST(h // 2147483648 AS BIGINT)) AS x
+      |    FROM m2) t),
+      |planes AS (
+      |  SELECT p, list(CAST(h // 2048 AS DOUBLE) / 9007199254740992.0 - 0.5 ORDER BY j) AS pw
+      |  FROM x3 GROUP BY p),
+      |dots AS (
+      |  SELECT e.vec_id, pl.p,
+      |    list_aggregate(list_transform(generate_series(1, len(e.embedding)),
+      |      k -> CAST(e.embedding[k] AS DOUBLE) * pl.pw[k]), 'sum') AS s
+      |  FROM embeddings e, planes pl),
+      |bkt AS (
+      |  SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id),
+      |eb AS (
+      |  SELECT e.vec_id, e.embedding, b.bucket
+      |  FROM embeddings e JOIN bkt b ON b.vec_id = e.vec_id)""".stripMargin
+
+  /** Candidate scoring + top-k tail shared by the q34/q37 oracles: exact
+    * cosine with the kernel's accumulation order (separate in-order dot
+    * and norm sums, division last), (cos DESC, vec_id) ranking.
+    */
+  private val srpTopkTail: String =
+    """,
+      |scored AS (
+      |  SELECT qs.q_id, eb.vec_id,
+      |    CASE WHEN sqrt(aa) = 0 OR sqrt(bb) = 0 THEN 0.0
+      |         ELSE dot / (sqrt(aa) * sqrt(bb)) END AS cos
+      |  FROM qs JOIN eb ON eb.bucket = qs.bucket AND eb.vec_id <> qs.q_id,
+      |  LATERAL (SELECT
+      |    list_aggregate(list_transform(generate_series(1, least(len(qs.q_vec), len(eb.embedding))),
+      |      k -> CAST(qs.q_vec[k] AS DOUBLE) * CAST(eb.embedding[k] AS DOUBLE)), 'sum') AS dot,
+      |    list_aggregate(list_transform(generate_series(1, least(len(qs.q_vec), len(eb.embedding))),
+      |      k -> CAST(qs.q_vec[k] AS DOUBLE) * CAST(qs.q_vec[k] AS DOUBLE)), 'sum') AS aa,
+      |    list_aggregate(list_transform(generate_series(1, least(len(qs.q_vec), len(eb.embedding))),
+      |      k -> CAST(eb.embedding[k] AS DOUBLE) * CAST(eb.embedding[k] AS DOUBLE)), 'sum') AS bb) d),
+      |ranked AS (
+      |  SELECT q_id, vec_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+      |  FROM scored)
+      |SELECT q_id, CAST(rk AS INT) AS rk, vec_id AS neighbor_id
+      |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // hash-seeded LSH made hash-checkable: see srpCte
+    "q34_ann_srp" -> (srpCte +
+      """,
+        |qs AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM eb WHERE vec_id < 20)""".stripMargin
+      + srpTopkTail),
+
+    // q34 + hamming-1 probing: the query side expands to its own bucket
+    // plus each one-bit-flipped neighbor (integer xor), nothing else moves
+    "q37_ann_srp_multiprobe" -> (srpCte +
+      """,
+        |qs0 AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM eb WHERE vec_id < 20),
+        |qs AS (
+        |  SELECT q_id, q_vec, xor(bucket, pr.m) AS bucket
+        |  FROM qs0, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128, 256, 512]) AS m) pr)""".stripMargin
+      + srpTopkTail),
     "q32_embedding_norms" ->
       """WITH n AS (
         |  SELECT label,
