@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked program output must reach stdout RAW (no sbt "[info] " prefix):
+// the bench driver parses the last JSON line of stdout, and sbt's default
+// LoggedOutput strategy prefixes every line, breaking JSON.parse.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -104,11 +104,25 @@ object Bench {
     // across the inventory, so "q16":0.47 carries the same signal as
     // "q16_json_extract":0.47 at ~40% of the characters.
     def shortKey(k: String): String = k.takeWhile(_ != '_')
+    // min hides intermittent regressions (a change that stalls 2 of 3
+    // sweeps reports only the fast sample), so the line also carries the
+    // WORST per-query spreads (max - min across sweeps): bounded to the
+    // top 4 above 0.25 s so tail behavior stays visible without blowing
+    // the char budget. Keys use the unique qNN prefix.
+    val spreads = ordered.map { case (name, _) =>
+      val samples = sweeps.map(_.toMap.apply(name))
+      name -> (samples.max - samples.min)
+    }.filter(_._2 > 0.25).sortBy(-_._2).take(4)
+    val spreadJson =
+      if (spreads.isEmpty) ""
+      else spreads
+        .map { case (k, v) => "\"" + shortKey(k) + "\":" + fmtQ(v, 2, 2) }
+        .mkString(""","spread":{""", ",", "}")
     def render(subSecScale: Int, secScale: Int, key: String => String): String = {
       val qs = results
         .map { case (k, v) => "\"" + key(k) + "\":" + fmtQ(v, subSecScale, secScale) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"min","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"min","queries":$qs$spreadJson,"sf":"$sfName"}"""
     }
     // The driver records only the LAST 2000 chars of stdout, which also
     // contain sbt's trailing "[success] Total time: ..." line (~80 chars):

@@ -44,31 +44,64 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
-  private val rowCountCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  // path -> (mtime, rows): keying the VALUE by mtime (not the cache key)
+  // means a rewritten part file replaces its stale entry instead of
+  // accumulating one entry per (path, mtime) forever in a long-lived JVM.
+  private val rowCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
 
-  /** Table row count from parquet FOOTER statistics — a metadata read, not
-    * a scan job (df.count() launches a job even for a columnless count
-    * unless aggregate pushdown is enabled). Cached per (file, mtime), so
-    * sizing decisions like srpBandBits cost nothing per invocation; at
-    * 100 TB this is the difference between a driver-side footer read and a
-    * driver-blocking cluster job per query build.
+  /** Recursive data-file listing of a parquet table (file or directory
+    * layout, including nested/partitioned subdirectories), sorted by path
+    * for deterministic fingerprints. Skips _SUCCESS/_metadata/hidden files.
     */
-  def rowCount(spark: SparkSession, dir: String, name: String): Long = {
+  private def listParquetFiles(spark: SparkSession, dir: String,
+      name: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
     val fs = root.getFileSystem(conf)
-    val files =
-      if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).map(_.getPath)
-          .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
-      else Array(root)
-    files.map { f =>
-      val key = f.toString + "@" + fs.getFileStatus(f).getModificationTime
-      rowCountCache.getOrElseUpdate(key, {
-        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
-        try rd.getRecordCount finally rd.close()
-      })
+    def walk(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
+      else {
+        val n = st.getPath.getName
+        if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+          Seq(st)
+        else Nil
+      }
+    walk(fs.getFileStatus(root)).sortBy(_.getPath.toString)
+  }
+
+  /** Table row count from parquet FOOTER statistics — a metadata read, not
+    * a scan job (df.count() launches a job even for a columnless count
+    * unless aggregate pushdown is enabled). Cached per file with mtime
+    * invalidation, so sizing decisions like srpBandBits cost nothing per
+    * invocation; at 100 TB this is the difference between a driver-side
+    * footer read and a driver-blocking cluster job per query build.
+    * Recurses into subdirectories, so a partitioned layout counts fully.
+    */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    listParquetFiles(spark, dir, name).map { st =>
+      val (path, mtime) = (st.getPath.toString, st.getModificationTime)
+      rowCountCache.get(path) match {
+        case Some((m, n)) if m == mtime => n
+        case _ =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+          val n = try rd.getRecordCount finally rd.close()
+          rowCountCache.put(path, (mtime, n))
+          n
+      }
     }.sum
   }
+
+  /** Stable identity of a parquet dataset for artifact caches (trained BPE
+    * merge tables, ANN centroids/codebooks): per-part (name, size, mtime)
+    * over the recursive listing. A directory entry's own size/mtime is NOT
+    * reliable — rewriting a part file in place need not change either — so
+    * the fingerprint covers every data file.
+    */
+  def parquetFingerprint(spark: SparkSession, dir: String, name: String): String =
+    listParquetFiles(spark, dir, name)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .mkString(s"$dir/$name.parquet|", ",", "")
 }

@@ -124,9 +124,11 @@ object TextFunctions {
     h
   }
 
-  /** 64-bit simhash over whitespace tokens of the normalized text. */
-  def simhash64(text: String): Long = {
-    val toks = text.toLowerCase.replaceAll("[^a-z ]", " ").trim.split("\\s+")
+  /** 64-bit simhash over an already-tokenized document: lets callers that
+    * have tokenized once (e.g. to filter zero-token docs) feed the same
+    * array here instead of paying the regex tokenization twice per row.
+    */
+  def simhash64FromTokens(toks: Seq[String]): Long = {
     val v = new Array[Int](64)
     toks.foreach { t =>
       if (t.nonEmpty) {
@@ -144,7 +146,22 @@ object TextFunctions {
     out
   }
 
+  /** 64-bit simhash over whitespace tokens of the normalized text. */
+  def simhash64(text: String): Long =
+    simhash64FromTokens(
+      text.toLowerCase.replaceAll("[^a-z ]", " ").trim.split("\\s+").toSeq)
+
   val simhashUdf = udf(simhash64 _)
+  val simhashFromTokensUdf = udf(simhash64FromTokens _)
+
+  /** Null (dropped) for zero-token docs instead of a separate size()
+    * filter: keeps the tokenize → hash chain a SINGLE projection — a
+    * size(tokens) predicate alongside a simhash(tokens) projection
+    * evaluates the regex tokenizer twice per row (filter and project are
+    * separate expression trees; codegen CSE does not span them).
+    */
+  val simhashNonEmptyUdf = udf((toks: Seq[String]) =>
+    if (toks.isEmpty) None else Some(simhash64FromTokens(toks)))
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 

@@ -388,6 +388,21 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // q48's EXACT twin, as its own oracle-green entry: the same grouping
+    // with exact distinct counts and interpolated percentiles (what the
+    // sketches approximate). QueriesSpec pins q48's sketch-vs-exact error
+    // against THIS query, so the sketch's target is itself oracle-verified;
+    // at 100 TB you run q48, and q80 is the audit you run on a sample.
+    "q80_exact_stats_twin" -> ((s, dir) => {
+      ev(s, dir).groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("users"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
     // The SQL-text API surface: the same Catalyst pipeline driven through
     // spark.sql over registered views — a 5-table star join (fact lineitem
     // → orders → customer → nation → region, all dims broadcastable) with
@@ -536,6 +551,14 @@ object RelationalQueries {
         |  round(quantile_cont(value, 0.99), 4) AS p99,
         |  round(avg(value), 4) AS mean_value,
         |  round(stddev_pop(value), 4) AS stddev_value,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q80_exact_stats_twin" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS users,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.95), 4) AS p95,
         |  count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 

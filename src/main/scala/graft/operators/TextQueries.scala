@@ -167,10 +167,17 @@ object TextQueries {
   private def bpeTrainFromVocab(s: SparkSession, vocabIn: DataFrame,
       steps: Int): Seq[(Int, String, String, Long)] = {
     val sc = s.sparkContext
+    // The ids come from the checkpointed DataFrame's OWN plan (localCheckpoint
+    // returns a LogicalRDD wrapping the persisted RDD), not a
+    // getPersistentRDDs before/after delta — the delta was racy under any
+    // concurrent persist (e.g. q63's Future-built index halves) and could
+    // unpersist an unrelated computation's blocks.
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint()
-      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+      val ids = out.queryExecution.logical.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }.toSet
+      (out, ids)
     }
     def release(ids: Set[Int]): Unit = ids.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
@@ -216,11 +223,9 @@ object TextQueries {
   private val bpeArtifacts =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, String, String, Long)]]
 
-  private def bpeCorpusFingerprint(dir: String, steps: Int): String = {
-    val f = java.nio.file.Paths.get(s"$dir/documents.parquet")
-    s"$dir:$steps:${java.nio.file.Files.size(f)}:" +
-      s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
-  }
+  private def bpeCorpusFingerprint(s: SparkSession, dir: String,
+      steps: Int): String =
+    s"$steps:${Tables.parquetFingerprint(s, dir, "documents")}"
 
   private def bpeTrain(s: SparkSession, dir: String, steps: Int)
       : Seq[(Int, String, String, Long)] = {
@@ -230,7 +235,7 @@ object TextQueries {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(col("freq"), initUdf(col("w")).as("syms"))
     val rows = bpeTrainFromVocab(s, vocab, steps)
-    bpeArtifacts.put(bpeCorpusFingerprint(dir, steps), rows)
+    bpeArtifacts.put(bpeCorpusFingerprint(s, dir, steps), rows)
     rows
   }
 
@@ -244,7 +249,7 @@ object TextQueries {
     */
   private[graft] def bpeMergesShared(s: SparkSession, dir: String,
       steps: Int): Seq[(String, String)] =
-    bpeArtifacts.getOrElse(bpeCorpusFingerprint(dir, steps),
+    bpeArtifacts.getOrElse(bpeCorpusFingerprint(s, dir, steps),
       bpeTrain(s, dir, steps)).map(m => (m._2, m._3))
 
   private[graft] def lshNeardupPairs(s: SparkSession, dir: String,
@@ -374,9 +379,16 @@ object TextQueries {
     // token-unnest derivation never sees them — agreement by construction
     // rather than by the corpus happening to contain none.
     "q30_simhash_pairs" -> ((s, dir) => {
+      // tokenize ONCE (r6 regressed q30 0.56→0.84 s by running the regex
+      // tokenizer twice per row — once in the zero-token filter, once in
+      // the UDF): the null-on-empty UDF folds the parity filter into the
+      // single hash projection, and the checkpoint materializes the tiny
+      // (doc_id, sim) table so the banded SELF-join doesn't scan+rehash
+      // the corpus twice (the q29 staged-intermediate pattern).
       val sh = Tables.documents(s, dir)
-        .filter(size(tokens(col("text"))) > 0)
-        .select(col("doc_id"), simhashUdf(col("text")).as("sim"))
+        .select(col("doc_id"), simhashNonEmptyUdf(tokens(col("text"))).as("sim"))
+        .filter(col("sim").isNotNull)
+        .localCheckpoint()
       val banded = sh.select(col("doc_id"), col("sim"),
         explode(array((0 until 4).map(b =>
           concat_ws(":", lit(b),

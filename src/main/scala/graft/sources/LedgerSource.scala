@@ -475,6 +475,15 @@ class LedgerScan(path: String, options: Map[String, String],
     * must come from the same snapshot — two independent listings under
     * concurrent appends could disagree within a single query (reported
     * n=4 vs 5 planned splits).
+    *
+    * Lifetime note: the snapshot lives as long as this Scan object. A
+    * fresh query plans a fresh Scan (new ScanBuilder → build()), so it
+    * sees partitions appended since; but RE-EXECUTING one cached/reused
+    * Dataset reuses its physical plan and therefore this snapshot — by
+    * design, since a repeated execution of the same plan re-reading a
+    * DIFFERENT partition layout is exactly the reported-vs-planned
+    * inconsistency this snapshot exists to prevent. Readers wanting fresh
+    * partitions re-plan (re-build the DataFrame), same as any DSv2 source.
     */
   private lazy val partitionSnapshot: Seq[Int] =
     LedgerSource.listPartitions(LedgerSource.toLocalPath(path))

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators._
 
@@ -77,7 +78,13 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q46 IVF assignment aggregates partial min_by (no corpus-wide window sort)") {
-    val plan = physical(VectorQueries.defs("q46_ann_ivf")(spark, dir))
+    // the pin targets the INDEX-BUILD stage: q46's own plan now reads the
+    // persisted inverted-file artifact (a checkpointed LogicalRDD), so the
+    // window-regression risk lives in assignCells itself
+    val e = Tables.embeddings(spark, dir)
+    val cent = VectorQueries.cellMeans(
+      e.select(col("label").as("cell"), col("embedding")))
+    val plan = physical(VectorQueries.assignCells(e, cent))
     assert(plan.contains("partial_min_by"),
       s"assignment not a partial min_by aggregation:\n$plan")
   }
@@ -88,7 +95,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q57 PQ code assignment is a partial min_by, not a window") {
-    val plan = physical(VectorQueries.defs("q57_ann_pq")(spark, dir))
+    // same artifact-cache caveat as the q46 pin: target the code-assignment
+    // build stage, not the query that reads the persisted code table
+    val e = Tables.embeddings(spark, dir)
+    val subvecs = VectorQueries.pqSubvecs(VectorQueries.pqNormalize(e))
+    val plan = physical(
+      VectorQueries.pqAssign(subvecs, VectorQueries.pqCodebook(subvecs)))
     assert(plan.contains("partial_min_by"),
       s"PQ assignment not a partial min_by aggregation:\n$plan")
   }
