@@ -54,8 +54,8 @@ object VectorQueries {
 
     // LSH-bucketed ANN (sign-random-projection, 10 hyperplanes): corpus and
     // queries bucketed by sign bits; candidates = same bucket; exact cosine
-    // + top-k within candidates. Rows-only oracle; QueriesSpec measures
-    // recall vs q33 on sf0.001.
+    // + top-k within candidates. Oracle-checked hash-for-hash (the srpCte
+    // splitmix replay); QueriesSpec measures recall vs q33 on sf0.001.
     "q34_ann_srp" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .withColumn("bucket", srpBucketExpr(col("embedding"), 10))
@@ -167,8 +167,9 @@ object VectorQueries {
     // former two) because at cos ≥ 0.95 that makes the banding measurably
     // LOSSLESS (miss prob ≈ (1−0.99⁸)³ ≈ 5e-4 per pair): QueriesSpec
     // proves pair-for-pair parity with the exact O(n²) join on both
-    // verify SFs, not just recall ≥ 0.9. Rows-only oracle (hash seeds
-    // aren't SQL).
+    // verify SFs, not just recall ≥ 0.9. Oracle-checked hash-for-hash:
+    // the perturbation AND the banded pipeline replay in DuckDB
+    // (perturbCorpusCte + srpBandingCtes), valid at every SF.
     "q45_cosine_neardup_keep" -> ((s, dir) => {
       val corpus = neardupCorpus(s, dir)
       val dupIds = neardupPairsLsh(s, dir, corpus)
@@ -218,7 +219,10 @@ object VectorQueries {
     // shuffles once on cell_id (≈ corpus/nlist rows per cell), queries
     // broadcast, each executor scans only probed cells (scan cost drops by
     // nlist/nprobe vs q33), and centroid training runs on a sample.
-    // Rows-only oracle; QueriesSpec pins recall vs q33 on sf0.001.
+    // Oracle-checked hash-for-hash (the full IVF build replayed in SQL:
+    // label-mean seeds, 2 Lloyd rounds, probes, rerank — float-cast
+    // centroids absorb cross-engine aggregation-order noise); QueriesSpec
+    // pins recall vs q33 on sf0.001.
     "q46_ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val cent = trainCellsShared(s, dir, e)
@@ -249,7 +253,11 @@ object VectorQueries {
     // inverted file is the partitioning (shuffle once on cell_id), codes
     // are 16× smaller than raw floats, centroids + codebooks + per-query
     // ADC tables all broadcast, and the exact re-rank touches only
-    // rerank=50 rows per query. Rows-only oracle; recall vs q33 pinned
+    // rerank=50 rows per query. Rows-only oracle BY NECESSITY (unlike
+    // q46): the PQ codebook means and ADC sums stay double (no float
+    // re-round anywhere), so aggregation-order noise (~1e-16) sits
+    // directly on the crk≤50 rank boundary and a cross-engine replay
+    // would be flaky rather than exact. Recall vs q33 pinned
     // in QueriesSpec alongside q57's.
     "q63_ann_ivfpq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -295,7 +303,9 @@ object VectorQueries {
     // → queries score candidates with an asymmetric-distance table (per-
     // query dot of each subspace centroid, broadcast: queries × 8 × 16
     // rows) summed over codes → exact cosine re-rank of the top candidates.
-    // Rows-only oracle; recall-vs-brute-force pinned in QueriesSpec.
+    // Rows-only oracle by necessity — same un-rounded-double rank
+    // boundary as q63 (see its comment); recall-vs-brute-force pinned in
+    // QueriesSpec.
     "q57_ann_pq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val subvecs = pqSubvecsShared(s, dir, e)
@@ -726,10 +736,14 @@ object VectorQueries {
     * cosines are bit-identical across engines, which is what lets a
     * hash-seeded LSH query be hash-checked at all.
     */
-  private val srpCte: String =
-    """WITH pj AS (
-      |  SELECT t1.p, t2.j FROM generate_series(0, 9) t1(p), generate_series(0, 63) t2(j)),
-      |s0 AS (
+  /** The splitmix64-style hash chain (stages s0 → x3) over whatever
+    * `pj(p, j)` seed CTE precedes it: shared by the SRP-bucket replay
+    * (planes 0..9) and the perturbation replay (p = seed-derived per
+    * planted vector). Expects a prior CTE named `pj`; ends with `x3(p, j,
+    * h)`, h unsigned-in-HUGEINT.
+    */
+  private val splitmixStages: String =
+    """s0 AS (
       |  SELECT p, j,
       |    (p * 11400714819323198485::HUGEINT + j * 13787848793156543929::HUGEINT)
       |      % 18446744073709551616::HUGEINT AS h
@@ -769,7 +783,12 @@ object VectorQueries {
       |      CAST(CASE WHEN h < 9223372036854775808::HUGEINT THEN h
       |                ELSE h - 18446744073709551616::HUGEINT END AS BIGINT),
       |      CAST(h // 2147483648 AS BIGINT)) AS x
-      |    FROM m2) t),
+      |    FROM m2) t)""".stripMargin
+
+  private val srpCte: String =
+    s"""WITH pj AS (
+      |  SELECT t1.p, t2.j FROM generate_series(0, 9) t1(p), generate_series(0, 63) t2(j)),
+      |$splitmixStages,
       |planes AS (
       |  SELECT p, list(CAST(h // 2048 AS DOUBLE) / 9007199254740992.0 - 0.5 ORDER BY j) AS pw
       |  FROM x3 GROUP BY p),
@@ -809,6 +828,136 @@ object VectorQueries {
       |  FROM scored)
       |SELECT q_id, CAST(rk AS INT) AS rk, vec_id AS neighbor_id
       |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  /** Shared prefix of the q45/q62 oracles: the planted-duplicate corpus
+    * replayed exactly — VectorFunctions.perturb's hash noise recomputed
+    * through the splitmix chain (seed p = vec_id % 100000 + 7919 per
+    * planted vector, component j gets 0.02·h(p,j) added then rounds to
+    * FLOAT, both IEEE round-to-nearest), re-id'd +1_000_000, unioned with
+    * the originals, and each row's md5 split drawn as in splitAssign.
+    * Ends with `corpus(vec_id, embedding DOUBLE[], label, split)`. The
+    * `pj` seed set also carries planes 0..47 (disjoint from the perturb
+    * seeds, which are ≥ 7919) so the SAME hash chain feeds the banding
+    * replay in srpBandingCtes.
+    */
+  private val perturbCorpusCte: String =
+    s"""WITH pj AS (
+      |  SELECT DISTINCT (vec_id % 100000) + 7919 AS p, t2.j
+      |  FROM embeddings, generate_series(0, 63) t2(j)
+      |  WHERE vec_id % 5 = 0
+      |  UNION ALL
+      |  SELECT t1.p, t2.j
+      |  FROM generate_series(0, 47) t1(p), generate_series(0, 63) t2(j)),
+      |$splitmixStages,
+      |comp AS (
+      |  SELECT p, j, CAST(h // 2048 AS DOUBLE) / 9007199254740992.0 - 0.5 AS c
+      |  FROM x3),
+      |pert AS (
+      |  SELECT e.vec_id + 1000000 AS vec_id,
+      |    list(CAST(CAST(e.embedding[c.j + 1] AS DOUBLE) + 0.02 * c.c AS FLOAT)
+      |      ORDER BY c.j) AS embedding,
+      |    any_value(e.label) AS label
+      |  FROM embeddings e JOIN comp c ON c.p = (e.vec_id % 100000) + 7919
+      |  WHERE e.vec_id % 5 = 0
+      |  GROUP BY e.vec_id),
+      |corpus AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label,
+      |    CASE WHEN substring(md5('split:' || CAST(vec_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'valid'
+      |         WHEN substring(md5('split:' || CAST(vec_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+      |         ELSE 'train' END AS split
+      |  FROM (SELECT vec_id, embedding, label FROM embeddings
+      |        UNION ALL SELECT vec_id, embedding, label FROM pert) u)""".stripMargin
+
+  /** The q45/q62 SRP-banding pipeline replayed over `corpus`, appended to
+    * perturbCorpusCte: corpus-adaptive band width (srpBandBits' formula on
+    * the base table count), three hash tables at plane offsets 0/16/32
+    * (bit-identical buckets via the splitmix planes in `x3`), bucket
+    * self-join candidates, exact-cosine ≥ 0.95 verify with the kernel's
+    * accumulation order. Replaying the BANDING (not the exact join) keeps
+    * the oracle valid at every SF — at sizes where the adaptive width
+    * makes banding lossy-by-design, the oracle is lossy in exactly the
+    * same pairs. Ends with `vpairs(d1, d2, s1, s2)`.
+    */
+  private lazy val srpBandingCtes: String =
+    s""",
+      |bits AS (
+      |  SELECT LEAST(16, GREATEST(8,
+      |    CAST(ceil(ln(count(*)) / ln(2)) AS INT) - 3)) AS b
+      |  FROM embeddings),
+      |planes AS (
+      |  SELECT p, list(CAST(h // 2048 AS DOUBLE) / 9007199254740992.0 - 0.5 ORDER BY j) AS pw
+      |  FROM x3 WHERE p < 48 GROUP BY p),
+      |sgn AS (
+      |  SELECT c.vec_id, pl.p,
+      |    list_aggregate(list_transform(generate_series(1, len(c.embedding)),
+      |      k -> c.embedding[k] * pl.pw[k]), 'sum') > 0 AS pos
+      |  FROM corpus c, planes pl),
+      |bkt AS (
+      |  SELECT vec_id, tb.t,
+      |    CAST(sum(CASE WHEN pos THEN (1::BIGINT << (p - tb.off)) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM sgn, bits, (VALUES (0, 0), (1, 16), (2, 32)) tb(t, off)
+      |  WHERE p >= tb.off AND p < tb.off + bits.b
+      |  GROUP BY vec_id, tb.t),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+      |  FROM bkt a JOIN bkt b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |vp_s AS (
+      |  SELECT c.d1, c.d2, ca.split AS s1, cb.split AS s2, $duckCos AS cos
+      |  FROM cand c JOIN corpus ca ON ca.vec_id = c.d1
+      |  JOIN corpus cb ON cb.vec_id = c.d2,
+      |  ${cosLateral("ca.embedding", "cb.embedding")}),
+      |vpairs AS (SELECT d1, d2, s1, s2 FROM vp_s WHERE cos >= 0.95)""".stripMargin
+
+  // ---- q46 oracle machinery: the IVF build replayed in SQL --------------
+  //
+  // The whole IVF index is deterministic given the corpus (label-mean
+  // seeds, 2 fixed Lloyd iterations, csim-DESC/cell-ASC tie-breaks), so
+  // it IS oracle-able: each stage re-expressed with the kernel's exact
+  // accumulation order (in-order double dot/norm sums — the q34 idiom).
+  // The one cross-engine hazard, aggregation-order noise in the centroid
+  // avg (Spark partial sums merge in shuffle order), is absorbed by
+  // cellMeans' CAST TO FLOAT: the double avg is accurate to ~1e-14
+  // relative while a float ulp is 6e-8, so both engines round to the same
+  // float except with ~1e-6 probability per component.
+  private val duckCos: String =
+    "CASE WHEN sqrt(x.aa) = 0 OR sqrt(x.bb) = 0 THEN 0.0 " +
+      "ELSE x.dot / (sqrt(x.aa) * sqrt(x.bb)) END"
+
+  private def cosLateral(a: String, b: String): String =
+    s"""LATERAL (SELECT
+       |    list_aggregate(list_transform(generate_series(1, least(len($a), len($b))),
+       |      k -> CAST($a[k] AS DOUBLE) * CAST($b[k] AS DOUBLE)), 'sum') AS dot,
+       |    list_aggregate(list_transform(generate_series(1, least(len($a), len($b))),
+       |      k -> CAST($a[k] AS DOUBLE) * CAST($a[k] AS DOUBLE)), 'sum') AS aa,
+       |    list_aggregate(list_transform(generate_series(1, least(len($a), len($b))),
+       |      k -> CAST($b[k] AS DOUBLE) * CAST($b[k] AS DOUBLE)), 'sum') AS bb) x""".stripMargin
+
+  /** cellMeans replay: per-(cell, dim) double avg → FLOAT → in-dim-order
+    * centroid list. */
+  private def ivfMeans(src: String, out: String): String =
+    s"""$out AS (
+       |  SELECT cell, list(cf ORDER BY d) AS centroid FROM (
+       |    SELECT cell, d, CAST(avg(CAST(v AS DOUBLE)) AS FLOAT) AS cf
+       |    FROM (SELECT cell, unnest(generate_series(1, len(embedding))) - 1 AS d,
+       |            unnest(embedding) AS v
+       |          FROM $src) u
+       |    GROUP BY cell, d) g
+       |  GROUP BY cell)""".stripMargin
+
+  /** assignCells replay: every corpus vector scored against every centroid
+    * (broadcast cross join in Spark), argmax csim with cell-ASC tie-break.
+    * Emits `${out}_s` (all scores — probeCells reads it too) and `$out`
+    * (the rank-1 assignment). */
+  private def ivfAssign(cent: String, out: String): String =
+    s"""${out}_s AS (
+       |  SELECT e.vec_id, c.cell, e.embedding, $duckCos AS cos
+       |  FROM embeddings e, $cent c, ${cosLateral("e.embedding", "c.centroid")}),
+       |$out AS (
+       |  SELECT vec_id, cell, embedding FROM (
+       |    SELECT vec_id, cell, embedding,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rk
+       |    FROM ${out}_s) t
+       |  WHERE rk = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // hash-seeded LSH made hash-checkable: see srpCte
@@ -854,6 +1003,55 @@ object VectorQueries {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.35
         |ORDER BY 1, 2""".stripMargin,
+
+    // the IVF build + probe + rerank replayed end-to-end: label-mean
+    // seeds, 2 Lloyd iterations, final assignment, nprobe=3 probes from
+    // the same score table, exact-cosine top-5 within probed cells
+    "q46_ann_ivf" -> (
+      s"""WITH seed AS (SELECT label AS cell, vec_id, embedding FROM embeddings),
+         |${ivfMeans("seed", "c0")},
+         |${ivfAssign("c0", "a1")},
+         |${ivfMeans("a1", "c1")},
+         |${ivfAssign("c1", "a2")},
+         |${ivfMeans("a2", "c2")},
+         |${ivfAssign("c2", "a3")},
+         |probes AS (
+         |  SELECT vec_id AS q_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rk
+         |    FROM a3_s WHERE vec_id < 20) t
+         |  WHERE rk <= 3),
+         |scored AS (
+         |  SELECT p.q_id, a.vec_id, $duckCos AS cos
+         |  FROM a3 a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.q_id
+         |  JOIN embeddings q ON q.vec_id = p.q_id,
+         |  ${cosLateral("q.embedding", "a.embedding")}),
+         |ranked AS (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+         |  FROM scored)
+         |SELECT q_id, CAST(rk AS INT) AS rk, vec_id AS neighbor_id
+         |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+
+    // hash-seeded planted-dup dedup made hash-checkable end-to-end:
+    // perturbation replayed via perturbCorpusCte, then the FULL banded
+    // pipeline (adaptive width, 3 tables, bucket join, cosine verify)
+    // replayed bit-for-bit via srpBandingCtes — valid at every SF, not
+    // just where banding is lossless
+    "q45_cosine_neardup_keep" -> (perturbCorpusCte + srpBandingCtes +
+      """,
+        |dup AS (SELECT DISTINCT d2 AS vec_id FROM vpairs)
+        |SELECT label, count(*) AS n_kept, CAST(sum(vec_id) AS BIGINT) AS id_checksum
+        |FROM corpus WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+        |GROUP BY label ORDER BY label""".stripMargin),
+
+    // same corpus + banding replay, plus the cross-split filter and q56's
+    // output shape
+    "q62_embedding_leakage_lsh" -> (perturbCorpusCte + srpBandingCtes +
+      """
+        |SELECT least(s1, s2) || '|' || greatest(s1, s2) AS leak_pair,
+        |  count(*) AS n_pairs, CAST(sum(d1 + d2) AS BIGINT) AS id_checksum
+        |FROM vpairs WHERE s1 <> s2 GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "q56_embedding_leakage" ->
       """WITH sp AS (
