@@ -57,12 +57,11 @@ object Dev {
         val copies = 10
         def replicate(table: String, shifts: Map[String, Long]): Unit = {
           val out = s"$dst/$table.parquet"
-          // cache keyed on a fingerprint of the source file + replication
-          // params — stale replicas after testdata/generator changes would
-          // silently corrupt measured ratios
-          val srcFile = java.nio.file.Paths.get(s"$src/$table.parquet")
-          val fp = s"${java.nio.file.Files.size(srcFile)}:" +
-            s"${java.nio.file.Files.getLastModifiedTime(srcFile).toMillis}:" +
+          // cache keyed on a fingerprint of the source PART FILES (a
+          // directory entry's own size/mtime misses in-place part
+          // rewrites) + replication params — stale replicas after
+          // testdata/generator changes would silently corrupt ratios
+          val fp = s"${Tables.parquetFingerprint(spark, src, table)}:" +
             s"$copies:${shifts.toSeq.sorted.mkString(",")}"
           val marker = java.nio.file.Paths.get(s"$out.fingerprint")
           if (java.nio.file.Files.exists(java.nio.file.Paths.get(out)) &&
