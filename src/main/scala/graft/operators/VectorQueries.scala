@@ -253,11 +253,11 @@ object VectorQueries {
     // inverted file is the partitioning (shuffle once on cell_id), codes
     // are 16× smaller than raw floats, centroids + codebooks + per-query
     // ADC tables all broadcast, and the exact re-rank touches only
-    // rerank=50 rows per query. Rows-only oracle BY NECESSITY (unlike
-    // q46): the PQ codebook means and ADC sums stay double (no float
-    // re-round anywhere), so aggregation-order noise (~1e-16) sits
-    // directly on the crk≤50 rank boundary and a cross-engine replay
-    // would be flaky rather than exact. Recall vs q33 pinned
+    // rerank=50 rows per query. Oracle-checked hash-for-hash (the q46
+    // cell chain + q57 PQ chain composed in one SQL program): made
+    // possible by the float re-rounds on the codebook means and the ADC
+    // sum, which absorb aggregation-order noise that would otherwise sit
+    // on the crk≤50 rank boundary. Recall vs q33 pinned
     // in QueriesSpec alongside q57's.
     "q63_ann_ivfpq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -285,7 +285,12 @@ object VectorQueries {
         .filter(col("vec_id") =!= col("q_id"))
         .join(broadcast(tables), Seq("q_id", "sub", "code"))
         .groupBy(col("q_id"), col("vec_id"))
-        .agg(sum(col("pdot")).as("approx"))
+        // float re-round of the 8-term ADC sum: partial-agg merge order is
+        // nondeterministic, and ~1e-16 double noise on a rank key is the
+        // difference between an exact oracle and a flaky one — the float
+        // quantum (6e-8) absorbs it, at zero recall cost on a ~1e-2
+        // approximation
+        .agg(sum(col("pdot")).cast("float").as("approx"))
       val wA = Window.partitionBy("q_id").orderBy(col("approx").desc, col("vec_id"))
       val cand = approx
         .withColumn("crk", row_number().over(wA))
@@ -303,8 +308,9 @@ object VectorQueries {
     // → queries score candidates with an asymmetric-distance table (per-
     // query dot of each subspace centroid, broadcast: queries × 8 × 16
     // rows) summed over codes → exact cosine re-rank of the top candidates.
-    // Rows-only oracle by necessity — same un-rounded-double rank
-    // boundary as q63 (see its comment); recall-vs-brute-force pinned in
+    // Oracle-checked hash-for-hash (normalize → subvectors → md5 seeds →
+    // float-cast Lloyd round → codes → ADC → float-rounded sums → exact
+    // rerank, all replayed in SQL); recall-vs-brute-force pinned in
     // QueriesSpec.
     "q57_ann_pq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -319,7 +325,12 @@ object VectorQueries {
       val approx = codes.join(broadcast(tables), Seq("sub", "code"))
         .filter(col("vec_id") =!= col("q_id"))
         .groupBy(col("q_id"), col("vec_id"))
-        .agg(sum(col("pdot")).as("approx"))
+        // float re-round of the 8-term ADC sum: partial-agg merge order is
+        // nondeterministic, and ~1e-16 double noise on a rank key is the
+        // difference between an exact oracle and a flaky one — the float
+        // quantum (6e-8) absorbs it, at zero recall cost on a ~1e-2
+        // approximation
+        .agg(sum(col("pdot")).cast("float").as("approx"))
       val wA = Window.partitionBy("q_id").orderBy(col("approx").desc, col("vec_id"))
       val cand = approx
         .withColumn("crk", row_number().over(wA))
@@ -592,7 +603,13 @@ object VectorQueries {
       .groupBy(col("sub"), col("code"))
       .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
       .select(col("sub"), col("code"),
-        expr("transform(pairs, p -> p.c)").as("centroid"))
+        // FLOAT-cast centroids (FAISS's float32 codebook shape): besides
+        // the 4× table shrink, the re-round absorbs Spark's aggregation-
+        // order noise in the mean (~1e-14 rel vs 6e-8 float ulp), which is
+        // what makes the whole PQ chain — and therefore the q57/q63
+        // oracles — deterministic across engines (the q46 cellMeans
+        // argument)
+        expr("transform(pairs, p -> cast(p.c as float))").as("centroid"))
       .localCheckpoint()
   }
 
@@ -959,6 +976,94 @@ object VectorQueries {
        |    FROM ${out}_s) t
        |  WHERE rk = 1)""".stripMargin
 
+  // ---- q57/q63 oracle machinery: the PQ chain replayed in SQL -----------
+  //
+  // Deterministic end-to-end once the codebook re-rounds to float and the
+  // ADC sum re-rounds to float (see pqCodebook/q57 comments): normalize →
+  // 8 subvectors → md5-ordered seeds → one Lloyd round (float-cast means)
+  // → code assignment → per-query ADC tables. All dots/distances use the
+  // kernel's in-order double accumulation. CTE names are p-prefixed so
+  // q63 can compose this chain with the q46 IVF chain in one WITH.
+  private lazy val pqCtes: String =
+    s"""pnrm AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_aggregate(list_transform(generate_series(1, len(embedding)),
+      |      k -> CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)), 'sum')) AS nrm
+      |  FROM embeddings),
+      |pnv AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS v
+      |  FROM pnrm),
+      |psv AS (
+      |  SELECT vec_id, t.sub, v[t.sub * 8 + 1 : t.sub * 8 + 8] AS subvec
+      |  FROM pnv, generate_series(0, 7) t(sub)),
+      |pseeds AS (
+      |  SELECT vec_id,
+      |    row_number() OVER (ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+      |  FROM (SELECT vec_id FROM embeddings
+      |        ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16) s),
+      |pcb0 AS (
+      |  SELECT s.code, v.sub, v.subvec AS centroid
+      |  FROM pseeds s JOIN psv v ON v.vec_id = s.vec_id),
+      |pas0 AS (
+      |  SELECT v.vec_id, v.sub, c.code,
+      |    list_aggregate(list_transform(generate_series(1, 8),
+      |      k -> (v.subvec[k] - CAST(c.centroid[k] AS DOUBLE))
+      |         * (v.subvec[k] - CAST(c.centroid[k] AS DOUBLE))), 'sum') AS d2
+      |  FROM psv v JOIN pcb0 c ON c.sub = v.sub),
+      |pa0 AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT vec_id, sub, code,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rk
+      |    FROM pas0) t
+      |  WHERE rk = 1),
+      |pcb1 AS (
+      |  SELECT sub, code, list(cf ORDER BY d) AS centroid FROM (
+      |    SELECT sub, code, d, CAST(avg(x) AS FLOAT) AS cf FROM (
+      |      SELECT a.sub, a.code, unnest(generate_series(1, 8)) - 1 AS d,
+      |        unnest(v.subvec) AS x
+      |      FROM pa0 a JOIN psv v ON v.vec_id = a.vec_id AND v.sub = a.sub) u
+      |    GROUP BY sub, code, d) g
+      |  GROUP BY sub, code),
+      |pas1 AS (
+      |  SELECT v.vec_id, v.sub, c.code,
+      |    list_aggregate(list_transform(generate_series(1, 8),
+      |      k -> (v.subvec[k] - CAST(c.centroid[k] AS DOUBLE))
+      |         * (v.subvec[k] - CAST(c.centroid[k] AS DOUBLE))), 'sum') AS d2
+      |  FROM psv v JOIN pcb1 c ON c.sub = v.sub),
+      |pcodes AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT vec_id, sub, code,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rk
+      |    FROM pas1) t
+      |  WHERE rk = 1),
+      |padc AS (
+      |  SELECT q.vec_id AS q_id, q.sub, c.code,
+      |    list_aggregate(list_transform(generate_series(1, 8),
+      |      k -> q.subvec[k] * CAST(c.centroid[k] AS DOUBLE)), 'sum') AS pdot
+      |  FROM psv q JOIN pcb1 c ON c.sub = q.sub WHERE q.vec_id < 20)""".stripMargin
+
+  /** Candidate top-50 by float-rounded ADC sum → exact-cosine top-5 (the
+    * exactRerank tail), shared by the q57/q63 oracles. Expects `apx(q_id,
+    * vec_id, approx)`. */
+  private lazy val pqRerankTail: String =
+    s""",
+      |cnd AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, vec_id ASC) AS crk
+      |    FROM apx) t
+      |  WHERE crk <= 50),
+      |rr AS (
+      |  SELECT c.q_id, c.vec_id, $duckCos AS cos
+      |  FROM cnd c JOIN embeddings q ON q.vec_id = c.q_id
+      |  JOIN embeddings v ON v.vec_id = c.vec_id,
+      |  ${cosLateral("q.embedding", "v.embedding")})
+      |SELECT q_id, CAST(rk AS INT) AS rk, vec_id AS neighbor_id FROM (
+      |  SELECT q_id, vec_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+      |  FROM rr) t
+      |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // hash-seeded LSH made hash-checkable: see srpCte
     "q34_ann_srp" -> (srpCte +
@@ -1003,6 +1108,40 @@ object VectorQueries {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.35
         |ORDER BY 1, 2""".stripMargin,
+
+    // the PQ chain + corpus-linear ADC + rerank replayed end-to-end
+    "q57_ann_pq" -> (
+      s"""WITH $pqCtes,
+         |apx AS (
+         |  SELECT a.q_id, v.vec_id, CAST(sum(a.pdot) AS FLOAT) AS approx
+         |  FROM pcodes v JOIN padc a ON a.sub = v.sub AND a.code = v.code
+         |  WHERE v.vec_id <> a.q_id
+         |  GROUP BY 1, 2)""".stripMargin + pqRerankTail),
+
+    // the full IVF-PQ composition: q46's cell chain + q57's PQ chain in
+    // one WITH, ADC restricted to each query's nprobe=4 probed cells
+    "q63_ann_ivfpq" -> (
+      s"""WITH seed AS (SELECT label AS cell, vec_id, embedding FROM embeddings),
+         |${ivfMeans("seed", "c0")},
+         |${ivfAssign("c0", "a1")},
+         |${ivfMeans("a1", "c1")},
+         |${ivfAssign("c1", "a2")},
+         |${ivfMeans("a2", "c2")},
+         |${ivfAssign("c2", "a3")},
+         |probes4 AS (
+         |  SELECT vec_id AS q_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rk
+         |    FROM a3_s WHERE vec_id < 20) t
+         |  WHERE rk <= 4),
+         |$pqCtes,
+         |apx AS (
+         |  SELECT a.q_id, v.vec_id, CAST(sum(a.pdot) AS FLOAT) AS approx
+         |  FROM pcodes v
+         |  JOIN a3 cf ON cf.vec_id = v.vec_id
+         |  JOIN probes4 p ON p.cell = cf.cell AND v.vec_id <> p.q_id
+         |  JOIN padc a ON a.q_id = p.q_id AND a.sub = v.sub AND a.code = v.code
+         |  GROUP BY 1, 2)""".stripMargin + pqRerankTail),
 
     // the IVF build + probe + rerank replayed end-to-end: label-mean
     // seeds, 2 Lloyd iterations, final assignment, nprobe=3 probes from
