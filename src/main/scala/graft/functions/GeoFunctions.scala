@@ -61,10 +61,28 @@ object GeoFunctions {
     * reference's guard: any zero latitude → 1.0e7 m (invalid sentinel).
     * Falls back to haversine when the iteration fails to converge
     * (antipodal points).
+    *
+    * The endpoints are canonicalized (lexicographically smaller (lat,lng)
+    * first) before evaluating, so `d(a,b) == d(b,a)` BIT-FOR-BIT.
+    * Mathematically the inverse problem is symmetric, but the classic
+    * sinσ expression tree is not — the two directions round differently at
+    * the last ulp, and which direction lands lower is effectively a
+    * per-libm coin flip. That matters because A11 scores mutual pairs from
+    * both directions: the two last-indexed locations of every group score
+    * each other, so an uncanonicalized kernel turns their score tie into
+    * engine-dependent argmax noise (observed: 10 of 1500 sf0.1 elections
+    * flipped vs DuckDB's replay of the same loop). Canonical order makes
+    * the tie exact in every numeric environment, and the insertion-order
+    * tie-break (deliberate deviation #1, Elections.scala) resolves it
+    * identically. The swap moves any individual distance by ≤1 ulp
+    * (~1e-9 m here) — far below the 300/200 m election thresholds'
+    * measured ≥57 m data margins.
     */
   def vincentyM(lat1: Double, lng1: Double, lat2: Double, lng2: Double): Double = {
     if (lat1 == 0 || lat2 == 0) return 1.0e7
     if (lat1 == lat2 && lng1 == lng2) return 0.0
+    if (lat2 < lat1 || (lat2 == lat1 && lng2 < lng1))
+      return vincentyM(lat2, lng2, lat1, lng1)
     val L = math.toRadians(lng2 - lng1)
     val u1 = math.atan((1 - Flattening) * math.tan(math.toRadians(lat1)))
     val u2 = math.atan((1 - Flattening) * math.tan(math.toRadians(lat2)))

@@ -20,6 +20,13 @@ import graft.functions.GeoFunctions.vincentyM
   *  - A12's reference can return a null centroid for clusters that never had
   *    >3 qualifying points; we return the plain centroid of qualifying points
   *    (or of all points if none qualify) instead of null.
+  *  - The vincenty kernel canonicalizes endpoint order (GeoFunctions
+  *    .vincentyM) so d(a,b) == d(b,a) bit-for-bit: A11 scores the two
+  *    last-indexed locations of every group against each other from both
+  *    directions, and without canonical order that mathematical tie lands
+  *    on a per-libm ulp coin flip — the reference's election is
+  *    nondeterministic across numeric environments at exactly those
+  *    points; ours ties exactly and resolves by deviation #1.
   *
   * All functions operate on arrays bounded by upstream caps (≤100 history
   * rows per key after dedup, election skipped for >500 points), so per-group
@@ -136,11 +143,10 @@ object Elections {
     * elections otherwise each compute the full ordered vincenty matrix —
     * the q40/flagship hot path pays ~2n² iterative vincenty evaluations per
     * group where n² suffice. The matrix stores d(i)(j) exactly as each
-    * election would compute it (ordered call, not symmetry-mirrored:
-    * vincenty(a,b) and vincenty(b,a) agree mathematically but not
-    * bit-for-bit, and boundary comparisons like d < radius must not flip),
-    * so results are identical to bestLatLng + clusterScore — pinned by a
-    * parity spec.
+    * election would compute it (ordered call; with the kernel itself
+    * endpoint-canonicalized — deviation #3 — the ordered call is also
+    * symmetric), so results are identical to bestLatLng + clusterScore —
+    * pinned by a parity spec.
     */
   def electBoth(points: Seq[Pt], radiusM: Double = 300.0,
                 thresholdM: Double = 200.0): ((Double, Double), (Double, Double, Double)) =
@@ -169,10 +175,10 @@ object Elections {
     if (a10Guard.isDefined && a11Guard.isDefined)
       return (a10Guard.get, a11Guard.get)
     // one shared ORDERED distance matrix: d(i)(j) exactly as each election
-    // would compute it (vincenty(a,b) and vincenty(b,a) agree mathematically
-    // but not bit-for-bit, and boundary compares like d < radius must not
-    // flip), so results are identical to the per-election scalar paths —
-    // pinned by a parity spec.
+    // would compute it, so results are identical to the per-election scalar
+    // paths — pinned by a parity spec. (The vincenty kernel is endpoint-
+    // canonicalized, so the ordered call is also symmetric; see the object
+    // doc's deviation #3.)
     val d = Array.ofDim[Double](n, n)
     var i = 0
     while (i < n) {
@@ -278,7 +284,18 @@ object Elections {
     * point a new cluster starts (clusters below `minCount` are discarded);
     * otherwise the ping is dropped (reference's silent middle case).
     */
-  def dbscanClusters(pings: Seq[Pt], epsM: Int, minCount: Int): List[Cluster] = {
+  def dbscanClusters(pings: Seq[Pt], epsM: Int, minCount: Int): List[Cluster] =
+    dbscanClustersWith(pings, vincentyM, epsM, minCount)
+
+  /** The sequential walk over an arbitrary distance kernel
+    * (aLat, aLng, bLat, bLng) → meters — the same kernel-swap that lets
+    * q81 oracle-check the walk's join/drop/new-cluster/discard machinery
+    * end-to-end under haversine; dbscanClusters is the vincenty
+    * instantiation used by q41/A13.
+    */
+  def dbscanClustersWith(pings: Seq[Pt],
+                         dist: (Double, Double, Double, Double) => Double,
+                         epsM: Int, minCount: Int): List[Cluster] = {
     if (pings.isEmpty) return Nil
     val sorted = pings.sortBy(_.ts)
     val clusters = mutable.ListBuffer[Cluster]()
@@ -290,10 +307,10 @@ object Elections {
           sumTs / current.size)
     sorted.foreach { p =>
       if (current.isEmpty ||
-          vincentyM(p.lat, p.lng, current.head.lat, current.head.lng) <= epsM) {
+          dist(p.lat, p.lng, current.head.lat, current.head.lng) <= epsM) {
         current = p :: current
         sumLat += p.lat; sumLng += p.lng; sumTs += p.ts
-      } else if (vincentyM(p.lat, p.lng, current.last.lat, current.last.lng) > epsM) {
+      } else if (dist(p.lat, p.lng, current.last.lat, current.last.lng) > epsM) {
         close()
         current = List(p)
         sumLat = p.lat; sumLng = p.lng; sumTs = p.ts
@@ -310,13 +327,24 @@ object Elections {
     */
   def bestCluster(delLat: Double, delLng: Double, delTs: Long, delAcc: Double,
                   clusters: List[Cluster],
-                  accThreshold: Int = 100, distThreshold: Int = 100): List[Pt] = {
+                  accThreshold: Int = 100, distThreshold: Int = 100): List[Pt] =
+    bestClusterWith(delLat, delLng, delTs, delAcc, clusters, vincentyM,
+      accThreshold, distThreshold)
+
+  /** bestCluster over an arbitrary distance kernel — ties (d <= minDist /
+    * dt <= minTimeDiff, both non-strict) keep the LAST cluster in closing
+    * order, exactly like the vincenty original.
+    */
+  def bestClusterWith(delLat: Double, delLng: Double, delTs: Long, delAcc: Double,
+                      clusters: List[Cluster],
+                      dist: (Double, Double, Double, Double) => Double,
+                      accThreshold: Int = 100, distThreshold: Int = 100): List[Pt] = {
     var minDist = Double.MaxValue
     var minTimeDiff = Long.MaxValue
     var best: List[Pt] = Nil
     clusters.foreach { c =>
       if (delAcc <= accThreshold) {
-        val d = vincentyM(c.lat, c.lng, delLat, delLng)
+        val d = dist(c.lat, c.lng, delLat, delLng)
         if (d <= minDist && d <= distThreshold) { minDist = d; best = c.points }
       } else {
         val dt = math.abs(c.avgTs - delTs)
@@ -333,13 +361,34 @@ object Elections {
   def refineDeliveryLocation(delLat: Double, delLng: Double, delTs: Long, delAcc: Double,
                              pings: Seq[Pt], epsM: Int = 150,
                              minCount: Int = 3): (Double, Double, Boolean) = {
-    val clusters = dbscanClusters(pings, epsM, minCount)
-    val chosen = bestCluster(delLat, delLng, delTs, delAcc, clusters)
-    if (chosen.isEmpty) (delLat, delLng, false)
+    val r = refineDeliveryLocationWith(delLat, delLng, delTs, delAcc, pings,
+      vincentyM, epsM, minCount)
+    (r._1, r._2, r._3)
+  }
+
+  /** End-to-end A13 over an arbitrary kernel, additionally exposing the
+    * kept-cluster count and which branch produced the location
+    * (viaElection = clusterBest confidence hit 1.0; false = trimmed
+    * centroid fallback or unrefined) — observability q81's oracle uses to
+    * pin every branch of the walk+select+elect composition.
+    * refineDeliveryLocation is the vincenty instantiation.
+    */
+  def refineDeliveryLocationWith(delLat: Double, delLng: Double, delTs: Long,
+                                 delAcc: Double, pings: Seq[Pt],
+                                 dist: (Double, Double, Double, Double) => Double,
+                                 epsM: Int = 150, minCount: Int = 3)
+      : (Double, Double, Boolean, Int, Boolean) = {
+    val clusters = dbscanClustersWith(pings, dist, epsM, minCount)
+    val chosen = bestClusterWith(delLat, delLng, delTs, delAcc, clusters, dist)
+    if (chosen.isEmpty) (delLat, delLng, false, clusters.length, false)
     else {
-      val (lat, lng, conf) = clusterBest(chosen)
-      if (conf == 1.0) (lat, lng, true)
-      else { val (cl, cg) = trimmedCentroid(chosen); (cl, cg, true) }
+      val (lat, lng, conf) =
+        clusterBestWith(chosen, (a, b) => dist(a.lat, a.lng, b.lat, b.lng))
+      if (conf == 1.0) (lat, lng, true, clusters.length, true)
+      else {
+        val (cl, cg) = trimmedCentroidWith(chosen, dist)
+        (cl, cg, true, clusters.length, false)
+      }
     }
   }
 }

@@ -103,8 +103,21 @@ object GeoQueries {
     // A11 cluster-score election. collect_list is an ObjectHashAggregate
     // with map-side partial merge; group state is capped (≤100 after
     // dedup, election skipped >500) exactly like the reference, so group
-    // buffers stay bounded at any scale. Rows-only oracle (election is not
-    // SQL); exact semantics pinned by ElectionsSpec.
+    // buffers stay bounded at any scale. Oracle-checked END-TO-END with
+    // the real vincenty kernel: the WGS84 inverse iteration is replayed
+    // op-for-op as a DuckDB recursive CTE (vincentyPairCtes below), so the
+    // whole flagship — iterative geodesic included — is hash-checked, not
+    // just its haversine twin (q77). Safety measured before wiring in: the
+    // election compares d against 300/200 m with ≥57 m margin at sf0.01,
+    // the two non-converging near-antipodal pairs oscillate at |Δλ|≈2e-2
+    // (never near the 1e-12 exit, so both engines reach the iter=200
+    // haversine fallback), and 1e-15 relative λ noise flips zero
+    // elections — cross-engine libm ulp differences cannot change the
+    // result. The one structural tie — A11's mutual last-pair scores —
+    // is made exact by the kernel's endpoint canonicalization
+    // (GeoFunctions.vincentyM doc) and resolves by insertion order
+    // identically in both engines. Exact semantics additionally pinned
+    // by ElectionsSpec.
     "q40_best_location" -> ((s, dir) => {
       import s.implicits._
       val pts = geoEvents(s, dir)
@@ -139,7 +152,17 @@ object GeoQueries {
     // A13 delivery refinement: purchases = deliveries, views = GPS pings;
     // range-join pings within ±30 min of each delivery (replaces the
     // reference's collect-and-filter at DeliveryLocationRefinementService
-    // .scala:106), then DBSCAN-cluster + elect. Rows-only oracle.
+    // .scala:106), then DBSCAN-cluster + elect. Oracle-checked: at every
+    // test SF the ±30 min window yields ≤2 pings per delivery (measured:
+    // max 1/2/2 at sf0.001/0.01/0.1), which is below dbscanClusters'
+    // minCount=3, so PROVABLY — from the semantics, not the data — no
+    // cluster can form and every row is the (delLat, delLng, false)
+    // passthrough, independent of any distance. The oracle replays exactly
+    // that and POISONS (NULL) any delivery reaching 3 pings, so if the
+    // corpus ever grows past the bound the check fails loudly instead of
+    // silently passing. The refine path itself is covered by the
+    // engineered-geometry election oracles (q78/q79/q81) and
+    // ElectionsSpec/RefineDeliveryAgg parity.
     "q41_delivery_refinement" -> ((s, dir) => {
       import s.implicits._
       val g = geoEvents(s, dir)
@@ -359,7 +382,257 @@ object GeoQueries {
       |  FROM locs l JOIN p ON p.user_id = l.user_id AND p.alat = l.lat AND p.alng = l.lng
       |  GROUP BY 1, 2, 3)""".stripMargin
 
+  /** `(SemiMajor - SemiMinor) / SemiMajor` with the exact literals of
+    * `GeoFunctions.Flattening`, cast to DOUBLE (DuckDB parses decimal
+    * literals as DECIMAL, which silently truncates recursive-CTE state —
+    * the seed columns below cast for the same reason).
+    */
+  private val FlatSql = "((6378137.0::DOUBLE - 6356752.31420::DOUBLE) / 6378137.0::DOUBLE)"
+
+  /** The vincenty kernel replayed in SQL: expects a CTE `idx(user_id, i,
+    * lat, lng)` of per-user indexed points and emits `p(user_id, i, j,
+    * alat, alng, same_loc, d)` — every ordered pair (self included) with
+    * its `GeoFunctions.vincentyM` distance in meters, computed op-for-op:
+    * the zero-latitude 1.0e7 sentinel and the identical-point 0.0 early
+    * returns (`ptriv`), then the iterative inverse as a recursive CTE
+    * (`vit`) whose rows carry the loop state (λ, λ_prev, iter, sinSigma,
+    * cosSigma, σ, cos²α, cos2σм) after each iteration — seeds mirror
+    * λ=L, λ_prev=Double.MaxValue; the recursive term applies one loop body
+    * (layered derived tables stand in for the Scala locals) under the
+    * exact exit condition |λ−λ'|>1e-12 ∧ iter<200, with the sinSigma==0 →
+    * 0.0 early return carried as a stop flag. The terminal row per pair
+    * (max iter) then yields the distance: 0 if the flag fired, the
+    * haversine-meters fallback if iter hit 200 (non-convergent
+    * near-antipodal pairs — both engines reach it, see q40's notes), else
+    * the ellipsoid arc B·A·(σ−Δσ) with `toRadians` spelled `x/180*pi()`
+    * exactly as `java.lang.Math` computes it. λ trajectories verified
+    * bit-for-bit equal to the JVM's for converging pairs before wiring in.
+    */
+  private val vincentyPairCtes: String =
+    s"""pb AS (
+       |  SELECT a.user_id, a.i AS i, b.i AS j, a.lat AS alat, a.lng AS alng,
+       |    b.lat AS blat, b.lng AS blng,
+       |    (a.lat = b.lat AND a.lng = b.lng) AS same_loc
+       |  FROM idx a JOIN idx b ON a.user_id = b.user_id),
+       |ptriv AS (
+       |  SELECT user_id, i, j, alat, alng, same_loc,
+       |    CASE WHEN alat = 0 OR blat = 0 THEN 1.0e7 ELSE 0.0 END AS d
+       |  FROM pb WHERE alat = 0 OR blat = 0 OR (alat = blat AND alng = blng)),
+       |pc AS (
+       |  SELECT user_id, i, j, alat, alng, same_loc,
+       |    CASE WHEN (blat < alat) OR (blat = alat AND blng < alng)
+       |         THEN blat ELSE alat END AS clat1,
+       |    CASE WHEN (blat < alat) OR (blat = alat AND blng < alng)
+       |         THEN blng ELSE alng END AS clng1,
+       |    CASE WHEN (blat < alat) OR (blat = alat AND blng < alng)
+       |         THEN alat ELSE blat END AS clat2,
+       |    CASE WHEN (blat < alat) OR (blat = alat AND blng < alng)
+       |         THEN alng ELSE blng END AS clng2
+       |  FROM pb
+       |  WHERE NOT (alat = 0 OR blat = 0 OR (alat = blat AND alng = blng))),
+       |vseed AS (
+       |  SELECT user_id, i, j, alat, alng, clat1, clng1, clat2, clng2, same_loc,
+       |    ((clng2 - clng1) / 180.0) * pi() AS bigl,
+       |    sin(atan((1 - $FlatSql) * tan((clat1 / 180.0) * pi()))) AS su1,
+       |    cos(atan((1 - $FlatSql) * tan((clat1 / 180.0) * pi()))) AS cu1,
+       |    sin(atan((1 - $FlatSql) * tan((clat2 / 180.0) * pi()))) AS su2,
+       |    cos(atan((1 - $FlatSql) * tan((clat2 / 180.0) * pi()))) AS cu2
+       |  FROM pc),
+       |vit AS (
+       |  SELECT user_id, i, j, alat, alng, clat1, clng1, clat2, clng2, same_loc, bigl,
+       |    su1, cu1, su2, cu2,
+       |    bigl AS lam, 1.7976931348623157e308 AS lamp, 0 AS iter,
+       |    0.0::DOUBLE AS ss, 0.0::DOUBLE AS cs, 0.0::DOUBLE AS sg,
+       |    0.0::DOUBLE AS csqa, 0.0::DOUBLE AS c2sm,
+       |    FALSE AS szero
+       |  FROM vseed
+       |  UNION ALL
+       |  SELECT user_id, i, j, alat, alng, clat1, clng1, clat2, clng2, same_loc, bigl,
+       |    su1, cu1, su2, cu2,
+       |    CASE WHEN ss2 = 0 THEN lam ELSE
+       |      bigl + (((1 - cc) * $FlatSql) * sa) *
+       |        (sg2 + (cc * ss2) * (c2m + (cc * cs2) * (-1 + ((2 * c2m) * c2m))))
+       |    END AS lam,
+       |    lam AS lamp,
+       |    iter + 1 AS iter,
+       |    ss2 AS ss, cs2 AS cs, sg2 AS sg, ca2 AS csqa, c2m AS c2sm,
+       |    (ss2 = 0) AS szero
+       |  FROM (
+       |    SELECT l3.*,
+       |      CASE WHEN ca2 = 0 THEN 0.0
+       |           ELSE cs2 - (((2 * su1) * su2) / ca2) END AS c2m,
+       |      (($FlatSql / 16) * ca2) * (4 + $FlatSql * (4 - (3 * ca2))) AS cc
+       |    FROM (
+       |      SELECT l2.*, atan2(ss2, cs2) AS sg2, 1 - (sa * sa) AS ca2
+       |      FROM (
+       |        SELECT l1.*,
+       |          (su1 * su2) + ((cu1 * cu2) * cl) AS cs2,
+       |          CASE WHEN ss2 = 0 THEN 0.0
+       |               ELSE ((cu1 * cu2) * sl) / ss2 END AS sa
+       |        FROM (
+       |          SELECT l0.*,
+       |            sqrt(pow(cu2 * sl, 2) +
+       |                 pow((cu1 * su2) - ((su1 * cu2) * cl), 2)) AS ss2
+       |          FROM (
+       |            SELECT vit.*, sin(lam) AS sl, cos(lam) AS cl
+       |            FROM vit
+       |            WHERE (NOT szero) AND abs(lam - lamp) > 1e-12 AND iter < 200
+       |          ) l0
+       |        ) l1
+       |      ) l2
+       |    ) l3
+       |  ) l4),
+       |vterm AS (
+       |  SELECT * FROM (
+       |    SELECT vit.*,
+       |      row_number() OVER (PARTITION BY user_id, i, j ORDER BY iter DESC) AS trk
+       |    FROM vit) t WHERE trk = 1),
+       |vf1 AS (
+       |  SELECT *,
+       |    (csqa * ((6378137.0::DOUBLE * 6378137.0::DOUBLE) -
+       |             (6356752.31420::DOUBLE * 6356752.31420::DOUBLE)))
+       |    / (6356752.31420::DOUBLE * 6356752.31420::DOUBLE) AS usq
+       |  FROM vterm),
+       |vf2 AS (
+       |  SELECT *,
+       |    1 + (usq / 16384) * (4096 + usq * (-768 + usq * (320 - (175 * usq)))) AS aa,
+       |    (usq / 1024) * (256 + usq * (-128 + usq * (74 - (47 * usq)))) AS bb
+       |  FROM vf1),
+       |vf3 AS (
+       |  SELECT *,
+       |    (bb * ss) * (c2sm + (bb / 4) *
+       |      ((cs * (-1 + ((2 * c2sm) * c2sm))) -
+       |       ((((bb / 6) * c2sm) * (-3 + ((4 * ss) * ss))) *
+       |        (-3 + ((4 * c2sm) * c2sm))))) AS dsig
+       |  FROM vf2),
+       |vdist AS (
+       |  SELECT user_id, i, j, alat, alng, same_loc,
+       |    CASE WHEN szero THEN 0.0
+       |         WHEN iter >= 200 THEN
+       |           ((2 * 6371.0) * asin(sqrt(
+       |             pow(sin((((clat2 - clat1) / 180.0) * pi()) / 2), 2) +
+       |             (cos((clat1 / 180.0) * pi()) * cos((clat2 / 180.0) * pi())) *
+       |             pow(sin((((clng2 - clng1) / 180.0) * pi()) / 2), 2)))) * 1000.0
+       |         ELSE (6356752.31420::DOUBLE * aa) * (sg - dsig) END AS d
+       |  FROM vf3),
+       |p AS (SELECT * FROM ptriv UNION ALL SELECT * FROM vdist)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // q40's election replayed with the REAL vincenty kernel (see
+    // vincentyPairCtes): same dedup+cap prefix as q64 (cap 100 here),
+    // then the identical A10/A11 relational tail as q77 — plus the
+    // n>500 A10 guard q40's cap makes reachable in principle.
+    "q40_best_location" ->
+      (s"""WITH RECURSIVE g AS (
+          |  SELECT user_id,
+          |    (user_id % 120) - 60 + value / 1000.0 AS lat,
+          |    (event_id % 340) - 170 + value / 1000.0 AS lng,
+          |    value % 120.0 AS acc,
+          |    epoch_ms(ts) AS ts_ms
+          |  FROM events
+          |  WHERE event_type IN ('click', 'purchase')
+          |    AND value % 120.0 > 0 AND value % 120.0 < 200),
+          |f AS (
+          |  SELECT user_id, lat, lng, acc, min(ts_ms) AS fts
+          |  FROM g GROUP BY 1, 2, 3, 4),
+          |r AS (
+          |  SELECT user_id, lat, lng, acc, fts,
+          |    row_number() OVER (PARTITION BY user_id
+          |      ORDER BY fts DESC, lat DESC, lng DESC, acc DESC) AS rnd
+          |  FROM f),
+          |idx AS (
+          |  SELECT user_id, lat, lng, fts, acc,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY fts, lat, lng, acc) AS i
+          |  FROM r WHERE rnd <= 100),
+          |un AS (SELECT user_id, max(i) AS n FROM idx GROUP BY 1),
+          |locs AS (
+          |  SELECT user_id, lat, lng, min(i) AS first_i, max(i) AS last_i
+          |  FROM idx GROUP BY 1, 2, 3),
+          |""".stripMargin + vincentyPairCtes +
+        """,
+          |nbr AS (
+          |  SELECT l.user_id, l.lat, l.lng,
+          |    sum(CASE WHEN NOT p.same_loc AND p.d <= 200.0 THEN 1 ELSE 0 END) AS nb
+          |  FROM locs l JOIN p ON p.user_id = l.user_id AND p.alat = l.lat AND p.alng = l.lng
+          |  GROUP BY 1, 2, 3),
+          |c10 AS (
+          |  SELECT user_id, i, sum(CASE WHEN d < 300.0 THEN 1 ELSE 0 END) AS cnt
+          |  FROM p GROUP BY 1, 2),
+          |m10 AS (SELECT user_id, max(cnt) AS mc FROM c10 GROUP BY 1),
+          |w10 AS (
+          |  SELECT c10.user_id, min(i) AS wi
+          |  FROM c10 JOIN m10 ON c10.user_id = m10.user_id AND c10.cnt = m10.mc
+          |  GROUP BY 1),
+          |oth AS (
+          |  SELECT l.user_id, l.lat, l.lng, max(x.i) AS last_other
+          |  FROM locs l JOIN idx x ON x.user_id = l.user_id
+          |    AND NOT (x.lat = l.lat AND x.lng = l.lng)
+          |  GROUP BY 1, 2, 3),
+          |sc AS (
+          |  SELECT l.user_id, l.lat, l.lng, l.first_i,
+          |    CASE WHEN o.last_other IS NULL THEN 0.0 ELSE 1.0 / (1.0 + pd.d) END AS score
+          |  FROM locs l
+          |  LEFT JOIN oth o ON o.user_id = l.user_id AND o.lat = l.lat AND o.lng = l.lng
+          |  LEFT JOIN p pd ON pd.user_id = l.user_id AND pd.i = l.last_i AND pd.j = o.last_other),
+          |ms AS (SELECT user_id, max(score) AS mx FROM sc GROUP BY 1),
+          |cand AS (
+          |  SELECT sc.user_id, sc.lat, sc.lng, sc.first_i, nbr.nb, un.n,
+          |    CASE WHEN nbr.nb >= un.n // 2 THEN 1 ELSE 0 END AS qual
+          |  FROM sc
+          |  JOIN ms ON sc.user_id = ms.user_id AND sc.score = ms.mx
+          |  JOIN nbr ON nbr.user_id = sc.user_id AND nbr.lat = sc.lat AND nbr.lng = sc.lng
+          |  JOIN un ON un.user_id = sc.user_id),
+          |w11 AS (
+          |  SELECT user_id, lat, lng,
+          |    row_number() OVER (PARTITION BY user_id
+          |      ORDER BY qual DESC, CASE WHEN qual = 1 THEN nb ELSE 0 END DESC, first_i ASC) AS rk
+          |  FROM cand),
+          |conf AS (SELECT user_id, max(qual) AS q FROM cand GROUP BY 1),
+          |lastp AS (
+          |  SELECT idx.user_id, idx.lat, idx.lng
+          |  FROM idx JOIN un ON idx.user_id = un.user_id AND idx.i = un.n),
+          |b10 AS (
+          |  SELECT w10.user_id, idx.lat, idx.lng
+          |  FROM w10 JOIN idx ON idx.user_id = w10.user_id AND idx.i = w10.wi)
+          |SELECT un.user_id,
+          |  CAST(un.n AS INT) AS n_points,
+          |  CASE WHEN un.n < 4 OR un.n > 500 THEN lastp.lat ELSE b10.lat END AS best_lat,
+          |  CASE WHEN un.n < 4 OR un.n > 500 THEN lastp.lng ELSE b10.lng END AS best_lng,
+          |  CASE WHEN un.n < 3 THEN lastp.lat ELSE w.lat END AS score_lat,
+          |  CASE WHEN un.n < 3 THEN lastp.lng ELSE w.lng END AS score_lng,
+          |  CASE WHEN un.n < 3 THEN 0.0 ELSE CAST(conf.q AS DOUBLE) END AS confidence
+          |FROM un
+          |JOIN lastp ON lastp.user_id = un.user_id
+          |LEFT JOIN b10 ON b10.user_id = un.user_id
+          |LEFT JOIN (SELECT user_id, lat, lng FROM w11 WHERE rk = 1) w ON w.user_id = un.user_id
+          |LEFT JOIN conf ON conf.user_id = un.user_id
+          |ORDER BY un.user_id""".stripMargin),
+
+    // q41's passthrough bound (see the query's notes): ≤2 pings per
+    // delivery at every test SF < minCount=3, so the output is provably
+    // (delLat, delLng, false) per delivery with ≥1 windowed ping. The
+    // n_pings >= 3 poison keeps this oracle honest: growth past the bound
+    // fails the compare loudly rather than silently passing.
+    "q41_delivery_refinement" ->
+      """WITH d AS (
+        |  SELECT user_id, event_id AS del_id, epoch_ms(ts) AS del_ts,
+        |    (user_id % 120) - 60 + value / 1000.0 AS del_lat,
+        |    (event_id % 340) - 170 + value / 1000.0 AS del_lng
+        |  FROM events WHERE event_type = 'purchase'),
+        |pg AS (SELECT user_id, epoch_ms(ts) AS ping_ts
+        |       FROM events WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT d.del_id, d.del_lat, d.del_lng, count(*) AS n_pings
+        |  FROM d JOIN pg ON pg.user_id = d.user_id
+        |    AND pg.ping_ts BETWEEN d.del_ts - 1800000 AND d.del_ts + 1800000
+        |  GROUP BY 1, 2, 3)
+        |SELECT del_id,
+        |  CASE WHEN n_pings >= 3 THEN NULL ELSE round(del_lat, 6) END AS refined_lat,
+        |  CASE WHEN n_pings >= 3 THEN NULL ELSE round(del_lng, 6) END AS refined_lng,
+        |  CASE WHEN n_pings >= 3 THEN NULL ELSE FALSE END AS was_refined,
+        |  CAST(n_pings AS INT) AS n_pings
+        |FROM j ORDER BY del_id""".stripMargin,
+
     "q21_haversine_stats" ->
       """WITH g AS (
         |  SELECT event_type,
