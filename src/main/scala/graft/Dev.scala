@@ -44,6 +44,16 @@ object Dev {
           val cold = once(); val warm = once()
           println(f"[dev] $n cold=$cold%.2f s warm=$warm%.2f s")
         }
+      case Some("dump") =>
+        // single-query Verify: write one query's parquet so an oracle can
+        // be iterated against it without the full 79-query Verify sweep.
+        val dir2 = args.lift(1).getOrElse("/root/testdata/sf0.01")
+        val out = args.lift(2).getOrElse("/tmp/dev_dump")
+        args.drop(3).foreach { n =>
+          SparkEntry.queries(n)(spark, dir2)
+            .write.mode("overwrite").parquet(s"$out/$n")
+          println(s"[dev] dumped $n -> $out/$n")
+        }
       case Some("scale") =>
         // 10× scale sanity: replicate sf0.1 with shifted keys (10× rows AND
         // 10× keys → per-key state constant, the realistic growth model),

@@ -281,6 +281,86 @@ object GeoQueries {
         .orderBy("user_id")
     }),
 
+    // A13's sequential DBSCAN walk + best-cluster select + election/trim
+    // (reference DeliveryLocationRefinementService.scala:133-204),
+    // oracle-checked END-TO-END for the first time — q41's corpus cannot
+    // form clusters (≤2 pings/window), so the walk itself had no oracle
+    // until now. Engineered meridian geometry (lng fixed; lat from the
+    // per-user view sequence number in 0.001° ≈ 111.19 m steps, haversine
+    // kernel so DuckDB can recompute distances in closed form) drives
+    // every branch of the walk: slots 0-2 chain a 3-point cluster at
+    // 105.6 m steps, slot 3 is the reference's silent-drop middle case
+    // (166.8 m > eps=150 from the head, 44.5 m ≤ eps from the first),
+    // slot 7 opens a cluster that dies below minCount=3 (discard), slots
+    // 8-12 chain five points at 145.7-149.0 m (joinable, but pairwise
+    // >200 m beyond immediate neighbors → clusterBest confidence 0 → the
+    // A12 trim fallback). Deliveries take both bestCluster branches via
+    // acc: ≤100 → nearest-centroid ≤100 m (slot-offsets 0.2/13.5/29.0
+    // land 83.4/50/71.2 m from the c1/c2/c4 centroids; 7.0 lands >100 m
+    // from everything → unrefined WITH clusters present), >100 →
+    // nearest-avgTs (pure integer math). All spacings are asymmetric so
+    // no distance tie exists anywhere (measured gaps ≥1 m vs ~1e-9 m
+    // cross-engine noise). n_clusters and via_election are emitted so the
+    // oracle pins which branch produced every row, not just the location.
+    "q81_refine_walk" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = RelationalQueries.ev(s, dir)
+      // every offset is a multiple of 0.004 milli-degrees, so any subset
+      // mean over n ∈ {2,4,5} (trim centroids, fallback means) terminates
+      // within 6 decimals and round(·,6) is the identity — no mean can
+      // land on a rounding half-boundary where engine ulp noise decides
+      // the digit (observed before this: 14/20084 sf0.1 rows flipped the
+      // 6th decimal). /3 means either terminate or are non-terminating,
+      // which is never a half-boundary. Margins + subset tie audit:
+      // every trim sort gap ≥0.89 m, every threshold margin ≥1.89 m.
+      val slotOffsets = array(Seq(0.0, 0.952, 1.904, 0.4, 13.0, 13.952,
+        14.904, 0.68, 27.0, 28.308, 29.624, 30.948, 32.28).map(lit): _*)
+      val wv = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .withColumn("rn", row_number().over(wv))
+        .withColumn("off", element_at(slotOffsets, ((col("rn") - 1) % 13) + 1))
+        .select(col("user_id"),
+          ((col("user_id") % 90) - 45 + col("off") / 1000.0).as("lat"),
+          lit(10.0).as("lng"),
+          (col("value") % 120.0).as("acc"),
+          col("ts_ms"))
+      val grouped = views
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(
+          col("ts_ms"), col("lat"), col("lng"), col("acc")))).as("pings"))
+      val delOffsets = array(Seq(0.2, 7.0, 13.5, 29.0).map(lit): _*)
+      val dels = ev.filter(col("event_type") === "purchase")
+        .withColumn("prn", row_number().over(wv))
+        .withColumn("doff", element_at(delOffsets, ((col("prn") - 1) % 4) + 1))
+        .select(col("user_id"), col("event_id").as("del_id"),
+          col("ts_ms").as("del_ts"),
+          ((col("user_id") % 90) - 45 + col("doff") / 1000.0).as("del_lat"),
+          lit(10.0).as("del_lng"),
+          (col("value") % 120.0).as("del_acc"))
+      // one tiny row per user on the build side → broadcast; deliveries
+      // stream against it with no shuffle of the fact side.
+      val refine = udf { (dLat: Double, dLng: Double, dTs: Long, dAcc: Double,
+                          pings: Seq[Row]) =>
+        val pts = pings.map(r => Pt(r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(0)))
+        Elections.refineDeliveryLocationWith(dLat, dLng, dTs, dAcc, pts,
+          haversineMScala, epsM = 150, minCount = 3)
+      }
+      dels.join(broadcast(grouped), "user_id")
+        .withColumn("r", refine(col("del_lat"), col("del_lng"),
+          col("del_ts"), col("del_acc"), col("pings")))
+        .select(col("del_id"),
+          round(col("r._1"), 6).as("refined_lat"),
+          round(col("r._2"), 6).as("refined_lng"),
+          col("r._3").as("was_refined"),
+          col("r._4").as("n_clusters"),
+          col("r._5").as("via_election"),
+          size(col("pings")).as("n_pings"))
+        .orderBy("del_id")
+    }),
+
     // A12 trimmed centroid as its own oracle-checked entry (reference
     // BestLatLngCalculator.scala:165-198; previously exercised only inside
     // q41's A13 composite): per-user dedup+cap(20) history → iterative
@@ -381,6 +461,16 @@ object GeoQueries {
       |    sum(CASE WHEN NOT p.same_loc AND p.d <= 200.0 THEN 1 ELSE 0 END) AS nb
       |  FROM locs l JOIN p ON p.user_id = l.user_id AND p.alat = l.lat AND p.alng = l.lng
       |  GROUP BY 1, 2, 3)""".stripMargin
+
+  /** haversineMScala spelled op-for-op as a SQL snippet (the q77/q78
+    * spelling): (lat1,lng1,lat2,lng2) argument order matters because the
+    * Scala kernel calls are directional (dLat = lat2 − lat1).
+    */
+  private def havM(lat1: String, lng1: String, lat2: String, lng2: String): String =
+    s"""(2 * 6371.0 * asin(sqrt(
+       |      pow(sin(radians($lat2 - $lat1) / 2), 2) +
+       |      cos(radians($lat1)) * cos(radians($lat2)) *
+       |      pow(sin(radians($lng2 - $lng1) / 2), 2)))) * 1000.0""".stripMargin
 
   /** `(SemiMajor - SemiMinor) / SemiMajor` with the exact literals of
     * `GeoFunctions.Flattening`, cast to DOUBLE (DuckDB parses decimal
@@ -785,6 +875,209 @@ object GeoQueries {
         |JOIN (SELECT user_id, lat, lng, nb FROM w79 WHERE rk = 1) w
         |  ON w.user_id = un.user_id
         |ORDER BY un.user_id""".stripMargin),
+
+    // The A13 sequential walk replayed as a recursive CTE over the
+    // time-ordered pings: each row carries the walking state (current
+    // cluster start/count/sums, head and first coordinates) and the
+    // closed-cluster emission of a 'new' step; the terminal row closes the
+    // open cluster. Decisions mirror dbscanClustersWith exactly — join if
+    // d(p, head) ≤ eps, else new cluster (closing the old one) if
+    // d(p, first) > eps, else the silent drop. Kept clusters (cnt ≥ 3)
+    // then feed bestClusterWith (distance branch gated d ≤ 100 with
+    // last-cluster-wins non-strict ties = close_ord DESC; time branch on
+    // integer |avgTs−delTs|), the chosen cluster's points (reverse-add
+    // order = pos) feed the clusterBest election (q79's shape per
+    // delivery), and low-confidence deliveries run the q78-style trim
+    // recursion (threshold 25 — the only threshold A12's lastOption can
+    // surface) over the same reverse-add list. n_clusters and
+    // via_election pin which branch produced every row.
+    "q81_refine_walk" ->
+      (s"""WITH RECURSIVE vr AS (
+          |  SELECT user_id, epoch_ms(ts) AS ts_ms, value,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn
+          |  FROM events WHERE event_type = 'view'),
+          |v AS (
+          |  SELECT user_id, ts_ms,
+          |    (user_id % 90) - 45 + (CASE CAST((rn - 1) % 13 AS INT)
+          |      WHEN 0 THEN 0.0 WHEN 1 THEN 0.952 WHEN 2 THEN 1.904 WHEN 3 THEN 0.4
+          |      WHEN 4 THEN 13.0 WHEN 5 THEN 13.952 WHEN 6 THEN 14.904 WHEN 7 THEN 0.68
+          |      WHEN 8 THEN 27.0 WHEN 9 THEN 28.308 WHEN 10 THEN 29.624 WHEN 11 THEN 30.948
+          |      ELSE 32.28 END)::DOUBLE / 1000.0 AS lat,
+          |    10.0::DOUBLE AS lng,
+          |    value % 120.0 AS acc
+          |  FROM vr),
+          |ord AS (
+          |  SELECT *,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY ts_ms, lat, lng, acc) AS k,
+          |    count(*) OVER (PARTITION BY user_id) AS nk
+          |  FROM v),
+          |walk AS (
+          |  SELECT user_id, k, nk, 'new' AS dec, k AS cstart,
+          |    1::BIGINT AS cnt, lat AS slat, lng AS slng, ts_ms AS sts,
+          |    lat AS hlat, lng AS hlng, lat AS flat, lng AS flng,
+          |    NULL::BIGINT AS ccl_start, NULL::BIGINT AS ccl_cnt,
+          |    NULL::DOUBLE AS ccl_slat, NULL::DOUBLE AS ccl_slng, NULL::BIGINT AS ccl_sts
+          |  FROM ord WHERE k = 1
+          |  UNION ALL
+          |  SELECT user_id, k2 AS k, nk,
+          |    CASE WHEN dh <= 150.0 THEN 'add' WHEN df > 150.0 THEN 'new' ELSE 'drop' END AS dec,
+          |    CASE WHEN dh <= 150.0 THEN cstart WHEN df > 150.0 THEN k2 ELSE cstart END AS cstart,
+          |    CASE WHEN dh <= 150.0 THEN cnt + 1 WHEN df > 150.0 THEN 1 ELSE cnt END AS cnt,
+          |    CASE WHEN dh <= 150.0 THEN slat + nlat WHEN df > 150.0 THEN nlat ELSE slat END AS slat,
+          |    CASE WHEN dh <= 150.0 THEN slng + nlng WHEN df > 150.0 THEN nlng ELSE slng END AS slng,
+          |    CASE WHEN dh <= 150.0 THEN sts + nts WHEN df > 150.0 THEN nts ELSE sts END AS sts,
+          |    CASE WHEN dh <= 150.0 OR df > 150.0 THEN nlat ELSE hlat END AS hlat,
+          |    CASE WHEN dh <= 150.0 OR df > 150.0 THEN nlng ELSE hlng END AS hlng,
+          |    CASE WHEN df > 150.0 AND dh > 150.0 THEN nlat ELSE flat END AS flat,
+          |    CASE WHEN df > 150.0 AND dh > 150.0 THEN nlng ELSE flng END AS flng,
+          |    CASE WHEN dh > 150.0 AND df > 150.0 THEN cstart ELSE NULL END AS ccl_start,
+          |    CASE WHEN dh > 150.0 AND df > 150.0 THEN cnt ELSE NULL END AS ccl_cnt,
+          |    CASE WHEN dh > 150.0 AND df > 150.0 THEN slat ELSE NULL END AS ccl_slat,
+          |    CASE WHEN dh > 150.0 AND df > 150.0 THEN slng ELSE NULL END AS ccl_slng,
+          |    CASE WHEN dh > 150.0 AND df > 150.0 THEN sts ELSE NULL END AS ccl_sts
+          |  FROM (
+          |    SELECT w.user_id, w.nk, n.k AS k2, n.lat AS nlat, n.lng AS nlng,
+          |      n.ts_ms AS nts, w.cstart, w.cnt, w.slat, w.slng, w.sts,
+          |      w.hlat, w.hlng, w.flat, w.flng,
+          |      ${havM("n.lat", "n.lng", "w.hlat", "w.hlng")} AS dh,
+          |      ${havM("n.lat", "n.lng", "w.flat", "w.flng")} AS df
+          |    FROM walk w JOIN ord n ON n.user_id = w.user_id AND n.k = w.k + 1
+          |    WHERE w.k < w.nk) s),
+          |closed AS (
+          |  SELECT user_id, ccl_start AS cstart, ccl_cnt AS cnt, ccl_slat AS slat,
+          |    ccl_slng AS slng, ccl_sts AS sts, k AS close_ord
+          |  FROM walk WHERE ccl_start IS NOT NULL
+          |  UNION ALL
+          |  SELECT user_id, cstart, cnt, slat, slng, sts, nk + 1 AS close_ord
+          |  FROM walk WHERE k = nk),
+          |kept AS (
+          |  SELECT user_id, cstart, cnt, close_ord,
+          |    slat / cnt AS clat, slng / cnt AS clng, sts // cnt AS avgts
+          |  FROM closed WHERE cnt >= 3),
+          |nclus AS (SELECT user_id, count(*) AS n_clusters FROM kept GROUP BY 1),
+          |members AS (SELECT user_id, cstart, k FROM walk WHERE dec <> 'drop'),
+          |mpts AS (
+          |  SELECT m.user_id, m.cstart, o.lat, o.lng, o.acc,
+          |    row_number() OVER (PARTITION BY m.user_id, m.cstart ORDER BY m.k DESC) AS pos
+          |  FROM members m
+          |  JOIN ord o ON o.user_id = m.user_id AND o.k = m.k
+          |  JOIN kept kc ON kc.user_id = m.user_id AND kc.cstart = m.cstart),
+          |dr AS (
+          |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prn
+          |  FROM events WHERE event_type = 'purchase'),
+          |del AS (
+          |  SELECT user_id, event_id AS del_id, ts_ms AS del_ts,
+          |    (user_id % 90) - 45 + (CASE CAST((prn - 1) % 4 AS INT)
+          |      WHEN 0 THEN 0.2 WHEN 1 THEN 7.0 WHEN 2 THEN 13.5
+          |      ELSE 29.0 END)::DOUBLE / 1000.0 AS del_lat,
+          |    10.0::DOUBLE AS del_lng, value % 120.0 AS del_acc
+          |  FROM dr),
+          |npings AS (SELECT user_id, count(*) AS n_pings FROM v GROUP BY 1),
+          |chosen AS (
+          |  SELECT * FROM (
+          |    SELECT d.del_id, d.user_id, kc.cstart, kc.cnt,
+          |      row_number() OVER (PARTITION BY d.del_id ORDER BY
+          |        CASE WHEN d.del_acc <= 100.0
+          |             THEN ${havM("kc.clat", "kc.clng", "d.del_lat", "d.del_lng")}
+          |             ELSE CAST(abs(kc.avgts - d.del_ts) AS DOUBLE) END ASC,
+          |        kc.close_ord DESC) AS rk
+          |    FROM del d JOIN kept kc ON kc.user_id = d.user_id
+          |    WHERE d.del_acc > 100.0
+          |       OR ${havM("kc.clat", "kc.clng", "d.del_lat", "d.del_lng")} <= 100.0) t
+          |  WHERE rk = 1),
+          |cpts AS (
+          |  SELECT c.del_id, c.cnt AS n, p.lat, p.lng, p.acc, p.pos
+          |  FROM chosen c JOIN mpts p ON p.user_id = c.user_id AND p.cstart = c.cstart),
+          |cp AS (
+          |  SELECT a.del_id, a.lat AS alat, a.lng AS alng,
+          |    ${havM("a.lat", "a.lng", "b.lat", "b.lng")} AS d
+          |  FROM cpts a JOIN cpts b ON a.del_id = b.del_id
+          |    AND NOT (a.lat = b.lat AND a.lng = b.lng)),
+          |clocs AS (SELECT del_id, lat, lng, min(pos) AS first_pos FROM cpts GROUP BY 1, 2, 3),
+          |cnbr AS (
+          |  SELECT l.del_id, l.lat, l.lng, l.first_pos,
+          |    (SELECT count(*) FROM cp
+          |     WHERE cp.del_id = l.del_id AND cp.alat = l.lat AND cp.alng = l.lng
+          |       AND cp.d <= 200.0) AS nb
+          |  FROM clocs l),
+          |welect AS (
+          |  SELECT * FROM (
+          |    SELECT del_id, lat, lng, nb,
+          |      row_number() OVER (PARTITION BY del_id ORDER BY nb DESC, first_pos ASC) AS rk
+          |    FROM cnbr) t WHERE rk = 1),
+          |echeck AS (
+          |  SELECT w.del_id, w.lat, w.lng,
+          |    (c.n >= 3 AND w.nb >= CAST(ceil(0.5 * c.n) AS BIGINT)) AS conf
+          |  FROM welect w JOIN (SELECT DISTINCT del_id, n FROM cpts) c ON c.del_id = w.del_id),
+          |tstart AS (
+          |  SELECT cp2.del_id,
+          |    list(struct_pack(lat := cp2.lat, lng := cp2.lng) ORDER BY cp2.pos)
+          |      FILTER (WHERE cp2.acc <= 100.0) AS pts_q,
+          |    list(struct_pack(lat := cp2.lat, lng := cp2.lng) ORDER BY cp2.pos) AS pts_all
+          |  FROM cpts cp2 JOIN echeck e ON e.del_id = cp2.del_id AND NOT e.conf
+          |  GROUP BY cp2.del_id),
+          |trim_loop AS (
+          |  SELECT del_id, pts_q AS pts, 0 AS iter, false AS done,
+          |    CAST(NULL AS DOUBLE) AS c_lat, CAST(NULL AS DOUBLE) AS c_lng
+          |  FROM tstart WHERE len(pts_q) > 3
+          |  UNION ALL
+          |  SELECT del_id,
+          |    CASE WHEN avg_d > 25.0
+          |      THEN list_transform(
+          |        list_sort(ds)[1:(n - CAST(greatest(floor(n * 0.1), 1) AS INT))],
+          |        s -> pts[s.k])
+          |      ELSE pts END,
+          |    iter + 1,
+          |    avg_d <= 25.0,
+          |    clat, clng
+          |  FROM (
+          |    SELECT del_id, pts, iter, n, clat, clng,
+          |      list_transform(generate_series(1, n), k -> struct_pack(
+          |        d := (2 * 6371.0 * asin(sqrt(
+          |          pow(sin(radians(pts[k].lat - clat) / 2), 2) +
+          |          cos(radians(clat)) * cos(radians(pts[k].lat)) *
+          |          pow(sin(radians(pts[k].lng - clng) / 2), 2)))) * 1000.0,
+          |        k := k)) AS ds
+          |    FROM (
+          |      SELECT del_id, pts, iter, len(pts) AS n,
+          |        list_aggregate(list_transform(pts, x -> x.lat), 'sum') / len(pts) AS clat,
+          |        list_aggregate(list_transform(pts, x -> x.lng), 'sum') / len(pts) AS clng
+          |      FROM trim_loop WHERE NOT done AND len(pts) > 3)
+          |  ) step,
+          |  LATERAL (SELECT list_aggregate(list_transform(list_sort(ds), s -> s.d), 'sum') / n AS avg_d) a),
+          |tterm AS (
+          |  SELECT del_id, c_lat, c_lng,
+          |    row_number() OVER (PARTITION BY del_id ORDER BY iter DESC) AS rk
+          |  FROM trim_loop),
+          |tfb AS (
+          |  SELECT del_id,
+          |    CASE WHEN len(pts_q) > 0
+          |      THEN list_aggregate(list_transform(pts_q, x -> x.lat), 'sum') / len(pts_q)
+          |      ELSE list_aggregate(list_transform(pts_all, x -> x.lat), 'sum') / len(pts_all) END AS f_lat,
+          |    CASE WHEN len(pts_q) > 0
+          |      THEN list_aggregate(list_transform(pts_q, x -> x.lng), 'sum') / len(pts_q)
+          |      ELSE list_aggregate(list_transform(pts_all, x -> x.lng), 'sum') / len(pts_all) END AS f_lng
+          |  FROM tstart),
+          |trimres AS (
+          |  SELECT f.del_id, COALESCE(t.c_lat, f.f_lat) AS t_lat, COALESCE(t.c_lng, f.f_lng) AS t_lng
+          |  FROM tfb f LEFT JOIN (SELECT del_id, c_lat, c_lng FROM tterm WHERE rk = 1) t
+          |    ON t.del_id = f.del_id)
+          |SELECT d.del_id,
+          |  round(CASE WHEN e.del_id IS NULL THEN d.del_lat
+          |             WHEN e.conf THEN e.lat ELSE tr.t_lat END, 6) AS refined_lat,
+          |  round(CASE WHEN e.del_id IS NULL THEN d.del_lng
+          |             WHEN e.conf THEN e.lng ELSE tr.t_lng END, 6) AS refined_lng,
+          |  (e.del_id IS NOT NULL) AS was_refined,
+          |  CAST(COALESCE(nc.n_clusters, 0) AS INT) AS n_clusters,
+          |  COALESCE(e.conf, FALSE) AS via_election,
+          |  CAST(np.n_pings AS INT) AS n_pings
+          |FROM del d
+          |JOIN npings np ON np.user_id = d.user_id
+          |LEFT JOIN nclus nc ON nc.user_id = d.user_id
+          |LEFT JOIN echeck e ON e.del_id = d.del_id
+          |LEFT JOIN trimres tr ON tr.del_id = d.del_id
+          |ORDER BY d.del_id""".stripMargin),
 
     // A12's trim loop replayed as a recursive CTE carrying the per-user
     // point list: each step computes the centroid (list-order sums, same

@@ -149,6 +149,56 @@ class ElectionsSpec extends AnyFunSuite {
     }
   }
 
+  test("refineDeliveryLocationWith(vincenty) == refineDeliveryLocation") {
+    val rnd = new scala.util.Random(11)
+    val vinc4 = graft.functions.GeoFunctions.vincentyM _
+    (0 until 100).foreach { caseId =>
+      val n = rnd.nextInt(15)
+      // mix degree-scale scatter with tight sub-eps jitter so the walk
+      // actually forms multi-point clusters in some cases
+      val baseLat = 5 + rnd.nextDouble() * 40
+      val baseLng = -50 + rnd.nextDouble() * 100
+      val pings = (0 until n).map { i =>
+        if (rnd.nextBoolean())
+          Pt(baseLat + rnd.nextDouble() * 0.001, baseLng + rnd.nextDouble() * 0.001,
+            rnd.nextDouble() * 150, i.toLong * 1000)
+        else
+          Pt(baseLat + rnd.nextDouble() * 5, baseLng + rnd.nextDouble() * 5,
+            rnd.nextDouble() * 150, i.toLong * 1000)
+      }
+      val dLat = baseLat + rnd.nextDouble() * 0.001
+      val dLng = baseLng + rnd.nextDouble() * 0.001
+      val dAcc = rnd.nextDouble() * 150
+      val old = Elections.refineDeliveryLocation(dLat, dLng, 5000L, dAcc, pings)
+      val r = Elections.refineDeliveryLocationWith(dLat, dLng, 5000L, dAcc, pings,
+        vinc4)
+      assert((r._1, r._2, r._3) == old, s"case $caseId n=$n")
+      // consistency of the enriched fields with the public result
+      assert(r._3 || (r._1 == dLat && r._2 == dLng), s"case $caseId unrefined echoes delivery")
+      assert(!r._5 || r._3, s"case $caseId viaElection implies refined")
+      assert(r._4 >= 0, s"case $caseId cluster count")
+    }
+  }
+
+  test("A13 walk kernel swap: drop and discard cases match under haversine") {
+    import graft.functions.GeoFunctions.haversineMScala
+    // meridian chain at ~105.9 m steps (eps=150): p0,p1,p2 join; p3 at
+    // 0.4e-3 deg is >eps from the head (1.904) but <=eps from the first
+    // (0.0) -> the reference's silent drop; p4 far away -> closes c1,
+    // opens a cluster that dies below minCount -> discarded.
+    val pts = Seq(
+      Pt(10.0, 10.0, 5, 1000), Pt(10.000952, 10.0, 5, 2000),
+      Pt(10.001904, 10.0, 5, 3000), Pt(10.0004, 10.0, 5, 4000),
+      Pt(10.013, 10.0, 5, 5000))
+    val clusters = Elections.dbscanClustersWith(pts, haversineMScala,
+      epsM = 150, minCount = 3)
+    assert(clusters.length == 1, s"got $clusters")
+    assert(clusters.head.points.length == 3, "p3 dropped, p4 discarded")
+    assert(clusters.head.points.map(_.ts).toSet == Set(1000L, 2000L, 3000L))
+    // points list is reverse-add order (head = most recently added)
+    assert(clusters.head.points.map(_.ts) == Seq(3000L, 2000L, 1000L))
+  }
+
   test("electBothWith actually applies the supplied kernel") {
     // asymmetric kernel: the ts=2000 point sees d=0 to every j (neighbor
     // count 4); every other point sees 1e9 everywhere (count 0, not even
