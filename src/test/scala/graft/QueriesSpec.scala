@@ -118,6 +118,30 @@ class QueriesSpec extends AnyFunSuite {
         "band/row parameters no longer guarantee exact-join parity on this corpus")
   }
 
+  test("dedup pair-graph artifact store serves the direct path's answer") {
+    // the corpus-fingerprinted artifact must be a pure cache: identical
+    // pair set to a fresh direct computation, and the second call must
+    // serve the SAME checkpointed frame (no rebuild within a context).
+    val direct = TextQueries.lshNeardupPairs(spark, dir, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shared1 = TextQueries.lshNeardupPairsShared(spark, dir)
+    val shared2 = TextQueries.lshNeardupPairsShared(spark, dir)
+    assert(shared1 eq shared2, "second lookup must hit the artifact cache")
+    val sharedSet = shared1
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sharedSet == direct)
+    // component labels ride the shared graph and cache the same way
+    val cc1 = TextQueries.neardupComponentsShared(spark, dir)
+    val cc2 = TextQueries.neardupComponentsShared(spark, dir)
+    assert(cc1 eq cc2)
+    // every doc in the pair graph gets a label, and labels are component
+    // minima (a label never exceeds its doc id)
+    val labs = cc1.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val docs = direct.flatMap(p => Seq(p._1, p._2))
+    assert(labs.map(_._1).toSet == docs)
+    assert(labs.forall { case (d, c) => c <= d })
+  }
+
   test("SRP-ANN results are a subset of brute-force candidate space") {
     val brute = VectorQueries.defs("q33_ann_bruteforce")(spark, dir)
       .select("q_id", "neighbor_id").collect()
