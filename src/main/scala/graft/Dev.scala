@@ -107,7 +107,7 @@ object Dev {
             "q65_mixture_downsample", "q67_bigram_surprisal",
             "q68_ngram_contamination", "q69_domain_cap", "q70_token_budget",
             "q72_cluster_histogram", "q73_sequence_packing",
-            "q74_bpe_merges", "q75_bpe_encode")
+            "q74_bpe_merges", "q75_bpe_encode", "q81_refine_walk")
         }
         names.foreach { n =>
           val fn = SparkEntry.queries(n)

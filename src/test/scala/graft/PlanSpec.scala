@@ -190,6 +190,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q81 walk: per-user windows, broadcast ping lists, no cartesian") {
+    // the A13 walk groups per user and elects per delivery: the sequence-
+    // number windows must stay PARTITIONED by user_id (a global window
+    // would serialize the corpus through one task) and the one-row-per-
+    // user ping lists must reach deliveries as a broadcast, not a shuffle
+    // of the fact side
+    val plan = physical(GeoQueries.defs("q81_refine_walk")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    val specs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val userPartitioned = "windowspecdefinition\\(user_id".r.findAllIn(plan).size
+    assert(specs > 0 && specs == userPartitioned,
+      s"q81 has a window not partitioned by user_id ($userPartitioned/$specs):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q81 ping lists not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q81 grew a cartesian:\n$plan")
+  }
+
   test("q76 held-out LM broadcasts; no one-partition window anywhere") {
     val plan = physical(TextQueries.defs("q76_heldout_perplexity")(spark, dir))
       .split("== Initial Plan ==")(0)
