@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -403,6 +403,62 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // PORTABLE deterministic HyperLogLog — the missing third leg of the
+    // sketch family: q48 is Spark's native sketch surface (rows-only by
+    // nature, its internals are implementation-defined), q80 is the exact
+    // audit, and THIS is a sketch whose every bit is engine-independent
+    // and therefore hash-green against a full DuckDB replay. Classic HLL
+    // (Flajolet et al. 2007) with m=256 registers over md5: register =
+    // first hex byte, rank = 57 − bit-length of the next 56 bits (so the
+    // register max-rank table is pure string/integer arithmetic, identical
+    // in any engine), harmonic estimate with the m=256 alpha, and the
+    // small-range linear-counting branch (fires at sf0.001 where
+    // users≈75 < 2.5m; the raw branch fires at larger SFs — both paths
+    // oracle-covered across the SF sweep). All estimate arithmetic is
+    // either exact dyadic sums (2^-rank terms — ≤48 mantissa bits at any
+    // reachable rank) or single IEEE ops in a fixed order, so the double
+    // is bit-identical across engines; the one libm call (ln, linear-
+    // counting only) sits under round(·,4) with ~3e-14 ulp exposure.
+    // At 100 TB this is the sketch you can ship between engines and
+    // audit byte-for-byte — the per-register partial aggregate is 256
+    // shorts per group, same shuffle shape as approx_count_distinct.
+    "q82_portable_hll" -> ((s, dir) => {
+      def hll(salt: String, key: Column): (Column, Column) = {
+        val h = md5(concat(lit(salt), key.cast("string")))
+        val reg = conv(substring(h, 1, 2), 16, 10).cast("long")
+        val w = conv(substring(h, 3, 14), 16, 10).cast("long")
+        val rank = when(w === 0, lit(57))
+          .otherwise(lit(57) - length(conv(w.cast("string"), 10, 2)))
+        (reg, rank)
+      }
+      val e = ev(s, dir)
+      val (regU, rankU) = hll("hllu:", col("user_id"))
+      def estimate(perReg: DataFrame): DataFrame = {
+        // S = Σ 2^-maxrank over filled registers + 1 per empty register
+        perReg.groupBy(col("event_type"))
+          .agg(sum(pow(lit(2.0), -col("mr"))).as("s_filled"),
+            count(lit(1)).as("filled"))
+          .withColumn("s", col("s_filled") + (lit(256) - col("filled")))
+          .withColumn("zeros", lit(256) - col("filled"))
+          .withColumn("raw",
+            (lit(0.7213) / (lit(1) + lit(1.079) / lit(256))) * lit(65536) / col("s"))
+          .withColumn("est",
+            when(col("raw") <= 640.0 && col("zeros") > 0,
+              lit(256) * log(lit(256) / col("zeros")))
+              .otherwise(col("raw")))
+      }
+      val estU = estimate(
+        e.select(col("event_type"), regU.as("reg"), rankU.as("rank"))
+          .groupBy(col("event_type"), col("reg")).agg(max(col("rank")).as("mr")))
+      val exact = e.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n"))
+      exact.join(estU.select(col("event_type"), round(col("est"), 4).as("hll_users")),
+          "event_type")
+        .select(col("event_type"), col("exact_users"), col("hll_users"), col("n"))
+        .orderBy("event_type")
+    }),
+
     // The SQL-text API surface: the same Catalyst pipeline driven through
     // spark.sql over registered views — a 5-table star join (fact lineitem
     // → orders → customer → nation → region, all dims broadcastable) with
@@ -561,6 +617,52 @@ object RelationalQueries {
         |  round(quantile_cont(value, 0.95), 4) AS p95,
         |  count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the portable HLL replayed bit-for-bit: md5 hex → register/rank via
+    // the strpos polynomial (DuckDB v1.0 has no from_hex), bit-length via
+    // bin(), and the same fixed-order estimate arithmetic as the Column
+    // expression (dyadic 2^-rank sums are exact; the lone ln sits under
+    // round 4).
+    "q82_portable_hll" -> {
+      val hexDigit = (pos: Int) =>
+        s"(strpos('0123456789abcdef', substring(hx, $pos, 1)) - 1)"
+      val w = (0 until 14)
+        .map(k => s"${hexDigit(3 + k)} * ${1L << (4 * (13 - k))}")
+        .mkString(" + ")
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    md5('hllu:' || CAST(user_id AS VARCHAR)) AS hx
+         |  FROM events),
+         |hr AS (
+         |  SELECT event_type,
+         |    ${hexDigit(1)} * 16 + ${hexDigit(2)} AS reg,
+         |    $w AS w
+         |  FROM h),
+         |hk AS (
+         |  SELECT event_type, reg,
+         |    CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END AS rank
+         |  FROM hr),
+         |regs AS (SELECT event_type, reg, max(rank) AS mr FROM hk GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT event_type, sum(pow(2.0::DOUBLE, -mr)) AS s_filled,
+         |    count(*) AS filled
+         |  FROM regs GROUP BY 1),
+         |est AS (
+         |  SELECT event_type, 256 - filled AS zeros,
+         |    ((0.7213::DOUBLE / (1 + 1.079::DOUBLE / 256)) * 65536)
+         |      / (s_filled + (256 - filled)) AS raw
+         |  FROM agg),
+         |ex AS (
+         |  SELECT event_type, count(DISTINCT user_id) AS exact_users,
+         |    count(*) AS n
+         |  FROM events GROUP BY 1)
+         |SELECT ex.event_type, ex.exact_users,
+         |  round(CASE WHEN est.raw <= 640.0 AND est.zeros > 0
+         |             THEN 256 * ln(256 / est.zeros) ELSE est.raw END, 4) AS hll_users,
+         |  ex.n
+         |FROM ex JOIN est ON est.event_type = ex.event_type
+         |ORDER BY ex.event_type""".stripMargin
+    },
 
     "q11_value_histogram" ->
       """SELECT event_type,

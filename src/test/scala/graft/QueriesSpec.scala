@@ -118,6 +118,20 @@ class QueriesSpec extends AnyFunSuite {
         "band/row parameters no longer guarantee exact-join parity on this corpus")
   }
 
+  test("q82 portable HLL lands within 3 sigma of the exact distinct count") {
+    // m=256 registers → standard error 1.04/√256 ≈ 6.5%; 3σ ≈ 19.5%.
+    // The estimate itself is engine-deterministic (hash-green oracle);
+    // this pins that it is also a GOOD estimate of the q80-style truth.
+    val rows = RelationalQueries.defs("q82_portable_hll")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_users").toDouble
+      val est = r.getAs[Double]("hll_users")
+      assert(math.abs(est - exact) / exact <= 0.195,
+        s"${r.getString(0)}: est $est vs exact $exact")
+    }
+  }
+
   test("dedup pair-graph artifact store serves the direct path's answer") {
     // the corpus-fingerprinted artifact must be a pure cache: identical
     // pair set to a fresh direct computation, and the second call must
