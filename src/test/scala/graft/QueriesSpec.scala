@@ -132,6 +132,27 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("artifact stores rebuild when the corpus fingerprint changes") {
+    // every store (ANN index, BPE merges, dedup graph) keys on
+    // Tables.parquetFingerprint — per part file (name, size, mtime). An
+    // in-place rewrite that changes mtime must produce a different key,
+    // or a rewritten corpus would silently serve a stale artifact.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("graft_fp").toString
+    val src = Paths.get(s"$dir/documents.parquet")
+    val dst = Paths.get(s"$tmp/documents.parquet")
+    Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    val f1 = graft.Tables.parquetFingerprint(spark, tmp, "documents")
+    val first = TextQueries.lshNeardupPairsShared(spark, tmp)
+    assert(TextQueries.lshNeardupPairsShared(spark, tmp) eq first)
+    // same name, same bytes, new mtime — the in-place-rewrite case
+    dst.toFile.setLastModified(dst.toFile.lastModified() + 1234)
+    val f2 = graft.Tables.parquetFingerprint(spark, tmp, "documents")
+    assert(f1 != f2, "fingerprint must change on part-file mtime change")
+    val second = TextQueries.lshNeardupPairsShared(spark, tmp)
+    assert(!(second eq first), "rewritten corpus must rebuild the artifact")
+  }
+
   test("dedup pair-graph artifact store serves the direct path's answer") {
     // the corpus-fingerprinted artifact must be a pure cache: identical
     // pair set to a fresh direct computation, and the second call must
