@@ -289,14 +289,14 @@ object GeoQueries {
     // per-user view sequence number in 0.001° ≈ 111.19 m steps, haversine
     // kernel so DuckDB can recompute distances in closed form) drives
     // every branch of the walk: slots 0-2 chain a 3-point cluster at
-    // 105.6 m steps, slot 3 is the reference's silent-drop middle case
-    // (166.8 m > eps=150 from the head, 44.5 m ≤ eps from the first),
+    // 105.9 m steps, slot 3 is the reference's silent-drop middle case
+    // (167.2 m > eps=150 from the head, 44.5 m ≤ eps from the first),
     // slot 7 opens a cluster that dies below minCount=3 (discard), slots
-    // 8-12 chain five points at 145.7-149.0 m (joinable, but pairwise
+    // 8-12 chain five points at 145.4-148.1 m (joinable, but pairwise
     // >200 m beyond immediate neighbors → clusterBest confidence 0 → the
     // A12 trim fallback). Deliveries take both bestCluster branches via
     // acc: ≤100 → nearest-centroid ≤100 m (slot-offsets 0.2/13.5/29.0
-    // land 83.4/50/71.2 m from the c1/c2/c4 centroids; 7.0 lands >100 m
+    // land 83.6/50.3/70.3 m from the c1/c2/c4 centroids; 7.0 lands >100 m
     // from everything → unrefined WITH clusters present), >100 →
     // nearest-avgTs (pure integer math). All spacings are asymmetric so
     // no distance tie exists anywhere (measured gaps ≥1 m vs ~1e-9 m
