@@ -169,10 +169,15 @@ class ElectionsSpec extends AnyFunSuite {
       val dLat = baseLat + rnd.nextDouble() * 0.001
       val dLng = baseLng + rnd.nextDouble() * 0.001
       val dAcc = rnd.nextDouble() * 150
-      val old = Elections.refineDeliveryLocation(dLat, dLng, 5000L, dAcc, pings)
+      // vary the walk parameters too — q41 runs eps=200000/minCount=3,
+      // q81 eps=150/minCount=3; the parity must hold across the range
+      val eps = Seq(150, 2000, 200000)(rnd.nextInt(3))
+      val mc = 2 + rnd.nextInt(3)
+      val old = Elections.refineDeliveryLocation(dLat, dLng, 5000L, dAcc, pings,
+        epsM = eps, minCount = mc)
       val r = Elections.refineDeliveryLocationWith(dLat, dLng, 5000L, dAcc, pings,
-        vinc4)
-      assert((r._1, r._2, r._3) == old, s"case $caseId n=$n")
+        vinc4, epsM = eps, minCount = mc)
+      assert((r._1, r._2, r._3) == old, s"case $caseId n=$n eps=$eps mc=$mc")
       // consistency of the enriched fields with the public result
       assert(r._3 || (r._1 == dLat && r._2 == dLng), s"case $caseId unrefined echoes delivery")
       assert(!r._5 || r._3, s"case $caseId viaElection implies refined")
