@@ -905,23 +905,33 @@ object TextQueries {
     // (chars per symbol, symbols per word) per source. The merge table
     // comes from the fingerprinted artifact cache (q74 trains it; r5
     // retrained the identical 20-step loop here) and ships inside the
-    // encode UDF closure — the broadcast-a-tiny-model pattern; encoding
-    // itself is per-row bounded. Oracle-checked end-to-end: the DuckDB
-    // oracle retrains the merge table (q74's recursive CTE) and replays
-    // the encode fold per word type; the spec additionally pins
-    // bpeEncodeWord against known merges.
+    // encode UDF closure — the broadcast-a-tiny-model pattern. The
+    // greedy-merge replay runs once per (source, word TYPE) after a
+    // count aggregation, not once per token occurrence — the shape every
+    // tokenizer-stats job uses (Zipf: types ≪ tokens; at 100 TB the
+    // occurrence-level UDF would replay identical folds billions of
+    // times). The token-level aggregates are recovered exactly by
+    // count-weighting: every sum is over the same small integers (all
+    // < 2^53, so double division bits match avg()'s sum/count to the
+    // bit). Oracle-checked end-to-end: the DuckDB oracle retrains the
+    // merge table (q74's recursive CTE) and replays the encode fold per
+    // word type; the spec additionally pins bpeEncodeWord against known
+    // merges.
     "q75_bpe_encode" -> ((s, dir) => {
       val merges = bpeMergesShared(s, dir, steps = 20)
       val encodeUdf = udf((w: String) => bpeEncodeWord(w, merges).length)
       Tables.documents(s, dir)
         .select(col("source"), explode(tokens(col("text"))).as("w"))
-        .select(col("source"), col("w"), encodeUdf(col("w")).as("n_syms"),
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+        .select(col("source"), col("cnt"), encodeUdf(col("w")).as("n_syms"),
           (length(col("w")) + 1).as("n_chars")) // + the </w> marker
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_words"),
-          sum("n_syms").as("total_symbols"),
-          round(avg(col("n_syms")), 4).as("avg_symbols_per_word"),
-          round(sum(col("n_chars")) / sum(col("n_syms")).cast("double"), 4)
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(col("n_syms") * col("cnt")).as("total_symbols"),
+          round(sum(col("n_syms") * col("cnt")).cast("double") /
+            sum(col("cnt")).cast("double"), 4).as("avg_symbols_per_word"),
+          round(sum(col("n_chars") * col("cnt")) /
+            sum(col("n_syms") * col("cnt")).cast("double"), 4)
             .as("chars_per_symbol"))
         .orderBy("source")
     }),
