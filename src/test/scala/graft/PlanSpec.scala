@@ -167,6 +167,30 @@ class PlanSpec extends AnyFunSuite {
       s"gram join degenerated:\n$plan")
   }
 
+  test("q75 encode UDF evaluates per word type — above the (source, word) aggregate") {
+    // the greedy-merge replay must run once per word TYPE (post-count-agg
+    // projection), never once per exploded token occurrence: at 100 TB the
+    // per-token form replays identical folds billions of times. tokens()
+    // is pure Column math, so the ONLY "UDF" in this plan is the encoder;
+    // plan toString is top-down, so its index must precede the
+    // (source, w) count aggregate that feeds it.
+    // Catalyst collapses the post-agg projection into the final type
+    // aggregate's result expressions, so the pin is structural: the
+    // (source, w)-keyed count aggregate itself emits n_syms (encode runs
+    // once per group, in the agg's result projection), and no per-row
+    // Project below it evaluates the UDF (a per-token regression would
+    // surface as a visible "UDF(" Project under the Generate).
+    val plan = physical(TextQueries.defs("q75_bpe_encode")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    val typeAggEmitsEncode =
+      """HashAggregate\(keys=\[source[#\d]*, w[#\d]*\], functions=\[count\(1\)\], output=\[[^\]]*n_syms""".r
+        .findFirstIn(plan).isDefined
+    assert(typeAggEmitsEncode,
+      s"(source, word) type aggregate no longer emits n_syms — encode left the per-type projection:\n$plan")
+    assert(!plan.contains("UDF("),
+      s"encode UDF materialized as a per-row Project (per-token replay):\n$plan")
+  }
+
   test("q69 domain cap is a bounded partial aggregate, not a per-source window") {
     val plan = physical(TextQueries.defs("q69_domain_cap")(spark, dir))
       .split("== Initial Plan ==")(0)
