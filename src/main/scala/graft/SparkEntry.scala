@@ -8,11 +8,12 @@ import graft.operators._
   * `queries` is the full operator inventory (SURVEY.md §2) re-expressed
   * Spark-first; `oracleSql` holds the DuckDB-equivalent ANSI SQL for every
   * SQL-expressible query (same column names/rounding on both sides) —
-  * 80 of 81 entries, including the elections (vincenty replayed as a
-  * recursive CTE), every LSH/trained-index pipeline, geohash, and
-  * lang-ID. The one omitted key (q48 native sketches) is rows-only by
-  * nature — its internals are implementation-defined — and is audited by
-  * its exact twin q80 and the portable deterministic sketch q82.
+  * 82 of 83 entries, including the elections (vincenty replayed as a
+  * recursive CTE), every LSH/trained-index pipeline, geohash, lang-ID,
+  * and the pivot/rollup reshaping surface (q83/q84). The one omitted key
+  * (q48 native sketches) is rows-only by nature — its internals are
+  * implementation-defined — and is audited by its exact twin q80 and the
+  * portable deterministic sketch q82.
   */
 object SparkEntry {
 

@@ -516,6 +516,50 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 2).as("total_price"))
         .orderBy("epoch_flag")
+    }),
+
+    // Wide-reshape PIVOT: the source × language token matrix every
+    // multilingual mixture recipe starts from (one row per source, one
+    // column per language). Pivot values are EXPLICIT, which matters
+    // twice at 100 TB: Spark skips the extra distinct-values job a
+    // value-less pivot runs on the driver, and the plan is a single-pass
+    // conditional aggregation (each pivot cell a filtered partial sum) —
+    // one scan, one shuffle of 20×5 partial cells, never a per-language
+    // pass. Empty cells surface as 0 on both engines.
+    "q83_lang_source_pivot" -> ((s, dir) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      Tables.documents(s, dir)
+        .select(col("source"), col("lang"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"))
+        .groupBy(col("source")).pivot("lang", langs)
+        .agg(sum(col("n_tok")))
+        .select(col("source") +:
+          langs.map(l => coalesce(col(l), lit(0L)).as(s"tok_$l")): _*)
+        .orderBy("source")
+    }),
+
+    // Grouping-sets ROLLUP over the same matrix: detail, per-source
+    // subtotal, grand total in ONE pass — the report shape subtotaled
+    // dashboards ask for. Spark plans rollup as an Expand (×3 grouping
+    // sets) feeding one partial+final aggregate: the shuffle carries 3×
+    // the input rows but map-side partials collapse them to ≤3×group
+    // cardinality before the exchange, so at 100 TB the cost is one scan
+    // + a tiny shuffle, not three queries. Subtotal rows are tagged with
+    // grouping_id() (bit order: grouping(source)<<1 | grouping(lang)),
+    // and the oracle recomputes the same id from the rollup NULLs —
+    // source/lang are never null in the data, so the mapping is exact.
+    "q84_mixture_rollup" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("source"), col("lang"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"))
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          grouping_id().cast("int").as("gid"))
+        .select(coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("gid"), col("n_docs"), col("total_tokens"))
+        .orderBy("gid", "source", "lang")
     })
   )
 
@@ -789,6 +833,33 @@ object RelationalQueries {
       """SELECT CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
         |  THEN 'good' ELSE 'bad' END AS epoch_flag,
         |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q83_lang_source_pivot" ->
+      """WITH t AS (
+        |  SELECT source, lang,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(coalesce(sum(n_tok) FILTER (WHERE lang = 'de'), 0) AS BIGINT) AS tok_de,
+        |  CAST(coalesce(sum(n_tok) FILTER (WHERE lang = 'en'), 0) AS BIGINT) AS tok_en,
+        |  CAST(coalesce(sum(n_tok) FILTER (WHERE lang = 'es'), 0) AS BIGINT) AS tok_es,
+        |  CAST(coalesce(sum(n_tok) FILTER (WHERE lang = 'fr'), 0) AS BIGINT) AS tok_fr,
+        |  CAST(coalesce(sum(n_tok) FILTER (WHERE lang = 'zh'), 0) AS BIGINT) AS tok_zh
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    "q84_mixture_rollup" ->
+      """WITH t AS (
+        |  SELECT source, lang,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+        |  FROM documents)
+        |SELECT coalesce(source, 'ALL') AS source,
+        |  coalesce(lang, 'ALL') AS lang,
+        |  CAST(CASE WHEN source IS NULL THEN 3
+        |            WHEN lang IS NULL THEN 1 ELSE 0 END AS INT) AS gid,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        |FROM t GROUP BY ROLLUP(source, lang)
+        |ORDER BY gid, source, lang""".stripMargin
   )
 }

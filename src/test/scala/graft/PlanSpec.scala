@@ -191,6 +191,26 @@ class PlanSpec extends AnyFunSuite {
       s"encode UDF materialized as a per-row Project (per-token replay):\n$plan")
   }
 
+  test("q83 explicit-values pivot is one scan with map-side partial cells") {
+    // explicit pivot values ⇒ no driver distinct-values job (zero extra
+    // scans) and the matrix builds as conditional partial aggregates
+    val plan = physical(RelationalQueries.defs("q83_lang_source_pivot")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"pivot reads the corpus more than once:\n$plan")
+    assert(plan.contains("partial_"), s"pivot lost map-side partials:\n$plan")
+  }
+
+  test("q84 rollup expands grouping sets in one pass: Expand + partial agg, one scan") {
+    val plan = physical(RelationalQueries.defs("q84_mixture_rollup")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("Expand"), s"rollup not planned as grouping-set Expand:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"rollup reads the corpus more than once:\n$plan")
+    assert(plan.contains("partial_"),
+      s"grouping sets lost map-side partials:\n$plan")
+  }
+
   test("q69 domain cap is a bounded partial aggregate, not a per-source window") {
     val plan = physical(TextQueries.defs("q69_domain_cap")(spark, dir))
       .split("== Initial Plan ==")(0)
