@@ -560,6 +560,21 @@ object RelationalQueries {
           coalesce(col("lang"), lit("ALL")).as("lang"),
           col("gid"), col("n_docs"), col("total_tokens"))
         .orderBy("gid", "source", "lang")
+    }),
+
+    // UNPIVOT (melt) — the inverse reshape of q83: the wide matrix back
+    // to tidy (source, lang, n_tok) rows, zero cells included (which is
+    // what distinguishes melt from re-aggregating the corpus: the empty
+    // (source, lang) combinations survive as explicit 0 rows). unpivot is
+    // a per-row Expand projection — no shuffle beyond q83's own plan, and
+    // row count grows only by the (tiny) number of melted columns.
+    "q86_token_matrix_unpivot" -> ((s, dir) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      defs("q83_lang_source_pivot")(s, dir)
+        .unpivot(Array(col("source")),
+          langs.map(l => col(s"tok_$l")).toArray, "lang", "n_tok")
+        .withColumn("lang", regexp_replace(col("lang"), "^tok_", ""))
+        .orderBy("source", "lang")
     })
   )
 
@@ -860,6 +875,26 @@ object RelationalQueries {
         |  count(*) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens
         |FROM t GROUP BY ROLLUP(source, lang)
-        |ORDER BY gid, source, lang""".stripMargin
+        |ORDER BY gid, source, lang""".stripMargin,
+
+    "q86_token_matrix_unpivot" ->
+      """WITH t AS (
+        |  SELECT source, lang,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+        |  FROM documents),
+        |wide AS (
+        |  SELECT source,
+        |    CAST(coalesce(sum(n_tok) FILTER (WHERE lang = 'de'), 0) AS BIGINT) AS tok_de,
+        |    CAST(coalesce(sum(n_tok) FILTER (WHERE lang = 'en'), 0) AS BIGINT) AS tok_en,
+        |    CAST(coalesce(sum(n_tok) FILTER (WHERE lang = 'es'), 0) AS BIGINT) AS tok_es,
+        |    CAST(coalesce(sum(n_tok) FILTER (WHERE lang = 'fr'), 0) AS BIGINT) AS tok_fr,
+        |    CAST(coalesce(sum(n_tok) FILTER (WHERE lang = 'zh'), 0) AS BIGINT) AS tok_zh
+        |  FROM t GROUP BY source)
+        |SELECT source, 'de' AS lang, tok_de AS n_tok FROM wide
+        |UNION ALL SELECT source, 'en', tok_en FROM wide
+        |UNION ALL SELECT source, 'es', tok_es FROM wide
+        |UNION ALL SELECT source, 'fr', tok_fr FROM wide
+        |UNION ALL SELECT source, 'zh', tok_zh FROM wide
+        |ORDER BY source, lang""".stripMargin
   )
 }

@@ -623,6 +623,34 @@ object TextQueries {
     // corpus unigram table (one agg), then explode + broadcast-join the
     // frequency table + per-doc average. The frequency table is vocabulary-
     // sized (≪ corpus) so it broadcasts at any corpus scale.
+    // Per-source KL divergence vs the corpus unigram distribution — the
+    // mixture-curation diagnostic that answers "which sources are
+    // distributionally far from the blend" (what a recipe tunes before
+    // reweighting). Plan shape: one (source, token) aggregation, then the
+    // corpus-frequency table is JOINED on token, never broadcast —
+    // vocabulary is unbounded at 100 TB (same call as q67's bigram LM) —
+    // while the 1-row corpus total and the |sources|-row totals broadcast.
+    // Σ p·ln(p/q) sums per-source over the vocabulary; round(4) absorbs
+    // libm/summation-order jitter (the q60 precedent).
+    "q85_source_kl" -> ((s, dir) => {
+      val st = Tables.documents(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c_st"))
+      val srcTot = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+      val corpus = st.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+      val total = corpus.agg(sum(col("c_t")).as("n_tot"))
+      val p = col("c_st") / col("n_s").cast("double")
+      val q = col("c_t") / col("n_tot").cast("double")
+      st.join(broadcast(srcTot), "source")
+        .join(corpus, "token")
+        .crossJoin(broadcast(total))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("c_st")).as("n_tokens"),
+          round(sum(p * log(p / q)), 4).as("kl"))
+        .orderBy("source")
+    }),
+
     "q60_unigram_surprisal" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
@@ -1329,6 +1357,22 @@ object TextQueries {
         |SELECT source, n_docs, round(share, 4) AS share,
         |  round(least(1.0, target_share / share), 4) AS sample_rate
         |FROM t ORDER BY 1""".stripMargin,
+
+    "q85_source_kl" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |st AS (SELECT source, token, count(*) AS c_st FROM toks GROUP BY 1, 2),
+        |ns AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY 1),
+        |ct AS (SELECT token, sum(c_st) AS c_t FROM st GROUP BY 1),
+        |nt AS (SELECT sum(c_t) AS n_tot FROM ct)
+        |SELECT st.source, count(*) AS n_types,
+        |  CAST(sum(c_st) AS BIGINT) AS n_tokens,
+        |  round(sum((c_st / CAST(n_s AS DOUBLE)) *
+        |    ln((c_st / CAST(n_s AS DOUBLE)) / (c_t / CAST(n_tot AS DOUBLE)))), 4) AS kl
+        |FROM st JOIN ns USING (source) JOIN ct USING (token) CROSS JOIN nt
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q60_unigram_surprisal" ->
       """WITH toks AS (
