@@ -59,23 +59,24 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: oracle error {e}")
             n_fail += 1
             continue
-        if sorted(got_cols) != sorted(exp_cols):
-            print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(exp_cols)}")
-            n_fail += 1
-            continue
-        gk, ek = table_key(got, got_cols), table_key(exp, exp_cols)
-        if len(gk) != len(ek):
-            print(f"FAIL {name}: rows {len(gk)} != {len(ek)}")
-            n_fail += 1
-        elif gk != ek:
-            bad = next(i for i, (a, b) in enumerate(zip(gk, ek)) if a != b)
-            print(f"FAIL {name}: value mismatch at sorted-row {bad}:")
-            print(f"   got {gk[bad]}")
-            print(f"   exp {ek[bad]}")
-            n_fail += 1
-        else:
-            print(f"PASS {name}: {len(gk)} rows")
+        ok_rows = len(got) == len(exp)
+        ok_cols = sorted(got_cols) == sorted(exp_cols)
+        ok_vals = ok_rows and ok_cols and \
+            table_key(got, got_cols) == table_key(exp, exp_cols)
+        if ok_vals:
+            print(f"PASS {name}: {len(got)} rows")
             n_pass += 1
+        else:
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}, "
+                  f"cols {sorted(got_cols)} vs {sorted(exp_cols)}, "
+                  f"vals_match={ok_vals}")
+            if ok_rows and ok_cols:
+                a = table_key(got, got_cols)
+                b = table_key(exp, exp_cols)
+                diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                for x, y in diffs:
+                    print(f"  spark={x}\n  duck ={y}")
+            n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     return 1 if n_fail else 0
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -484,6 +484,68 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(10)
+    }),
+
+    // PORTABLE deterministic Count-Min sketch — heavy hitters without the
+    // full token→count table. q39 is the exact top-k; THIS is the sketch
+    // answer an engine gives when the token universe doesn't fit: d=4
+    // md5-derived hash rows × w=1024 counters (4 hex chars = 16 bits,
+    // 65536/1024 exact → zero modulo bias), point estimate = min over the
+    // 4 counters (Cormode-Muthukrishnan 2005). Every counter is an integer
+    // sum over md5 buckets, so the whole sketch replays bit-for-bit in any
+    // engine — same portability argument as q82's HLL. At 100 TB the
+    // counter table is 4×1024 longs (one map-side partial agg, ~KB
+    // shuffle) vs an exact distinct-token shuffle in the billions; the
+    // candidate probe is a broadcast join against that tiny table. Output
+    // pins the top-20 exact tokens with their sketch estimates — the
+    // cms_est ≥ n overestimate guarantee is asserted in QueriesSpec.
+    "q87_cms_heavy_hitters" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(explode(split(
+          regexp_replace(lower(col("text")), "[^a-z ]", " "), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+      def bucket(j: Int): Column =
+        pmod(conv(substring(md5(concat(lit(s"cms$j:"), col("token"))), 1, 4),
+          16, 10).cast("long"), lit(1024))
+      val withB = tok.select(col("token") +: col("n") +:
+        (0 until 4).map(j => bucket(j).as(s"b$j")): _*)
+      val counters = withB
+        .select(col("n"), expr("stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (j, b)"))
+        .groupBy(col("j"), col("b")).agg(sum(col("n")).as("c"))
+      withB.orderBy(col("n").desc, col("token")).limit(20)
+        .select(col("token"), col("n"),
+          expr("stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (j, b)"))
+        .join(broadcast(counters), Seq("j", "b"))
+        .groupBy(col("token"), col("n")).agg(min(col("c")).as("cms_est"))
+        .orderBy(col("n").desc, col("token"))
+    }),
+
+    // Weighted sampling without replacement in ONE distributed pass —
+    // Efraimidis-Spirakis A-ES: per-doc key ln(u)/w (monotone equivalent
+    // of u^(1/w)), take the k largest keys. u is the q53 salted-md5
+    // uniform ((first-8-hex + 0.5) / 2^32 — dyadic-exact both engines), w
+    // = token count, so the draw is deterministic and engine-independent:
+    // the canonical way to draw a token-weighted training subsample from
+    // 100 TB without a global RNG or a second pass (top-k = partial
+    // per-partition heaps + single driver merge via TakeOrderedAndProject,
+    // no global sort, no window). Keys are random-spaced (~1e-5 gaps at
+    // the k-boundary) so the one libm ln call can't flip the cut.
+    "q88_weighted_sample" -> ((s, dir) => {
+      val u = (conv(substring(md5(concat(lit("wrs:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double") +
+        lit(0.5)) / lit(4294967296.0)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          greatest(size(tokens(col("text"))), lit(1)).cast("long").as("w"),
+          u.as("u"))
+        .select(col("doc_id"), col("source"), col("w"),
+          (log(col("u")) / col("w")).as("key"))
+        .orderBy(col("key").desc, col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("source"), col("w"),
+          round(col("key"), 9).as("sample_key"))
     }),
 
     // Connected-components dedup clustering: the transitive-closure step a
@@ -1438,6 +1500,53 @@ object TextQueries {
         |  FROM documents)
         |SELECT token, count(*) AS n FROM t
         |GROUP BY 1 ORDER BY n DESC, token LIMIT 10""".stripMargin,
+
+    // CMS replay: same md5 4-hex bucket per (row j, token), counters =
+    // integer sums per (j, bucket), estimate = min over the 4 counters.
+    "q87_cms_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |tc AS (SELECT token, count(*) AS n FROM t GROUP BY 1),
+        |bkt AS (
+        |  SELECT token, j,
+        |    ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
+        |   + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
+        |   + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)) % 1024 AS b
+        |  FROM (SELECT token, j, md5('cms' || j || ':' || token) AS h
+        |        FROM tc, LATERAL (SELECT unnest([0, 1, 2, 3]) AS j) g)),
+        |counters AS (
+        |  SELECT j, b, CAST(sum(n) AS BIGINT) AS c
+        |  FROM bkt JOIN tc USING (token) GROUP BY 1, 2),
+        |top AS (SELECT token, n FROM tc ORDER BY n DESC, token LIMIT 20)
+        |SELECT top.token, top.n, min(c) AS cms_est
+        |FROM top JOIN bkt USING (token) JOIN counters USING (j, b)
+        |GROUP BY 1, 2 ORDER BY n DESC, token""".stripMargin,
+
+    // A-ES replay: u from the same salted md5 first-8-hex uniform, key =
+    // ln(u)/w, top-100 by unrounded key (rounding only in the output).
+    "q88_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    greatest(len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0)), 1) AS w,
+        |    md5('wrs:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, source, CAST(w AS BIGINT) AS w,
+        |    ln((
+        |      (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 268435456.0
+        |    + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 16777216
+        |    + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 1048576
+        |    + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) * 65536
+        |    + (strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substring(h, 7, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substring(h, 8, 1)) - 1)
+        |    + 0.5) / 4294967296.0) / w AS key
+        |  FROM d)
+        |SELECT doc_id, source, w, round(key, 9) AS sample_key
+        |FROM k ORDER BY key DESC, doc_id LIMIT 100""".stripMargin,
 
     "q28_jaccard_pairs" ->
       """WITH toks AS (

@@ -211,6 +211,28 @@ class PlanSpec extends AnyFunSuite {
       s"grouping sets lost map-side partials:\n$plan")
   }
 
+  test("q87 CMS probe is a broadcast join against the tiny counter table") {
+    // the 4×1024 counter table must broadcast (KB-scale at any corpus
+    // size); a sort-merge or cartesian here would shuffle the candidates
+    val plan = physical(TextQueries.defs("q87_cms_heavy_hitters")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"CMS counter probe not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"CMS probe planned as a shuffle join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 candidate cut lost its TakeOrdered:\n$plan")
+  }
+
+  test("q88 weighted sample is TakeOrdered over one scan — no global sort, no window") {
+    val plan = physical(TextQueries.defs("q88_weighted_sample")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"A-ES top-k lost TakeOrderedAndProject (global sort?):\n$plan")
+    assert(!plan.contains("Window"), s"weighted sample planned a window:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"weighted sample reads the corpus more than once:\n$plan")
+  }
+
   test("q69 domain cap is a bounded partial aggregate, not a per-source window") {
     val plan = physical(TextQueries.defs("q69_domain_cap")(spark, dir))
       .split("== Initial Plan ==")(0)

@@ -552,4 +552,28 @@ class QueriesSpec extends AnyFunSuite {
       assert(rks == (1 to rks.length).toList, s"ranks not dense: $rks")
     }
   }
+
+  test("q87 CMS estimates dominate exact counts (sketch overestimate guarantee)") {
+    val rows = TextQueries.defs("q87_cms_heavy_hitters")(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("n"),
+        s"CMS under-estimated '${r.getAs[String]("token")}': " +
+          s"${r.getAs[Long]("cms_est")} < ${r.getAs[Long]("n")}")
+    }
+  }
+
+  test("q88 weighted sample: deterministic size-k draw, descending keys, valid weights") {
+    val rows = TextQueries.defs("q88_weighted_sample")(spark, dir).collect()
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rows.length == math.min(100L, nDocs).toInt)
+    val keys = rows.map(_.getAs[Double]("sample_key"))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b },
+      "sample keys not descending")
+    assert(rows.forall(_.getAs[Long]("w") >= 1L), "weight below 1")
+    val again = TextQueries.defs("q88_weighted_sample")(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(rows.map(_.getAs[Long]("doc_id")).sameElements(again),
+      "draw not deterministic across runs")
+  }
 }
