@@ -66,14 +66,20 @@ object RelationalQueries {
       val c = Tables.customer(s, dir)
       val o = Tables.orders(s, dir)
       val l = Tables.lineitem(s, dir)
-      // two-level agg instead of countDistinct: a single countDistinct
-      // beside another aggregate plans an Expand (2× rows through the
-      // shuffle); grouping by (segment, orderkey) first gets map-side
-      // partial reduction AND a distinct-free final agg
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .groupBy(col("c_mktsegment"), col("o_orderkey"))
+      // aggregate lineitem to per-order revenue BEFORE the join: lineitem
+      // is clustered by orderkey in the files, so the groupBy reduces ~4×
+      // map-side before its shuffle, and the join then moves order-count
+      // rows instead of lineitem-count rows. Also replaces countDistinct
+      // (which would plan an Expand, 2× rows through the shuffle): after
+      // the per-order rollup each order is one row, so n_orders is a plain
+      // count. Two shuffles total (reduced lineitem + orders) vs three in
+      // the join-first form — at 100 TB the difference is a full pass of
+      // the fact table through the wire.
+      l.groupBy(col("l_orderkey"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(38,4)")).as("rev_part"))
+        .join(o.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         // decimal→double AFTER the exact decimal sum: the oracle driver
         // hashes the rendered value, and double bits are engine-identical

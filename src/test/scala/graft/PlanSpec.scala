@@ -41,6 +41,11 @@ class PlanSpec extends AnyFunSuite {
   test("q03 dimension joins broadcast; fact join does not broadcast the fact") {
     val plan = physical(RelationalQueries.defs("q03_segment_revenue")(spark, dir))
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    // the per-order revenue rollup must run BELOW the join with map-side
+    // partials — the join then moves order-count rows, not lineitem rows
+    assert("""HashAggregate\(keys=\[l_orderkey[#\d]*L?\], functions=\[partial_sum""".r
+      .findFirstIn(plan).isDefined,
+      s"fact not pre-aggregated per order before the join:\n$plan")
   }
 
   test("q05 semi-join stays a join (no driver collect) and broadcasts the filtered side") {
