@@ -107,7 +107,8 @@ object Dev {
             "q65_mixture_downsample", "q67_bigram_surprisal",
             "q68_ngram_contamination", "q69_domain_cap", "q70_token_budget",
             "q72_cluster_histogram", "q73_sequence_packing",
-            "q74_bpe_merges", "q75_bpe_encode", "q81_refine_walk")
+            "q74_bpe_merges", "q75_bpe_encode", "q81_refine_walk",
+            "q87_cms_heavy_hitters", "q88_weighted_sample")
         }
         names.foreach { n =>
           val fn = SparkEntry.queries(n)

@@ -892,9 +892,12 @@ object TextQueries {
     // (they indicate boilerplate, not contamination) — same hot-key cap
     // machinery as lshPairsFromDocs.
     "q68_ngram_contamination" -> ((s, dir) => {
+      // per-doc gram dedup happens in the array BEFORE the explode —
+      // array_distinct is row-local, so the (doc_id, gram) relation is
+      // born distinct and the corpus-wide distinct shuffle disappears
       val grams = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(wordNgramsUdf(5)(col("text"))).as("g"))
-        .distinct()
+        .select(col("doc_id"),
+          explode(array_distinct(wordNgramsUdf(5)(col("text")))).as("g"))
         .withColumn("split", splitAssign(col("doc_id")))
         .localCheckpoint() // feeds both sides of the train/eval join
       val train = grams.filter(col("split") === "train")
