@@ -548,6 +548,66 @@ object TextQueries {
           round(col("key"), 9).as("sample_key"))
     }),
 
+    // Passage-level exact dedup — the boilerplate-removal granularity
+    // between whole-doc exact dedup (q27) and near-dup (q29): chop each
+    // doc into non-overlapping 20-token chunks (the fixed-width passage
+    // window production pipelines use when no sentence boundaries exist),
+    // md5 each chunk, count hash occurrences corpus-wide, report per
+    // source how much of its text is duplicated passages. Chunking is
+    // row-local column math (one explode of chunk starts 1, 21, 41, …);
+    // the only corpus-wide stage is a hash-keyed count + a join keyed on
+    // the chunk hash (q67's LM-scoring shape — the chunk vocabulary is
+    // unbounded, so broadcast would be wrong at 100 TB). Tail tokens
+    // (len % 20) are dropped deterministically on both engines.
+    "q89_passage_dedup" -> ((s, dir) => {
+      val ch = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 20)
+        .select(col("doc_id"), col("source"), col("t"),
+          explode(sequence(lit(1), size(col("t")) - 19, lit(20))).as("i"))
+        .select(col("doc_id"), col("source"),
+          md5(array_join(slice(col("t"), col("i"), lit(20)), " ")).as("h"))
+        .localCheckpoint() // feeds both the hash census and the join back
+      val counts = ch.groupBy(col("h")).agg(count(lit(1)).as("tot"))
+      ch.join(counts, "h")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("tot") >= 2, 1L).otherwise(0L)).as("dup_chunks"))
+        .withColumn("dup_ratio",
+          round(col("dup_chunks") / col("n_chunks").cast("double"), 4))
+        .orderBy("source")
+    }),
+
+    // Per-source TF-IDF salient terms — the IR primitive a corpus
+    // explorer runs first: which tokens characterize each source against
+    // the rest of the corpus. df = docs containing the token (per-doc
+    // dedup is row-local array_distinct, q68's trick — the df census is
+    // born distinct, one vocab-sized shuffle); tf aggregates occurrences
+    // per (source, token); score = tf · ln(N/df). The ranking window
+    // partitions by source over the vocab-sized score table — never over
+    // occurrences — so the corpus-linear stages are all partial-agg
+    // shuffles. rk cast to INT to match DuckDB row_number's BIGINT.
+    "q90_tfidf_terms" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nDocs = Tables.rowCount(s, dir, "documents")
+      val tok = docs.select(col("source"), tokens(col("text")).as("t"))
+      val tf = tok.select(col("source"), explode(col("t")).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("tf"))
+      val df = tok.select(explode(array_distinct(col("t"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("score").desc, col("token"))
+      tf.join(df, "token")
+        .withColumn("score",
+          col("tf") * log(lit(nDocs.toDouble) / col("df")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk"), col("token"),
+          round(col("score"), 4).as("tfidf"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
     // Connected-components dedup clustering: the transitive-closure step a
     // production dedup pipeline ends with (greedy pair-drop under-merges
     // chained near-dups A~B~C). Edges = jaccard ≥ 0.5 pairs; components
@@ -1550,6 +1610,45 @@ object TextQueries {
         |  FROM d)
         |SELECT doc_id, source, w, round(key, 9) AS sample_key
         |FROM k ORDER BY key DESC, doc_id LIMIT 100""".stripMargin,
+
+    // chunk starts replayed with the stepped generate_series; md5 over the
+    // identical space-joined 20-token window
+    "q89_passage_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, source, md5(array_to_string(t[i:i+19], ' ')) AS h
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 19, 20)) AS i) g
+        |  WHERE len(t) >= 20),
+        |counts AS (SELECT h, count(*) AS tot FROM ch GROUP BY 1)
+        |SELECT source, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN tot >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+        |  round(CAST(sum(CASE WHEN tot >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_ratio
+        |FROM ch JOIN counts USING (h)
+        |GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q90_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |occ AS (SELECT source, unnest(t) AS token FROM toks),
+        |tf AS (SELECT source, token, count(*) AS tf FROM occ GROUP BY 1, 2),
+        |dfq AS (
+        |  SELECT token, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, token
+        |        FROM (SELECT doc_id, unnest(t) AS token FROM toks))
+        |  GROUP BY 1),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |sc AS (
+        |  SELECT source, token, tf * ln(CAST(nd AS DOUBLE) / df) AS score
+        |  FROM tf JOIN dfq USING (token), n),
+        |rnk AS (
+        |  SELECT source, token, score,
+        |    row_number() OVER (PARTITION BY source ORDER BY score DESC, token) AS rk
+        |  FROM sc)
+        |SELECT source, CAST(rk AS INT) AS rk, token, round(score, 4) AS tfidf
+        |FROM rnk WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
 
     "q28_jaccard_pairs" ->
       """WITH toks AS (

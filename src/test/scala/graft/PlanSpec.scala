@@ -238,6 +238,18 @@ class PlanSpec extends AnyFunSuite {
       s"weighted sample reads the corpus more than once:\n$plan")
   }
 
+  test("q90 tfidf ranks the vocab-sized score table, never the occurrence stream") {
+    // the window must sit above BOTH aggregations (tf and df) — a window
+    // over raw occurrences would sort the corpus through source-count tasks
+    val plan = physical(TextQueries.defs("q90_tfidf_terms")(spark, dir))
+    assert(plan.contains("Window"), s"ranking lost its window:\n$plan")
+    assert(plan.contains("partial_count"), s"tf/df lost map-side partials:\n$plan")
+    val winIdx = plan.indexOf("Window")
+    assert(plan.indexOf("HashAggregate", winIdx) > winIdx,
+      s"window not above the aggregates (occurrence-stream sort):\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in tfidf:\n$plan")
+  }
+
   test("q69 domain cap is a bounded partial aggregate, not a per-source window") {
     val plan = physical(TextQueries.defs("q69_domain_cap")(spark, dir))
       .split("== Initial Plan ==")(0)

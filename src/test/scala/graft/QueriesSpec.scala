@@ -563,6 +563,35 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q89 passage dedup: chunk census matches per-doc floor(len/20) and ratios are sane") {
+    import org.apache.spark.sql.functions.{col, size, sum, floor}
+    val rows = TextQueries.defs("q89_passage_dedup")(spark, dir).collect()
+    val expected = Tables.documents(spark, dir)
+      .select(floor(size(graft.functions.TextFunctions.tokens(col("text"))) / 20).as("c"))
+      .agg(sum("c")).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("n_chunks")).sum == expected,
+      "chunk census disagrees with per-doc floor(len/20)")
+    rows.foreach { r =>
+      val (n, d, ratio) = (r.getAs[Long]("n_chunks"), r.getAs[Long]("dup_chunks"),
+        r.getAs[Double]("dup_ratio"))
+      assert(d >= 0 && d <= n, s"dup_chunks out of range: $d of $n")
+      assert(ratio >= 0.0 && ratio <= 1.0, s"ratio out of range: $ratio")
+    }
+  }
+
+  test("q90 tfidf: five dense-ranked terms per source, scores non-increasing") {
+    val rows = TextQueries.defs("q90_tfidf_terms")(spark, dir).collect()
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val byRk = rs.sortBy(_.getAs[Int]("rk"))
+      assert(byRk.map(_.getAs[Int]("rk")).toList == (1 to rs.length).toList,
+        s"$src ranks not dense")
+      val scores = byRk.map(_.getAs[Double]("tfidf"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"$src scores not non-increasing: ${scores.toList}")
+      assert(rs.length == 5, s"$src has ${rs.length} terms, expected 5")
+    }
+  }
+
   test("q88 weighted sample: deterministic size-k draw, descending keys, valid weights") {
     val rows = TextQueries.defs("q88_weighted_sample")(spark, dir).collect()
     val nDocs = Tables.documents(spark, dir).count()
