@@ -553,13 +553,24 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("q87 CMS estimates dominate exact counts (sketch overestimate guarantee)") {
+  test("q87 CMS estimates dominate exact counts and stay within the epsilon-N error bound") {
+    import org.apache.spark.sql.functions.{col, explode, length, lit, lower, regexp_replace, split}
     val rows = TextQueries.defs("q87_cms_heavy_hitters")(spark, dir).collect()
     assert(rows.length == 20)
+    // CMS guarantees cms_est >= true count always, and excess <= eps*N
+    // w.h.p. (eps = e/w ~ 2.7e-3 here). The draw is deterministic (md5
+    // buckets over a fixed corpus), so the bound is assertable exactly;
+    // N/256 = 11*eps*N gives regeneration headroom.
+    val totalTokens = Tables.documents(spark, dir)
+      .select(explode(split(
+        regexp_replace(lower(col("text")), "[^a-z ]", " "), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0).count()
     rows.foreach { r =>
-      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("n"),
-        s"CMS under-estimated '${r.getAs[String]("token")}': " +
-          s"${r.getAs[Long]("cms_est")} < ${r.getAs[Long]("n")}")
+      val (n, est) = (r.getAs[Long]("n"), r.getAs[Long]("cms_est"))
+      assert(est >= n,
+        s"CMS under-estimated '${r.getAs[String]("token")}': $est < $n")
+      assert(est - n <= totalTokens / 256,
+        s"CMS excess ${est - n} breaches N/256 = ${totalTokens / 256}")
     }
   }
 
