@@ -108,7 +108,8 @@ object Dev {
             "q68_ngram_contamination", "q69_domain_cap", "q70_token_budget",
             "q72_cluster_histogram", "q73_sequence_packing",
             "q74_bpe_merges", "q75_bpe_encode", "q81_refine_walk",
-            "q87_cms_heavy_hitters", "q88_weighted_sample")
+            "q87_cms_heavy_hitters", "q88_weighted_sample",
+            "q89_passage_dedup", "q90_tfidf_terms")
         }
         names.foreach { n =>
           val fn = SparkEntry.queries(n)
