@@ -356,7 +356,16 @@ object LedgerOptions {
     "writepartitions" -> (v =>
       try { if (v.toInt > 0) None else Some("must be > 0") }
       catch { case _: NumberFormatException => Some("must be an integer") }),
-    "authtoken" -> (_ => None))
+    "authtoken" -> (_ => None),
+    // connection-auth hook (LedgerAuth.scala): built-in alias or class name
+    "authprovider" -> nonEmpty,
+    "oauth2.issuerurl" -> nonEmpty,
+    "oauth2.clientid" -> nonEmpty,
+    "oauth2.clientsecret" -> nonEmpty,
+    "oauth2.audience" -> nonEmpty)
+
+  private def nonEmpty(v: String): Option[String] =
+    if (v == null || v.trim.isEmpty) Some("must be non-empty") else None
 
   private def offsetErr(v: String): Option[String] =
     try { LedgerSource.LedgerOffset.parse(v); None }
@@ -364,7 +373,7 @@ object LedgerOptions {
       Some("""must be offset JSON like {"0":[ledgerId,entryId]}""") }
 
   /** Options whose values must never reach logs or error messages. */
-  val Secrets: Set[String] = Set("authtoken")
+  val Secrets: Set[String] = Set("authtoken", "oauth2.clientsecret")
 
   /** Table properties Spark's session catalog itself injects for
     * DDL-created tables (CREATE TABLE ... USING graft-ledger) and
@@ -396,6 +405,20 @@ object LedgerOptions {
     if (norm.contains("jsonschema") && !norm.get("format").exists(_.equalsIgnoreCase("json")))
       throw new IllegalArgumentException(
         "graft-ledger: 'jsonSchema' is only valid with format=json")
+    // auth-hook cross-field rules (LedgerAuth.scala): required inputs per
+    // built-in provider, and no orphaned provider-specific options
+    val oauthKeys = Seq("oauth2.issuerurl", "oauth2.clientid", "oauth2.clientsecret")
+    if (norm.get("authprovider").contains("oauth2")) {
+      val missing = oauthKeys.filterNot(norm.contains)
+      if (missing.nonEmpty)
+        throw new IllegalArgumentException(
+          s"graft-ledger: authProvider=oauth2 requires option(s): ${missing.mkString(", ")}")
+    } else if (norm.keys.exists(_.startsWith("oauth2.")))
+      throw new IllegalArgumentException(
+        "graft-ledger: oauth2.* options are only valid with authProvider=oauth2")
+    if (norm.get("authprovider").contains("token") && !norm.contains("authtoken"))
+      throw new IllegalArgumentException(
+        "graft-ledger: authProvider=token requires the 'authToken' option")
     norm
   }
 
@@ -429,6 +452,13 @@ class LedgerSourceProvider extends TableProvider with DataSourceRegister {
 class LedgerTable(path: String, options: Map[String, String])
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  /** Connection-auth params from the configured provider (LedgerAuth
+    * hook). Resolved eagerly: a bad provider class or malformed auth
+    * option fails the query at table resolution, not on an executor
+    * mid-batch. Raw values live only here — never in toString/plans.
+    */
+  private[graft] val connectionConf: Map[String, String] =
+    LedgerAuth.clientConf(options)
   override def name(): String = s"graft-ledger($path)"
   // any rendering of the option map (logs, plans, errors) goes through
   // redact — auth secrets never appear in the clear
