@@ -52,13 +52,20 @@ object VectorQueries {
         .orderBy("q_id", "rk")
     }),
 
-    // LSH-bucketed ANN (sign-random-projection, 10 hyperplanes): corpus and
+    // LSH-bucketed ANN (sign-random-projection, single table): corpus and
     // queries bucketed by sign bits; candidates = same bucket; exact cosine
-    // + top-k within candidates. Oracle-checked hash-for-hash (the srpCte
-    // splitmix replay); QueriesSpec measures recall vs q33 on sf0.001.
+    // + top-k within candidates. Band width is CORPUS-ADAPTIVE
+    // (srpAnnBits ≈ log₂(n)−5, buckets ~32-64 deep at any scale) — a fixed
+    // width either over-partitions a small corpus (r6 shipped 10 planes =
+    // 1024 buckets over 2000 vectors: ~2 rows a bucket, measured recall@5
+    // ≈ 0 at sf0.1) or under-partitions a large one back to a full scan.
+    // This is the single-table candidate-generation BASELINE whose recall
+    // q37's OR-construction exists to recover. Oracle-checked
+    // hash-for-hash (the srpAnnCte splitmix replay recomputes the adaptive
+    // width from count(*)); QueriesSpec measures recall vs q33.
     "q34_ann_srp" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-        .withColumn("bucket", srpBucketExpr(col("embedding"), 10))
+        .withColumn("bucket", srpBucketExpr(col("embedding"), srpAnnBits(s, dir)))
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
           col("bucket"))
@@ -72,25 +79,36 @@ object VectorQueries {
         .orderBy("q_id", "rk")
     }),
 
-    // Multiprobe SRP-LSH ANN: each query probes its own bucket plus every
-    // hamming-1 neighbor bucket (flip one sign bit) — the standard
-    // multiprobe trick that recovers most of the recall lost to bucket
-    // boundaries for ~11× candidate cost, still ≪ full scan. Corpus side
-    // is bucketed once; only the (small) query side multiplies.
+    // Multi-table multiprobe SRP-LSH ANN — the production LSH shape: L=8
+    // independent hash tables (OR-construction, plane seeds 16·t apart,
+    // table 0 ≡ q34's band so q37's candidates provably cover q34's) and
+    // each query probes its bucket plus every hamming-1 neighbor in every
+    // table. Recall compounds across tables (1−(1−r₁)^L); candidate cost
+    // is L·(1+bits)·n/2^bits pairs — with the adaptive width that
+    // fraction FALLS as the corpus grows (55% of a 2k corpus, <1% at
+    // 1e6), which is the 100 TB story: the corpus side is hashed once per
+    // table, only the tiny query side multiplies, and the join stays a
+    // bucket-keyed equi-join. Candidates dedup on (q_id, vec_id) BEFORE
+    // the exact-cosine scoring so overlapping tables/probes never score a
+    // pair twice.
     "q37_ann_srp_multiprobe" -> ((s, dir) => {
-      val nPlanes = 10
-      val e = Tables.embeddings(s, dir)
-        .withColumn("bucket", srpBucketExpr(col("embedding"), nPlanes))
-      val q = e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-          col("bucket").as("q_bucket"))
+      val bits = srpAnnBits(s, dir)
+      val banded = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), explode(array(
+          (0 until SrpAnnTables).map(t => struct(lit(t).as("t"),
+            srpBucketExpr(col("embedding"), bits, 16 * t).as("b"))): _*)).as("tb"))
+        .select(col("vec_id"), col("embedding"),
+          col("tb.t").as("t"), col("tb.b").as("b"))
+      val q = banded.filter(col("vec_id") < NQueries)
         .withColumn("probe", explode(array(
-          lit(0L) +: (0 until nPlanes).map(b => lit(1L << b)): _*)))
-        .select(col("q_id"), col("q_vec"),
-          col("q_bucket").bitwiseXOR(col("probe")).as("bucket"))
+          lit(0L) +: (0 until bits).map(i => lit(1L << i)): _*)))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("t"), col("b").bitwiseXOR(col("probe")).as("b"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      e.join(broadcast(q), Seq("bucket"))
+      banded.join(broadcast(q), Seq("t", "b"))
         .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_vec"), col("vec_id"), col("embedding"))
+        .dropDuplicates("q_id", "vec_id")
         .withColumn("cos", cosineSim(col("q_vec"), col("embedding")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= K)
@@ -248,12 +266,13 @@ object VectorQueries {
     // code per query batch) drops to ~nprobe/nlist of the corpus, which
     // QueriesSpec pins with a row-count assertion. nprobe=4 (vs the q46
     // exact-IVF's 3): the diffuse synthetic cells cost the PQ composition
-    // a probe to hold recall at q57's own bound (0.61 vs 0.46 at 3, for
-    // 0.4 vs 0.3 of the corpus scanned). At 100 TB the
+    // a probe to hold recall at the exact-IVF's own cell-pruning bound
+    // (measured 0.62 = q46's at sf0.1, for ~0.4 of the corpus scanned —
+    // the nprobe/nlist dial). At 100 TB the
     // inverted file is the partitioning (shuffle once on cell_id), codes
     // are 16× smaller than raw floats, centroids + codebooks + per-query
     // ADC tables all broadcast, and the exact re-rank touches only
-    // rerank=50 rows per query. Oracle-checked hash-for-hash (the q46
+    // rerank=PqRerank (150) rows per query — corpus-size-independent. Oracle-checked hash-for-hash (the q46
     // cell chain + q57 PQ chain composed in one SQL program): made
     // possible by the float re-rounds on the codebook means and the ADC
     // sum, which absorb aggregation-order noise that would otherwise sit
@@ -546,7 +565,7 @@ object VectorQueries {
   private val PqM = 8      // subspaces
   private val PqDsub = 8   // dims per subspace
   private val PqK = 16     // codes per subspace codebook
-  private[graft] val PqRerank = 50
+  private[graft] val PqRerank = 150
 
   /** L2-normalized double vectors (PQ trains on the unit sphere so ADC
     * dot sums approximate cosine). Pure transform, no checkpoint: its only
@@ -655,6 +674,24 @@ object VectorQueries {
     math.min(16, math.max(8,
       (math.log(Tables.rowCount(s, dir, "embeddings").toDouble) /
         math.log(2)).ceil.toInt - 3))
+
+  /** ANN band width: ceil(log₂ n) − 5 clamped to [4, 16] — buckets stay
+    * ~32-64 vectors deep at any corpus size (deeper than srpBandBits'
+    * near-dup buckets: top-k candidate generation at cos ≈ 0.3-0.4 needs
+    * candidate-rich buckets, where the ≥0.95 near-dup verify only needs
+    * the dup to collide once). The 16-bit cap matches the 16-seed stride
+    * between tables. The oracle recomputes the same width from count(*)
+    * in SQL — both sides must use THIS formula.
+    */
+  private[graft] def srpAnnBits(s: SparkSession, dir: String): Int =
+    math.min(16, math.max(4,
+      (math.log(Tables.rowCount(s, dir, "embeddings").toDouble) /
+        math.log(2)).ceil.toInt - 5))
+
+  /** OR-construction width for q37: 8 independent tables, seeds 16·t
+    * apart (table 0 = q34's band).
+    */
+  private[graft] val SrpAnnTables = 8
 
   /** q62's corpus: embeddings + planted near-dup contamination (the q45
     * pattern — every 5th vector re-identified to +1_000_000, which draws
@@ -802,9 +839,20 @@ object VectorQueries {
       |      CAST(h // 2147483648 AS BIGINT)) AS x
       |    FROM m2) t)""".stripMargin
 
-  private val srpCte: String =
-    s"""WITH pj AS (
-      |  SELECT t1.p, t2.j FROM generate_series(0, 9) t1(p), generate_series(0, 63) t2(j)),
+  /** SRP banding replay for the ANN oracles, parameterized by table
+    * count: the adaptive band width (srpAnnBits) is recomputed IN SQL
+    * from count(*), table t's planes are the global seed range
+    * [16t, 16t+bits), and each (vec, table) row gets its sign-bit bucket.
+    * Ends with `eb(vec_id, embedding, t, bucket)`.
+    */
+  private def srpAnnCte(tables: Int): String =
+    s"""WITH params AS (
+      |  SELECT least(16, greatest(4, CAST(ceil(log2(count(*))) AS INT) - 5)) AS bits
+      |  FROM embeddings),
+      |pj AS (
+      |  SELECT t1.p, t2.j
+      |  FROM generate_series(0, ${tables * 16 - 1}) t1(p), generate_series(0, 63) t2(j)
+      |  WHERE (t1.p % 16) < (SELECT bits FROM params)),
       |$splitmixStages,
       |planes AS (
       |  SELECT p, list(CAST(h // 2048 AS DOUBLE) / 9007199254740992.0 - 0.5 ORDER BY j) AS pw
@@ -814,31 +862,43 @@ object VectorQueries {
       |    list_aggregate(list_transform(generate_series(1, len(e.embedding)),
       |      k -> CAST(e.embedding[k] AS DOUBLE) * pl.pw[k]), 'sum') AS s
       |  FROM embeddings e, planes pl),
-      |bkt AS (
-      |  SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
-      |  FROM dots GROUP BY vec_id),
+      |tb AS (
+      |  SELECT vec_id, CAST(p // 16 AS INT) AS t,
+      |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << (p % 16)) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id, p // 16),
       |eb AS (
-      |  SELECT e.vec_id, e.embedding, b.bucket
-      |  FROM embeddings e JOIN bkt b ON b.vec_id = e.vec_id)""".stripMargin
+      |  SELECT e.vec_id, e.embedding, b.t, b.bucket
+      |  FROM embeddings e JOIN tb b ON b.vec_id = e.vec_id)""".stripMargin
 
   /** Candidate scoring + top-k tail shared by the q34/q37 oracles: exact
     * cosine with the kernel's accumulation order (separate in-order dot
     * and norm sums, division last), (cos DESC, vec_id) ranking.
     */
+  /** Candidate scoring + top-k tail shared by the q34/q37 oracles:
+    * candidates join on (table, bucket) and dedup to one row per
+    * (q_id, vec_id) — mirroring the Spark side's dropDuplicates before
+    * scoring — then exact cosine with the kernel's accumulation order
+    * (separate in-order dot and norm sums, division last),
+    * (cos DESC, vec_id) ranking.
+    */
   private val srpTopkTail: String =
     """,
+      |cand AS (
+      |  SELECT DISTINCT qs.q_id, qs.q_vec, eb.vec_id, eb.embedding
+      |  FROM qs JOIN eb ON eb.t = qs.t AND eb.bucket = qs.bucket
+      |    AND eb.vec_id <> qs.q_id),
       |scored AS (
-      |  SELECT qs.q_id, eb.vec_id,
+      |  SELECT cand.q_id, cand.vec_id,
       |    CASE WHEN sqrt(aa) = 0 OR sqrt(bb) = 0 THEN 0.0
       |         ELSE dot / (sqrt(aa) * sqrt(bb)) END AS cos
-      |  FROM qs JOIN eb ON eb.bucket = qs.bucket AND eb.vec_id <> qs.q_id,
+      |  FROM cand,
       |  LATERAL (SELECT
-      |    list_aggregate(list_transform(generate_series(1, least(len(qs.q_vec), len(eb.embedding))),
-      |      k -> CAST(qs.q_vec[k] AS DOUBLE) * CAST(eb.embedding[k] AS DOUBLE)), 'sum') AS dot,
-      |    list_aggregate(list_transform(generate_series(1, least(len(qs.q_vec), len(eb.embedding))),
-      |      k -> CAST(qs.q_vec[k] AS DOUBLE) * CAST(qs.q_vec[k] AS DOUBLE)), 'sum') AS aa,
-      |    list_aggregate(list_transform(generate_series(1, least(len(qs.q_vec), len(eb.embedding))),
-      |      k -> CAST(eb.embedding[k] AS DOUBLE) * CAST(eb.embedding[k] AS DOUBLE)), 'sum') AS bb) d),
+      |    list_aggregate(list_transform(generate_series(1, least(len(cand.q_vec), len(cand.embedding))),
+      |      k -> CAST(cand.q_vec[k] AS DOUBLE) * CAST(cand.embedding[k] AS DOUBLE)), 'sum') AS dot,
+      |    list_aggregate(list_transform(generate_series(1, least(len(cand.q_vec), len(cand.embedding))),
+      |      k -> CAST(cand.q_vec[k] AS DOUBLE) * CAST(cand.q_vec[k] AS DOUBLE)), 'sum') AS aa,
+      |    list_aggregate(list_transform(generate_series(1, least(len(cand.q_vec), len(cand.embedding))),
+      |      k -> CAST(cand.embedding[k] AS DOUBLE) * CAST(cand.embedding[k] AS DOUBLE)), 'sum') AS bb) d),
       |ranked AS (
       |  SELECT q_id, vec_id,
       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
@@ -1042,7 +1102,7 @@ object VectorQueries {
       |      k -> q.subvec[k] * CAST(c.centroid[k] AS DOUBLE)), 'sum') AS pdot
       |  FROM psv q JOIN pcb1 c ON c.sub = q.sub WHERE q.vec_id < 20)""".stripMargin
 
-  /** Candidate top-50 by float-rounded ADC sum → exact-cosine top-5 (the
+  /** Candidate top-PqRerank by float-rounded ADC sum → exact-cosine top-5 (the
     * exactRerank tail), shared by the q57/q63 oracles. Expects `apx(q_id,
     * vec_id, approx)`. */
   private lazy val pqRerankTail: String =
@@ -1052,7 +1112,7 @@ object VectorQueries {
       |    SELECT q_id, vec_id,
       |      row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, vec_id ASC) AS crk
       |    FROM apx) t
-      |  WHERE crk <= 50),
+      |  WHERE crk <= $PqRerank),
       |rr AS (
       |  SELECT c.q_id, c.vec_id, $duckCos AS cos
       |  FROM cnd c JOIN embeddings q ON q.vec_id = c.q_id
@@ -1065,20 +1125,26 @@ object VectorQueries {
       |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    // hash-seeded LSH made hash-checkable: see srpCte
-    "q34_ann_srp" -> (srpCte +
+    // hash-seeded LSH made hash-checkable: see srpAnnCte (single table,
+    // adaptive band width recomputed from count(*))
+    "q34_ann_srp" -> (srpAnnCte(1) +
       """,
-        |qs AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM eb WHERE vec_id < 20)""".stripMargin
+        |qs AS (SELECT vec_id AS q_id, embedding AS q_vec, t, bucket FROM eb WHERE vec_id < 20)""".stripMargin
       + srpTopkTail),
 
-    // q34 + hamming-1 probing: the query side expands to its own bucket
-    // plus each one-bit-flipped neighbor (integer xor), nothing else moves
-    "q37_ann_srp_multiprobe" -> (srpCte +
+    // q34's band ×8 tables (seeds 16·t apart) + hamming-1 probing per
+    // table: the query side expands to each table's own bucket plus every
+    // one-bit-flipped neighbor (probe index 0 = no flip, i flips bit i−1,
+    // only i ≤ bits survive); candidates dedup in the shared tail
+    "q37_ann_srp_multiprobe" -> (srpAnnCte(8) +
       """,
-        |qs0 AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM eb WHERE vec_id < 20),
+        |qs0 AS (SELECT vec_id AS q_id, embedding AS q_vec, t, bucket FROM eb WHERE vec_id < 20),
         |qs AS (
-        |  SELECT q_id, q_vec, xor(bucket, pr.m) AS bucket
-        |  FROM qs0, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128, 256, 512]) AS m) pr)""".stripMargin
+        |  SELECT q_id, q_vec, t,
+        |    CASE WHEN pr.i = 0 THEN bucket
+        |         ELSE xor(bucket, CAST(1 AS BIGINT) << (pr.i - 1)) END AS bucket
+        |  FROM qs0, generate_series(0, 16) pr(i), params
+        |  WHERE pr.i <= params.bits)""".stripMargin
       + srpTopkTail),
     "q32_embedding_norms" ->
       """WITH n AS (

@@ -201,7 +201,7 @@ class QueriesSpec extends AnyFunSuite {
     val pq = pairs("q57_ann_pq")
     assert(brute.nonEmpty && pq.nonEmpty)
     val recall = (pq & brute).size.toDouble / brute.size
-    // 16x-compressed codes + top-50 exact re-rank on the weakly-clustered
+    // 16x-compressed codes + top-PqRerank exact re-rank on the weakly-clustered
     // synthetic corpus; deterministic seeds make this a fixed number
     assert(recall >= 0.6, s"PQ recall $recall")
   }
