@@ -101,6 +101,7 @@ object Dev {
           case _ => Seq("q01_pricing_summary", "q03_segment_revenue",
             "q08_latest_event", "q12_user_type_counts", "q28_jaccard_pairs",
             "q29_minhash_lsh", "q38_dedup_keep", "q39_top_tokens",
+            "q37_ann_srp_multiprobe",
             "q40_best_location", "q45_cosine_neardup_keep", "q46_ann_ivf",
             "q52_dedup_components", "q54_repetition", "q57_ann_pq",
             "q61_train_export", "q62_embedding_leakage_lsh", "q63_ann_ivfpq",
@@ -176,6 +177,39 @@ object Dev {
           .filter(col("jac") >= 0.5)
         time("final count")(fin.count())
         time("final count again")(fin.count())
+      case Some("oracle") =>
+        // print one query's oracle SQL (for DuckDB-side iteration without
+        // a full Verify sweep)
+        args.drop(1).foreach { n =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"/tmp/oracle_$n.sql"),
+            SparkEntry.oracleSql(n).getBytes("UTF-8"))
+          println(s"[dev] wrote /tmp/oracle_$n.sql")
+        }
+
+      case Some("annquality") =>
+        // measured ANN quality/speed table: each approximate variant's
+        // returned (q_id, neighbor_id) pairs vs q33's exact top-10, with
+        // warm per-query seconds. First pass builds the shared index
+        // artifacts (IVF centroids, PQ codebook/codes) so the timed pass
+        // prices query cost, the deployed shape.
+        import org.apache.spark.sql.DataFrame
+        val qdir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val variants = Seq("q33_ann_bruteforce", "q34_ann_srp",
+          "q37_ann_srp_multiprobe", "q46_ann_ivf", "q57_ann_pq", "q63_ann_ivfpq")
+        def pairs(df: DataFrame): Set[(Long, Long)] =
+          df.select("q_id", "neighbor_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        variants.foreach(n => SparkEntry.queries(n)(spark, qdir).count()) // warm
+        val exact = pairs(SparkEntry.queries("q33_ann_bruteforce")(spark, qdir))
+        variants.foreach { n =>
+          val t0 = System.nanoTime()
+          val p = pairs(SparkEntry.queries(n)(spark, qdir))
+          val secs = (System.nanoTime() - t0) / 1e9
+          val recall = (p & exact).size.toDouble / exact.size
+          println(f"[dev] $n%-24s pairs=${p.size}%4d  recall@5=${recall}%.3f  $secs%.2f s")
+        }
+
       case Some("ledgerbench") =>
         // source throughput vs the reference's configured envelope
         // (1000 entries/s/partition default cap, PulsarConf.scala:6-10):
@@ -206,7 +240,25 @@ object Dev {
         val secs = (System.nanoTime() - t0) / 1e9
         val total = nParts.toLong * perPart
         require(finished, s"ledgerbench did not finish within 300 s")
-        println(f"[dev] ledger source: $total entries in $secs%.2f s = ${total / secs}%.0f entries/s (${total / secs / nParts}%.0f per partition; reference cap 1000/s/partition)")
+        println(f"[dev] ledger source (bulk): $total entries in $secs%.2f s = ${total / secs}%.0f entries/s (${total / secs / nParts}%.0f per partition; reference cap 1000/s/partition)")
+
+        // second pass, reference-shaped micro-batches: admission caps each
+        // batch at rate × batchInterval per partition (the allocator's
+        // quota math), batches run back-to-back under AvailableNow — this
+        // prices the per-batch machinery (offset walk, plan, commit), not
+        // just the bulk scan above
+        val t1 = System.nanoTime()
+        val q2 = spark.readStream.format("graft-ledger")
+          .option("path", topic.toString)
+          .option("maxRatePerPartition", "6250") // 8 × 6250 × 1 s = 50k/batch
+          .load()
+          .writeStream.format("noop")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q2.awaitTermination(300000), "micro-batch pass did not finish within 300 s")
+        val secs2 = (System.nanoTime() - t1) / 1e9
+        val batches = q2.recentProgress.count(_.numInputRows > 0)
+        println(f"[dev] ledger source (micro): $total entries / $batches batches in $secs2%.2f s = ${total / secs2}%.0f entries/s (${secs2 / batches}%.3f s/batch incl. admission+plan+commit)")
 
       case Some("writebench") =>
         // write-path throughput: 400k entries through the DSv2 batch
