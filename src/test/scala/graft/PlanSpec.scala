@@ -94,6 +94,19 @@ class PlanSpec extends AnyFunSuite {
       s"assignment not a partial min_by aggregation:\n$plan")
   }
 
+  test("q37 multi-table LSH joins on (table, bucket) — broadcast query side, no cartesian") {
+    // the OR-construction's scale shape: the corpus side is hashed once
+    // per table and candidates come from a bucket-keyed equi-join against
+    // the broadcast (query × table × probe) side — a de-optimization to
+    // BroadcastNestedLoopJoin (cartesian) would re-pair every query with
+    // every corpus vector and void the L(1+bits)/2^bits scan-fraction claim
+    val plan = physical(VectorQueries.defs("q37_ann_srp_multiprobe")(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q37 candidates degenerated to a cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q37 probe join is not a broadcast hash join:\n$plan")
+  }
+
   test("q54 repetition ratio aggregates partial then final") {
     val plan = physical(TextQueries.defs("q54_repetition")(spark, dir))
     assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
