@@ -16,9 +16,11 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read it as long nanos (dynamic SQLConf, safe to set
-      // on any session) and derive typed columns in events().
+      // Older testdata generations write events.ts as parquet
+      // TIMESTAMP(NANOS), which Spark's vectorized reader rejects unless
+      // read as long nanos (dynamic SQLConf, safe to set on any session).
+      // Newer generations write TIMESTAMP(MICROS); the conf is then a no-op
+      // and events() normalizes on the actual dtype it finds.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
     spark.read.parquet(s"$dir/$name.parquet")
@@ -31,13 +33,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** events with `ts` as long nanos plus derived `ts_ms` (epoch millis) and
-    * `event_ts` (TimestampType, microsecond precision). */
+  /** events with `ts` normalized to canonical long epoch NANOS regardless of
+    * the parquet physical type the driver generated — TIMESTAMP(NANOS) read
+    * as long via nanosAsLong, or TIMESTAMP(MICROS) read as
+    * Timestamp/TimestampNTZ — plus derived `ts_ms` (epoch millis) and
+    * `event_ts` (TimestampType, microsecond precision). Sessions run with
+    * timeZone=UTC, so casting NTZ→Timestamp interprets the naive value as
+    * UTC, matching DuckDB's `epoch_us(ts)` on the same file. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    // integer `div`, NOT `/`: long `/` promotes to double and loses
-    // precision at 1e18-scale nanos (off-by-one vs DuckDB's truncation).
-    apply(s, d, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = apply(s, d, "events")
+    val nanos = raw.schema("ts").dataType match {
+      // integer `div`, NOT `/`: long `/` promotes to double and loses
+      // precision at 1e18-scale nanos (off-by-one vs DuckDB's truncation).
+      case LongType => col("ts")
+      case _        => unix_micros(col("ts").cast(TimestampType)) * lit(1000L)
+    }
+    raw.withColumn("ts", nanos)
       .withColumn("ts_ms", expr("ts div 1000000"))
       .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
   }
