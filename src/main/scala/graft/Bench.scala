@@ -62,15 +62,21 @@ object Bench {
     // queries that cache intermediates must re-execute them, not replay a
     // previous pass's blocks.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a thrown query records -1, NEVER a wall-time: r7's schema drift made
+    // 27 analysis-time failures "run" in ~0.06 s each and the round looked
+    // FASTER — a failure must be impossible to mistake for a timing.
+    def once(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       val secs = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      secs
+      if (ok) secs else -1.0
     }
-    val sweeps = Seq.fill(3)(ordered.map { case (name, fn) => name -> once(fn) })
+    val sweeps = Seq.fill(3)(ordered.map { case (name, fn) => name -> once(name, fn) })
     // per-query MIN across sweeps, not median: r5 recorded a 5x "regression"
     // on three adjacent untouched queries (q16/q17/q18) because a host
     // stall spanned the same position of TWO sweeps — the median keeps any
@@ -79,9 +85,12 @@ object Bench {
     // one-time plan+Janino compile is discarded by min just as it was by
     // median. The line carries "stat":"min" so rounds aren't compared
     // across different statistics.
+    // any failed sweep poisons the query to -1 (min picks it up): a query
+    // that fails intermittently is broken, not "sometimes fast".
     val results = ordered.map { case (name, _) =>
       name -> sweeps.map(_.toMap.apply(name)).min
     }
+    val failed = results.collect { case (name, v) if v < 0 => name }
     // bounded precision: full doubles push the line past the driver's
     // 2000-char tail capture (r03/r04 both recorded parsed=null from a
     // mid-line truncation), so the line is rendered at decreasing
@@ -98,7 +107,9 @@ object Bench {
       if (stripped.scale <= 0) bd.underlying.toBigInteger.toString
       else stripped.toPlainString
     }
-    val total = results.map(_._2).sum
+    // total sums SUCCESSFUL queries only — a headline built on -1s (or on
+    // instant failures) must not undercut a previous round's honest total.
+    val total = results.map(_._2).filter(_ >= 0).sum
     val sfName = sfDir.split('/').last // basename: keeps the line short
     // key shortener for the last-resort tiers: the qNN prefix is unique
     // across the inventory, so "q16":0.47 carries the same signal as
@@ -115,17 +126,25 @@ object Bench {
     val spreads = ordered.map { case (name, _) =>
       val samples = sweeps.map(_.toMap.apply(name))
       name -> (samples.max - samples.min)
-    }.filter(_._2 > 0.25).sortBy(-_._2).take(8)
+    }.filter { case (name, v) => v > 0.25 && !failed.contains(name) }
+      .sortBy(-_._2).take(8)
     val spreadJson =
       if (spreads.isEmpty) ""
       else spreads
         .map { case (k, v) => "\"" + shortKey(k) + "\":" + fmtQ(v, 2, 2) }
         .mkString(""","spread":{""", ",", "}")
+    // failed queries additionally listed by name — a reader scanning only
+    // the headline can't miss them, and a diff vs last round's list is a
+    // one-glance regression check.
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map(n => "\"" + shortKey(n) + "\"")
+        .mkString(""","failed":[""", ",", "]")
     def render(subSecScale: Int, secScale: Int, key: String => String): String = {
       val qs = results
         .map { case (k, v) => "\"" + key(k) + "\":" + fmtQ(v, subSecScale, secScale) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"min","queries":$qs$spreadJson,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"min","queries":$qs$spreadJson$failedJson,"sf":"$sfName"}"""
     }
     // The driver records only the LAST 2000 chars of stdout, which also
     // contain sbt's trailing "[success] Total time: ..." line (~80 chars):

@@ -26,6 +26,18 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Loud failure: a thrown query must become a FAIL row, not a
+        // missing row (r7's schema drift silently dropped 27 queries from
+        // the correctness JSON). Clear any partial output and leave a
+        // parquet-free marker dir — every harness that enumerates output
+        // dirs then reports "no parquet output" for this name.
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir))
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => Files.deleteIfExists(p))
+        Files.createDirectories(dir)
+        Files.writeString(dir.resolve("_ERROR"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
