@@ -93,12 +93,7 @@ object VectorQueries {
     // pair twice.
     "q37_ann_srp_multiprobe" -> ((s, dir) => {
       val bits = srpAnnBits(s, dir)
-      val banded = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"), explode(array(
-          (0 until SrpAnnTables).map(t => struct(lit(t).as("t"),
-            srpBucketExpr(col("embedding"), bits, 16 * t).as("b"))): _*)).as("tb"))
-        .select(col("vec_id"), col("embedding"),
-          col("tb.t").as("t"), col("tb.b").as("b"))
+      val banded = srpBandsShared(s, dir)
       val q = banded.filter(col("vec_id") < NQueries)
         .withColumn("probe", explode(array(
           lit(0L) +: (0 until bits).map(i => lit(1L << i)): _*)))
@@ -107,9 +102,20 @@ object VectorQueries {
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
       banded.join(broadcast(q), Seq("t", "b"))
         .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("q_vec"), col("vec_id"), col("embedding"))
-        .dropDuplicates("q_id", "vec_id")
+        // score BEFORE deduping the overlapping tables/probes: the cosine
+        // is deterministic per pair, so a map-side partial first() dedup
+        // shuffles ~24-byte (q_id, vec_id, cos) partials instead of
+        // dragging two 64-float vectors per candidate through the
+        // exchange — the re-scored overlaps are codegen arithmetic, far
+        // cheaper than the shuffle bytes they replace.
         .withColumn("cos", cosineSim(col("q_vec"), col("embedding")))
+        .select(col("q_id"), col("vec_id"), col("cos"))
+        // one exchange, not two: hash(q_id) satisfies both the (q_id,
+        // vec_id) dedup clustering and the window's q_id partitioning, so
+        // the aggregate and the rank run back-to-back on the same shuffle.
+        .repartition(col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(first(col("cos")).as("cos"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= K)
         .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"))
@@ -541,6 +547,24 @@ object VectorQueries {
       e: DataFrame, cent: DataFrame): DataFrame =
     cachedIndexFrame(s, "ivfassign", dir)(
       assignCells(e, cent).localCheckpoint())
+
+  /** q37's L=8 SRP hash tables, (vec_id, embedding, t, b): the
+    * OR-construction's corpus side, hashed once per table at index-BUILD
+    * time and persisted — at 100 TB these ARE the LSH index's bucket
+    * files; rebuilding them inside every query (the r7 shape) multiplied
+    * steady-state cost ~4× for zero recall gain. Table 0 ≡ q34's band
+    * (seeds 16·t apart), preserving q37 ⊇ q34 candidate coverage. */
+  private[graft] def srpBandsShared(s: SparkSession, dir: String): DataFrame =
+    cachedIndexFrame(s, "srpbands", dir) {
+      val bits = srpAnnBits(s, dir)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), explode(array(
+          (0 until SrpAnnTables).map(t => struct(lit(t).as("t"),
+            srpBucketExpr(col("embedding"), bits, 16 * t).as("b"))): _*)).as("tb"))
+        .select(col("vec_id"), col("embedding"),
+          col("tb.t").as("t"), col("tb.b").as("b"))
+        .localCheckpoint()
+    }
 
   /** Query-side probe list: each query's `nprobe` nearest cells (the
     * synthetic corpus clusters only weakly — diffuse cells need a probe
