@@ -775,13 +775,16 @@ object VectorQueries {
         struct(lit(1).as("t"), srpBucketExpr(col("embedding"), bits, 16).as("b")),
         struct(lit(2).as("t"), srpBucketExpr(col("embedding"), bits, 32).as("b"))
       )).as("tb"))
+    // verify BEFORE deduping the cross-table repeats: the cosine is a pure
+    // function of the pair, so filtering first is equivalent — and the
+    // dedup exchange then carries only the verified (d1, d2) survivors
+    // (a handful of 16-byte rows) instead of two 64-float vectors per
+    // candidate. Same shuffle-slimming as q37's candidate pipeline.
     banded.as("a").join(banded.as("b"),
         col("a.tb") === col("b.tb") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
-        col("a.embedding").as("v1"), col("b.embedding").as("v2"))
+      .filter(cosineSim(col("a.embedding"), col("b.embedding")) >= 0.95)
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
       .dropDuplicates("d1", "d2")
-      .filter(cosineSim(col("v1"), col("v2")) >= 0.95)
-      .select(col("d1"), col("d2"))
   }
 
   private[graft] def embeddingLeakPairsLsh(s: SparkSession, dir: String): DataFrame = {
@@ -793,15 +796,16 @@ object VectorQueries {
         struct(lit(1).as("t"), srpBucketExpr(col("embedding"), bits, 16).as("b")),
         struct(lit(2).as("t"), srpBucketExpr(col("embedding"), bits, 32).as("b"))
       )).as("tb"))
+    // split inequality + cosine verify both commute with the dedup (pure
+    // per-pair functions), so filter first and dedup only survivors —
+    // same shuffle-slimming rationale as neardupPairsLsh.
     banded.as("a").join(banded.as("b"),
         col("a.tb") === col("b.tb") && col("a.vec_id") < col("b.vec_id"))
+      .filter(col("a.split") =!= col("b.split") &&
+        cosineSim(col("a.embedding"), col("b.embedding")) >= 0.95)
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
-        col("a.embedding").as("v1"), col("b.embedding").as("v2"),
         col("a.split").as("s1"), col("b.split").as("s2"))
       .dropDuplicates("d1", "d2")
-      .filter(col("s1") =!= col("s2") &&
-        cosineSim(col("v1"), col("v2")) >= 0.95)
-      .select(col("d1"), col("d2"), col("s1"), col("s2"))
   }
 
   /** Shared CTE prefix of the q34/q37 oracles: the splitmix64-style
