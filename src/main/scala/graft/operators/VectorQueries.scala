@@ -263,6 +263,50 @@ object VectorQueries {
         .orderBy("q_id", "rk")
     }),
 
+    // Cluster-balanced downsample — semantic diversity sampling, the
+    // embedding-space curation step modern pretraining pipelines run after
+    // dedup (cluster the corpus, flatten the cluster-size distribution so
+    // over-represented regions downsample and rare ones keep everything).
+    // Composition of two existing index/selection primitives: the corpus's
+    // IVF cell assignment (persisted index artifact, q46's inverted file)
+    // and q65's deterministic salted-md5 hash keep. Per-cell target =
+    // ceil(N / ncells); keep iff hash16(vec_id)/2^16 < target/n_cell. At
+    // 100 TB: the census and rate tables are nlist-sized (broadcast), the
+    // keep decision is a map-side hash compare on the cell-partitioned
+    // inverted file — no corpus shuffle beyond the index build it reuses.
+    // Oracle-checked hash-for-hash: the q46 Lloyd chain + q65 hex-bucket
+    // replay composed in one SQL program (16-bit bucket / 2^16 and the
+    // integer-valued-double rate division are both IEEE-exact on both
+    // engines).
+    "q91_cluster_balanced_sample" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cent = trainCellsShared(s, dir, e)
+      val assigned = assignCellsShared(s, dir, e, cent)
+        .select(col("vec_id"), col("cell"))
+      val w = Window.partitionBy(lit(1)) // census is nlist-sized, bounded
+      val rates = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_total"))
+        .withColumn("target",
+          ceil(sum(col("n_total")).over(w).cast("double") /
+            count(lit(1)).over(w)))
+        .withColumn("sample_rate",
+          round(least(lit(1.0),
+            col("target").cast("double") / col("n_total")), 4))
+        .select(col("cell"), col("n_total"), col("sample_rate"))
+      val bucket = conv(substring(
+        md5(concat(lit("cbsample:"), col("vec_id").cast("string"))), 1, 4),
+        16, 10).cast("long")
+      assigned.join(broadcast(rates), "cell")
+        .withColumn("keep", bucket / lit(65536.0) < col("sample_rate"))
+        .groupBy(col("cell"))
+        .agg(max(col("n_total")).as("n_total"),
+          min(col("sample_rate")).as("sample_rate"),
+          sum(when(col("keep"), 1).otherwise(0)).cast("long").as("n_kept"),
+          coalesce(sum(when(col("keep"), col("vec_id"))), lit(0L))
+            .as("id_checksum"))
+        .orderBy("cell")
+    }),
+
     // IVF-PQ ANN — the composition of q46 (prune: scan only probed
     // cells) and q57 (compress: score one-byte codes, not floats), the
     // standard 100 TB ANN index shape: train coarse cells (q46 pattern),
@@ -1265,6 +1309,39 @@ object VectorQueries {
          |  FROM scored)
          |SELECT q_id, CAST(rk AS INT) AS rk, vec_id AS neighbor_id
          |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+
+    // the q46 Lloyd-chain replay composed with q65's hex-bucket sampling
+    // replay: census + flatten target over the final assignment a3
+    "q91_cluster_balanced_sample" -> (
+      s"""WITH seed AS (SELECT label AS cell, vec_id, embedding FROM embeddings),
+         |${ivfMeans("seed", "c0")},
+         |${ivfAssign("c0", "a1")},
+         |${ivfMeans("a1", "c1")},
+         |${ivfAssign("c1", "a2")},
+         |${ivfMeans("a2", "c2")},
+         |${ivfAssign("c2", "a3")},
+         |census AS (SELECT cell, count(*) AS n_total FROM a3 GROUP BY cell),
+         |r AS (
+         |  SELECT cell, n_total,
+         |    round(least(1.0,
+         |      ceil(CAST((SELECT sum(n_total) FROM census) AS DOUBLE)
+         |           / (SELECT count(*) FROM census)) / n_total), 4) AS sample_rate
+         |  FROM census),
+         |k AS (
+         |  SELECT a.cell, a.vec_id, r.n_total, r.sample_rate,
+         |    (((strpos('0123456789abcdef', substring(h,1,1))-1)*4096
+         |     +(strpos('0123456789abcdef', substring(h,2,1))-1)*256
+         |     +(strpos('0123456789abcdef', substring(h,3,1))-1)*16
+         |     +(strpos('0123456789abcdef', substring(h,4,1))-1)) / 65536.0)
+         |      < r.sample_rate AS keep
+         |  FROM (SELECT cell, vec_id,
+         |          substring(md5('cbsample:' || CAST(vec_id AS VARCHAR)), 1, 4) AS h
+         |        FROM a3) a JOIN r USING (cell))
+         |SELECT cell, CAST(max(n_total) AS BIGINT) AS n_total,
+         |  min(sample_rate) AS sample_rate,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(sum(CASE WHEN keep THEN vec_id END), 0) AS BIGINT) AS id_checksum
+         |FROM k GROUP BY cell ORDER BY cell""".stripMargin),
 
     // hash-seeded planted-dup dedup made hash-checkable end-to-end:
     // perturbation replayed via perturbCorpusCte, then the FULL banded

@@ -616,4 +616,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("doc_id")).sameElements(again),
       "draw not deterministic across runs")
   }
+
+  test("q91 cluster-balanced sample flattens: full-rate cells keep all, oversized cells shrink") {
+    val rows = VectorQueries.defs("q91_cluster_balanced_sample")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_total")).sum
+    val target = math.ceil(total.toDouble / rows.length).toLong
+    rows.foreach { r =>
+      val (n, kept, rate) = (r.getAs[Long]("n_total"),
+        r.getAs[Long]("n_kept"), r.getAs[Double]("sample_rate"))
+      assert(kept <= n, s"cell ${r.get(0)}: kept $kept > total $n")
+      if (rate >= 1.0) assert(kept == n,
+        s"cell ${r.get(0)}: rate 1.0 must keep all ($kept of $n)")
+      else assert(n > target,
+        s"cell ${r.get(0)}: downsampled (rate $rate) but not oversized ($n <= $target)")
+    }
+    // the operator must actually flatten something at this SF: at least one
+    // oversized cell exists and is downsampled below its input size
+    assert(rows.exists(r => r.getAs[Double]("sample_rate") < 1.0 &&
+      r.getAs[Long]("n_kept") < r.getAs[Long]("n_total")),
+      "no cell was downsampled — flattening is vacuous at this SF")
+  }
 }
