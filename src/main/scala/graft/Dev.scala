@@ -110,7 +110,8 @@ object Dev {
             "q72_cluster_histogram", "q73_sequence_packing",
             "q74_bpe_merges", "q75_bpe_encode", "q81_refine_walk",
             "q87_cms_heavy_hitters", "q88_weighted_sample",
-            "q89_passage_dedup", "q90_tfidf_terms")
+            "q89_passage_dedup", "q90_tfidf_terms",
+            "q91_cluster_balanced_sample")
         }
         names.foreach { n =>
           val fn = SparkEntry.queries(n)
