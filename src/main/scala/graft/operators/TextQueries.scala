@@ -293,6 +293,63 @@ object TextQueries {
     textFrames.getOrElseUpdate(key, build)
   }
 
+  /** q92's per-valid-doc NB decision frame (doc_id, cls, margin,
+    * pred_class): the trained multinomial model applied to the held-out
+    * split. Exposed so QueriesSpec can pin the measured decision margins
+    * (the quantity whose sign must survive cross-engine ln noise) without
+    * duplicating the pipeline.
+    */
+  private[graft] def nbQualityScored(s: SparkSession, dir: String): DataFrame = {
+    // checkpoint at DOC granularity (doc_id, split, cls, token array) —
+    // the quality regexes and tokenization run once per doc and the
+    // checkpoint stores ~n_docs rows, not the exploded occurrence stream.
+    // Shared through the corpus-fingerprinted store: the labeled-tokenized
+    // corpus is the preprocessing table a deployed pipeline materializes
+    // once per snapshot, not per scoring query.
+    val docs = cachedTextFrame(s, "nblabeled", dir) {
+      Tables.documents(s, dir)
+        .withColumn("split", splitAssign(col("doc_id")))
+        .withColumn("cls",
+          when(qualityScore(col("text")) >= 0.8, "hi").otherwise("lo"))
+        .select(col("doc_id"), col("split"), col("cls"),
+          tokens(col("text")).as("toks"))
+        .localCheckpoint() // feeds class counts, priors AND valid scoring
+    }
+    val toks = docs.select(col("doc_id"), col("split"), col("cls"),
+      explode(col("toks")).as("token"))
+    val tf = toks.filter(col("split") === "train")
+      .groupBy(col("token"))
+      .agg(sum(when(col("cls") === "hi", 1L).otherwise(0L)).as("tf_hi"),
+        sum(when(col("cls") === "lo", 1L).otherwise(0L)).as("tf_lo"))
+    val totals = tf.agg(sum("tf_hi").as("n_hi"), sum("tf_lo").as("n_lo"),
+      count(lit(1)).as("v"))
+    val priors = docs.filter(col("split") === "train")
+      .agg(sum(when(col("cls") === "hi", 1L).otherwise(0L)).as("d_hi"),
+        sum(when(col("cls") === "lo", 1L).otherwise(0L)).as("d_lo"))
+    // per-TYPE log-likelihood ratios (vocab-sized, broadcast) rather than
+    // per-occurrence logs: identical IEEE expressions, ~tokens/vocab fewer
+    // transcendental calls. Unseen tokens coalesce to the UNK constant —
+    // the same (0+1)-smoothed formula, so results are bit-identical.
+    def lpExpr(hi: Column, lo: Column) =
+      log(hi / (col("n_hi") + col("v") + 1).cast("double")) -
+        log(lo / (col("n_lo") + col("v") + 1).cast("double"))
+    val model = tf.crossJoin(totals)
+      .withColumn("lp", lpExpr(col("tf_hi") + 1, col("tf_lo") + 1))
+      .select(col("token"), col("lp"))
+    val unk = totals
+      .select(lpExpr(lit(1), lit(1)).as("lp_unk"))
+    val scored = toks.filter(col("split") === "valid")
+      .join(broadcast(model), Seq("token"), "left")
+      .crossJoin(broadcast(unk))
+      .withColumn("lp", coalesce(col("lp"), col("lp_unk")))
+    scored.groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("lp")).as("tok_margin"))
+      .crossJoin(broadcast(priors))
+      .withColumn("margin",
+        col("tok_margin") + log(col("d_hi") / col("d_lo").cast("double")))
+      .withColumn("pred_class", when(col("margin") > 0, "hi").otherwise("lo"))
+  }
+
   /** The jaccard≥0.5 near-dup pair graph (d1, d2, jac) as a persisted
     * artifact. The checkpoint holds only the verified pairs (tiny — true
     * dup pairs), and the builder's shingle/band intermediates are released
@@ -1040,6 +1097,32 @@ object TextQueries {
           round(avg("surprisal"), 4).as("avg_surprisal"),
           round(max("surprisal"), 4).as("max_surprisal"))
         .orderBy("lang")
+    }),
+
+    // Model-based quality filtering — the trained-classifier step (the
+    // fastText-classifier analogue) a pretraining pipeline runs after its
+    // heuristic rules: a multinomial Naive Bayes lexical model trained on
+    // the q53 TRAIN split with q25's heuristic score as the (weak) label
+    // (hi = qualityScore >= 0.8, the top-~40% band at the
+    // test SFs; q61's 0.5 export floor is vacuous here — every doc clears
+    // it), applied to the
+    // VALID split, reported as the confusion table + mean decision margin
+    // — how well the cheap heuristic generalizes through a learned model.
+    // Same scale shape as q76: the model is vocabulary-sized (per-class
+    // token counts, add-1 smoothing over the joint train vocab, unseen
+    // tokens get the UNK mass), broadcast to the scoring join; priors and
+    // totals are 1-row broadcast scalars; per-doc margins are partial-agg
+    // sums. Decision sign is measured-safe (QueriesSpec pins min |margin|
+    // orders of magnitude above cross-engine ln ulp noise); aggregate
+    // margins round at 4 like every ln-based metric here.
+    "q92_nb_quality_classifier" -> ((s, dir) => {
+      nbQualityScored(s, dir)
+        .groupBy(col("cls"), col("pred_class"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("margin")), 4).as("avg_margin"))
+        .select(col("cls").as("true_class"), col("pred_class"),
+          col("n_docs"), col("avg_margin"))
+        .orderBy("true_class", "pred_class")
     }),
 
     // BPE tokenizer training — the merge table (the tokenizer artifact) a
@@ -1904,6 +1987,50 @@ object TextQueries {
         |  round(avg(surprisal), 4) AS avg_surprisal,
         |  round(max(surprisal), 4) AS max_surprisal
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // full NB replay: q61's quality label + q53 split hex + q76's add-1
+    // smoothing shape, per-class counts and priors recomputed from scratch
+    "q92_nb_quality_classifier" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |base AS (
+        |  SELECT d.doc_id, tk.t,
+        |    CASE WHEN substring(md5('split:' || CAST(d.doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'valid'
+        |         WHEN substring(md5('split:' || CAST(d.doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |         ELSE 'train' END AS split,
+        |    CASE WHEN round(least(len(string_split_regex(trim(d.text), '\s+')) / 20.0, 1.0) * 0.4 +
+        |      (1.0 - least((CASE WHEN len(regexp_replace(d.text, '\s', '', 'g')) = 0 THEN 0.0
+        |        ELSE len(regexp_replace(d.text, '[A-Za-z0-9\s]', '', 'g')) / CAST(len(regexp_replace(d.text, '\s', '', 'g')) AS DOUBLE) END) * 4, 1.0)) * 0.3 +
+        |      least((CASE WHEN len(tk.t) = 0 THEN 0.0
+        |        ELSE len(list_filter(tk.t, x -> x IN ('the','a','an','of','and','in','to','is','on','for'))) / CAST(len(tk.t) AS DOUBLE) END) * 5, 1.0) * 0.3, 6) >= 0.8
+        |      THEN 'hi' ELSE 'lo' END AS cls
+        |  FROM documents d JOIN tk ON d.doc_id = tk.doc_id),
+        |toks AS (SELECT doc_id, split, cls, unnest(t) AS token FROM base),
+        |tf AS (
+        |  SELECT token,
+        |    sum(CASE WHEN cls = 'hi' THEN 1 ELSE 0 END) AS tf_hi,
+        |    sum(CASE WHEN cls = 'lo' THEN 1 ELSE 0 END) AS tf_lo
+        |  FROM toks WHERE split = 'train' GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tf_hi) AS BIGINT) AS n_hi,
+        |               CAST(sum(tf_lo) AS BIGINT) AS n_lo, count(*) AS v FROM tf),
+        |pri AS (SELECT sum(CASE WHEN cls = 'hi' THEN 1 ELSE 0 END) AS d_hi,
+        |               sum(CASE WHEN cls = 'lo' THEN 1 ELSE 0 END) AS d_lo
+        |        FROM base WHERE split = 'train'),
+        |sc AS (
+        |  SELECT t.doc_id, t.cls,
+        |    ln((coalesce(f.tf_hi, 0) + 1) / CAST(tot.n_hi + tot.v + 1 AS DOUBLE)) -
+        |    ln((coalesce(f.tf_lo, 0) + 1) / CAST(tot.n_lo + tot.v + 1 AS DOUBLE)) AS lp
+        |  FROM toks t LEFT JOIN tf f ON t.token = f.token, tot
+        |  WHERE t.split = 'valid'),
+        |per AS (
+        |  SELECT doc_id, cls,
+        |    sum(lp) + (SELECT ln(CAST(d_hi AS DOUBLE) / d_lo) FROM pri) AS margin
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT cls AS true_class,
+        |  CASE WHEN margin > 0 THEN 'hi' ELSE 'lo' END AS pred_class,
+        |  count(*) AS n_docs, round(avg(margin), 4) AS avg_margin
+        |FROM per GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // The BPE trainer replayed as a recursive CTE carrying the word-type
     // vocabulary as a list of (freq, syms) structs. Each step: every

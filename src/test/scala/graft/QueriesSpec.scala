@@ -617,6 +617,25 @@ class QueriesSpec extends AnyFunSuite {
       "draw not deterministic across runs")
   }
 
+  test("q92 NB classifier: both classes trained, decision margins far above ln ulp noise") {
+    val scored = TextQueries.nbQualityScored(spark, dir).collect()
+    assert(scored.nonEmpty)
+    // both label classes must appear among VALID truths — a degenerate
+    // one-class corpus (the 0.5-floor failure mode) trains a vacuous model
+    assert(scored.map(_.getAs[String]("cls")).distinct.sorted.toSeq == Seq("hi", "lo"),
+      "label threshold no longer splits the corpus — retune the floor")
+    // the decision is a sign test on a double: pin the measured margin
+    // (q40's measured-safety pattern). Cross-engine ln noise is ~1e-12 per
+    // token sum; 1e-4 gives 8 orders of magnitude of headroom.
+    val minAbs = scored.map(r => math.abs(r.getAs[Double]("margin"))).min
+    assert(minAbs > 1e-4,
+      f"min |margin| $minAbs%.2e too close to the decision boundary")
+    // the weak label must be learnable: majority of valid docs agree
+    val acc = scored.count(r =>
+      r.getAs[String]("cls") == r.getAs[String]("pred_class")).toDouble / scored.length
+    assert(acc > 0.5, f"NB accuracy $acc%.2f not above chance")
+  }
+
   test("q91 cluster-balanced sample flattens: full-rate cells keep all, oversized cells shrink") {
     val rows = VectorQueries.defs("q91_cluster_balanced_sample")(spark, dir).collect()
     assert(rows.nonEmpty)
