@@ -307,6 +307,47 @@ object VectorQueries {
         .orderBy("cell")
     }),
 
+    // Contrastive triplet mining — the training-data op for embedding
+    // models: per anchor (the bounded per-batch anchor set, the ANN
+    // query-set convention), the POSITIVE is its exact top-1 neighbor and
+    // the NEGATIVE is the hardest vector BELOW the relatedness band
+    // (max cosine among cos < 0.2 — the semi-hard negative every triplet
+    // loss wants; a random negative is too easy, an in-band one is a
+    // false negative). Shape: one broadcast-anchor scan + ONE partial
+    // max_by aggregation per role — no corpus window, no second scan; at
+    // 100 TB cost is anchors × corpus exactly like q33, and the
+    // aggregation state is two structs per anchor. The sub-band argmax
+    // uses a −2.0 sentinel ordering key (below any real cosine) instead
+    // of null-skip semantics, so the pick is total-ordered and
+    // engine-exact; tie-breaks on smaller vec_id via negated id. Oracle
+    // replays both argmaxes as rank-1 windows over the same in-order
+    // cosine — hash-checked; margins round at 4.
+    "q93_triplet_mining" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val anchors = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      e.crossJoin(broadcast(anchors))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosineSim(col("q_vec"), col("embedding")))
+        .groupBy(col("q_id"))
+        .agg(
+          max_by(struct(col("vec_id").as("id"), col("cos").as("c")),
+            struct(col("cos"), negate(col("vec_id")))).as("pos"),
+          max_by(struct(col("vec_id").as("id"), col("cos").as("c")),
+            struct(when(col("cos") < 0.2, col("cos")).otherwise(lit(-2.0)),
+              negate(col("vec_id")))).as("neg"))
+        // an anchor whose ENTIRE corpus sits in-band has no usable
+        // negative: the sentinel then surfaces an in-band pick, which this
+        // filter drops — the same anchors the oracle's sub-band window
+        // produces no row for, keeping both engines structurally aligned
+        .filter(col("neg.c") < 0.2)
+        .select(col("q_id"),
+          col("pos.id").as("pos_id"), round(col("pos.c"), 4).as("pos_cos"),
+          col("neg.id").as("neg_id"), round(col("neg.c"), 4).as("neg_cos"),
+          round(col("pos.c") - col("neg.c"), 4).as("margin"))
+        .orderBy("q_id")
+    }),
+
     // IVF-PQ ANN — the composition of q46 (prune: scan only probed
     // cells) and q57 (compress: score one-byte codes, not floats), the
     // standard 100 TB ANN index shape: train coarse cells (q46 pattern),
@@ -1309,6 +1350,30 @@ object VectorQueries {
          |  FROM scored)
          |SELECT q_id, CAST(rk AS INT) AS rk, vec_id AS neighbor_id
          |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+
+    // both argmaxes as rank-1 windows over the replayed in-order cosine;
+    // the neg window ranks only the sub-band rows (the sentinel's SQL twin)
+    "q93_triplet_mining" -> (
+      s"""WITH a AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+         |           WHERE vec_id < $NQueries),
+         |sc AS (
+         |  SELECT a.q_id, e.vec_id, $duckCos AS cos
+         |  FROM embeddings e, a, ${cosLateral("a.q_vec", "e.embedding")}
+         |  WHERE e.vec_id <> a.q_id),
+         |pos AS (
+         |  SELECT q_id, vec_id AS pos_id, cos AS pc FROM (
+         |    SELECT q_id, vec_id, cos,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+         |    FROM sc) t WHERE rk = 1),
+         |neg AS (
+         |  SELECT q_id, vec_id AS neg_id, cos AS nc FROM (
+         |    SELECT q_id, vec_id, cos,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+         |    FROM sc WHERE cos < 0.2) t WHERE rk = 1)
+         |SELECT p.q_id, p.pos_id, round(p.pc, 4) AS pos_cos,
+         |  n.neg_id, round(n.nc, 4) AS neg_cos,
+         |  round(p.pc - n.nc, 4) AS margin
+         |FROM pos p JOIN neg n USING (q_id) ORDER BY q_id""".stripMargin),
 
     // the q46 Lloyd-chain replay composed with q65's hex-bucket sampling
     // replay: census + flatten target over the final assignment a3

@@ -263,6 +263,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in tfidf:\n$plan")
   }
 
+  test("q93 triplet mining is a partial max_by aggregate, not a corpus window") {
+    // both role argmaxes must stay inside one hash aggregation over the
+    // anchor scan — a regression to rank-1 windows would sort the
+    // anchors×corpus score stream per anchor
+    val plan = physical(VectorQueries.defs("q93_triplet_mining")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"),
+      s"triplet argmax regressed to a window sort:\n$plan")
+    assert(plan.contains("partial_max_by"),
+      s"max_by lost its map-side partial:\n$plan")
+  }
+
   test("q69 domain cap is a bounded partial aggregate, not a per-source window") {
     val plan = physical(TextQueries.defs("q69_domain_cap")(spark, dir))
       .split("== Initial Plan ==")(0)

@@ -636,6 +636,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(acc > 0.5, f"NB accuracy $acc%.2f not above chance")
   }
 
+  test("q93 triplets: positive is the exact top-1, negative sub-band, positive margin") {
+    val rows = VectorQueries.defs("q93_triplet_mining")(spark, dir).collect()
+    assert(rows.length == 20, s"expected a triplet per anchor, got ${rows.length}")
+    // the positive must be q33's exact rank-1 neighbor
+    val top1 = VectorQueries.defs("q33_ann_bruteforce")(spark, dir)
+      .filter(col("rk") === 1).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("neighbor_id")).toMap
+    rows.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      assert(r.getAs[Long]("pos_id") == top1(q),
+        s"anchor $q: positive ${r.getAs[Long]("pos_id")} != exact top-1 ${top1(q)}")
+      assert(r.getAs[Double]("neg_cos") < 0.2, s"anchor $q: negative in-band")
+      assert(r.getAs[Double]("margin") > 0, s"anchor $q: non-positive margin")
+    }
+  }
+
   test("q91 cluster-balanced sample flattens: full-rate cells keep all, oversized cells shrink") {
     val rows = VectorQueries.defs("q91_cluster_balanced_sample")(spark, dir).collect()
     assert(rows.nonEmpty)
