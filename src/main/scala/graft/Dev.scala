@@ -111,7 +111,8 @@ object Dev {
             "q74_bpe_merges", "q75_bpe_encode", "q81_refine_walk",
             "q87_cms_heavy_hitters", "q88_weighted_sample",
             "q89_passage_dedup", "q90_tfidf_terms",
-            "q91_cluster_balanced_sample", "q92_nb_quality_classifier")
+            "q91_cluster_balanced_sample", "q92_nb_quality_classifier",
+            "q93_triplet_mining")
         }
         names.foreach { n =>
           val fn = SparkEntry.queries(n)
