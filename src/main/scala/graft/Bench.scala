@@ -135,16 +135,17 @@ object Bench {
         .mkString(""","spread":{""", ",", "}")
     // failed queries additionally listed by name — a reader scanning only
     // the headline can't miss them, and a diff vs last round's list is a
-    // one-glance regression check.
-    val failedJson =
+    // one-glance regression check. Rendered with the TIER's key function
+    // so the names always match the queries-map keys of the same line.
+    def failedJson(key: String => String): String =
       if (failed.isEmpty) ""
-      else failed.map(n => "\"" + shortKey(n) + "\"")
+      else failed.map(n => "\"" + key(n) + "\"")
         .mkString(""","failed":[""", ",", "]")
     def render(subSecScale: Int, secScale: Int, key: String => String): String = {
       val qs = results
         .map { case (k, v) => "\"" + key(k) + "\":" + fmtQ(v, subSecScale, secScale) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"min","queries":$qs$spreadJson$failedJson,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"min","queries":$qs$spreadJson${failedJson(key)},"sf":"$sfName"}"""
     }
     // The driver records only the LAST 2000 chars of stdout, which also
     // contain sbt's trailing "[success] Total time: ..." line (~80 chars):

@@ -30,14 +30,23 @@ object Verify {
         // missing row (r7's schema drift silently dropped 27 queries from
         // the correctness JSON). Clear any partial output and leave a
         // parquet-free marker dir — every harness that enumerates output
-        // dirs then reports "no parquet output" for this name.
-        val dir = Paths.get(s"$outDir/$name")
-        if (Files.exists(dir))
-          Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => Files.deleteIfExists(p))
-        Files.createDirectories(dir)
-        Files.writeString(dir.resolve("_ERROR"),
-          s"${e.getClass.getName}: ${e.getMessage}\n")
+        // dirs then reports "no parquet output" for this name. The marker
+        // work is guarded itself: a cleanup IOException must not abort the
+        // sweep and take every remaining query (and oracle_sql.json) down.
+        try {
+          val dir = Paths.get(s"$outDir/$name")
+          if (Files.exists(dir)) {
+            val walk = Files.walk(dir)
+            try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => Files.deleteIfExists(p))
+            finally walk.close()
+          }
+          Files.createDirectories(dir)
+          Files.writeString(dir.resolve("_ERROR"),
+            s"${e.getClass.getName}: ${e.getMessage}\n")
+        } catch { case m: Throwable =>
+          System.err.println(s"[verify] $name marker write failed: ${m.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

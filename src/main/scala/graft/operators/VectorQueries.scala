@@ -87,10 +87,10 @@ object VectorQueries {
     // is L·(1+bits)·n/2^bits pairs — with the adaptive width that
     // fraction FALLS as the corpus grows (55% of a 2k corpus, <1% at
     // 1e6), which is the 100 TB story: the corpus side is hashed once per
-    // table, only the tiny query side multiplies, and the join stays a
-    // bucket-keyed equi-join. Candidates dedup on (q_id, vec_id) BEFORE
-    // the exact-cosine scoring so overlapping tables/probes never score a
-    // pair twice.
+    // table into a PERSISTED index artifact (srpBandsShared), only the
+    // tiny query side multiplies, and the join stays a bucket-keyed
+    // equi-join. Overlapping tables/probes are scored then deduped on
+    // (q_id, vec_id) — scoring first keeps the exchange slim (see inline).
     "q37_ann_srp_multiprobe" -> ((s, dir) => {
       val bits = srpAnnBits(s, dir)
       val banded = srpBandsShared(s, dir)
@@ -103,16 +103,19 @@ object VectorQueries {
       banded.join(broadcast(q), Seq("t", "b"))
         .filter(col("vec_id") =!= col("q_id"))
         // score BEFORE deduping the overlapping tables/probes: the cosine
-        // is deterministic per pair, so a map-side partial first() dedup
-        // shuffles ~24-byte (q_id, vec_id, cos) partials instead of
-        // dragging two 64-float vectors per candidate through the
-        // exchange — the re-scored overlaps are codegen arithmetic, far
-        // cheaper than the shuffle bytes they replace.
+        // is deterministic per pair, so the exchange carries ~24-byte
+        // (q_id, vec_id, cos) rows — duplicates included — instead of
+        // dragging two 64-float vectors per candidate through it; the
+        // re-scored overlaps are codegen arithmetic, far cheaper than the
+        // shuffle bytes they replace.
         .withColumn("cos", cosineSim(col("q_vec"), col("embedding")))
         .select(col("q_id"), col("vec_id"), col("cos"))
         // one exchange, not two: hash(q_id) satisfies both the (q_id,
         // vec_id) dedup clustering and the window's q_id partitioning, so
-        // the aggregate and the rank run back-to-back on the same shuffle.
+        // the aggregate and the rank run back-to-back on the same shuffle
+        // (the dedup agg runs POST-exchange — duplicate candidate rows do
+        // ride the shuffle, but at 24 bytes each that costs less than a
+        // second exchange would).
         .repartition(col("q_id"))
         .groupBy(col("q_id"), col("vec_id"))
         .agg(first(col("cos")).as("cos"))

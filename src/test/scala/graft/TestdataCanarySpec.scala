@@ -79,7 +79,15 @@ class TestdataCanarySpec extends AnyFunSuite {
 
   test("events normalization is encoding-invariant: long nanos, NTZ micros, ltz micros") {
     val micros = Seq(1700000000123456L, 1700000999000001L, 946684800000000L)
-    val tmp = java.nio.file.Files.createTempDirectory("canary_events").toString
+    val tmpPath = java.nio.file.Files.createTempDirectory("canary_events")
+    val tmp = tmpPath.toString
+    // reverse-sorted walk deletes children before parents on JVM exit
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val walk = java.nio.file.Files.walk(tmpPath)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }))
     import spark.implicits._
     val base = micros.zipWithIndex.map { case (us, i) =>
       (i.toLong, us, i.toLong, "click", 1.0, "{}")
