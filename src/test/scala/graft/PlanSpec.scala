@@ -263,6 +263,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in tfidf:\n$plan")
   }
 
+  test("q91 balanced sample: rate table broadcasts to the keep decision") {
+    // the census/rate tables are nlist-sized and must reach the keep
+    // decision as a broadcast — a sort-merge join here would shuffle the
+    // inverted file a second time for a KB-sized dimension. (The one
+    // Window in the plan is the flatten-target over the nlist-sized
+    // census — bounded by design, the q65 rate-table shape — so no
+    // no-Window assert here.)
+    val plan = physical(
+      VectorQueries.defs("q91_cluster_balanced_sample")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate table not broadcast to the keep decision:\n$plan")
+  }
+
+  test("q92 NB classifier: model joins broadcast, no corpus window") {
+    val plan = physical(
+      TextQueries.defs("q92_nb_quality_classifier")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"),
+      s"NB scoring regressed to a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab model not broadcast to the scoring join:\n$plan")
+  }
+
   test("q93 triplet mining is a partial max_by aggregate, not a corpus window") {
     // both role argmaxes must stay inside one hash aggregation over the
     // anchor scan — a regression to rank-1 windows would sort the
