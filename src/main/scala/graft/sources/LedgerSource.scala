@@ -59,21 +59,33 @@ object LedgerSource {
     if (p.startsWith("file:")) Paths.get(java.net.URI.create(p))
     else Paths.get(p)
 
-  /** List partition indices under a topic root (sorted). */
+  /** List partition indices under a topic root (sorted).
+    *
+    * Files.list holds an OPEN DIRECTORY FD until the stream is closed —
+    * and this runs on every latestOffset()/metrics() tick per topic, so an
+    * unclosed stream leaks the whole fd table over a long-lived stream
+    * (the 200-batch soak died on exactly that: "Too many open files" after
+    * ~20 min of batches + concurrent maintenance listing).
+    */
   def listPartitions(root: Path): Seq[Int] = {
     if (!Files.isDirectory(root)) return Nil
-    Files.list(root).iterator().asScala
+    val s = Files.list(root)
+    try s.iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("partition-"))
       .map(_.getFileName.toString.stripPrefix("partition-").toInt)
       .toSeq.sorted
+    finally s.close()
   }
 
   /** List ledgers (sorted, including empties) for a partition dir. */
   def listLedgers(partitionDir: Path): Seq[LedgerInfo] = {
     if (!Files.isDirectory(partitionDir)) return Nil
-    val paths = Files.list(partitionDir).iterator().asScala
-      .filter(_.getFileName.toString.matches("ledger-\\d+\\.log"))
-      .toSeq
+    val stream = Files.list(partitionDir)
+    val paths =
+      try stream.iterator().asScala
+        .filter(_.getFileName.toString.matches("ledger-\\d+\\.log"))
+        .toSeq
+      finally stream.close()
     pruneCountCache(partitionDir, paths)
     paths.map { p =>
         val id = p.getFileName.toString.stripPrefix("ledger-").stripSuffix(".log").toLong
@@ -612,6 +624,19 @@ class LedgerMicroBatchStream(path: String, options: Map[String, String],
     with SupportsTriggerAvailableNow with ReportsSourceMetrics {
   import LedgerSource._
 
+  /** Parse, never cast: on restart with an uncommitted batch in the offset
+    * log, the engine REPLAYS that batch handing the source a
+    * SerializedOffset (the raw checkpoint JSON) instead of the source's
+    * own type — `deserializeOffset` is not on that path. A blind cast
+    * dies with ClassCastException on exactly the kill-between-offset-and-
+    * commit recovery the checkpoint exists for (caught by the 208-batch
+    * kill/resume soak, `Dev soak`).
+    */
+  private def asLedgerOffset(o: Offset): LedgerOffset = o match {
+    case l: LedgerOffset => l
+    case other => LedgerOffset.parse(other.json)
+  }
+
   /** Per-batch source metrics surfaced in StreamingQueryProgress
     * (replaces the reference's per-topic accumulator/Codahale subsystem,
     * PulsarMetricType.scala:11-113: msgs/bytes per batch, rates, decode
@@ -621,7 +646,7 @@ class LedgerMicroBatchStream(path: String, options: Map[String, String],
     */
   override def metrics(latestConsumedOffset: java.util.Optional[Offset]): java.util.Map[String, String] = {
     val consumed = if (latestConsumedOffset.isPresent)
-      latestConsumedOffset.get().asInstanceOf[LedgerOffset].cursors
+      asLedgerOffset(latestConsumedOffset.get()).cursors
     else Map.empty[Int, Cursor]
     val parts = partitions()
     val backlogs = parts.map { p =>
@@ -713,7 +738,7 @@ class LedgerMicroBatchStream(path: String, options: Map[String, String],
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val cur = start.asInstanceOf[LedgerOffset].cursors
+    val cur = asLedgerOffset(start).cursors
     val parts = partitions()
     val ledgersByPart = parts.map(p => p -> listLedgers(partitionDir(p))).toMap
     val cursors = parts.map { p =>
@@ -749,8 +774,8 @@ class LedgerMicroBatchStream(path: String, options: Map[String, String],
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[LedgerOffset].cursors
-    val e = end.asInstanceOf[LedgerOffset].cursors
+    val s = asLedgerOffset(start).cursors
+    val e = asLedgerOffset(end).cursors
     // stable partition→executor pinning (idx mod executor-id-sorted
     // location list) so the same partition lands on the same executor
     // across batches — consumer/page-cache reuse, reference

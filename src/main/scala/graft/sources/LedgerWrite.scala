@@ -82,7 +82,10 @@ object LedgerWrite {
 
   private[sources] def deleteRecursively(dir: Path): Unit =
     if (Files.exists(dir)) {
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach { p =>
+      // close the walk stream — it pins a directory fd per open level
+      val walk = Files.walk(dir)
+      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      paths.foreach { p =>
         try Files.deleteIfExists(p) catch { case _: Exception => () }
       }
     }

@@ -37,6 +37,23 @@ object BucketedUpsert {
     // in foreachBatch the source batch must not re-execute anyway
     val freshB = fresh.withColumn("bucket", bucketOf(keyCol, numBuckets))
       .localCheckpoint()
+    try upsertChecked(freshB, tablePath, keyCol, numBuckets)(merge)
+    finally {
+      // release THIS batch's checkpoint blocks eagerly: a long-lived stream
+      // otherwise accumulates one block set per epoch until the context
+      // cleaner's next GC-driven sweep — bounded state must not depend on
+      // GC timing (the 208-batch soak's per-batch latency crept up with
+      // exactly this pressure)
+      freshB.queryExecution.logical.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  private def upsertChecked(freshB: DataFrame, tablePath: String,
+             keyCol: String, numBuckets: Int)(
+             merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+    val s = freshB.sparkSession
     // bounded driver-side metadata: at most numBuckets ints, never data
     val touched = freshB.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted
@@ -44,7 +61,7 @@ object BucketedUpsert {
       throw new IllegalArgumentException(
         s"bucketed upsert: null values in key column '$keyCol' — filter or fix upstream")
     if (touched.isEmpty) return
-    val dataCols = fresh.columns.toSeq
+    val dataCols = freshB.columns.toSeq.filterNot(_ == "bucket")
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(tablePath)
     // only a genuinely-missing table means "empty": any other read failure
@@ -56,13 +73,15 @@ object BucketedUpsert {
     // that legitimately emptied every bucket — throws "unable to infer
     // schema" and wedges the pipeline; with the schema given, an empty root
     // simply reads as zero rows
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      freshB.schema.fields.filterNot(_.name == "bucket"))
     val storedSchema = org.apache.spark.sql.types.StructType(
-      fresh.schema.fields :+
+      dataSchema.fields :+
         org.apache.spark.sql.types.StructField("bucket",
           org.apache.spark.sql.types.IntegerType))
     val existingTouched =
       if (!fs.exists(root))
-        s.createDataFrame(s.sparkContext.emptyRDD[Row], fresh.schema)
+        s.createDataFrame(s.sparkContext.emptyRDD[Row], dataSchema)
           .select(dataCols.map(col): _*)
       else s.read.schema(storedSchema).parquet(tablePath)
         .filter(col("bucket").isin(touched.map(Int.box): _*))

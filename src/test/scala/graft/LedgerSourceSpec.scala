@@ -355,6 +355,31 @@ class LedgerSourceSpec extends AnyFunSuite {
     assert(err.getMessage.contains("endOffsets"), err.getMessage)
   }
 
+  test("uncommitted-batch replay offsets (SerializedOffset shape) are parsed, not cast") {
+    // On restart with an offset-log entry that never committed, the engine
+    // replays the batch handing the source raw checkpoint JSON wrapped in
+    // an engine-internal Offset subtype — NOT the source's own type, and
+    // NOT through deserializeOffset. The 208-batch kill/resume soak died
+    // on a blind asInstanceOf here; every offset-consuming entry point
+    // must accept any Offset whose json() parses.
+    val topic = writeTopic()
+    val stream = new graft.sources.LedgerMicroBatchStream(
+      topic.toString, Map.empty, LedgerSource.Schema)
+    val replayShaped = new org.apache.spark.sql.connector.read.streaming.Offset {
+      override def json: String = """{"0":[1,2],"1":[2,0]}"""
+    }
+    // latestOffset(start, limit) — the admission path
+    val next = stream.latestOffset(replayShaped,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    assert(next.asInstanceOf[LedgerOffset].cursors.nonEmpty)
+    // planInputPartitions(start, end) — the replay path itself
+    val parts = stream.planInputPartitions(replayShaped, next)
+    assert(parts.nonEmpty)
+    // metrics(latestConsumedOffset) — the progress-reporting path
+    val m = stream.metrics(java.util.Optional.of(replayShaped))
+    assert(m.get("totalBacklog") != null)
+  }
+
   test("checkpoint recovery resumes without duplicates after new data arrives") {
     val topic = writeTopic()
     val ckpt = Files.createTempDirectory("graft_ledger_ckpt2").toString
