@@ -133,6 +133,24 @@ object Bench {
       else spreads
         .map { case (k, v) => "\"" + shortKey(k) + "\":" + fmtQ(v, 2, 2) }
         .mkString(""","spread":{""", ",", "}")
+    // explicit cold costs: sweep 1's time for queries whose first run is
+    // >2x their steady-state min AND >0.5 s absolute — that's the one-time
+    // artifact build (ANN index, dedup graph, BPE table) plus plan+Janino
+    // compile. spread carries the same signal implicitly (max-min), but a
+    // round-over-round build-cost regression check needs the first-sweep
+    // time itself, machine-readable, not a derived gap.
+    val colds = ordered.map { case (name, _) =>
+      val first = sweeps.head.toMap.apply(name)
+      val best = sweeps.map(_.toMap.apply(name)).min
+      (name, first, best)
+    }.filter { case (name, first, best) =>
+      best >= 0 && first > 2 * best && first - best > 0.5 && !failed.contains(name)
+    }.sortBy { case (_, first, _) => -first }.take(8)
+    val coldJson =
+      if (colds.isEmpty) ""
+      else colds
+        .map { case (k, v, _) => "\"" + shortKey(k) + "\":" + fmtQ(v, 2, 2) }
+        .mkString(""","cold":{""", ",", "}")
     // failed queries additionally listed by name — a reader scanning only
     // the headline can't miss them, and a diff vs last round's list is a
     // one-glance regression check. Rendered with the TIER's key function
@@ -141,11 +159,18 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.map(n => "\"" + key(n) + "\"")
         .mkString(""","failed":[""", ",", "]")
+    // a round with ANY failed query renders its total as null plus an
+    // "incomplete":true flag: summing only the survivors makes a broken
+    // round look FASTER than an honest full one, and round-over-round
+    // total comparisons must not silently use a partial sum.
+    val totalJson =
+      if (failed.isEmpty) fmt(total) else "null"
+    val incompleteJson = if (failed.isEmpty) "" else ""","incomplete":true"""
     def render(subSecScale: Int, secScale: Int, key: String => String): String = {
       val qs = results
         .map { case (k, v) => "\"" + key(k) + "\":" + fmtQ(v, subSecScale, secScale) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"min","queries":$qs$spreadJson${failedJson(key)},"sf":"$sfName"}"""
+      s"""{"metric":"total","value":$totalJson,"unit":"sec","stat":"min"$incompleteJson,"queries":$qs$spreadJson$coldJson${failedJson(key)},"sf":"$sfName"}"""
     }
     // The driver records only the LAST 2000 chars of stdout, which also
     // contain sbt's trailing "[success] Total time: ..." line (~80 chars):
