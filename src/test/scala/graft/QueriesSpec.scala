@@ -643,13 +643,39 @@ class QueriesSpec extends AnyFunSuite {
     val top1 = VectorQueries.defs("q33_ann_bruteforce")(spark, dir)
       .filter(col("rk") === 1).collect()
       .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("neighbor_id")).toMap
+    // q93's neg_cos/margin columns round at 4, so a legitimate sub-band
+    // cosine in [0.19995, 0.2) ROUNDS to 0.2 and would fail a
+    // rounded-value assert even though the operator picked correctly —
+    // assert on unrounded cosines recomputed from the source frame
+    // instead (the q92 nbQualityScored pattern).
+    import graft.functions.expressions.VectorExpressions.cosineSim
+    val e = Tables.embeddings(spark, dir)
+    val anchors = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val cosMap = e.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineSim(col("q_vec"), col("embedding")).as("cos"))
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("cos")).toMap
     rows.foreach { r =>
       val q = r.getAs[Long]("q_id")
       assert(r.getAs[Long]("pos_id") == top1(q),
         s"anchor $q: positive ${r.getAs[Long]("pos_id")} != exact top-1 ${top1(q)}")
-      assert(r.getAs[Double]("neg_cos") < 0.2, s"anchor $q: negative in-band")
-      assert(r.getAs[Double]("margin") > 0, s"anchor $q: non-positive margin")
+      val negC = cosMap((q, r.getAs[Long]("neg_id")))
+      val posC = cosMap((q, r.getAs[Long]("pos_id")))
+      assert(negC < 0.2, s"anchor $q: negative in-band (true cos $negC)")
+      assert(posC - negC > 0, s"anchor $q: non-positive true margin")
     }
+    // band-edge safety pin: sub-band membership is a strict < on a
+    // double, so a corpus cosine within ulp of 0.2 would put the two
+    // engines' picks on a libm coin flip. Pin the corpus clear of the
+    // edge — cross-engine cosine noise is ~1e-12; this leaves orders of
+    // magnitude of headroom while catching a regenerated corpus that
+    // lands a pair on the boundary.
+    val minGap = cosMap.values.map(c => math.abs(c - 0.2)).min
+    assert(minGap > 1e-6, f"corpus cosine within $minGap%.2e of the 0.2 band edge")
   }
 
   test("q91 cluster-balanced sample flattens: full-rate cells keep all, oversized cells shrink") {
