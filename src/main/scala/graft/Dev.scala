@@ -70,20 +70,21 @@ object Dev {
         val src = "/root/testdata/sf0.1"
         val dst = if (thirty) "/tmp/graft_sf3" else "/tmp/graft_sf1"
         val copies = if (thirty) 30 else 10
-        def replicate(table: String, shifts: Map[String, Long]): Unit = {
+        def replicate(table: String, shifts: Map[String, Long],
+            nCopies: Int = copies): Unit = {
           val out = s"$dst/$table.parquet"
           // cache keyed on a fingerprint of the source PART FILES (a
           // directory entry's own size/mtime misses in-place part
           // rewrites) + replication params — stale replicas after
           // testdata/generator changes would silently corrupt ratios
           val fp = s"${Tables.parquetFingerprint(spark, src, table)}:" +
-            s"$copies:${shifts.toSeq.sorted.mkString(",")}"
+            s"$nCopies:${shifts.toSeq.sorted.mkString(",")}"
           val marker = java.nio.file.Paths.get(s"$out.fingerprint")
           if (java.nio.file.Files.exists(java.nio.file.Paths.get(out)) &&
               java.nio.file.Files.exists(marker) &&
               new String(java.nio.file.Files.readAllBytes(marker)) == fp) return
           val base = Tables(spark, src, table)
-          val parts = (0 until copies).map { i =>
+          val parts = (0 until nCopies).map { i =>
             shifts.foldLeft(base) { case (df, (c, stride)) =>
               df.withColumn(c, col(c) + lit(i * stride))
             }
@@ -100,8 +101,15 @@ object Dev {
           replicate("lineitem", Map("l_orderkey" -> 10000000L))
           replicate("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
           replicate("customer", Map("c_custkey" -> 1000000L))
+          // dimension tables stay FIXED as the fact side grows (a 10×
+          // corpus still has 5 regions and 25 nations; lineitem's
+          // l_partkey/l_suppkey aren't shifted, so part/supplier must
+          // keep their key space too). Replicating them with unshifted
+          // keys (the pre-r9 shape) duplicated every PK 10×, which
+          // multiplied q49's nation→region join output 100× and poisoned
+          // its ratio to 44× — wrong DATA, not a wrong plan.
           Seq("region", "nation", "supplier", "part").foreach(t =>
-            replicate(t, Map.empty))
+            replicate(t, Map.empty, nCopies = 1))
         }
         val names = args.drop(1) match {
           case e if e.nonEmpty => e.toSeq

@@ -1250,6 +1250,57 @@ object TextQueries {
           sum("ntok").as("total_tokens"),
           sum("doc_id").as("id_checksum"))
         .orderBy("lang")
+    }),
+
+    // BM25 keyword retrieval — the lexical search primitive a curation
+    // pipeline uses to pull topical slices out of a web corpus (and the
+    // retrieval half of a RAG index). Query set: the 10 most
+    // document-frequent tokens of length >= 5 (deterministic, replayed by
+    // the oracle from the same df census — longer tokens skew content-ful;
+    // the synthetic vocab tops out at 8 chars, so 5 yields a 15-token
+    // candidate pool at every SF).
+    // Okapi BM25 with k1=1.2, b=0.75: score = idf · tf·(k1+1) /
+    // (tf + k1·(1−b+b·dl/avgdl)), idf = ln((N−df+0.5)/(df+0.5)+1).
+    // Scale shape: the df census and doc lengths are vocab-/corpus-sized
+    // partial aggs; the query-term table is top-10 of the vocab (global
+    // TakeOrdered over the vocab-sized census, then BROADCAST), so the tf
+    // aggregation shuffles only query-term occurrences — at 100 TB the
+    // posting lists of 10 terms, not the corpus. avgdl is a 1-row
+    // broadcast. The ranking window partitions by token over ≤ 10·N_hit
+    // scored rows. All score inputs are integers (tf, df, dl) plus the
+    // exactly-reproducible avgdl, evaluated in the same IEEE op order on
+    // both engines, so the oracle is hash-exact at round(·, 4).
+    "q94_bm25_search" -> ((s, dir) => {
+      val nDocs = Tables.rowCount(s, dir, "documents")
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .localCheckpoint() // 3 consumers: df census, doc lengths, tf scan
+      val dfT = tok.select(explode(array_distinct(col("t"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val qterms = dfT.filter(length(col("token")) >= 5)
+        .orderBy(col("df").desc, col("token")).limit(10)
+      val lens = tok.select(col("doc_id"), size(col("t")).as("dl"))
+      val avgdl = lens.agg(avg(col("dl")).as("avgdl"))
+      val tf = tok.select(col("doc_id"), explode(col("t")).as("token"))
+        .join(broadcast(qterms), "token")
+        .groupBy(col("token"), col("df"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy(col("token"))
+        .orderBy(col("score").desc, col("doc_id"))
+      tf.join(lens, "doc_id")
+        .crossJoin(broadcast(avgdl))
+        .withColumn("idf", log(
+          (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+            + lit(1.0)))
+        .withColumn("score", col("idf") *
+          ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("token"), col("rk"), col("doc_id"),
+          round(col("score"), 4).as("bm25"))
+        .orderBy("token", "rk")
     })
   )
 
@@ -2162,6 +2213,37 @@ object TextQueries {
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
-        |FROM c WHERE cum <= 2000 GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM c WHERE cum <= 2000 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q94_bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |dfq AS (
+        |  SELECT token, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, token
+        |        FROM (SELECT doc_id, unnest(t) AS token FROM toks))
+        |  GROUP BY 1),
+        |qt AS (SELECT token, df FROM dfq WHERE len(token) >= 5
+        |       ORDER BY df DESC, token LIMIT 10),
+        |lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+        |ad AS (SELECT avg(dl) AS avgdl FROM lens),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |tf AS (
+        |  SELECT token, df, doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS token FROM toks) o
+        |  JOIN qt USING (token)
+        |  GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT token, doc_id,
+        |    ln((CAST(nd AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) *
+        |      ((CAST(tf AS DOUBLE) * 2.2) /
+        |       (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) AS score
+        |  FROM tf JOIN lens USING (doc_id), ad, n)
+        |SELECT token, CAST(rk AS INT) AS rk, doc_id, round(score, 4) AS bm25
+        |FROM (SELECT token, doc_id, score,
+        |        row_number() OVER (PARTITION BY token ORDER BY score DESC, doc_id) AS rk
+        |      FROM sc) r
+        |WHERE rk <= 5 ORDER BY token, rk""".stripMargin
   )
 }

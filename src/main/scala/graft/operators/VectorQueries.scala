@@ -507,6 +507,84 @@ object VectorQueries {
           expr("(w * 32) div greatest(w, h)").cast("int").as("rw"),
           expr("(h * 32) div greatest(w, h)").cast("int").as("rh"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // Cluster topic labeling — the corpus-exploration report a curation
+    // team reads after clustering: each semantic cluster (the q46 IVF
+    // cells, reused as the persisted corpus clustering) labeled by its
+    // most characteristic tokens via class-based TF-IDF (the BERTopic
+    // c-TF-IDF shape): score = tf_in_cell · ln(n_cells / cells_with_token).
+    // Docs join their embeddings on doc_id = vec_id (the corpus rows that
+    // HAVE an embedding — at sf0.1 that is 2000 of 5000 docs, the sampled
+    // embedding coverage a real corpus has). Scale shape: the cell
+    // assignment is the persisted inverted file (nlist-sized centroid
+    // broadcast, no new shuffle); token counts are a (cell, token) partial
+    // agg; the cell-df census and n_cells scalar are vocab-/nlist-sized;
+    // the ranking window runs over the (cell, token) score table, never
+    // over occurrences. Every score input is an integer, so the oracle
+    // (the q46 Lloyd chain + this token math replayed) is hash-exact.
+    "q95_cluster_topics" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cent = trainCellsShared(s, dir, e)
+      val assigned = assignCellsShared(s, dir, e, cent)
+        .select(col("vec_id"), col("cell"))
+      val docs = Tables.documents(s, dir)
+        .join(assigned, col("doc_id") === col("vec_id"))
+        .select(col("cell"), col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      val sizes = docs.groupBy(col("cell")).agg(count(lit(1)).as("n_docs"))
+      val tf = docs.select(col("cell"), explode(col("t")).as("token"))
+        .groupBy(col("cell"), col("token")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // feeds the cell-df census AND the score join
+      val cdf = tf.groupBy(col("token")).agg(count(lit(1)).as("cdf"))
+      val ncells = assigned.agg(
+        count_distinct(col("cell")).as("ncells"))
+      val w = Window.partitionBy(col("cell"))
+        .orderBy(col("score").desc, col("token"))
+      tf.join(cdf, "token")
+        .crossJoin(broadcast(ncells))
+        .withColumn("score", col("tf").cast("double") *
+          log(col("ncells").cast("double") / col("cdf")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .join(broadcast(sizes), "cell")
+        .select(col("cell"), col("n_docs"), col("rk"), col("token"),
+          round(col("score"), 4).as("ctfidf"))
+        .orderBy("cell", "rk")
+    }),
+
+    // kNN label eval — the embedding-quality gate a pipeline runs before
+    // trusting a vector space for dedup/sampling: leave-one-out k-nearest
+    // classification of the standard bounded query sample (the q33 anchor
+    // convention) with majority vote over the exact top-5 neighbors'
+    // labels (ties → smaller label). Deliberately built on the EXACT
+    // scorer, not an ANN variant: an eval must not inherit the recall of
+    // the index it is judging. Cost is anchors × corpus, the q33 envelope
+    // — at 100 TB the anchor sample stays bounded and broadcast, the
+    // corpus is scanned once, and the vote aggregates ≤ anchors·k rows.
+    // Oracle: the q33 chain + a votes-desc/label-asc rank-1 window.
+    "q96_knn_label_eval" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").as("true_label"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      val nn = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosineSim(col("q_vec"), col("embedding")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("q_id"), col("true_label"), col("label"))
+      val wv = Window.partitionBy("q_id")
+        .orderBy(col("votes").desc, col("label"))
+      nn.groupBy(col("q_id"), col("true_label"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vrk", row_number().over(wv))
+        .filter(col("vrk") === 1)
+        .select(col("q_id"), col("true_label"),
+          col("label").as("pred_label"), col("votes"),
+          when(col("label") === col("true_label"), 1).otherwise(0)
+            .as("correct"))
+        .orderBy("q_id")
     })
   )
 
@@ -1478,6 +1556,61 @@ object VectorQueries {
         |  CAST(64 + octet_length(encode(text)) % 64 AS INT) AS fake_width,
         |  CAST(64 + (octet_length(encode(text)) // 64) % 64 AS INT) AS fake_height,
         |  lang
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the q46 Lloyd chain composed with class-based TF-IDF over the
+    // documents that have an embedding (doc_id = vec_id)
+    "q95_cluster_topics" -> (
+      s"""WITH seed AS (SELECT label AS cell, vec_id, embedding FROM embeddings),
+         |${ivfMeans("seed", "c0")},
+         |${ivfAssign("c0", "a1")},
+         |${ivfMeans("a1", "c1")},
+         |${ivfAssign("c1", "a2")},
+         |${ivfMeans("a2", "c2")},
+         |${ivfAssign("c2", "a3")},
+         |toks AS (
+         |  SELECT d.doc_id, a.cell,
+         |    list_filter(string_split_regex(trim(regexp_replace(lower(d.text), '[^a-z ]', ' ', 'g')), '\\s+'), x -> len(x) > 0) AS t
+         |  FROM documents d JOIN a3 a ON a.vec_id = d.doc_id),
+         |szs AS (SELECT cell, count(*) AS n_docs FROM toks GROUP BY 1),
+         |tf AS (
+         |  SELECT cell, token, count(*) AS tf
+         |  FROM (SELECT cell, unnest(t) AS token FROM toks)
+         |  GROUP BY 1, 2),
+         |cdf AS (SELECT token, count(*) AS cdf FROM tf GROUP BY 1),
+         |nc AS (SELECT count(DISTINCT cell) AS ncells
+         |       FROM (SELECT cell FROM a3 JOIN documents d ON d.doc_id = a3.vec_id)),
+         |sc AS (
+         |  SELECT cell, token,
+         |    CAST(tf AS DOUBLE) * ln(CAST(ncells AS DOUBLE) / cdf) AS score
+         |  FROM tf JOIN cdf USING (token), nc)
+         |SELECT cell, n_docs, CAST(rk AS INT) AS rk, token,
+         |  round(score, 4) AS ctfidf
+         |FROM (SELECT cell, token, score,
+         |        row_number() OVER (PARTITION BY cell ORDER BY score DESC, token) AS rk
+         |      FROM sc) r
+         |JOIN szs USING (cell)
+         |WHERE rk <= 3 ORDER BY cell, rk""".stripMargin),
+
+    // the q33 exact chain + a votes-desc/label-asc rank-1 majority window
+    "q96_knn_label_eval" ->
+      """WITH nn AS (
+        |  SELECT q_id, true_label, label FROM (
+        |    SELECT q.vec_id AS q_id, q.label AS true_label, e.label AS label,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                               CAST(e.embedding AS DOUBLE[])) DESC,
+        |        e.vec_id) AS rk
+        |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |    WHERE q.vec_id < 20) t
+        |  WHERE rk <= 5),
+        |v AS (SELECT q_id, true_label, label, count(*) AS votes
+        |      FROM nn GROUP BY 1, 2, 3)
+        |SELECT q_id, true_label, label AS pred_label, votes,
+        |  CASE WHEN label = true_label THEN 1 ELSE 0 END AS correct
+        |FROM (SELECT q_id, true_label, label, votes,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS vrk
+        |      FROM v) r
+        |WHERE vrk = 1 ORDER BY q_id""".stripMargin
   )
 }

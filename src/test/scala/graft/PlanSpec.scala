@@ -357,4 +357,44 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"cutoff levels not broadcast:\n$plan")
   }
+
+  test("q94 BM25: query terms broadcast, window above the tf aggregate") {
+    val plan = physical(TextQueries.defs("q94_bm25_search")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    // the 10-term query table must broadcast to the occurrence stream so
+    // only query-term postings shuffle into the tf aggregate
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query terms not broadcast to the posting scan:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"tf/df lost their map-side partials:\n$plan")
+    // the ranking window must sit above the tf aggregation (≤ 10·hits
+    // rows), never over raw occurrences
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0 && plan.indexOf("HashAggregate", winIdx) > winIdx,
+      s"BM25 window not above the aggregates:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in BM25 (avgdl must broadcast):\n$plan")
+  }
+
+  test("q95 cluster topics: window ranks the (cell, token) table, censuses broadcast") {
+    val plan = physical(VectorQueries.defs("q95_cluster_topics")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ncells/sizes not broadcast:\n$plan")
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0 && plan.indexOf("HashAggregate", winIdx) > winIdx,
+      s"topic window not above the (cell, token) aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in cluster topics:\n$plan")
+  }
+
+  test("q96 kNN eval: anchors broadcast, cosine inside codegen, bounded vote window") {
+    val plan = physical(VectorQueries.defs("q96_knn_label_eval")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"anchor set not broadcast to the corpus scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"kNN eval fell back to a cartesian:\n$plan")
+  }
 }
