@@ -8,12 +8,14 @@ import graft.operators._
   * `queries` is the full operator inventory (SURVEY.md §2) re-expressed
   * Spark-first; `oracleSql` holds the DuckDB-equivalent ANSI SQL for every
   * SQL-expressible query (same column names/rounding on both sides) —
-  * 88 of 89 entries, including the elections (vincenty replayed as a
+  * 97 of 98 entries, including the elections (vincenty replayed as a
   * recursive CTE), every LSH/trained-index pipeline, geohash, lang-ID,
   * the pivot/rollup/unpivot reshaping surface (q83/q84/q86), the
   * per-source KL mixture diagnostic (q85), the portable Count-Min /
-  * weighted-sampling pair (q87/q88), and the passage-dedup / TF-IDF
-  * pair (q89/q90). The one omitted key (q48
+  * weighted-sampling pair (q87/q88), the passage-dedup / TF-IDF
+  * pair (q89/q90), the retrieval stack (q94 BM25, q99 hybrid RRF), and
+  * the curation-policy trio (q97 canonical keep, q98 perplexity
+  * buckets, q95 cluster topics). The one omitted key (q48
   * native sketches) is rows-only by nature — its internals are
   * implementation-defined — and is audited by its exact twin q80 and the
   * portable deterministic sketch q82.

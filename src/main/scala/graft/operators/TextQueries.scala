@@ -1301,6 +1301,88 @@ object TextQueries {
         .select(col("token"), col("rk"), col("doc_id"),
           round(col("score"), 4).as("bm25"))
         .orderBy("token", "rk")
+    }),
+
+    // Canonical-representative selection — the keep POLICY a production
+    // dedup pass actually ships: within each near-dup cluster keep the
+    // highest-QUALITY member, not the arbitrary min-id q52 reports
+    // (min-id is the label convention; the curation decision wants the
+    // best-written copy). Composes two existing primitives: the persisted
+    // component labels (q52's cluster table, built once per corpus) and
+    // the q25 composite quality score (row-local column math). Selection
+    // is ONE partial-aggregable min_by over struct(-q, doc_id) — the
+    // q46-assignment pattern — so only one (doc, quality) buffer per
+    // component crosses the shuffle; ties on the round-6 quality break by
+    // doc_id ascending on both engines. At 100 TB: the label table holds
+    // only docs that HAVE a duplicate (a small fraction of the corpus),
+    // the quality column never shuffles wider than the label join, and
+    // there is no window over the corpus. Oracle-checked hash-for-hash:
+    // the q52 recursive closure + the q25 quality formula + a rank-1
+    // window replayed in one SQL program.
+    "q97_component_canonical" -> ((s, dir) => {
+      val qual = Tables.documents(s, dir)
+        .select(col("doc_id"), qualityScore(col("text")).as("q"))
+      neardupComponentsShared(s, dir)
+        .join(qual, "doc_id")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_docs"),
+          min_by(struct(col("doc_id"), col("q")),
+            struct(negate(col("q")), col("doc_id"))).as("best"),
+          sum(col("doc_id")).as("sum_ids"))
+        .filter(col("n_docs") >= 2)
+        .select(col("component"), col("n_docs"),
+          col("best.doc_id").as("keep_doc"),
+          round(col("best.q"), 4).as("keep_quality"),
+          (col("sum_ids") - col("best.doc_id")).as("dropped_checksum"))
+        .orderBy("component")
+    }),
+
+    // CCNet-style perplexity bucketing — the language-model quality gate
+    // of the standard web-corpus pipeline (CCNet, used for LLaMA/RedPajama
+    // data): score every document by LM perplexity, then split each
+    // language into head / middle / tail terciles; downstream mixes
+    // sample head-heavy. LM = the q67 corpus bigram model; per-doc score
+    // = mean bigram surprisal (docs with < 2 tokens have no bigrams and
+    // are excluded, as in q67). Bucket = ntile(3) per lang ordered by
+    // (round-6 surprisal, doc_id) — the round-6 key makes near-duplicate
+    // docs (identical true surprisal, ±1 ulp across engines) collapse
+    // onto one key and break ties by id, so bucket membership is
+    // engine-deterministic; QueriesSpec pins that no doc's surprisal
+    // grazes a round-6 boundary. Scale shape: the LM joins are
+    // vocab-sized; the ntile window ranks ONE row per document (never
+    // token-level rows), partitioned by lang. At 100 TB the exact
+    // tercile is what this oracle-checkable form computes; the deployed
+    // variant computes per-lang cutoffs on a sample and assigns map-side
+    // (CCNet itself does exactly that), changing cost, not semantics.
+    "q98_perplexity_buckets" -> ((s, dir) => {
+      val t = tokens(col("text"))
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), t.as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(zip_with(
+            slice(col("t"), lit(1), size(col("t")) - 1),
+            slice(col("t"), lit(2), size(col("t")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bg"))
+        .localCheckpoint() // 3 consumers: c2, c1, scoring join
+      val f2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      val f1 = bg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+        .agg(count(lit(1)).as("c1"))
+      val p = f2.withColumn("w1", substring_index(col("bg"), " ", 1))
+        .join(f1, "w1")
+        .select(col("bg"), (col("c2") / col("c1").cast("double")).as("p"))
+      val per = bg.join(p, "bg")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(avg(-log(col("p"))).as("s"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(round(col("s"), 6), col("doc_id"))
+      per.withColumn("bucket", ntile(3).over(w))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("s")), 4).as("avg_surprisal"),
+          round(max(col("s")), 4).as("cutoff_surprisal"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy("lang", "bucket")
     })
   )
 
@@ -1484,6 +1566,62 @@ object TextQueries {
         |SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
         |  min(d) AS keep_doc
         |FROM comp GROUP BY 1 HAVING count(*) >= 2 ORDER BY component""".stripMargin,
+
+    // q52's recursive closure + the q25 quality formula + a rank-1 window:
+    // the canonical-keep policy replayed end-to-end
+    "q97_component_canonical" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |shingles AS (
+        |  SELECT DISTINCT doc_id, s
+        |  FROM (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+        |        WHERE len(t) >= 3)),
+        |counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id d1, b.doc_id d2
+        |  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  JOIN counts c1 ON a.doc_id = c1.doc_id
+        |  JOIN counts c2 ON b.doc_id = c2.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, c1.n, c2.n
+        |  HAVING count(*) / (c1.n + c2.n - count(*)) >= 0.5),
+        |edges AS (SELECT d1, d2 FROM p UNION ALL SELECT d2 AS d1, d1 AS d2 FROM p),
+        |reach AS (
+        |  SELECT d1 AS d, d1 AS r FROM edges
+        |  UNION
+        |  SELECT e.d2 AS d, reach.r FROM reach JOIN edges e ON e.d1 = reach.d),
+        |comp AS (SELECT d, min(r) AS component FROM reach GROUP BY d),
+        |raw AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS qtoks,
+        |    len(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+        |    len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+        |  FROM documents),
+        |ratios AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(qtoks) = 0 THEN 0.0
+        |      ELSE len(list_filter(qtoks, x -> x IN ('the','a','an','of','and','in','to','is','on','for'))) / CAST(len(qtoks) AS DOUBLE) END AS stop_r,
+        |    CASE WHEN n_nonspace = 0 THEN 0.0
+        |      ELSE n_punct / CAST(n_nonspace AS DOUBLE) END AS punct_r,
+        |    n_tok FROM raw),
+        |qual AS (
+        |  SELECT doc_id,
+        |    round(least(n_tok / 20.0, 1.0) * 0.4 +
+        |      (1.0 - least(punct_r * 4, 1.0)) * 0.3 +
+        |      least(stop_r * 5, 1.0) * 0.3, 6) AS q
+        |  FROM ratios),
+        |m AS (
+        |  SELECT c.component, c.d AS doc_id, qual.q,
+        |    row_number() OVER (PARTITION BY c.component ORDER BY qual.q DESC, c.d) AS rk,
+        |    count(*) OVER (PARTITION BY c.component) AS n_docs,
+        |    sum(c.d) OVER (PARTITION BY c.component) AS sum_ids
+        |  FROM comp c JOIN qual ON c.d = qual.doc_id)
+        |SELECT component, CAST(n_docs AS BIGINT) AS n_docs, doc_id AS keep_doc,
+        |  round(q, 4) AS keep_quality,
+        |  CAST(sum_ids - doc_id AS BIGINT) AS dropped_checksum
+        |FROM m WHERE rk = 1 AND n_docs >= 2 ORDER BY component""".stripMargin,
 
     // q52's recursive closure, summarized as the size histogram
     "q72_cluster_histogram" ->
@@ -1892,6 +2030,32 @@ object TextQueries {
         |  round(avg(surprisal), 4) AS avg_surprisal,
         |  round(max(surprisal), 4) AS max_surprisal
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q67's bigram LM replayed per document, then the CCNet tercile split
+    "q98_perplexity_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, array_to_string(t[i:i+1], ' ') AS bg
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
+        |  WHERE len(t) >= 2),
+        |f2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+        |f1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |p AS (SELECT f2.bg, f2.c2 / CAST(f1.c1 AS DOUBLE) AS p
+        |      FROM f2 JOIN f1 ON split_part(f2.bg, ' ', 1) = f1.w1),
+        |per AS (
+        |  SELECT b.doc_id, b.lang, avg(-ln(p.p)) AS s
+        |  FROM bg b JOIN p ON b.bg = p.bg GROUP BY 1, 2),
+        |nt AS (
+        |  SELECT lang, doc_id, s,
+        |    ntile(3) OVER (PARTITION BY lang ORDER BY round(s, 6), doc_id) AS bucket
+        |  FROM per)
+        |SELECT lang, bucket, count(*) AS n_docs,
+        |  round(avg(s), 4) AS avg_surprisal,
+        |  round(max(s), 4) AS cutoff_surprisal,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM nt GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q68_ngram_contamination" ->
       """WITH toks AS (

@@ -585,6 +585,83 @@ object VectorQueries {
           when(col("label") === col("true_label"), 1).otherwise(0)
             .as("correct"))
         .orderBy("q_id")
+    }),
+
+    // Hybrid retrieval with reciprocal-rank fusion — the standard RAG /
+    // curation retrieval stack: a lexical ranker (doc-as-query Okapi BM25,
+    // the q94 scorer) and a dense ranker (exact cosine, the q33 scorer)
+    // each produce a top-20 per anchor, fused as RRF(d) = Σ 1/(60+rank)
+    // over the lists containing d (Cormack et al.'s k=60), top-5 kept.
+    // Query-term selection: each anchor queries with its 8 highest-idf
+    // tokens (ties break token-ascending) — the term-pruning a real
+    // doc-as-query engine does, which also bounds the lexical join to
+    // RARE-term posting lists instead of the whole corpus. Scale shape:
+    // anchors are bounded (20) and broadcast on both paths; the df census
+    // and doc lengths are vocab-/corpus-sized partial aggs; the tf
+    // shuffle carries only the selected terms' posting lists; every
+    // window partitions by q_id over candidate rows, never the corpus;
+    // ranks are ints, so the fused score is engine-exact and the float
+    // cast on the BM25 sum absorbs partial-agg merge-order noise (the
+    // q63 pattern). Oracle-checked hash-for-hash end-to-end.
+    "q99_hybrid_rrf" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      val depth = 20
+      val e = Tables.embeddings(s, dir)
+      val nDocs = Tables.rowCount(s, dir, "documents")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .localCheckpoint() // 4 consumers: df census, lengths, tf scan, queries
+      // dense top-20: the q33 exact scorer at fusion depth
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val wd = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      val dense = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosineSim(col("q_vec"), col("embedding")))
+        .withColumn("r_dense", row_number().over(wd))
+        .filter(col("r_dense") <= depth)
+        .select(col("q_id"), col("vec_id").as("doc_id"), col("r_dense"))
+      // lexical top-20: anchor tokens -> idf -> keep 8 rarest per anchor
+      val dfT = docs.select(explode(array_distinct(col("t"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val wq = Window.partitionBy("q_id").orderBy(col("idf").desc, col("token"))
+      val qterms = docs.filter(col("doc_id") < NQueries)
+        .select(col("doc_id").as("q_id"), explode(array_distinct(col("t"))).as("token"))
+        .join(dfT, "token")
+        .withColumn("idf", log(
+          (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+            + lit(1.0)))
+        .withColumn("trk", row_number().over(wq))
+        .filter(col("trk") <= 8)
+        .select(col("q_id"), col("token"), col("idf"))
+      val lens = docs.select(col("doc_id"), size(col("t")).as("dl"))
+      val avgdl = lens.agg(avg(col("dl")).as("avgdl"))
+      val wl = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+      val lexical = docs.select(col("doc_id"), explode(col("t")).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        .join(broadcast(qterms), "token")
+        .filter(col("doc_id") =!= col("q_id"))
+        .join(lens, "doc_id")
+        .crossJoin(broadcast(avgdl))
+        .withColumn("contrib", col("idf") *
+          ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(sum(col("contrib")).cast("float").as("score"))
+        .withColumn("r_lex", row_number().over(wl))
+        .filter(col("r_lex") <= depth)
+        .select(col("q_id"), col("doc_id"), col("r_lex"))
+      // RRF fusion over the two bounded rank lists
+      val wf = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("doc_id"))
+      dense.join(lexical, Seq("q_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("r_dense")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)))
+        .withColumn("rk", row_number().over(wf))
+        .filter(col("rk") <= K)
+        .select(col("q_id"), col("rk"), col("doc_id"),
+          round(col("rrf"), 6).as("rrf"))
+        .orderBy("q_id", "rk")
     })
   )
 
@@ -1611,6 +1688,68 @@ object VectorQueries {
         |FROM (SELECT q_id, true_label, label, votes,
         |        row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS vrk
         |      FROM v) r
-        |WHERE vrk = 1 ORDER BY q_id""".stripMargin
+        |WHERE vrk = 1 ORDER BY q_id""".stripMargin,
+
+    // both rankers replayed (q33 cosine chain + the q94 BM25 scorer with
+    // per-anchor 8-term idf selection), fused with integer-rank RRF
+    "q99_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |dft AS (
+        |  SELECT token, count(*) AS df
+        |  FROM (SELECT doc_id, unnest(list_distinct(t)) AS token FROM toks)
+        |  GROUP BY 1),
+        |qsel AS (
+        |  SELECT q_id, token, idf FROM (
+        |    SELECT q.q_id, q.token,
+        |      ln((n.nd - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY ln((n.nd - d.df + 0.5) / (d.df + 0.5) + 1.0) DESC, q.token) AS trk
+        |    FROM (SELECT doc_id AS q_id, unnest(list_distinct(t)) AS token
+        |          FROM toks WHERE doc_id < 20) q
+        |    JOIN dft d USING(token) CROSS JOIN n) s
+        |  WHERE trk <= 8),
+        |lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+        |ad AS (SELECT avg(dl) AS avgdl FROM lens),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS token FROM toks) GROUP BY 1, 2),
+        |lex0 AS (
+        |  SELECT qs.q_id, tf.doc_id,
+        |    CAST(sum(qs.idf * (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * (lens.dl / ad.avgdl)))) AS FLOAT) AS score
+        |  FROM tf JOIN qsel qs USING(token)
+        |  JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN ad
+        |  WHERE tf.doc_id <> qs.q_id GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT q_id, doc_id, r_lex FROM (
+        |    SELECT q_id, doc_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS r_lex
+        |    FROM lex0) s
+        |  WHERE r_lex <= 20),
+        |den AS (
+        |  SELECT q_id, doc_id, r_dense FROM (
+        |    SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                               CAST(e.embedding AS DOUBLE[])) DESC,
+        |        e.vec_id) AS r_dense
+        |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |    WHERE q.vec_id < 20) s
+        |  WHERE r_dense <= 20),
+        |fused AS (
+        |  SELECT coalesce(d.q_id, l.q_id) AS q_id,
+        |    coalesce(d.doc_id, l.doc_id) AS doc_id,
+        |    coalesce(1.0 / (60 + d.r_dense), 0) +
+        |      coalesce(1.0 / (60 + l.r_lex), 0) AS rrf
+        |  FROM den d FULL OUTER JOIN lex l
+        |    ON d.q_id = l.q_id AND d.doc_id = l.doc_id)
+        |SELECT q_id, CAST(rk AS INT) AS rk, doc_id, round(rrf, 6) AS rrf
+        |FROM (SELECT q_id, doc_id, rrf,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rk
+        |      FROM fused) f
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   )
 }

@@ -397,4 +397,52 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"kNN eval fell back to a cartesian:\n$plan")
   }
+
+  test("q97 canonical keep: partial min_by aggregate over the label join, no window") {
+    // the selection must be ONE partial-aggregable min_by on component —
+    // a regression to a per-component rank window would sort the joined
+    // (member, quality) stream; a cartesian would mean the label join
+    // lost its doc_id key
+    val plan = physical(TextQueries.defs("q97_component_canonical")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"),
+      s"canonical keep regressed to a window sort:\n$plan")
+    assert(plan.contains("partial_min_by"),
+      s"min_by lost its map-side partial:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"label-to-quality join fell back to a cartesian:\n$plan")
+  }
+
+  test("q98 perplexity buckets: ntile ranks per-DOC rows above a partial per-doc agg") {
+    // the window must rank one row per document (the per-doc surprisal
+    // aggregate sits BELOW it with map-side partials) and stay
+    // partitioned by lang — a window over token- or bigram-level rows, or
+    // an unpartitioned global sort, would serialize the corpus
+    val plan = physical(TextQueries.defs("q98_perplexity_buckets")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("ntile(3)"), s"tercile window missing:\n$plan")
+    assert("""Window \[ntile\(3\)[^\n]*partitionBy=\[lang""".r
+      .findFirstIn(plan).isDefined ||
+      """\[ntile\(3\).*windowspecdefinition\(lang""".r.findFirstIn(plan).isDefined,
+      s"ntile window not partitioned by lang:\n$plan")
+    assert(plan.contains("partial_avg"),
+      s"per-doc surprisal aggregate lost its map-side partial:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"LM join fell back to a cartesian:\n$plan")
+  }
+
+  test("q99 hybrid RRF: anchor terms broadcast, per-anchor windows, no cartesian") {
+    // the query-term table (20 anchors x 8 terms) and the anchor vectors
+    // must BROADCAST to the tf scan / corpus scan, every ranking window
+    // must partition by q_id, and nothing may fall back to a cartesian
+    // (the avgdl crossJoin is a 1-row broadcast nested loop, not a
+    // CartesianProduct)
+    val plan = physical(VectorQueries.defs("q99_hybrid_rrf")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term table not broadcast to the posting scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"hybrid retrieval fell back to a cartesian:\n$plan")
+    assert("""windowspecdefinition\(q_id""".r.findFirstIn(plan).isDefined,
+      s"ranking windows lost their q_id partitioning:\n$plan")
+  }
 }

@@ -801,4 +801,136 @@ class QueriesSpec extends AnyFunSuite {
         s"anchor $q: correct flag inconsistent")
     }
   }
+
+  test("q97 canonical keep: best-quality member per cluster, replayed from q52 + quality") {
+    val rows = TextQueries.defs("q97_component_canonical")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // independent replay: q52's component table + per-doc quality scores,
+    // argmax'd driver-side with the same (quality desc, doc_id asc) order
+    val comp = TextQueries.defs("q52_dedup_components")(spark, dir).collect()
+      .map(r => r.getAs[Long]("component") -> r.getAs[Long]("n_docs")).toMap
+    val members = TextQueries.neardupComponentsShared(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component")))
+    val qual = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("q")).toMap
+    assert(rows.map(_.getAs[Long]("component")).toSet == comp.keySet,
+      "q97 must keep exactly one doc per multi-member q52 component")
+    rows.foreach { r =>
+      val c = r.getAs[Long]("component")
+      val ms = members.filter(_._2 == c).map(_._1)
+      assert(r.getAs[Long]("n_docs") == comp(c), s"component $c size mismatch")
+      val expected = ms.minBy(d => (-qual(d), d))
+      assert(r.getAs[Long]("keep_doc") == expected,
+        s"component $c kept ${r.getAs[Long]("keep_doc")}, best-quality is $expected")
+      assert(math.abs(r.getAs[Double]("keep_quality") - qual(expected)) < 5e-5,
+        s"component $c keep_quality drifted from the q25 score")
+      assert(r.getAs[Long]("dropped_checksum") == ms.sum - expected,
+        s"component $c dropped checksum mismatch")
+      // the kept doc must be at least as good as every dropped member
+      assert(ms.forall(d => qual(d) <= qual(expected)),
+        s"component $c kept a non-maximal quality doc")
+    }
+  }
+
+  test("q98 perplexity buckets: tercile sizes, ordered cutoffs, no boundary-grazing doc") {
+    val rows = TextQueries.defs("q98_perplexity_buckets")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.map(_.getAs[Int]("bucket")).sorted.sameElements(1 to rs.length),
+        s"$lang: buckets not contiguous from 1")
+      // NTILE semantics: sizes differ by at most 1, larger buckets first
+      val sizes = rs.sortBy(_.getAs[Int]("bucket")).map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1 && sizes.sameElements(sizes.sortBy(-_)),
+        s"$lang: not an NTILE split: ${sizes.mkString(",")}")
+      // head cutoff <= middle cutoff <= tail cutoff (surprisal ascending)
+      val cuts = rs.sortBy(_.getAs[Int]("bucket")).map(_.getAs[Double]("cutoff_surprisal"))
+      assert(cuts.sameElements(cuts.sorted), s"$lang: cutoffs out of order: ${cuts.mkString(",")}")
+    }
+    // the rank key is round(s, 6) with doc_id tie-break; bucket membership
+    // is engine-deterministic only while no doc's surprisal sits within
+    // float noise of a round-6 boundary (the q93-style safety pin)
+    val t = graft.functions.TextFunctions.tokens(col("text"))
+    val bgF = Tables.documents(spark, dir)
+      .select(col("doc_id"), t.as("t")).filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1), (a, b) -> concat(a, ' ', b))")).as("bg"))
+    val f2 = bgF.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val f1 = bgF.groupBy(expr("substring_index(bg, ' ', 1)").as("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val pF = f2.withColumn("w1", expr("substring_index(bg, ' ', 1)")).join(f1, "w1")
+      .select(col("bg"), (col("c2") / col("c1").cast("double")).as("p"))
+    val worst = bgF.join(pF, "bg").groupBy(col("doc_id"))
+      .agg(avg(-log(col("p"))).as("s"))
+      .select(org.apache.spark.sql.functions.min(
+        abs(abs(col("s") * 1e6 - floor(col("s") * 1e6)) - lit(0.5))).as("d"))
+      .head.getDouble(0)
+    assert(worst > 1e-6,
+      f"a doc surprisal sits $worst%.2e from a round-6 boundary — bucket membership could diverge across engines")
+  }
+
+  test("q99 hybrid RRF: fused top-5 replays from scratch (both rankers + fusion)") {
+    val rows = VectorQueries.defs("q99_hybrid_rrf")(spark, dir).collect()
+    assert(rows.length == 100, s"expected 20 anchors x 5, got ${rows.length}")
+    // full independent replay in plain Scala: dense cosine ranks, BM25
+    // with 8-term idf selection, integer-rank RRF
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; aa += x * x; bb += y * y; i += 1
+      }
+      val na = math.sqrt(aa); val nb = math.sqrt(bb)
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (na * nb)
+    }
+    val embs = Tables.embeddings(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    val anchors = embs.keys.filter(_ < 20).toSeq.sorted
+    val dense = anchors.flatMap { q =>
+      embs.toSeq.filter(_._1 != q)
+        .map { case (d, v) => (d, cos(embs(q), v)) }
+        .sortBy { case (d, c) => (-c, d) }.take(20).zipWithIndex
+        .map { case ((d, _), i) => (q, d) -> (i + 1) }
+    }.toMap
+    val toksByDoc = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map { r =>
+        r.getAs[Long]("doc_id") ->
+          r.getAs[String]("text").toLowerCase.replaceAll("[^a-z ]", " ")
+            .trim.split("\\s+").filter(_.nonEmpty).toSeq
+      }.toMap
+    val nd = toksByDoc.size.toDouble
+    val df = toksByDoc.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, v) => (t, v.size) }
+    def idf(t: String): Double = math.log((nd - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+    val avgdl = toksByDoc.values.map(_.length.toLong).sum / nd
+    val lex = anchors.flatMap { q =>
+      val qterms = toksByDoc(q).distinct.sortBy(t => (-idf(t), t)).take(8)
+      val scored = toksByDoc.toSeq.filter(_._1 != q).flatMap { case (d, ts) =>
+        val tf = ts.groupBy(identity).map { case (t, v) => (t, v.size) }
+        val s = qterms.flatMap(t => tf.get(t).map(f =>
+          idf(t) * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * (ts.length / avgdl))))).sum
+        if (s > 0) Some((d, s.toFloat)) else None
+      }
+      scored.sortBy { case (d, s) => (-s, d) }.take(20).zipWithIndex
+        .map { case ((d, _), i) => (q, d) -> (i + 1) }
+    }.toMap
+    val expected = anchors.flatMap { q =>
+      val cands = (dense.keys ++ lex.keys).filter(_._1 == q).map(_._2).toSeq.distinct
+      cands.map { d =>
+        val r = dense.get((q, d)).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          lex.get((q, d)).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (q, d, r)
+      }.sortBy { case (_, d, r) => (-r, d) }.take(5).zipWithIndex
+        .map { case ((qq, d, r), i) =>
+          (qq, i + 1, d, BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }
+    val got = rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rk"),
+      r.getAs[Long]("doc_id"), r.getAs[Double]("rrf"))).toSeq
+    assert(got.sorted == expected.sorted.map(e => (e._1, e._2, e._3, e._4)),
+      s"fusion replay diverged; first diff: ${
+        got.sorted.zip(expected.sorted).find { case (g, e) => g != e }}")
+  }
 }
