@@ -1383,6 +1383,101 @@ object TextQueries {
           round(max(col("s")), 4).as("cutoff_surprisal"),
           sum(col("doc_id")).as("id_checksum"))
         .orderBy("lang", "bucket")
+    }),
+
+    // The curation FUNNEL — every gate of a production pretraining-data
+    // pipeline composed into one plan, with per-gate drop accounting (the
+    // audit report a data team reads before a training run). Universe:
+    // the q53 train split. Gates, in pipeline order, each attributing a
+    // doc to the FIRST one that catches it:
+    //   1. dedup    — in a near-dup cluster (q52 labels) and not its
+    //                 best-quality member (the q97 canonical-keep policy);
+    //   2. quality  — q25 composite score < 0.72 (round-6 scores make the
+    //                 comparison engine-exact; the corpus value nearest
+    //                 the threshold is 5e-4 away at sf0.01);
+    //   3. contaminated — shares a verbatim 5-gram with any valid/test
+    //                 doc (the q68 check, pointed at the train side);
+    //   4. lm_tail  — in the per-lang tail perplexity tercile of the q98
+    //                 CCNet gate (docs with < 2 tokens have no LM score
+    //                 and pass through).
+    // Scale shape: the component labels are a persisted artifact read;
+    // quality and token counts are row-local; the gram join carries
+    // distinct (doc, gram) pairs; the LM chain is q98's (vocab-sized
+    // joins, per-DOC tercile window); the funnel itself is left joins on
+    // doc_id + ONE conditional aggregation by lang — no corpus window,
+    // no cartesian. Oracle-checked hash-for-hash: all four gate chains
+    // (recursive closure, quality formula, gram join, bigram LM + ntile)
+    // replayed in one SQL program.
+    "q100_curation_funnel" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"),
+          tokens(col("text")).as("t"), splitAssign(col("doc_id")).as("split"))
+        .localCheckpoint() // consumers: quality, grams, LM chain, funnel
+      val qual = base.select(col("doc_id"), qualityScore(col("text")).as("q"))
+      // gate 1: non-canonical members of multi-doc components
+      val members = neardupComponentsShared(s, dir).join(qual, "doc_id")
+      val best = members.groupBy(col("component"))
+        .agg(count(lit(1)).as("n"),
+          min_by(col("doc_id"), struct(negate(col("q")), col("doc_id")))
+            .as("keep_doc"))
+        .filter(col("n") >= 2)
+      val dropDedup = members.join(best, "component")
+        .filter(col("doc_id") =!= col("keep_doc"))
+        .select(col("doc_id"), lit(true).as("g_dedup"))
+      // gate 3: train docs sharing a 5-gram with the held-out splits
+      val grams = base
+        .select(col("doc_id"), col("split"),
+          explode(array_distinct(wordNgramsUdf(5)(col("text")))).as("g"))
+      val heldGrams = grams.filter(col("split") =!= "train")
+        .select(col("g")).distinct()
+      val contam = grams.filter(col("split") === "train")
+        .join(heldGrams, "g")
+        .select(col("doc_id")).distinct()
+        .select(col("doc_id"), lit(true).as("g_contam"))
+      // gate 4: the q98 tail tercile, computed over the full corpus
+      val bg = base.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(zip_with(
+            slice(col("t"), lit(1), size(col("t")) - 1),
+            slice(col("t"), lit(2), size(col("t")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bg"))
+        .localCheckpoint()
+      val f2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      val f1 = bg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+        .agg(count(lit(1)).as("c1"))
+      val p = f2.withColumn("w1", substring_index(col("bg"), " ", 1))
+        .join(f1, "w1")
+        .select(col("bg"), (col("c2") / col("c1").cast("double")).as("p"))
+      val wB = Window.partitionBy(col("lang"))
+        .orderBy(round(col("s"), 6), col("doc_id"))
+      val buckets = bg.join(p, "bg")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(avg(-log(col("p"))).as("s"))
+        .withColumn("bucket", ntile(3).over(wB))
+        .select(col("doc_id"), col("bucket"))
+      // the funnel: first-gate attribution + per-lang accounting
+      base.filter(col("split") === "train")
+        .select(col("doc_id"), col("lang"), size(col("t")).as("ntok"))
+        .join(qual, "doc_id")
+        .join(dropDedup, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .join(buckets, Seq("doc_id"), "left")
+        .withColumn("reason",
+          when(coalesce(col("g_dedup"), lit(false)), "dedup")
+            .when(col("q") < 0.72, "quality")
+            .when(coalesce(col("g_contam"), lit(false)), "contaminated")
+            .when(col("bucket") === 3, "lm_tail")
+            .otherwise("kept"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_train_docs"),
+          sum(when(col("reason") === "dedup", 1).otherwise(0)).as("n_drop_dedup"),
+          sum(when(col("reason") === "quality", 1).otherwise(0)).as("n_drop_quality"),
+          sum(when(col("reason") === "contaminated", 1).otherwise(0)).as("n_drop_contam"),
+          sum(when(col("reason") === "lm_tail", 1).otherwise(0)).as("n_drop_tail"),
+          sum(when(col("reason") === "kept", 1).otherwise(0)).as("n_kept"),
+          sum(when(col("reason") === "kept", col("ntok")).otherwise(0)).as("kept_tokens"),
+          sum(when(col("reason") === "kept", col("doc_id")).otherwise(0)).as("kept_id_checksum"))
+        .orderBy("lang")
     })
   )
 
@@ -2056,6 +2151,108 @@ object TextQueries {
         |  round(max(s), 4) AS cutoff_surprisal,
         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
         |FROM nt GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // all four gate chains replayed in one program: the q52 recursive
+    // closure + q25 quality + q68 gram join + q98 LM terciles, then the
+    // first-gate CASE and the per-lang funnel aggregation
+    "q100_curation_funnel" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |shingles AS (
+        |  SELECT DISTINCT doc_id, s
+        |  FROM (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+        |        WHERE len(t) >= 3)),
+        |counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id d1, b.doc_id d2
+        |  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  JOIN counts c1 ON a.doc_id = c1.doc_id
+        |  JOIN counts c2 ON b.doc_id = c2.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, c1.n, c2.n
+        |  HAVING count(*) / (c1.n + c2.n - count(*)) >= 0.5),
+        |edges AS (SELECT d1, d2 FROM p UNION ALL SELECT d2 AS d1, d1 AS d2 FROM p),
+        |reach AS (
+        |  SELECT d1 AS d, d1 AS r FROM edges
+        |  UNION
+        |  SELECT e.d2 AS d, reach.r FROM reach JOIN edges e ON e.d1 = reach.d),
+        |comp AS (SELECT d, min(r) AS component FROM reach GROUP BY d),
+        |raw AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS qtoks,
+        |    len(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+        |    len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+        |  FROM documents),
+        |ratios AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(qtoks) = 0 THEN 0.0
+        |      ELSE len(list_filter(qtoks, x -> x IN ('the','a','an','of','and','in','to','is','on','for'))) / CAST(len(qtoks) AS DOUBLE) END AS stop_r,
+        |    CASE WHEN n_nonspace = 0 THEN 0.0
+        |      ELSE n_punct / CAST(n_nonspace AS DOUBLE) END AS punct_r,
+        |    n_tok FROM raw),
+        |qual AS (
+        |  SELECT doc_id,
+        |    round(least(n_tok / 20.0, 1.0) * 0.4 +
+        |      (1.0 - least(punct_r * 4, 1.0)) * 0.3 +
+        |      least(stop_r * 5, 1.0) * 0.3, 6) AS q
+        |  FROM ratios),
+        |mw AS (
+        |  SELECT c.component, c.d AS doc_id,
+        |    row_number() OVER (PARTITION BY c.component ORDER BY qual.q DESC, c.d) AS rk,
+        |    count(*) OVER (PARTITION BY c.component) AS nm
+        |  FROM comp c JOIN qual ON c.d = qual.doc_id),
+        |dd AS (SELECT doc_id FROM mw WHERE nm >= 2 AND rk > 1),
+        |sp AS (SELECT doc_id,
+        |         CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'valid'
+        |              WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |              ELSE 'train' END AS split
+        |       FROM documents),
+        |g5 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-4)) AS i) gg
+        |       WHERE len(t) >= 5),
+        |held AS (SELECT DISTINCT g FROM g5 JOIN sp USING(doc_id) WHERE sp.split <> 'train'),
+        |contam AS (
+        |  SELECT DISTINCT g5.doc_id FROM g5 JOIN sp USING(doc_id) JOIN held USING(g)
+        |  WHERE sp.split = 'train'),
+        |bg AS (
+        |  SELECT doc_id, lang, array_to_string(t[i:i+1], ' ') AS bg
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
+        |  WHERE len(t) >= 2),
+        |f2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+        |f1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |bp AS (SELECT f2.bg, f2.c2 / CAST(f1.c1 AS DOUBLE) AS p
+        |       FROM f2 JOIN f1 ON split_part(f2.bg, ' ', 1) = f1.w1),
+        |per AS (
+        |  SELECT b.doc_id, b.lang, avg(-ln(bp.p)) AS s
+        |  FROM bg b JOIN bp ON b.bg = bp.bg GROUP BY 1, 2),
+        |nt AS (
+        |  SELECT doc_id,
+        |    ntile(3) OVER (PARTITION BY lang ORDER BY round(s, 6), doc_id) AS bucket
+        |  FROM per),
+        |funnel AS (
+        |  SELECT t.doc_id, t.lang, len(t.t) AS ntok,
+        |    CASE WHEN dd.doc_id IS NOT NULL THEN 'dedup'
+        |         WHEN qual.q < 0.72 THEN 'quality'
+        |         WHEN contam.doc_id IS NOT NULL THEN 'contaminated'
+        |         WHEN nt.bucket = 3 THEN 'lm_tail'
+        |         ELSE 'kept' END AS reason
+        |  FROM toks t JOIN sp ON t.doc_id = sp.doc_id
+        |  JOIN qual ON t.doc_id = qual.doc_id
+        |  LEFT JOIN dd ON t.doc_id = dd.doc_id
+        |  LEFT JOIN contam ON t.doc_id = contam.doc_id
+        |  LEFT JOIN nt ON t.doc_id = nt.doc_id
+        |  WHERE sp.split = 'train')
+        |SELECT lang, count(*) AS n_train_docs,
+        |  CAST(sum(CASE WHEN reason = 'dedup' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_dedup,
+        |  CAST(sum(CASE WHEN reason = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_quality,
+        |  CAST(sum(CASE WHEN reason = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_contam,
+        |  CAST(sum(CASE WHEN reason = 'lm_tail' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_tail,
+        |  CAST(sum(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN reason = 'kept' THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |  CAST(sum(CASE WHEN reason = 'kept' THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_checksum
+        |FROM funnel GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q68_ngram_contamination" ->
       """WITH toks AS (

@@ -445,4 +445,21 @@ class PlanSpec extends AnyFunSuite {
     assert("""windowspecdefinition\(q_id""".r.findFirstIn(plan).isDefined,
       s"ranking windows lost their q_id partitioning:\n$plan")
   }
+
+  test("q100 funnel: doc_id equi-joins, lang-partitioned tercile, partial funnel agg") {
+    // four gate frames meet the train universe as doc_id-keyed joins (a
+    // cartesian anywhere poisons the whole report), the only window is
+    // q98's per-DOC tercile partitioned by lang, and the final per-lang
+    // accounting aggregates with map-side partials
+    val plan = physical(TextQueries.defs("q100_curation_funnel")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"),
+      s"a funnel gate join fell back to a cartesian:\n$plan")
+    assert("""windowspecdefinition\(lang""".r.findFirstIn(plan).isDefined,
+      s"LM tercile window lost its lang partitioning:\n$plan")
+    assert(plan.contains("partial_min_by"),
+      s"canonical-keep selection lost its map-side partial:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"funnel accounting lost its map-side partials:\n$plan")
+  }
 }

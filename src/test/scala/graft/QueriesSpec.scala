@@ -933,4 +933,39 @@ class QueriesSpec extends AnyFunSuite {
       s"fusion replay diverged; first diff: ${
         got.sorted.zip(expected.sorted).find { case (g, e) => g != e }}")
   }
+
+  test("q100 funnel: conserves the train split, gates reconcile, threshold not grazed") {
+    val rows = TextQueries.defs("q100_curation_funnel")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // per-lang conservation: every train doc lands in exactly one bucket
+    rows.foreach { r =>
+      val total = r.getAs[Long]("n_drop_dedup") + r.getAs[Long]("n_drop_quality") +
+        r.getAs[Long]("n_drop_contam") + r.getAs[Long]("n_drop_tail") +
+        r.getAs[Long]("n_kept")
+      assert(total == r.getAs[Long]("n_train_docs"),
+        s"${r.getAs[String]("lang")}: funnel buckets don't sum to the train count")
+    }
+    // global conservation vs the q53 split assignment
+    val trainDocs = Tables.documents(spark, dir)
+      .filter(graft.functions.TextFunctions.splitAssign(col("doc_id")) === "train")
+      .count()
+    assert(rows.map(_.getAs[Long]("n_train_docs")).sum == trainDocs,
+      "funnel universe is not exactly the q53 train split")
+    // something must survive AND something must drop for the report to
+    // be exercising its gates on this corpus
+    assert(rows.map(_.getAs[Long]("n_kept")).sum > 0, "funnel kept nothing")
+    assert(rows.map(r => r.getAs[Long]("n_drop_dedup") + r.getAs[Long]("n_drop_quality") +
+      r.getAs[Long]("n_drop_contam") + r.getAs[Long]("n_drop_tail")).sum > 0,
+      "no gate fired — thresholds are not exercising the corpus")
+    // quality-threshold safety pin (the q98-style canary): the corpus
+    // score nearest 0.72 must be well clear of it, or gate-2 membership
+    // could diverge across engines on regenerated data
+    val nearest = Tables.documents(spark, dir)
+      .select(graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+      .filter(col("q") =!= 0.72)
+      .select(org.apache.spark.sql.functions.min(abs(col("q") - 0.72)))
+      .head.getDouble(0)
+    assert(nearest > 1e-5,
+      f"a quality score sits $nearest%.2e from the 0.72 gate threshold")
+  }
 }
