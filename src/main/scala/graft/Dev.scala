@@ -215,6 +215,38 @@ object Dev {
           println(f"[dev] $n%-24s pairs=${p.size}%4d  recall@5=${recall}%.3f  $secs%.2f s")
         }
 
+      case Some("retrievalquality") =>
+        // measured quality table for the retrieval stack (q94/q99 family):
+        // label purity@5 of lexical-only, dense-only, and RRF-hybrid
+        // retrieval — same 20 anchors, labels from the embeddings table.
+        // Purity counts retrieved docs whose label matches the anchor's;
+        // coverage is the fraction of retrieved docs that HAVE an
+        // embedding (lexical can surface docs outside the embedded set —
+        // the gap hybrid fusion exists to bridge).
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.functions.col
+        val qdir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val labels = Tables.embeddings(spark, qdir).select("vec_id", "label")
+          .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+        def topPairs(df: DataFrame): Seq[(Long, Long)] =
+          df.select("q_id", "doc_id").collect()
+            .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"))).toSeq
+        def report(name: String, f: => DataFrame): Unit = {
+          f.count() // warm: plan + artifacts
+          val t0 = System.nanoTime()
+          val pairs = topPairs(f)
+          val secs = (System.nanoTime() - t0) / 1e9
+          val labeled = pairs.filter { case (_, d) => labels.contains(d) }
+          val pure = labeled.count { case (q, d) => labels(d) == labels(q) }
+          println(f"[dev] $name%-14s purity@5=${pure.toDouble / labeled.size}%.3f " +
+            f"coverage=${labeled.size.toDouble / pairs.size}%.3f  $secs%.2f s")
+        }
+        report("lexical-only", graft.operators.VectorQueries.lexicalRanks(spark, qdir, 5)
+          .withColumnRenamed("r_lex", "rk"))
+        report("dense-only", graft.operators.VectorQueries.denseRanks(spark, qdir, 5)
+          .withColumnRenamed("r_dense", "rk"))
+        report("hybrid-rrf", SparkEntry.queries("q99_hybrid_rrf")(spark, qdir))
+
       case Some("soak") =>
         // Long-lived stream soak (round-8 verdict item 2): ONE topic, 200+
         // rate-limited micro-batches through the full GeotagPipeline

@@ -604,53 +604,8 @@ object VectorQueries {
     // cast on the BM25 sum absorbs partial-agg merge-order noise (the
     // q63 pattern). Oracle-checked hash-for-hash end-to-end.
     "q99_hybrid_rrf" -> ((s, dir) => {
-      import graft.functions.TextFunctions.tokens
-      val depth = 20
-      val e = Tables.embeddings(s, dir)
-      val nDocs = Tables.rowCount(s, dir, "documents")
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), tokens(col("text")).as("t"))
-        .localCheckpoint() // 4 consumers: df census, lengths, tf scan, queries
-      // dense top-20: the q33 exact scorer at fusion depth
-      val q = e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      val wd = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      val dense = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .withColumn("cos", cosineSim(col("q_vec"), col("embedding")))
-        .withColumn("r_dense", row_number().over(wd))
-        .filter(col("r_dense") <= depth)
-        .select(col("q_id"), col("vec_id").as("doc_id"), col("r_dense"))
-      // lexical top-20: anchor tokens -> idf -> keep 8 rarest per anchor
-      val dfT = docs.select(explode(array_distinct(col("t"))).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val wq = Window.partitionBy("q_id").orderBy(col("idf").desc, col("token"))
-      val qterms = docs.filter(col("doc_id") < NQueries)
-        .select(col("doc_id").as("q_id"), explode(array_distinct(col("t"))).as("token"))
-        .join(dfT, "token")
-        .withColumn("idf", log(
-          (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-            + lit(1.0)))
-        .withColumn("trk", row_number().over(wq))
-        .filter(col("trk") <= 8)
-        .select(col("q_id"), col("token"), col("idf"))
-      val lens = docs.select(col("doc_id"), size(col("t")).as("dl"))
-      val avgdl = lens.agg(avg(col("dl")).as("avgdl"))
-      val wl = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
-      val lexical = docs.select(col("doc_id"), explode(col("t")).as("token"))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-        .join(broadcast(qterms), "token")
-        .filter(col("doc_id") =!= col("q_id"))
-        .join(lens, "doc_id")
-        .crossJoin(broadcast(avgdl))
-        .withColumn("contrib", col("idf") *
-          ((col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") + lit(1.2) *
-              (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
-        .groupBy(col("q_id"), col("doc_id"))
-        .agg(sum(col("contrib")).cast("float").as("score"))
-        .withColumn("r_lex", row_number().over(wl))
-        .filter(col("r_lex") <= depth)
-        .select(col("q_id"), col("doc_id"), col("r_lex"))
+      val dense = denseRanks(s, dir, RrfDepth)
+      val lexical = lexicalRanks(s, dir, RrfDepth)
       // RRF fusion over the two bounded rank lists
       val wf = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("doc_id"))
       dense.join(lexical, Seq("q_id", "doc_id"), "full_outer")
@@ -664,6 +619,69 @@ object VectorQueries {
         .orderBy("q_id", "rk")
     })
   )
+
+  // ---- the two retrieval rankers q99 fuses (also driven standalone by
+  // ---- Dev retrievalquality for the measured quality table) -------------
+
+  private[graft] val RrfDepth = 20
+
+  /** Dense ranks: the q33 exact cosine scorer at fusion depth —
+    * (q_id, doc_id, r_dense), anchors broadcast, one corpus scan. */
+  private[graft] def denseRanks(s: SparkSession, dir: String,
+      depth: Int): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val wd = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosineSim(col("q_vec"), col("embedding")))
+      .withColumn("r_dense", row_number().over(wd))
+      .filter(col("r_dense") <= depth)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("r_dense"))
+  }
+
+  /** Lexical ranks: doc-as-query Okapi BM25 with per-anchor 8-term idf
+    * selection — (q_id, doc_id, r_lex). The selected-term table is
+    * anchor-bounded and broadcast, so the tf shuffle carries only those
+    * terms' posting lists. */
+  private[graft] def lexicalRanks(s: SparkSession, dir: String,
+      depth: Int): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val nDocs = Tables.rowCount(s, dir, "documents")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .localCheckpoint() // 4 consumers: df census, lengths, tf scan, queries
+    val dfT = docs.select(explode(array_distinct(col("t"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val wq = Window.partitionBy("q_id").orderBy(col("idf").desc, col("token"))
+    val qterms = docs.filter(col("doc_id") < NQueries)
+      .select(col("doc_id").as("q_id"), explode(array_distinct(col("t"))).as("token"))
+      .join(dfT, "token")
+      .withColumn("idf", log(
+        (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)))
+      .withColumn("trk", row_number().over(wq))
+      .filter(col("trk") <= 8)
+      .select(col("q_id"), col("token"), col("idf"))
+    val lens = docs.select(col("doc_id"), size(col("t")).as("dl"))
+    val avgdl = lens.agg(avg(col("dl")).as("avgdl"))
+    val wl = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+    docs.select(col("doc_id"), explode(col("t")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .join(broadcast(qterms), "token")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(avgdl))
+      .withColumn("contrib", col("idf") *
+        ((col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("contrib")).cast("float").as("score"))
+      .withColumn("r_lex", row_number().over(wl))
+      .filter(col("r_lex") <= depth)
+      .select(col("q_id"), col("doc_id"), col("r_lex"))
+  }
 
   // ---- IVF coarse-quantizer stages (q46, q63) ----------------------------
 
