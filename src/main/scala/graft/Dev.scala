@@ -55,7 +55,7 @@ object Dev {
           println(s"[dev] dumped $n -> $out/$n")
         }
       case Some("scale") | Some("scale30") =>
-        // 10× scale sanity (default: the FULL 92-query inventory):
+        // 10× scale sanity (default: the FULL query inventory):
         // replicate sf0.1 with shifted keys (10× rows AND 10× keys →
         // per-key state constant, the realistic growth model), then
         // compare per-query seconds vs sf0.1. A healthy operator scales

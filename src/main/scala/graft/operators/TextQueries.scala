@@ -1478,6 +1478,34 @@ object TextQueries {
           sum(when(col("reason") === "kept", col("ntok")).otherwise(0)).as("kept_tokens"),
           sum(when(col("reason") === "kept", col("doc_id")).otherwise(0)).as("kept_id_checksum"))
         .orderBy("lang")
+    }),
+
+    // Temperature-scaled mixture reweighting — the multilingual sampling
+    // knob of XLM-R / mBERT-style training: raw language shares p_l are
+    // exponentiated to p_l^α (α = 0.3) and renormalized, upsampling rare
+    // languages and downsampling dominant ones; sampling_factor is the
+    // per-language multiplier a weighted sampler (q88) or downsampler
+    // (q65) applies. Pure aggregate math: one per-lang token census, then
+    // window sums over the LANGUAGE table (bounded, ~languages rows — at
+    // 100 TB this is a 100-row frame, never the corpus). The only
+    // cross-engine hazard is pow()'s final-ulp rounding (Java Math.pow vs
+    // libm, both within 1-2 ulp): the round-4 output absorbs it and a
+    // spec pins that no share sits near a rounding boundary.
+    "q101_temperature_mixture" -> ((s, dir) => {
+      val w = Window.partitionBy(lit(1)) // the bounded language table
+      Tables.documents(s, dir)
+        .select(col("lang"), size(tokens(col("text"))).as("ntok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+        .withColumn("p",
+          col("n_tokens").cast("double") / sum(col("n_tokens")).over(w))
+        .withColumn("wgt", pow(col("p"), lit(0.3)))
+        .withColumn("a", col("wgt") / sum(col("wgt")).over(w))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          round(col("p"), 4).as("raw_share"),
+          round(col("a"), 4).as("alpha_share"),
+          round(col("a") / col("p"), 4).as("sampling_factor"))
+        .orderBy("lang")
     })
   )
 
@@ -2253,6 +2281,21 @@ object TextQueries {
         |  CAST(sum(CASE WHEN reason = 'kept' THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens,
         |  CAST(sum(CASE WHEN reason = 'kept' THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_checksum
         |FROM funnel GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the per-lang token census + alpha-renormalization replayed
+    "q101_temperature_mixture" ->
+      """WITH t AS (
+        |  SELECT lang, len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0)) AS ntok
+        |  FROM documents),
+        |pl AS (SELECT lang, count(*) AS n_docs, sum(ntok) AS n_tokens
+        |       FROM t GROUP BY 1),
+        |x AS (SELECT lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |        n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS p FROM pl),
+        |y AS (SELECT *, pow(p, 0.3) AS wgt FROM x),
+        |z AS (SELECT lang, n_docs, n_tokens, p, wgt / sum(wgt) OVER () AS a FROM y)
+        |SELECT lang, n_docs, n_tokens, round(p, 4) AS raw_share,
+        |  round(a, 4) AS alpha_share, round(a / p, 4) AS sampling_factor
+        |FROM z ORDER BY lang""".stripMargin,
 
     "q68_ngram_contamination" ->
       """WITH toks AS (

@@ -462,4 +462,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"),
       s"funnel accounting lost its map-side partials:\n$plan")
   }
+
+  test("q101 temperature mixture: partial census below the bounded language window") {
+    // the token census must aggregate with map-side partials BEFORE the
+    // normalization windows — the windows then see one row per language
+    // (a bounded frame at any corpus size), never token- or doc-level rows
+    val plan = physical(TextQueries.defs("q101_temperature_mixture")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("partial_sum"),
+      s"token census lost its map-side partial:\n$plan")
+    val windowLine = plan.linesIterator.find(_.contains("windowspecdefinition"))
+    assert(windowLine.isDefined, s"normalization window missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"grew a cartesian:\n$plan")
+  }
 }

@@ -968,4 +968,46 @@ class QueriesSpec extends AnyFunSuite {
     assert(nearest > 1e-5,
       f"a quality score sits $nearest%.2e from the 0.72 gate threshold")
   }
+
+  test("q101 temperature mixture: shares normalize, rare langs upsample, no boundary graze") {
+    val rows = TextQueries.defs("q101_temperature_mixture")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val raw = rows.map(_.getAs[Double]("raw_share"))
+    val alpha = rows.map(_.getAs[Double]("alpha_share"))
+    assert(math.abs(raw.sum - 1.0) < 1e-3 && math.abs(alpha.sum - 1.0) < 1e-3,
+      s"shares don't normalize: raw=${raw.sum}, alpha=${alpha.sum}")
+    // alpha=0.3 flattens: every language's alpha share must sit between
+    // its raw share and the uniform share (the defining property of
+    // temperature scaling), so rare langs upsample and dominant ones
+    // downsample
+    val uniform = 1.0 / rows.length
+    rows.foreach { r =>
+      val (p, a, f) = (r.getAs[Double]("raw_share"),
+        r.getAs[Double]("alpha_share"), r.getAs[Double]("sampling_factor"))
+      assert((a >= p - 5e-4 && a <= uniform + 5e-4) ||
+        (a <= p + 5e-4 && a >= uniform - 5e-4),
+        s"${r.getAs[String]("lang")}: alpha share $a not between raw $p and uniform $uniform")
+      assert(math.abs(f - a / p) < 0.02,
+        s"${r.getAs[String]("lang")}: sampling factor inconsistent with shares")
+      if (p < uniform - 5e-4) assert(f > 1.0, s"rare lang not upsampled (f=$f)")
+      if (p > uniform + 5e-4) assert(f < 1.0, s"dominant lang not downsampled (f=$f)")
+    }
+    // pow()'s final-ulp wobble is absorbed by round-4 only while no share
+    // sits near a rounding boundary — pin the distance (q98-style canary)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val shares = Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("ntok"))
+      .groupBy(col("lang")).agg(sum(col("ntok")).as("n_tokens"))
+      .withColumn("p", col("n_tokens").cast("double") / sum(col("n_tokens")).over(w))
+      .withColumn("wgt", pow(col("p"), lit(0.3)))
+      .withColumn("a", col("wgt") / sum(col("wgt")).over(w))
+      .select(col("p"), col("a"), (col("a") / col("p")).as("f")).collect()
+      .flatMap(r => Seq(r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    val worstDist = shares.map { v =>
+      math.abs(math.abs(v * 1e4 - math.floor(v * 1e4)) - 0.5)
+    }.min
+    assert(worstDist > 1e-6,
+      f"a mixture share sits $worstDist%.2e from a round-4 boundary — pow ulp wobble could diverge engines")
+  }
 }
