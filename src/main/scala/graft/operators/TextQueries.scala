@@ -1506,6 +1506,97 @@ object TextQueries {
           round(col("a"), 4).as("alpha_share"),
           round(col("a") / col("p"), 4).as("sampling_factor"))
         .orderBy("lang")
+    }),
+
+    // DSIR importance weighting (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling") — score every raw doc
+    // by how target-domain-like it is: hashed n-gram features (unigrams +
+    // bigrams hashed into 256 buckets — md5's first hex byte is the
+    // engine-portable hash), two smoothed bag-of-buckets LMs (target =
+    // the src0/src1 slice, raw = the whole corpus), per-doc weight
+    // w = Σ_features [ln p̂_tgt(b) − ln p̂_raw(b)]; docs with w > 0 look
+    // more target- than raw-like and are the resampling pool. Scale
+    // shape: BOTH LMs live in one 256-row table (the whole point of
+    // feature hashing — a 100 TB corpus still hashes into 256 buckets) →
+    // broadcast; scoring is a map-side join + one partial-aggregable
+    // per-doc sum; the report is a per-source partial agg. No corpus
+    // window, no driver loop. A sign-margin spec pins that no doc's
+    // weight grazes the w > 0 cut (min |w| is 2.5e-4 across SFs vs the
+    // ~1e-13 engine sum-order noise).
+    "q102_dsir_weights" -> ((s, dir) => {
+      val t = tokens(col("text"))
+      val feats = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), t.as("t"))
+        .filter(size(col("t")) >= 1)
+        .select(col("doc_id"), col("source"),
+          explode(concat(col("t"),
+            zip_with(
+              slice(col("t"), lit(1), size(col("t")) - 1),
+              slice(col("t"), lit(2), size(col("t")) - 1),
+              (a, b) => concat(a, lit(" "), b)))).as("f"))
+        .withColumn("b", substring(md5(col("f")), 1, 2))
+        .localCheckpoint() // 3 consumers: target census, raw census, scoring
+      val isTgt = col("source").isin("src0", "src1")
+      val census = feats
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("rb"),
+          sum(when(isTgt, 1L).otherwise(0L)).as("tb"))
+      val totals = feats.agg(count(lit(1)).as("rtot"),
+        sum(when(isTgt, 1L).otherwise(0L)).as("ttot"))
+      val lm = census.crossJoin(totals)
+        .select(col("b"),
+          (log((col("tb") + lit(1)).cast("double") /
+              (col("ttot") + lit(256)).cast("double")) -
+            log((col("rb") + lit(1)).cast("double") /
+              (col("rtot") + lit(256)).cast("double"))).as("lam"))
+      feats.join(broadcast(lm), "b")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("lam")).as("w"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_selected"),
+          round(avg(col("w")), 4).as("avg_logratio"))
+        .withColumn("sel_rate",
+          round(col("n_selected") / col("n_docs").cast("double"), 4))
+        .orderBy("source")
+    }),
+
+    // Boilerplate-passage removal accounting — the RefinedWeb/CCNet line
+    // dedup rule restated for a corpus with no line boundaries: chop each
+    // doc into non-overlapping 10-token chunks (finer than q89's 20-token
+    // passage census — this is the REMOVAL granularity, q89 is the audit
+    // one), call a chunk boilerplate when it appears in >= 3 DISTINCT
+    // docs corpus-wide, and report per language how much text survives
+    // chunk-level removal (the retention number a curation run quotes).
+    // Every threshold is an integer count, so membership is engine-exact.
+    // Scale shape: chunking is row-local column math; the census is a
+    // hash-keyed partial agg and the flag joins back on the chunk hash
+    // (q89's unbounded-key shape — broadcast would be wrong at 100 TB);
+    // retention is a per-doc partial agg then a per-lang partial agg.
+    "q104_boilerplate_chunks" -> ((s, dir) => {
+      val ch = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 10)
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1), size(col("t")) - 9, lit(10))).as("i"),
+          col("t"))
+        .select(col("doc_id"), col("lang"),
+          md5(array_join(slice(col("t"), col("i"), lit(10)), " ")).as("h"))
+        .localCheckpoint() // feeds both the census and the join back
+      val nd = ch.groupBy(col("h"))
+        .agg(count_distinct(col("doc_id")).as("ndocs"))
+      ch.join(nd, "h")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("nch"),
+          sum(when(col("ndocs") >= 3, 1L).otherwise(0L)).as("nbp"))
+        .withColumn("retention",
+          lit(1.0) - col("nbp") / col("nch").cast("double"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nch")).as("n_chunks"),
+          sum(col("nbp")).as("bp_chunks"),
+          round(avg(col("retention")), 4).as("avg_retention"))
+        .orderBy("lang")
     })
   )
 
@@ -2648,6 +2739,57 @@ object TextQueries {
         |FROM (SELECT token, doc_id, score,
         |        row_number() OVER (PARTITION BY token ORDER BY score DESC, doc_id) AS rk
         |      FROM sc) r
-        |WHERE rk <= 5 ORDER BY token, rk""".stripMargin
+        |WHERE rk <= 5 ORDER BY token, rk""".stripMargin,
+
+    // the hashed-feature LMs and per-doc log-ratio sums replayed
+    "q102_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, source, unnest(list_concat(t,
+        |    list_transform(generate_series(1, len(t)-1), i -> array_to_string(t[i:i+1], ' ')))) AS f
+        |  FROM toks WHERE len(t) >= 1),
+        |fb AS (SELECT doc_id, source, substring(md5(f), 1, 2) AS b FROM feats),
+        |census AS (
+        |  SELECT b, count(*) AS rb,
+        |    sum(CASE WHEN source IN ('src0','src1') THEN 1 ELSE 0 END) AS tb
+        |  FROM fb GROUP BY 1),
+        |tot AS (
+        |  SELECT count(*) AS rtot,
+        |    sum(CASE WHEN source IN ('src0','src1') THEN 1 ELSE 0 END) AS ttot
+        |  FROM fb),
+        |lm AS (
+        |  SELECT b, ln((tb + 1) / CAST(ttot + 256 AS DOUBLE)) -
+        |    ln((rb + 1) / CAST(rtot + 256 AS DOUBLE)) AS lam
+        |  FROM census, tot),
+        |dw AS (
+        |  SELECT doc_id, source, sum(lam) AS w
+        |  FROM fb JOIN lm USING(b) GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+        |  round(avg(w), 4) AS avg_logratio,
+        |  round(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS sel_rate
+        |FROM dw GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the chunk census + distinct-doc boilerplate flag + retention replayed
+    "q104_boilerplate_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, lang, md5(array_to_string(t[i:i+9], ' ')) AS h
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-9, 10)) AS i) g
+        |  WHERE len(t) >= 10),
+        |nd AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM ch GROUP BY 1),
+        |per AS (
+        |  SELECT ch.doc_id, ch.lang, count(*) AS nch,
+        |    sum(CASE WHEN nd.ndocs >= 3 THEN 1 ELSE 0 END) AS nbp
+        |  FROM ch JOIN nd USING(h) GROUP BY 1, 2)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(nch) AS BIGINT) AS n_chunks,
+        |  CAST(sum(nbp) AS BIGINT) AS bp_chunks,
+        |  round(avg(1.0 - nbp / CAST(nch AS DOUBLE)), 4) AS avg_retention
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -617,6 +617,76 @@ object VectorQueries {
         .select(col("q_id"), col("rk"), col("doc_id"),
           round(col("rrf"), 6).as("rrf"))
         .orderBy("q_id", "rk")
+    }),
+
+    // Lexical hard-negative mining — the DPR/ANCE training-data recipe
+    // for embedding models: for each anchor, the strongest BM25 matches
+    // that are NOT semantic positives make the best contrastive
+    // negatives (lexically confusable, semantically distinct). Candidates
+    // = the q99 lexical ranker's top-20 (anchor-bounded, broadcast
+    // query-term join); verification = exact cosine against the anchor,
+    // keeping candidates below the corpus's own near-dup threshold
+    // (q44's 0.35 — "not a positive" and "not a near-dup" are the same
+    // statement here); per anchor the 3 best-ranked survivors ship as
+    // (anchor, negative) training pairs. Mining is restricted to the
+    // embedded pool (candidates without a vector can't be verified — the
+    // inner embeddings join states that). Scale shape: both stages are
+    // anchor-bounded — the BM25 posting join and the per-candidate
+    // cosine verify each touch rows ∝ anchors, never corpus² — and the
+    // ranking windows partition by anchor over ≤ 20 candidate rows.
+    // Determinism: r_lex is an integer rank (engine-exact, q99), the
+    // 0.35 cut has a measured >= 0.0106 margin at every SF (spec-pinned),
+    // and cosine appears only round-4 in the output.
+    "q103_hard_negatives" -> ((s, dir) => {
+      val lex = lexicalRanks(s, dir, RrfDepth)
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val wh = Window.partitionBy("q_id").orderBy(col("r_lex"))
+      lex
+        .join(e.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+        .join(broadcast(q), "q_id")
+        .withColumn("cos",
+          graft.functions.VectorFunctions.cosine(col("q_vec"), col("embedding")))
+        .filter(col("cos") < 0.35)
+        .withColumn("hn_rank", row_number().over(wh))
+        .filter(col("hn_rank") <= 3)
+        .select(col("q_id"), col("hn_rank"), col("doc_id"), col("r_lex"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("q_id", "hn_rank")
+    }),
+
+    // Prototype-distance outlier pruning — the embedding-space cleaning
+    // gate (DataComp/CLIP-filtering style): a labeled example whose
+    // vector disagrees with its own label's prototype (mean vector) is a
+    // likely mislabel or off-distribution sample; report per label how
+    // many sit below cosine 0 to the prototype. Scale shape: prototypes
+    // are a labels×dims partial agg (posexplode → per-(label,dim) mean →
+    // re-assemble — the q46 centroid pattern) producing a bounded table
+    // that BROADCASTS; the corpus is scanned exactly once for the
+    // verify, cosine is double Column math in codegen, and the report is
+    // a per-label partial agg. No window over the corpus, no pairwise
+    // join. Determinism: the 0 cut has a measured >= 1e-5 |cos| margin
+    // at every SF against ~1e-13 mean-order noise (spec-pinned), and
+    // cosine appears only round-4 in aggregate outputs.
+    "q105_label_outliers" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(avg(col("x").cast("double")).as("c"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
+        .select(col("label"), expr("transform(pairs, p -> p.c)").as("proto"))
+      e.join(broadcast(cent), "label")
+        .withColumn("cos",
+          graft.functions.VectorFunctions.cosine(col("embedding"), col("proto")))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cos") < 0, 1L).otherwise(0L)).as("n_outliers"),
+          round(avg(col("cos")), 4).as("avg_cos"),
+          round(min(col("cos")), 4).as("min_cos"))
+        .orderBy("label")
     })
   )
 
@@ -1768,6 +1838,80 @@ object VectorQueries {
         |FROM (SELECT q_id, doc_id, rrf,
         |        row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rk
         |      FROM fused) f
-        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    // the q99 lexical chain + cosine verify + per-anchor rank replayed
+    "q103_hard_negatives" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |dft AS (
+        |  SELECT token, count(*) AS df
+        |  FROM (SELECT doc_id, unnest(list_distinct(t)) AS token FROM toks)
+        |  GROUP BY 1),
+        |qsel AS (
+        |  SELECT q_id, token, idf FROM (
+        |    SELECT q.q_id, q.token,
+        |      ln((n.nd - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY ln((n.nd - d.df + 0.5) / (d.df + 0.5) + 1.0) DESC, q.token) AS trk
+        |    FROM (SELECT doc_id AS q_id, unnest(list_distinct(t)) AS token
+        |          FROM toks WHERE doc_id < 20) q
+        |    JOIN dft d USING(token) CROSS JOIN n) s
+        |  WHERE trk <= 8),
+        |lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+        |ad AS (SELECT avg(dl) AS avgdl FROM lens),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS token FROM toks) GROUP BY 1, 2),
+        |lex0 AS (
+        |  SELECT qs.q_id, tf.doc_id,
+        |    CAST(sum(qs.idf * (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * (lens.dl / ad.avgdl)))) AS FLOAT) AS score
+        |  FROM tf JOIN qsel qs USING(token)
+        |  JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN ad
+        |  WHERE tf.doc_id <> qs.q_id GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT q_id, doc_id, r_lex FROM (
+        |    SELECT q_id, doc_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS r_lex
+        |    FROM lex0) s
+        |  WHERE r_lex <= 20),
+        |vc AS (
+        |  SELECT l.q_id, l.doc_id, l.r_lex,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(e.embedding AS DOUBLE[])) AS c
+        |  FROM lex l JOIN embeddings q ON q.vec_id = l.q_id
+        |  JOIN embeddings e ON e.vec_id = l.doc_id
+        |  WHERE list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                               CAST(e.embedding AS DOUBLE[])) < 0.35)
+        |SELECT q_id, CAST(hn_rank AS INT) AS hn_rank, doc_id,
+        |  CAST(r_lex AS INT) AS r_lex, round(c, 4) AS cos
+        |FROM (SELECT q_id, doc_id, r_lex, c,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY r_lex) AS hn_rank
+        |      FROM vc) h
+        |WHERE hn_rank <= 3 ORDER BY q_id, hn_rank""".stripMargin,
+
+    // the per-label prototype means + cosine verify replayed
+    "q105_label_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (
+        |  SELECT label, u.i AS dim, u.x
+        |  FROM e, LATERAL (SELECT unnest(v) AS x,
+        |                          unnest(generate_series(1, len(v))) AS i) u),
+        |c AS (
+        |  SELECT label, list(m ORDER BY dim) AS proto
+        |  FROM (SELECT label, dim, avg(x) AS m FROM d GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |s AS (
+        |  SELECT e.label, list_cosine_similarity(e.v, c.proto) AS cos
+        |  FROM e JOIN c USING(label))
+        |SELECT label, count(*) AS n,
+        |  CAST(sum(CASE WHEN cos < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(avg(cos), 4) AS avg_cos,
+        |  round(min(cos), 4) AS min_cos
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -475,4 +475,50 @@ class PlanSpec extends AnyFunSuite {
     assert(windowLine.isDefined, s"normalization window missing:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"grew a cartesian:\n$plan")
   }
+
+  test("q102 DSIR: the 256-bucket LM broadcasts, scoring is partial aggs, no window") {
+    // the whole point of feature hashing is that both LMs fit one bounded
+    // table — it must BROADCAST to the feature scan, the per-doc weight
+    // sum and per-source report must aggregate with map-side partials,
+    // and there is no window over anything
+    val plan = physical(TextQueries.defs("q102_dsir_weights")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket LM not broadcast to the feature scan:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"weight/report aggregation lost its map-side partials:\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"DSIR scoring grew a window it doesn't need:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"grew a cartesian:\n$plan")
+  }
+
+  test("q103 hard negatives: anchors broadcast, per-anchor windows only, no cartesian") {
+    // the anchor vectors and query-term tables are the bounded sides —
+    // they broadcast; every window partitions by q_id over candidate
+    // rows; the candidate join is doc_id-keyed, never a cartesian
+    val plan = physical(VectorQueries.defs("q103_hard_negatives")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"anchor side not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"candidate verify fell back to a cartesian:\n$plan")
+    val windows = """windowspecdefinition\(\w+""".r.findAllIn(plan).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("q_id")),
+      s"a window is not partitioned by q_id: $windows\n$plan")
+  }
+
+  test("q105 outliers: prototypes broadcast, one corpus scan, partial report agg") {
+    // the labels x dims prototype table is bounded — it must BROADCAST to
+    // the verify scan; the report aggregates with map-side partials; no
+    // window, no cartesian, no corpus self-join
+    val plan = physical(VectorQueries.defs("q105_label_outliers")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"prototype table not broadcast:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"outlier report lost its map-side partials:\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"outlier verify grew a window it doesn't need:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"grew a cartesian:\n$plan")
+  }
 }

@@ -1010,4 +1010,137 @@ class QueriesSpec extends AnyFunSuite {
     assert(worstDist > 1e-6,
       f"a mixture share sits $worstDist%.2e from a round-4 boundary — pow ulp wobble could diverge engines")
   }
+
+  test("q102 DSIR: target sources score high, counts reconcile, no sign-graze") {
+    val rows = TextQueries.defs("q102_dsir_weights")(spark, dir).collect()
+    assert(rows.length == 20, s"expected 20 sources, got ${rows.length}")
+    val bySrc = rows.map(r => r.getAs[String]("source") ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_selected"),
+        r.getAs[Double]("avg_logratio"), r.getAs[Double]("sel_rate"))).toMap
+    // the defining property: the sources the target LM was built FROM
+    // must out-score the raw pool average (their own n-grams are what
+    // "target-like" means)
+    val tgtAvg = Seq("src0", "src1").map(bySrc(_)._3)
+    val restAvg = bySrc.filterKeys(s => s != "src0" && s != "src1").values
+      .map(_._3)
+    assert(tgtAvg.min > restAvg.sum / restAvg.size,
+      s"a target source under-scores the raw-pool mean: tgt=$tgtAvg")
+    rows.foreach { r =>
+      val (n, sel, _, rate) = bySrc(r.getAs[String]("source"))
+      assert(sel >= 0 && sel <= n, "selected count outside [0, n]")
+      assert(math.abs(rate - sel.toDouble / n) < 1e-4, "sel_rate inconsistent")
+    }
+    // w > 0 membership is engine-deterministic only while no doc's weight
+    // grazes zero — replay the weight frame and pin the sign margin
+    val t = graft.functions.TextFunctions.tokens(col("text"))
+    val feats = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), t.as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(concat(col("t"), expr(
+          "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1), (a, b) -> concat(a, ' ', b))"))).as("f"))
+      .withColumn("b", substring(md5(col("f")), 1, 2))
+    val isTgt = col("source").isin("src0", "src1")
+    val census = feats.groupBy(col("b"))
+      .agg(count(lit(1)).as("rb"), sum(when(isTgt, 1L).otherwise(0L)).as("tb"))
+    val totals = feats.agg(count(lit(1)).as("rtot"),
+      sum(when(isTgt, 1L).otherwise(0L)).as("ttot"))
+    val lm = census.crossJoin(totals).select(col("b"),
+      (log((col("tb") + lit(1)).cast("double") / (col("ttot") + lit(256)).cast("double")) -
+        log((col("rb") + lit(1)).cast("double") / (col("rtot") + lit(256)).cast("double"))).as("lam"))
+    val minAbsW = feats.join(lm, "b").groupBy(col("doc_id"))
+      .agg(sum(col("lam")).as("w"))
+      .agg(org.apache.spark.sql.functions.min(abs(col("w"))))
+      .head.getDouble(0)
+    assert(minAbsW > 1e-5,
+      f"a doc weight sits $minAbsW%.2e from the w > 0 cut — selection could diverge across engines")
+  }
+
+  test("q103 hard negatives: ranked sub-threshold lexical candidates, margin pinned") {
+    val rows = VectorQueries.defs("q103_hard_negatives")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byAnchor = rows.groupBy(_.getAs[Long]("q_id"))
+    byAnchor.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("hn_rank"))
+      assert(sorted.map(_.getAs[Int]("hn_rank")).sameElements(1 to rs.length)
+        && rs.length <= 3, s"anchor $q: hn ranks not contiguous top-3")
+      // survivors keep the lexical order: r_lex strictly increases with
+      // hn_rank (the mining keeps the STRONGEST lexical confusables)
+      val rlex = sorted.map(_.getAs[Int]("r_lex"))
+      assert(rlex.zip(rlex.tail).forall { case (a, b) => a < b },
+        s"anchor $q: r_lex not increasing: ${rlex.mkString(",")}")
+      rs.foreach(r => assert(r.getAs[Double]("cos") < 0.35,
+        s"anchor $q kept a semantic positive as a negative"))
+    }
+    // every anchor with >= 1 embedded sub-threshold lexical candidate
+    // must appear; threshold margin pinned over ALL lexical candidates
+    val lex = VectorQueries.lexicalRanks(spark, dir, 20)
+    val e = Tables.embeddings(spark, dir)
+    val cosAll = lex
+      .join(e.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      .join(e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv")), "q_id")
+      .select(graft.functions.VectorFunctions
+        .cosine(col("qv"), col("embedding")).as("c"))
+    val margin = cosAll.agg(org.apache.spark.sql.functions.min(abs(col("c") - 0.35)))
+      .head.getDouble(0)
+    assert(margin > 1e-3,
+      f"a candidate cosine sits $margin%.2e from the 0.35 cut — membership could diverge across engines")
+  }
+
+  test("q104 boilerplate: counts reconcile with an independent census, gate fires") {
+    val rows = TextQueries.defs("q104_boilerplate_chunks")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nch, nbp) = (r.getAs[Long]("n_chunks"), r.getAs[Long]("bp_chunks"))
+      assert(nbp >= 0 && nbp <= nch, "boilerplate count outside [0, chunks]")
+      val ret = r.getAs[Double]("avg_retention")
+      assert(ret >= 0.0 && ret <= 1.0, s"retention $ret outside [0,1]")
+      if (nbp == 0) assert(ret == 1.0, "zero boilerplate must mean full retention")
+    }
+    assert(rows.map(_.getAs[Long]("bp_chunks")).sum > 0,
+      "the >= 3-docs gate never fired — the corpus no longer exercises removal")
+    // independent recount with a different aggregation shape: per-chunk
+    // distinct-doc census via collect_set size
+    val t = graft.functions.TextFunctions.tokens(col("text"))
+    val ch = Tables.documents(spark, dir)
+      .select(col("doc_id"), t.as("t")).filter(size(col("t")) >= 10)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(t) - 9, 10), i -> array_join(slice(t, i, 10), ' '))")).as("chunk"))
+    val expBp = ch.groupBy(col("chunk"))
+      .agg(count(lit(1)).as("inst"), size(collect_set(col("doc_id"))).as("nd"))
+      .filter(col("nd") >= 3)
+      .agg(coalesce(sum(col("inst")), lit(0L))).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("bp_chunks")).sum == expBp,
+      "boilerplate instance count diverges from the independent census")
+  }
+
+  test("q105 outliers: totals cover the corpus, prototypes attract, no zero-graze") {
+    val rows = VectorQueries.defs("q105_label_outliers")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.embeddings(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total,
+      "per-label counts don't cover the embedding corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n"))
+      assert(r.getAs[Double]("min_cos") <= r.getAs[Double]("avg_cos"))
+      // a label's own members must on average lean TOWARD its prototype
+      assert(r.getAs[Double]("avg_cos") > 0,
+        s"label ${r.getAs[Int]("label")}: prototype does not attract its members")
+    }
+    // cos < 0 membership is engine-exact only while no member grazes the
+    // cut — replay the cosine frame and pin the margin
+    val e = Tables.embeddings(spark, dir)
+    val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim")).agg(avg(col("x").cast("double")).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
+      .select(col("label"), expr("transform(pairs, p -> p.c)").as("proto"))
+    val margin = e.join(cent, "label")
+      .select(abs(graft.functions.VectorFunctions
+        .cosine(col("embedding"), col("proto"))).as("a"))
+      .agg(org.apache.spark.sql.functions.min(col("a"))).head.getDouble(0)
+    assert(margin > 1e-5,
+      f"a member cosine sits $margin%.2e from the 0 cut — outlier membership could diverge across engines")
+  }
 }
