@@ -1597,6 +1597,104 @@ object TextQueries {
           sum(col("nbp")).as("bp_chunks"),
           round(avg(col("retention")), 4).as("avg_retention"))
         .orderBy("lang")
+    }),
+
+    // Source-overlap matrix — the corpus-composition audit a data team
+    // runs before mixing crawls: exact shingle-set Jaccard between every
+    // source pair, surfacing which feeds are re-crawls / mirrors of each
+    // other (the doc-level near-dup graph can't show this aggregate
+    // structure). Sets are distinct 3-gram shingles PER SOURCE, so the
+    // self-join fans out per shingle by the number of SOURCES sharing it
+    // — bounded by the source count (20 here, maybe thousands at 100 TB),
+    // never by document df: Σ|sources(s)|² ≤ sources² × shingles, linear
+    // in the corpus for a fixed feed list, where a doc-level exact join
+    // pays Σdf² (the q28 blowup). Census and report are partial aggs;
+    // the size table broadcasts. Full 190-row matrix output — no top-k,
+    // so no rank-boundary hazard; jac is an integer ratio (bit-exact in
+    // IEEE on both engines) rounded only for display.
+    "q106_source_overlap" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("source"), explode(wordNgramsUdf(3)(col("text"))).as("sh"))
+        .distinct()
+        .localCheckpoint() // 3 consumers: size census + both join sides
+      val sz = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      sh.as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(sz.select(col("source").as("src_a"), col("n").as("na"))),
+          "src_a")
+        .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("nb"))),
+          "src_b")
+        .select(col("src_a"), col("src_b"), col("inter"),
+          round(col("inter") /
+            (col("na") + col("nb") - col("inter")).cast("double"), 4).as("jac"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    // N-gram novelty scoring — the memorization-risk / derivative-text
+    // diagnostic: what fraction of a doc's distinct 5-grams appear in NO
+    // other document? Low-novelty docs are recombinations of corpus
+    // boilerplate (the complement of q68's contamination view: q68 asks
+    // "does this phrase leak across splits", this asks "does this doc
+    // say anything its corpus hasn't"). df census + join back on the
+    // gram key (the q89/q104 unbounded-key shape); per-doc and per-lang
+    // reports are partial aggs. The < 0.5 derivative cut compares
+    // integer-ratio doubles (bit-exact in IEEE on both engines), so
+    // membership is engine-exact even AT the boundary.
+    "q107_ngram_novelty" -> ((s, dir) => {
+      val g = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(wordNgramsUdf(5)(col("text")))).as("g"))
+        .localCheckpoint() // feeds the census and the join back
+      val dfg = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      g.join(dfg, "g")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("ng"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("uniq"))
+        .withColumn("nov", col("uniq") / col("ng").cast("double"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("nov")), 4).as("avg_novelty"),
+          sum(when(col("nov") < 0.5, 1L).otherwise(0L)).as("n_derivative"))
+        .orderBy("lang")
+    }),
+
+    // Zipf fit per language — the corpus-health statistic (a natural
+    // language's token frequencies follow f ∝ rank^-α with α ≈ 1;
+    // template-generated or boilerplate-heavy text flattens or steepens
+    // the curve): least-squares slope of ln f on ln rank over each
+    // language's top-100 tokens. Scale shape: the token census is a
+    // vocab-sized partial agg; the ranking window partitions by lang
+    // over the CENSUS (vocab rows, never occurrences); the regression
+    // runs on ≤ 100 rows per lang with the per-lang means broadcast
+    // back. Ranks tie-break (freq desc, token) — engine-exact; ln/avg
+    // noise is ~1e-15 against round-4 outputs, boundary distance
+    // spec-pinned.
+    "q108_zipf_fit" -> ((s, dir) => {
+      val c = Tables.documents(s, dir)
+        .select(col("lang"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("f"))
+        .localCheckpoint() // the corpus scan runs once; the window below
+        // is vocab-sized and cheap to replay for both consumers
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("f").desc, col("token"))
+      val top = c.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 100)
+        .select(col("lang"), log(col("rk").cast("double")).as("x"),
+          log(col("f").cast("double")).as("y"))
+      val m = top.groupBy(col("lang"))
+        .agg(avg(col("x")).as("mx"), avg(col("y")).as("my"),
+          count(lit(1)).as("n"))
+      top.join(broadcast(m), "lang")
+        .groupBy(col("lang"), col("n"), col("mx"), col("my"))
+        .agg(sum((col("x") - col("mx")) * (col("y") - col("my"))).as("sxy"),
+          sum((col("x") - col("mx")) * (col("x") - col("mx"))).as("sxx"))
+        .select(col("lang"), col("n").as("n_ranks"),
+          round(negate(col("sxy") / col("sxx")), 4).as("zipf_alpha"),
+          round(col("my") - (col("sxy") / col("sxx")) * col("mx"), 4).as("ln_c"))
+        .orderBy("lang")
     })
   )
 
@@ -2790,6 +2888,63 @@ object TextQueries {
         |  CAST(sum(nch) AS BIGINT) AS n_chunks,
         |  CAST(sum(nbp) AS BIGINT) AS bp_chunks,
         |  round(avg(1.0 - nbp / CAST(nch AS DOUBLE)), 4) AS avg_retention
-        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the per-source shingle sets, pairwise intersections, and Jaccard
+    "q106_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT source, s FROM (
+        |  SELECT source, array_to_string(t[i:i+2], ' ') AS s
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+        |  WHERE len(t) >= 3)),
+        |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, inter,
+        |  round(inter / CAST(na.n + nb.n - inter AS DOUBLE), 4) AS jac
+        |FROM inter JOIN sz na ON na.source = src_a
+        |JOIN sz nb ON nb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // the gram df census + per-doc uniqueness ratio replayed
+    "q107_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, lang, array_to_string(t[i:i+4], ' ') AS g
+        |      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-4)) AS i) gg
+        |      WHERE len(t) >= 5),
+        |df AS (SELECT g, count(*) AS df FROM g GROUP BY 1),
+        |per AS (
+        |  SELECT doc_id, lang, count(*) AS ng,
+        |    sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS uniq
+        |  FROM g JOIN df USING(g) GROUP BY 1, 2)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(uniq / CAST(ng AS DOUBLE)), 4) AS avg_novelty,
+        |  CAST(sum(CASE WHEN uniq / CAST(ng AS DOUBLE) < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_derivative
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the per-lang census, rank window, and least-squares fit replayed
+    "q108_zipf_fit" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |tf AS (SELECT lang, unnest(t) AS token FROM toks),
+        |c AS (SELECT lang, token, count(*) AS f FROM tf GROUP BY 1, 2),
+        |r AS (SELECT lang, token, f,
+        |        row_number() OVER (PARTITION BY lang ORDER BY f DESC, token) AS rk
+        |      FROM c),
+        |top AS (SELECT lang, ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+        |        FROM r WHERE rk <= 100),
+        |m AS (SELECT lang, avg(x) AS mx, avg(y) AS my, count(*) AS n FROM top GROUP BY 1)
+        |SELECT t.lang, CAST(m.n AS BIGINT) AS n_ranks,
+        |  round(-(sum((x - mx) * (y - my)) / sum((x - mx) * (x - mx))), 4) AS zipf_alpha,
+        |  round(my - (sum((x - mx) * (y - my)) / sum((x - mx) * (x - mx))) * mx, 4) AS ln_c
+        |FROM top t JOIN m USING(lang)
+        |GROUP BY t.lang, m.n, mx, my ORDER BY 1""".stripMargin
   )
 }

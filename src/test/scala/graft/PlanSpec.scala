@@ -521,4 +521,45 @@ class PlanSpec extends AnyFunSuite {
       s"outlier verify grew a window it doesn't need:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"grew a cartesian:\n$plan")
   }
+
+  test("q106 source overlap: shingle equi-join, broadcast sizes, no window") {
+    // the self-join must stay keyed on the shingle (a cartesian over the
+    // per-source sets would be sources² × shingles²), the bounded size
+    // censuses broadcast, and the matrix aggregates with partials
+    val plan = physical(TextQueries.defs("q106_source_overlap")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"),
+      s"overlap self-join fell back to a cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"size censuses not broadcast:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"censuses lost their map-side partials:\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"overlap matrix grew a window it doesn't need:\n$plan")
+  }
+
+  test("q107 novelty: gram-keyed census join, partial aggs, no window") {
+    val plan = physical(TextQueries.defs("q107_ngram_novelty")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"), s"grew a cartesian:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"df census lost its map-side partial:\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"novelty grew a window it doesn't need:\n$plan")
+  }
+
+  test("q108 Zipf: rank window sits above the vocab census, means broadcast") {
+    // the window must rank CENSUS rows (vocab-sized) partitioned by lang
+    // — a window over occurrences would sort the corpus — and the
+    // per-lang regression means broadcast back to <= 100 rows per lang
+    val plan = physical(TextQueries.defs("q108_zipf_fit")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert("""windowspecdefinition\(lang""".r.findFirstIn(plan).isDefined,
+      s"rank window lost its lang partitioning:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"token census lost its map-side partial — the window would rank occurrences:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"regression means not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"grew a cartesian:\n$plan")
+  }
 }

@@ -1143,4 +1143,104 @@ class QueriesSpec extends AnyFunSuite {
     assert(margin > 1e-5,
       f"a member cosine sits $margin%.2e from the 0 cut — outlier membership could diverge across engines")
   }
+
+  test("q106 source overlap: full matrix, one pair replayed set-for-set") {
+    val rows = TextQueries.defs("q106_source_overlap")(spark, dir).collect()
+    assert(rows.length == 190, s"expected C(20,2)=190 pairs, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"),
+        "pair not in canonical order")
+      val j = r.getAs[Double]("jac")
+      assert(j >= 0.0 && j <= 1.0, s"jaccard $j outside [0,1]")
+    }
+    // replay the most-overlapping pair with plain Scala sets
+    val top = rows.maxBy(r => (r.getAs[Double]("jac"), r.getAs[String]("src_a")))
+    def shingles(src: String): Set[String] = Tables.documents(spark, dir)
+      .filter(col("source") === src).select("text").collect()
+      .flatMap(r => graft.functions.TextFunctions
+        .wordNgramsScala(r.getString(0), 3)).toSet
+    val (sa, sb) = (shingles(top.getAs[String]("src_a")),
+      shingles(top.getAs[String]("src_b")))
+    val inter = (sa & sb).size
+    assert(top.getAs[Long]("inter") == inter.toLong,
+      s"intersection replay diverged: got ${top.getAs[Long]("inter")}, expected $inter")
+    val expJac = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(top.getAs[Double]("jac") == expJac, "jaccard replay diverged")
+  }
+
+  test("q107 novelty: covers 5-gram docs, counts reconcile, no round-4 graze") {
+    val rows = TextQueries.defs("q107_ngram_novelty")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val expDocs = Tables.documents(spark, dir)
+      .filter(size(graft.functions.TextFunctions.tokens(col("text"))) >= 5)
+      .count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == expDocs,
+      "novelty universe is not exactly the >= 5-token docs")
+    rows.foreach { r =>
+      val nov = r.getAs[Double]("avg_novelty")
+      assert(nov >= 0.0 && nov <= 1.0, s"novelty $nov outside [0,1]")
+      assert(r.getAs[Long]("n_derivative") <= r.getAs[Long]("n_docs"))
+    }
+    // avg_novelty round-4 is engine-stable only clear of a boundary
+    val g = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(graft.functions.TextFunctions
+          .wordNgramsUdf(5)(col("text")))).as("g"))
+    val dfg = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val worst = g.join(dfg, "g").groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("ng"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("uniq"))
+      .groupBy(col("lang"))
+      .agg(avg(col("uniq") / col("ng").cast("double")).as("v"))
+      .select(org.apache.spark.sql.functions.min(
+        abs(abs(col("v") * 1e4 - floor(col("v") * 1e4)) - lit(0.5))))
+      .head.getDouble(0)
+    assert(worst > 1e-6,
+      f"an avg novelty sits $worst%.2e (x1e-4) from a round-4 boundary")
+  }
+
+  test("q108 Zipf fit: slope replays from the census, alpha positive, no graze") {
+    val rows = TextQueries.defs("q108_zipf_fit")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("zipf_alpha") > 0,
+        s"${r.getAs[String]("lang")}: non-decreasing frequency curve")
+      assert(r.getAs[Long]("n_ranks") <= 100)
+    }
+    // independent least-squares replay for one language in plain Scala
+    val lang = rows.head.getAs[String]("lang")
+    val freqs = Tables.documents(spark, dir).filter(col("lang") === lang)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("f")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("f"))
+      .sortBy { case (t, f) => (-f, t) }.take(100)
+    val pts = freqs.zipWithIndex.map { case ((_, f), i) =>
+      (math.log(i + 1.0), math.log(f.toDouble)) }
+    val (mx, my) = (pts.map(_._1).sum / pts.length, pts.map(_._2).sum / pts.length)
+    val sxy = pts.map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sxx = pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
+    val expAlpha = -(sxy / sxx)
+    val gotAlpha = rows.find(_.getAs[String]("lang") == lang).get
+      .getAs[Double]("zipf_alpha")
+    assert(math.abs(gotAlpha - expAlpha) < 1e-3,
+      s"$lang: alpha replay diverged: $gotAlpha vs $expAlpha")
+    // round-4 stability pin on the UNROUNDED fits (the q93 lesson: a pin
+    // on rounded outputs is vacuous), replayed per lang in plain Scala
+    val worst = rows.map(_.getAs[String]("lang")).flatMap { l =>
+      val fs = Tables.documents(spark, dir).filter(col("lang") === l)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("f")).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("f"))
+        .sortBy { case (t, f) => (-f, t) }.take(100)
+      val ps = fs.zipWithIndex.map { case ((_, f), i) =>
+        (math.log(i + 1.0), math.log(f.toDouble)) }
+      val (ax, ay) = (ps.map(_._1).sum / ps.length, ps.map(_._2).sum / ps.length)
+      val (cxy, cxx) = (ps.map { case (x, y) => (x - ax) * (y - ay) }.sum,
+        ps.map { case (x, _) => (x - ax) * (x - ax) }.sum)
+      Seq(-(cxy / cxx), ay - (cxy / cxx) * ax)
+    }.map(v => math.abs(math.abs(v * 1e4 - math.floor(v * 1e4)) - 0.5)).min
+    assert(worst > 1e-6,
+      f"an unrounded fit value sits $worst%.2e (x1e-4) from a round-4 boundary")
+  }
 }
