@@ -372,6 +372,46 @@ object TextQueries {
   private[graft] def neardupComponentsShared(s: SparkSession, dir: String): DataFrame =
     cachedTextFrame(s, "neardupcc", dir)(neardupComponents(s, dir))
 
+  /** Per-doc mean bigram surprisal (doc_id, lang, source, s) under the
+    * corpus bigram LM, persisted once per corpus fingerprint — the LM
+    * scoring table every perplexity consumer (q67's source report, q98's
+    * CCNet terciles, q100's funnel gate 4) reads. Same artifact-store
+    * rationale as the dedup graph and the ANN indexes: a deployed
+    * pipeline trains and applies its LM once per corpus snapshot; the
+    * consumers' own aggregations stay the only per-query work. The
+    * checkpoint holds one row per document (never the bigram stream),
+    * and the builder's bigram checkpoint blocks are released once the
+    * doc table is pinned. Docs with < 2 tokens have no bigrams and are
+    * absent, exactly as in the inline chains this replaces.
+    */
+  private[graft] def docSurprisalShared(s: SparkSession, dir: String): DataFrame =
+    cachedTextFrame(s, "bigramlm", dir) {
+      val t = tokens(col("text"))
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), t.as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(zip_with(
+            slice(col("t"), lit(1), size(col("t")) - 1),
+            slice(col("t"), lit(2), size(col("t")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bg"))
+        .localCheckpoint() // 3 consumers: c2, c1, scoring join
+      val f2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      val f1 = bg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+        .agg(count(lit(1)).as("c1"))
+      val p = f2.withColumn("w1", substring_index(col("bg"), " ", 1))
+        .join(f1, "w1")
+        .select(col("bg"), (col("c2") / col("c1").cast("double")).as("p"))
+      val out = bg.join(p, "bg")
+        .groupBy(col("doc_id"), col("lang"), col("source"))
+        .agg(avg(-log(col("p"))).as("s"))
+        .localCheckpoint()
+      bg.queryExecution.logical.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(blocking = false))
+      out
+    }
+
   val defs: Map[String, Q] = Map(
 
     // Token statistics per language: whitespace tokens + BPE-ish tokens.
@@ -964,36 +1004,20 @@ object TextQueries {
     // first-order language model: per-doc avg -log p(w2|w1) with
     // p(w2|w1) = c(w1 w2) / c(w1·) over the corpus. Repetitive/template
     // docs score near 0 (their bigrams are predictable), diverse docs
-    // score high. Bigrams are built with array zip_with (pure Column
-    // math, no window/shuffle per doc); the bigram table is checkpointed
-    // once and feeds both count tables plus the scoring join. Unlike
-    // q60's vocabulary table, the bigram table is O(V²)-unbounded, so
-    // the scoring join is a plain shuffle join on the bigram key — NOT a
-    // forced broadcast (AQE may still choose one at small SF).
+    // score high. The per-doc score table is the persisted corpus-LM
+    // artifact (docSurprisalShared — bigrams via array zip_with, no
+    // per-doc window; the bigram table is O(V²)-unbounded so the scoring
+    // join is a plain shuffle join on the bigram key, NOT a forced
+    // broadcast), built once per corpus snapshot and shared with the
+    // q98 terciles and the q100 funnel.
     "q67_bigram_surprisal" -> ((s, dir) => {
-      val t = tokens(col("text"))
-      val bg = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"), t.as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), col("source"),
-          explode(zip_with(
-            slice(col("t"), lit(1), size(col("t")) - 1),
-            slice(col("t"), lit(2), size(col("t")) - 1),
-            (a, b) => concat(a, lit(" "), b))).as("bg"))
-        .localCheckpoint() // 3 consumers: c2, c1, scoring join
-      val f2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-      val f1 = bg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-        .agg(count(lit(1)).as("c1"))
-      val p = f2.withColumn("w1", substring_index(col("bg"), " ", 1))
-        .join(f1, "w1")
-        .select(col("bg"), (col("c2") / col("c1").cast("double")).as("p"))
-      bg.join(p, "bg")
-        .groupBy(col("doc_id"), col("source"))
-        .agg(avg(-log(col("p"))).as("surprisal"))
+      // the per-doc scoring table is the shared corpus-LM artifact
+      // (docSurprisalShared); this query is its per-source report
+      docSurprisalShared(s, dir)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          round(avg("surprisal"), 4).as("avg_surprisal"),
-          round(max("surprisal"), 4).as("max_surprisal"))
+          round(avg("s"), 4).as("avg_surprisal"),
+          round(max("s"), 4).as("max_surprisal"))
         .orderBy("source")
     }),
 
@@ -1348,32 +1372,20 @@ object TextQueries {
     // docs (identical true surprisal, ±1 ulp across engines) collapse
     // onto one key and break ties by id, so bucket membership is
     // engine-deterministic; QueriesSpec pins that no doc's surprisal
-    // grazes a round-6 boundary. Scale shape: the LM joins are
-    // vocab-sized; the ntile window ranks ONE row per document (never
-    // token-level rows), partitioned by lang. At 100 TB the exact
+    // grazes a round-6 boundary. Scale shape: per-doc scores come from
+    // the persisted corpus-LM artifact (docSurprisalShared — trained and
+    // applied once per corpus snapshot, the deployed CCNet shape; the
+    // builder's LM joins are vocab-sized); the ntile window ranks ONE
+    // row per document (never token-level rows), partitioned by lang.
+    // At 100 TB the exact
     // tercile is what this oracle-checkable form computes; the deployed
     // variant computes per-lang cutoffs on a sample and assigns map-side
     // (CCNet itself does exactly that), changing cost, not semantics.
     "q98_perplexity_buckets" -> ((s, dir) => {
-      val t = tokens(col("text"))
-      val bg = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), t.as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), col("lang"),
-          explode(zip_with(
-            slice(col("t"), lit(1), size(col("t")) - 1),
-            slice(col("t"), lit(2), size(col("t")) - 1),
-            (a, b) => concat(a, lit(" "), b))).as("bg"))
-        .localCheckpoint() // 3 consumers: c2, c1, scoring join
-      val f2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-      val f1 = bg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-        .agg(count(lit(1)).as("c1"))
-      val p = f2.withColumn("w1", substring_index(col("bg"), " ", 1))
-        .join(f1, "w1")
-        .select(col("bg"), (col("c2") / col("c1").cast("double")).as("p"))
-      val per = bg.join(p, "bg")
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(avg(-log(col("p"))).as("s"))
+      // per-doc LM scores come from the shared corpus-LM artifact
+      // (docSurprisalShared) — this query is the CCNet tercile split
+      val per = docSurprisalShared(s, dir)
+        .select(col("doc_id"), col("lang"), col("s"))
       val w = Window.partitionBy(col("lang"))
         .orderBy(round(col("s"), 6), col("doc_id"))
       per.withColumn("bucket", ntile(3).over(w))
@@ -1402,7 +1414,8 @@ object TextQueries {
     //                 and pass through).
     // Scale shape: the component labels are a persisted artifact read;
     // quality and token counts are row-local; the gram join carries
-    // distinct (doc, gram) pairs; the LM chain is q98's (vocab-sized
+    // distinct (doc, gram) pairs; the LM chain is q98's — read from the
+    // persisted corpus-LM artifact (docSurprisalShared; vocab-sized
     // joins, per-DOC tercile window); the funnel itself is left joins on
     // doc_id + ONE conditional aggregation by lang — no corpus window,
     // no cartesian. Oracle-checked hash-for-hash: all four gate chains
@@ -1412,7 +1425,7 @@ object TextQueries {
       val base = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("text"),
           tokens(col("text")).as("t"), splitAssign(col("doc_id")).as("split"))
-        .localCheckpoint() // consumers: quality, grams, LM chain, funnel
+        .localCheckpoint() // consumers: quality, grams, funnel
       val qual = base.select(col("doc_id"), qualityScore(col("text")).as("q"))
       // gate 1: non-canonical members of multi-doc components
       val members = neardupComponentsShared(s, dir).join(qual, "doc_id")
@@ -1434,25 +1447,12 @@ object TextQueries {
         .join(heldGrams, "g")
         .select(col("doc_id")).distinct()
         .select(col("doc_id"), lit(true).as("g_contam"))
-      // gate 4: the q98 tail tercile, computed over the full corpus
-      val bg = base.filter(size(col("t")) >= 2)
-        .select(col("doc_id"), col("lang"),
-          explode(zip_with(
-            slice(col("t"), lit(1), size(col("t")) - 1),
-            slice(col("t"), lit(2), size(col("t")) - 1),
-            (a, b) => concat(a, lit(" "), b))).as("bg"))
-        .localCheckpoint()
-      val f2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-      val f1 = bg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-        .agg(count(lit(1)).as("c1"))
-      val p = f2.withColumn("w1", substring_index(col("bg"), " ", 1))
-        .join(f1, "w1")
-        .select(col("bg"), (col("c2") / col("c1").cast("double")).as("p"))
+      // gate 4: the q98 tail tercile over the full corpus — per-doc LM
+      // scores from the shared corpus-LM artifact (docSurprisalShared)
       val wB = Window.partitionBy(col("lang"))
         .orderBy(round(col("s"), 6), col("doc_id"))
-      val buckets = bg.join(p, "bg")
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(avg(-log(col("p"))).as("s"))
+      val buckets = docSurprisalShared(s, dir)
+        .select(col("doc_id"), col("lang"), col("s"))
         .withColumn("bucket", ntile(3).over(wB))
         .select(col("doc_id"), col("bucket"))
       // the funnel: first-gate attribution + per-lang accounting
