@@ -247,6 +247,52 @@ object Dev {
           .withColumnRenamed("r_dense", "rk"))
         report("hybrid-rrf", SparkEntry.queries("q99_hybrid_rrf")(spark, qdir))
 
+      case Some("negquality") =>
+        // measured quality table for the q103 hard-negative miner (the
+        // DPR argument made quantitative): a good hard negative is
+        // lexically confusable with the anchor (it sits in the BM25
+        // top-20 — by construction 100% here, ~0% for a random doc) yet
+        // semantically no closer than a random doc (anchor cosine ≈ the
+        // random-pair baseline, far below the dense top-5 positives).
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.functions._
+        val qdir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val e = Tables.embeddings(spark, qdir)
+        val anchors = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        def stats(name: String, pairs: DataFrame): Unit = {
+          // pairs: (q_id, doc_id) — cosine vs anchor + lexical-top20 hit
+          val lex = graft.operators.VectorQueries.lexicalRanks(spark, qdir, 20)
+            .select(col("q_id"), col("doc_id"), lit(1).as("inlex"))
+          val r = pairs
+            .join(e.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+            .join(broadcast(anchors), "q_id")
+            .join(lex, Seq("q_id", "doc_id"), "left")
+            .agg(count(lit(1)).as("n"),
+              avg(graft.functions.VectorFunctions
+                .cosine(col("qv"), col("embedding"))).as("avg_cos"),
+              avg(coalesce(col("inlex"), lit(0))).as("lex_hit"))
+            .head
+          println(f"[dev] $name%-16s n=${r.getAs[Long]("n")}%4d  " +
+            f"avg_cos=${r.getAs[Double]("avg_cos")}%+.4f  " +
+            f"lex_top20=${r.getAs[Double]("lex_hit") * 100}%5.1f%%")
+        }
+        stats("dense-top5-pos", graft.operators.VectorQueries
+          .denseRanks(spark, qdir, 5).select("q_id", "doc_id"))
+        stats("mined-hard-neg", SparkEntry.queries("q103_hard_negatives")(spark, qdir)
+          .select("q_id", "doc_id"))
+        // random baseline: a deterministic md5-salted sample of embedded
+        // docs per anchor (5 each), excluding the anchor itself
+        val wRnd = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("h"))
+        val rnd = anchors.select(col("q_id"))
+          .join(e.select(col("vec_id").as("doc_id")),
+            col("doc_id") =!= col("q_id"))
+          .withColumn("h", md5(concat_ws(":", col("q_id"), col("doc_id"))))
+          .withColumn("rk", row_number().over(wRnd))
+          .filter(col("rk") <= 5).select("q_id", "doc_id")
+        stats("random-baseline", rnd)
+
       case Some("soak") =>
         // Long-lived stream soak (round-8 verdict item 2): ONE topic, 200+
         // rate-limited micro-batches through the full GeotagPipeline
