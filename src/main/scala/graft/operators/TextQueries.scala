@@ -1695,6 +1695,66 @@ object TextQueries {
           round(negate(col("sxy") / col("sxx")), 4).as("zipf_alpha"),
           round(col("my") - (col("sxy") / col("sxx")) * col("mx"), 4).as("ln_c"))
         .orderBy("lang")
+    }),
+
+    // Metric correlation profiling, part 1 — Pearson r between document
+    // length and the q25 quality score, per source: the sanity check a
+    // curation team runs before trusting a composite score (a score
+    // fully explained by length is not measuring quality; the q25
+    // length term saturates at 20 tokens, so r sits well below 1).
+    // Two-pass explicit-sums form (means, then residual products) so the
+    // oracle replays the identical IEEE arithmetic — a built-in corr()'s
+    // internal update order is engine-private. Scale: metrics are
+    // row-local column math checkpointed at doc granularity, the
+    // 20-row means table broadcasts back, and both passes are partial
+    // aggs. No window, no join wider than doc rows.
+    "q109_len_quality_corr" -> ((s, dir) => {
+      val q = Tables.documents(s, dir)
+        .select(col("source"), tokenCount(col("text")).cast("double").as("x"),
+          qualityScore(col("text")).as("y"))
+        .localCheckpoint() // 2 consumers: means pass + residual pass
+      val m = q.groupBy(col("source"))
+        .agg(avg(col("x")).as("mx"), avg(col("y")).as("my"),
+          count(lit(1)).as("n"))
+      q.join(broadcast(m), "source")
+        .groupBy(col("source"), col("n"))
+        .agg(sum((col("x") - col("mx")) * (col("y") - col("my"))).as("sxy"),
+          sum((col("x") - col("mx")) * (col("x") - col("mx"))).as("sxx"),
+          sum((col("y") - col("my")) * (col("y") - col("my"))).as("syy"))
+        .select(col("source"), col("n").as("n_docs"),
+          round(col("sxy") / sqrt(col("sxx") * col("syy")), 4)
+            .as("len_quality_r"))
+        .orderBy("source")
+    }),
+
+    // Metric correlation profiling, part 2 — Pearson r between LM
+    // surprisal and the quality score, per language: do the two
+    // independent quality gates (q98's perplexity tercile, q100's q25
+    // floor) agree or measure different things? Near-zero r means the
+    // gates are complementary (each catches docs the other passes) —
+    // the justification for running both in the q100 funnel. Reads the
+    // persisted corpus-LM artifact (docSurprisalShared) and joins
+    // quality on doc_id; same two-pass explicit-sums kernel as q109
+    // with the per-lang means broadcast.
+    "q110_surprisal_quality_corr" -> ((s, dir) => {
+      val qual = Tables.documents(s, dir)
+        .select(col("doc_id"), qualityScore(col("text")).as("y"))
+      val q = docSurprisalShared(s, dir)
+        .select(col("doc_id"), col("lang"), col("s").as("x"))
+        .join(qual, "doc_id")
+        .localCheckpoint() // 2 consumers: means pass + residual pass
+      val m = q.groupBy(col("lang"))
+        .agg(avg(col("x")).as("mx"), avg(col("y")).as("my"),
+          count(lit(1)).as("n"))
+      q.join(broadcast(m), "lang")
+        .groupBy(col("lang"), col("n"))
+        .agg(sum((col("x") - col("mx")) * (col("y") - col("my"))).as("sxy"),
+          sum((col("x") - col("mx")) * (col("x") - col("mx"))).as("sxx"),
+          sum((col("y") - col("my")) * (col("y") - col("my"))).as("syy"))
+        .select(col("lang"), col("n").as("n_docs"),
+          round(col("sxy") / sqrt(col("sxx") * col("syy")), 4)
+            .as("surprisal_quality_r"))
+        .orderBy("lang")
     })
   )
 
@@ -2945,6 +3005,70 @@ object TextQueries {
         |  round(-(sum((x - mx) * (y - my)) / sum((x - mx) * (x - mx))), 4) AS zipf_alpha,
         |  round(my - (sum((x - mx) * (y - my)) / sum((x - mx) * (x - mx))) * mx, 4) AS ln_c
         |FROM top t JOIN m USING(lang)
-        |GROUP BY t.lang, m.n, mx, my ORDER BY 1""".stripMargin
+        |GROUP BY t.lang, m.n, mx, my ORDER BY 1""".stripMargin,
+
+    // the q25 quality formula + two-pass Pearson sums replayed
+    "q109_len_quality_corr" ->
+      """WITH raw AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS qtoks,
+        |    len(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+        |    len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source, CAST(n_tok AS DOUBLE) AS x,
+        |    round(least(n_tok / 20.0, 1.0) * 0.4 +
+        |      (1.0 - least((CASE WHEN n_nonspace = 0 THEN 0.0
+        |        ELSE n_punct / CAST(n_nonspace AS DOUBLE) END) * 4, 1.0)) * 0.3 +
+        |      least((CASE WHEN len(qtoks) = 0 THEN 0.0
+        |        ELSE len(list_filter(qtoks, t -> t IN ('the','a','an','of','and','in','to','is','on','for'))) / CAST(len(qtoks) AS DOUBLE) END) * 5, 1.0) * 0.3, 6) AS y
+        |  FROM raw),
+        |m AS (SELECT source, avg(x) AS mx, avg(y) AS my, count(*) AS n FROM q GROUP BY 1)
+        |SELECT q.source, CAST(m.n AS BIGINT) AS n_docs,
+        |  round(sum((x - mx) * (y - my)) /
+        |    sqrt(sum((x - mx) * (x - mx)) * sum((y - my) * (y - my))), 4) AS len_quality_r
+        |FROM q JOIN m USING(source)
+        |GROUP BY q.source, m.n, mx, my ORDER BY 1""".stripMargin,
+
+    // the corpus-LM per-doc surprisal + quality formula + Pearson replayed
+    "q110_surprisal_quality_corr" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, array_to_string(t[i:i+1], ' ') AS bg
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
+        |  WHERE len(t) >= 2),
+        |f2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+        |f1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |p AS (SELECT f2.bg, f2.c2 / CAST(f1.c1 AS DOUBLE) AS p
+        |      FROM f2 JOIN f1 ON split_part(f2.bg, ' ', 1) = f1.w1),
+        |sur AS (
+        |  SELECT b.doc_id, b.lang, avg(-ln(p.p)) AS x
+        |  FROM bg b JOIN p ON b.bg = p.bg GROUP BY 1, 2),
+        |raw AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS qtoks,
+        |    len(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+        |    len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+        |  FROM documents),
+        |qual AS (
+        |  SELECT doc_id,
+        |    round(least(n_tok / 20.0, 1.0) * 0.4 +
+        |      (1.0 - least((CASE WHEN n_nonspace = 0 THEN 0.0
+        |        ELSE n_punct / CAST(n_nonspace AS DOUBLE) END) * 4, 1.0)) * 0.3 +
+        |      least((CASE WHEN len(qtoks) = 0 THEN 0.0
+        |        ELSE len(list_filter(qtoks, t -> t IN ('the','a','an','of','and','in','to','is','on','for'))) / CAST(len(qtoks) AS DOUBLE) END) * 5, 1.0) * 0.3, 6) AS y
+        |  FROM raw),
+        |q AS (SELECT sur.doc_id, sur.lang, sur.x, qual.y
+        |      FROM sur JOIN qual ON sur.doc_id = qual.doc_id),
+        |m AS (SELECT lang, avg(x) AS mx, avg(y) AS my, count(*) AS n FROM q GROUP BY 1)
+        |SELECT q.lang, CAST(m.n AS BIGINT) AS n_docs,
+        |  round(sum((x - mx) * (y - my)) /
+        |    sqrt(sum((x - mx) * (x - mx)) * sum((y - my) * (y - my))), 4) AS surprisal_quality_r
+        |FROM q JOIN m USING(lang)
+        |GROUP BY q.lang, m.n, mx, my ORDER BY 1""".stripMargin
   )
 }

@@ -562,4 +562,21 @@ class PlanSpec extends AnyFunSuite {
       s"regression means not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"grew a cartesian:\n$plan")
   }
+
+  test("q109/q110 correlations: means broadcast, partial sums, no window") {
+    // the two-pass Pearson kernel: the bounded means table must
+    // broadcast back to the doc rows, residual sums aggregate with
+    // map-side partials, and nothing needs a window or cartesian
+    for (q <- Seq("q109_len_quality_corr", "q110_surprisal_quality_corr")) {
+      val plan = physical(TextQueries.defs(q)(spark, dir))
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: means table not broadcast:\n$plan")
+      assert(plan.contains("partial_sum"),
+        s"$q: residual sums lost their map-side partials:\n$plan")
+      assert(!plan.contains("windowspecdefinition"),
+        s"$q: grew a window it doesn't need:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q: grew a cartesian:\n$plan")
+    }
+  }
 }

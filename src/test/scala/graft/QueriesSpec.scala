@@ -1243,4 +1243,58 @@ class QueriesSpec extends AnyFunSuite {
     assert(worst > 1e-6,
       f"an unrounded fit value sits $worst%.2e (x1e-4) from a round-4 boundary")
   }
+
+  test("q109/q110 correlations: r in [-1,1], one group replayed, no round-4 graze") {
+    val r109 = TextQueries.defs("q109_len_quality_corr")(spark, dir).collect()
+    val r110 = TextQueries.defs("q110_surprisal_quality_corr")(spark, dir).collect()
+    assert(r109.length == 20 && r110.nonEmpty)
+    (r109.map(_.getAs[Double]("len_quality_r")) ++
+      r110.map(_.getAs[Double]("surprisal_quality_r"))).foreach(r =>
+      assert(r >= -1.0 && r <= 1.0, s"correlation $r outside [-1,1]"))
+    // q110's universe is exactly the LM-scorable (>= 2 token) docs
+    val expDocs = Tables.documents(spark, dir)
+      .filter(size(graft.functions.TextFunctions.tokens(col("text"))) >= 2)
+      .count()
+    assert(r110.map(_.getAs[Long]("n_docs")).sum == expDocs,
+      "q110 universe is not exactly the >= 2-token docs")
+    // independent Pearson replay for one source in plain Scala
+    val src = r109.head.getAs[String]("source")
+    val pts = Tables.documents(spark, dir).filter(col("source") === src)
+      .select(graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("double").as("x"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("y"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val (mx, my) = (pts.map(_._1).sum / pts.length, pts.map(_._2).sum / pts.length)
+    val sxy = pts.map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sxx = pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
+    val syy = pts.map { case (_, y) => (y - my) * (y - my) }.sum
+    val expR = sxy / math.sqrt(sxx * syy)
+    val gotR = r109.find(_.getAs[String]("source") == src).get
+      .getAs[Double]("len_quality_r")
+    assert(math.abs(gotR - expR) < 1e-3,
+      s"$src: Pearson replay diverged: $gotR vs $expR")
+    // round-4 stability pin on the UNROUNDED correlations (both queries),
+    // replayed with the same two-pass sums the queries use
+    def rawR(df: org.apache.spark.sql.DataFrame, key: String): Seq[Double] = {
+      val m = df.groupBy(col(key)).agg(avg(col("x")).as("mx"),
+        avg(col("y")).as("my"))
+      val num = sum((col("x") - col("mx")) * (col("y") - col("my")))
+      val den = sqrt(sum((col("x") - col("mx")) * (col("x") - col("mx"))) *
+        sum((col("y") - col("my")) * (col("y") - col("my"))))
+      df.join(m, key).groupBy(col(key)).agg((num / den).as("r"))
+        .collect().map(_.getDouble(1)).toSeq
+    }
+    val base109 = Tables.documents(spark, dir)
+      .select(col("source"), graft.functions.TextFunctions
+          .tokenCount(col("text")).cast("double").as("x"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("y"))
+    val base110 = TextQueries.docSurprisalShared(spark, dir)
+      .select(col("doc_id"), col("lang"), col("s").as("x"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("y")), "doc_id")
+    val worst = (rawR(base109, "source") ++ rawR(base110, "lang"))
+      .map(v => math.abs(math.abs(v * 1e4 - math.floor(v * 1e4)) - 0.5)).min
+    assert(worst > 1e-6,
+      f"an unrounded correlation sits $worst%.2e (x1e-4) from a round-4 boundary")
+  }
 }
