@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import graft.functions.TextFunctions._
+
+/** Streaming curation admission — the streaming twin of the q100 batch
+  * funnel: every micro-batch of incoming documents passes the same gate
+  * sequence a pretraining-data pipeline applies before a doc may enter
+  * the corpus, with per-epoch drop accounting:
+  *
+  *   1. quality   — q25 composite score below the floor (row-local);
+  *   2. lm_tail   — per-doc mean bigram surprisal above the per-lang
+  *                  tail cutoff of a FROZEN reference LM (trained once
+  *                  offline by [[buildReference]] — a stream must score
+  *                  against a fixed model, not a model that drifts with
+  *                  every batch; docs with < 2 tokens have no LM score
+  *                  and pass, as in q100);
+  *   3. dedup     — near-duplicates the admitted store or a lower-id
+  *                  batch sibling (delegated to [[NearDupAdmission]],
+  *                  whose band store and idempotent epoch layout this
+  *                  funnel reuses unchanged).
+  *
+  * Scale shape: the quality gate is row-local column math; the LM gate
+  * is a shuffle join on the bigram key (the LM table is O(V²)-unbounded
+  * — q67's rationale — so it is deliberately NOT broadcast) plus a
+  * broadcast of the per-lang cutoff table (bounded by languages); the
+  * dedup gate inherits NearDupAdmission's bucket-join shape. Per-epoch
+  * audit rows overwrite a deterministic `epoch=<batchId>` dir, so a
+  * retried batch reproduces its accounting instead of double-counting.
+  */
+object CurationAdmission {
+
+  /** Train the frozen reference artifacts from a bootstrap corpus:
+    * `lm/` (bg, p) conditional bigram probabilities, `cutoffs/`
+    * (lang, cut) tail-tercile surprisal boundaries (the q98 bucket-2/3
+    * edge), and `params/` (punk) — the unseen-bigram penalty
+    * probability 1/(n_bigrams + 1), pinned at train time so scoring is
+    * deterministic forever after.
+    */
+  def buildReference(s: SparkSession, corpusDir: String, refPath: String): Unit = {
+    val t = tokens(col("text"))
+    val bg = graft.Tables.documents(s, corpusDir)
+      .select(col("doc_id"), col("lang"), t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .localCheckpoint()
+    val f2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val f1 = bg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val lm = f2.withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(f1, "w1")
+      .select(col("bg"), (col("c2") / col("c1").cast("double")).as("p"))
+    lm.write.mode("overwrite").parquet(s"$refPath/lm")
+    val per = bg.join(lm, "bg")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(avg(-log(col("p"))).as("s"))
+    // tail cutoff = the q98 bucket-2/3 edge: max surprisal of the
+    // middle tercile under the same (round-6 s, doc_id) rank key
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(round(col("s"), 6), col("doc_id"))
+    per.withColumn("bucket", ntile(3).over(w))
+      .filter(col("bucket") <= 2)
+      .groupBy(col("lang")).agg(max(col("s")).as("cut"))
+      .write.mode("overwrite").parquet(s"$refPath/cutoffs")
+    val nbg = bg.count()
+    s.range(1).select((lit(1.0) / (lit(nbg) + lit(1)).cast("double")).as("punk"))
+      .write.mode("overwrite").parquet(s"$refPath/params")
+  }
+
+  /** One epoch of the funnel. `batch` = (doc_id, lang, text). Returns the
+    * audit row it also persists: (epoch, n_in, drop_quality, drop_lm,
+    * drop_dedup, admitted).
+    */
+  def admit(batch: DataFrame, batchId: Long, refPath: String,
+            storePath: String, keptPath: String, auditPath: String,
+            qualityFloor: Double = 0.72): Row = {
+    val s = batch.sparkSession
+    val scored = batch
+      .withColumn("q", qualityScore(col("text")))
+      .localCheckpoint() // gates 1 and 2 both read it
+    val nIn = scored.count()
+    val qualOk = scored.filter(col("q") >= qualityFloor)
+    val dropQuality = nIn - qualOk.count()
+
+    // LM gate against the frozen reference: shuffle join on the bigram
+    // key; unseen bigrams pay the pinned punk penalty
+    val lm = s.read.parquet(s"$refPath/lm")
+    val cuts = s.read.parquet(s"$refPath/cutoffs")
+    val punk = s.read.parquet(s"$refPath/params").head.getDouble(0)
+    val t = tokens(col("text"))
+    val withToks = qualOk.select(col("doc_id"), col("lang"), col("text"), t.as("t"))
+    val scorable = withToks.filter(size(col("t")) >= 2)
+    val surprisal = scorable
+      .select(col("doc_id"), col("lang"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .join(lm, Seq("bg"), "left")
+      .withColumn("p", coalesce(col("p"), lit(punk)))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(avg(-log(col("p"))).as("s"))
+    val lmDropIds = surprisal.join(broadcast(cuts), "lang")
+      .filter(col("s") > col("cut"))
+      .select(col("doc_id"))
+    val lmOk = qualOk.join(lmDropIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // counted AND handed to the dedup gate
+    val dropLm = (nIn - dropQuality) - lmOk.count()
+
+    // dedup gate: the near-dup admission component, store shared as-is
+    NearDupAdmission.admit(lmOk.select(col("doc_id"), col("text")),
+      batchId, storePath, keptPath)
+    val admitted = s.read.parquet(s"$keptPath/epoch=$batchId").count()
+    val dropDedup = (nIn - dropQuality - dropLm) - admitted
+
+    val audit = s.range(1).select(
+      lit(batchId).as("epoch"), lit(nIn).as("n_in"),
+      lit(dropQuality).as("drop_quality"), lit(dropLm).as("drop_lm"),
+      lit(dropDedup).as("drop_dedup"), lit(admitted).as("admitted"))
+    audit.write.mode("overwrite").parquet(s"$auditPath/epoch=$batchId")
+    audit.head
+  }
+
+  /** Wire as a streaming sink over a (doc_id, lang, text) stream. */
+  def stream(docs: DataFrame, refPath: String, storePath: String,
+             keptPath: String, auditPath: String, checkpoint: String,
+             qualityFloor: Double = 0.72): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        admit(batch, id, refPath, storePath, keptPath, auditPath,
+          qualityFloor)
+        ()
+      }
+}

@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.CurationAdmission
+
+/** Streaming curation admission: the q100 funnel in micro-batch form —
+  * quality gate, frozen-reference-LM gate, near-dup gate, per-epoch
+  * audit accounting, idempotent retries.
+  */
+class CurationAdmissionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val corpus = "/root/testdata/sf0.001"
+
+  // a doc whose quality is high (>= 20 alpha tokens, no punctuation,
+  // stopword-rich) but whose bigrams are ALL absent from the reference
+  // corpus: every bigram pays the punk penalty ln(n_bigrams + 1), far
+  // above any per-lang tail cutoff → must drop at the LM gate
+  private val nonsense = (Seq("the", "a", "of", "and", "in", "to", "is",
+    "on", "for", "an") ++ (1 to 14).map(i => s"zzqword$i")).mkString(" ")
+
+  // junk punctuation doc → quality gate (punct ratio ~1 kills the score)
+  private val junk = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( ))) @@@ ~~~"
+
+  test("funnel gates fire by reason, audit conserves, retry is idempotent") {
+    val ref = Files.createTempDirectory("cur_ref").toString
+    val store = Files.createTempDirectory("cur_store").toString
+    val kept = Files.createTempDirectory("cur_kept").toString
+    val audit = Files.createTempDirectory("cur_audit").toString
+
+    CurationAdmission.buildReference(spark, corpus, ref)
+    assert(spark.read.parquet(s"$ref/lm").count() > 0)
+    val cuts = spark.read.parquet(s"$ref/cutoffs").collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("cut")).toMap
+    assert(cuts.nonEmpty && cuts.values.forall(_ > 0))
+    val punk = spark.read.parquet(s"$ref/params").head.getDouble(0)
+    assert(-math.log(punk) > cuts.values.max,
+      "the unseen-bigram penalty must exceed every tail cutoff for the nonsense fixture to be deterministic")
+
+    // batch 0: real corpus docs that pass quality AND sit below their
+    // lang's cutoff (selected by replaying the gates), plus the two
+    // planted failures
+    import graft.functions.TextFunctions._
+    val candidates = Tables.documents(spark, corpus)
+      .filter(qualityScore(col("text")) >= 0.72)
+      .select("doc_id", "lang", "text").collect()
+    // replay the LM score driver-side to pick 3 docs safely below cut
+    val lm = spark.read.parquet(s"$ref/lm").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def score(text: String): Option[Double] = {
+      val t = text.toLowerCase.replaceAll("[^a-z ]", " ").trim
+        .split("\\s+").filter(_.nonEmpty)
+      if (t.length < 2) None
+      else Some(t.sliding(2).map(w => -math.log(
+        lm.getOrElse(w.mkString(" "), punk))).sum / (t.length - 1))
+    }
+    def distinctFrom(text: String, picked: Seq[String]): Boolean =
+      picked.forall { p =>
+        val a = p.split(" ").toSet; val b = text.split(" ").toSet
+        (a & b).size * 2 < (a | b).size
+      }
+    val good = candidates.foldLeft(Vector.empty[org.apache.spark.sql.Row]) {
+      (acc, r) =>
+        val ok = acc.length < 3 &&
+          score(r.getAs[String]("text")).exists(s =>
+            s < cuts(r.getAs[String]("lang")) - 0.05) &&
+          distinctFrom(r.getAs[String]("text"),
+            acc.map(_.getAs[String]("text")))
+        if (ok) acc :+ r else acc
+    }
+    assert(good.length == 3, "corpus no longer yields 3 clean admission fixtures")
+
+    import spark.implicits._
+    val batch0 = good.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[String]("lang"), r.getAs[String]("text"))).toSeq ++
+      Seq((9001L, "en", junk), (9002L, "en", nonsense))
+    val row0 = CurationAdmission.admit(batch0.toDF("doc_id", "lang", "text"),
+      0L, ref, store, kept, audit)
+    assert(row0.getAs[Long]("n_in") == 5)
+    assert(row0.getAs[Long]("drop_quality") == 1, row0.toString)
+    assert(row0.getAs[Long]("drop_lm") == 1, row0.toString)
+    assert(row0.getAs[Long]("drop_dedup") == 0, row0.toString)
+    assert(row0.getAs[Long]("admitted") == 3, row0.toString)
+    val kept0 = spark.read.parquet(s"$kept/epoch=0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept0 == good.map(_.getAs[Long]("doc_id")).toSet)
+
+    // batch 1: an exact clone of an admitted doc (new id) + one fresh
+    // clean doc → dedup gate fires exactly once
+    val fresh = candidates.filter { r =>
+      val id = r.getAs[Long]("doc_id")
+      !good.exists(_.getAs[Long]("doc_id") == id) &&
+        score(r.getAs[String]("text")).exists(s =>
+          s < cuts(r.getAs[String]("lang")) - 0.05) &&
+        // must not near-duplicate a batch-0 admission: cheap guard — its
+        // text differs from every admitted text in at least half its words
+        good.forall { g =>
+          val a = g.getAs[String]("text").split(" ").toSet
+          val b = r.getAs[String]("text").split(" ").toSet
+          (a & b).size * 2 < (a | b).size
+        }
+    }.take(1)
+    assume(fresh.length == 1, "no sufficiently-distinct fresh doc at this SF")
+    val clone = (9100L, good.head.getAs[String]("lang"),
+      good.head.getAs[String]("text"))
+    val batch1 = Seq(clone,
+      (fresh.head.getAs[Long]("doc_id"), fresh.head.getAs[String]("lang"),
+        fresh.head.getAs[String]("text")))
+    val row1 = CurationAdmission.admit(batch1.toDF("doc_id", "lang", "text"),
+      1L, ref, store, kept, audit)
+    assert(row1.getAs[Long]("drop_dedup") == 1, row1.toString)
+    assert(row1.getAs[Long]("admitted") == 1, row1.toString)
+
+    // audit conservation on every epoch row
+    spark.read.parquet(audit).collect().foreach { r =>
+      assert(r.getAs[Long]("n_in") == r.getAs[Long]("drop_quality") +
+        r.getAs[Long]("drop_lm") + r.getAs[Long]("drop_dedup") +
+        r.getAs[Long]("admitted"), s"audit row does not conserve: $r")
+    }
+
+    // retried epoch: identical audit, no double admission
+    val row1r = CurationAdmission.admit(batch1.toDF("doc_id", "lang", "text"),
+      1L, ref, store, kept, audit)
+    assert(row1r == row1, s"retry diverged: $row1r vs $row1")
+    val keptAll = spark.read.parquet(kept).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(keptAll.length == keptAll.distinct.length,
+      "retry double-admitted a document")
+  }
+
+  test("streaming wrapper drives the funnel through foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Files.createTempDirectory("cur_ref2").toString
+    val store = Files.createTempDirectory("cur_store2").toString
+    val kept = Files.createTempDirectory("cur_kept2").toString
+    val audit = Files.createTempDirectory("cur_audit2").toString
+    val ckpt = Files.createTempDirectory("cur_ckpt2").toString
+    CurationAdmission.buildReference(spark, corpus, ref)
+
+    val mem = MemoryStream[(Long, String, String)]
+    val q = CurationAdmission.stream(
+      mem.toDF().toDF("doc_id", "lang", "text"),
+      ref, store, kept, audit, ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    mem.addData((9001L, "en", junk), (9002L, "en", nonsense))
+    val run = q.start(); run.awaitTermination(120000)
+    val a = spark.read.parquet(audit).head
+    assert(a.getAs[Long]("n_in") == 2 && a.getAs[Long]("admitted") == 0,
+      a.toString)
+  }
+}
