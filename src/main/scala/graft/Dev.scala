@@ -260,10 +260,13 @@ object Dev {
         val e = Tables.embeddings(spark, qdir)
         val anchors = e.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        // hoisted + checkpointed: stats() runs three times and q103 builds
+        // its own copy — without this the BM25 chain would run 4x per call
+        val lex = graft.operators.VectorQueries.lexicalRanks(spark, qdir, 20)
+          .select(col("q_id"), col("doc_id"), lit(1).as("inlex"))
+          .localCheckpoint()
         def stats(name: String, pairs: DataFrame): Unit = {
           // pairs: (q_id, doc_id) — cosine vs anchor + lexical-top20 hit
-          val lex = graft.operators.VectorQueries.lexicalRanks(spark, qdir, 20)
-            .select(col("q_id"), col("doc_id"), lit(1).as("inlex"))
           val r = pairs
             .join(e.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
             .join(broadcast(anchors), "q_id")

@@ -384,24 +384,37 @@ object TextQueries {
     * doc table is pinned. Docs with < 2 tokens have no bigrams and are
     * absent, exactly as in the inline chains this replaces.
     */
+  /** The corpus bigram stream and its conditional LM, shared by the
+    * batch artifact below AND the streaming funnel's frozen-reference
+    * trainer (CurationAdmission.buildReference) — ONE definition of the
+    * tokenizer + smoothing, so the stream can never score against a
+    * silently different LM than the batch funnel it twins. Returns
+    * (bg: (doc_id, lang, source, bg) checkpointed, lm: (bg, p)).
+    */
+  private[graft] def corpusBigramLm(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val t = tokens(col("text"))
+    val bg = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .localCheckpoint() // 3 consumers: c2, c1, scoring join
+    val f2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val f1 = bg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val lm = f2.withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(f1, "w1")
+      .select(col("bg"), (col("c2") / col("c1").cast("double")).as("p"))
+    (bg, lm)
+  }
+
   private[graft] def docSurprisalShared(s: SparkSession, dir: String): DataFrame =
     cachedTextFrame(s, "bigramlm", dir) {
-      val t = tokens(col("text"))
-      val bg = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("source"), t.as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), col("lang"), col("source"),
-          explode(zip_with(
-            slice(col("t"), lit(1), size(col("t")) - 1),
-            slice(col("t"), lit(2), size(col("t")) - 1),
-            (a, b) => concat(a, lit(" "), b))).as("bg"))
-        .localCheckpoint() // 3 consumers: c2, c1, scoring join
-      val f2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-      val f1 = bg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-        .agg(count(lit(1)).as("c1"))
-      val p = f2.withColumn("w1", substring_index(col("bg"), " ", 1))
-        .join(f1, "w1")
-        .select(col("bg"), (col("c2") / col("c1").cast("double")).as("p"))
+      val (bg, p) = corpusBigramLm(s, dir)
       val out = bg.join(p, "bg")
         .groupBy(col("doc_id"), col("lang"), col("source"))
         .agg(avg(-log(col("p"))).as("s"))
@@ -1618,15 +1631,19 @@ object TextQueries {
         .distinct()
         .localCheckpoint() // 3 consumers: size census + both join sides
       val sz = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      sh.as("a")
+      val inter = sh.as("a")
         .join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
         .agg(count(lit(1)).as("inter"))
-        .join(broadcast(sz.select(col("source").as("src_a"), col("n").as("na"))),
-          "src_a")
+      // the pair UNIVERSE comes from the bounded size table (sources²
+      // broadcast-joined rows), so pairs sharing NO shingle still emit
+      // their jac=0 row — the "full matrix" contract holds on any corpus
+      broadcast(sz.select(col("source").as("src_a"), col("n").as("na")))
         .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("nb"))),
-          "src_b")
+          col("src_a") < col("src_b"))
+        .join(inter, Seq("src_a", "src_b"), "left")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
         .select(col("src_a"), col("src_b"), col("inter"),
           round(col("inter") /
             (col("na") + col("nb") - col("inter")).cast("double"), 4).as("jac"))
@@ -1722,8 +1739,12 @@ object TextQueries {
           sum((col("x") - col("mx")) * (col("x") - col("mx"))).as("sxx"),
           sum((col("y") - col("my")) * (col("y") - col("my"))).as("syy"))
         .select(col("source"), col("n").as("n_docs"),
-          round(col("sxy") / sqrt(col("sxx") * col("syy")), 4)
-            .as("len_quality_r"))
+          // zero-variance sentinel: a constant-metric group has no defined
+          // correlation — emit 0.0 on BOTH engines instead of Spark null
+          // vs DuckDB NaN (cross-engine divergence on degenerate corpora)
+          when(col("sxx") * col("syy") > 0,
+            round(col("sxy") / sqrt(col("sxx") * col("syy")), 4))
+            .otherwise(lit(0.0)).as("len_quality_r"))
         .orderBy("source")
     }),
 
@@ -1752,8 +1773,9 @@ object TextQueries {
           sum((col("x") - col("mx")) * (col("x") - col("mx"))).as("sxx"),
           sum((col("y") - col("my")) * (col("y") - col("my"))).as("syy"))
         .select(col("lang"), col("n").as("n_docs"),
-          round(col("sxy") / sqrt(col("sxx") * col("syy")), 4)
-            .as("surprisal_quality_r"))
+          when(col("sxx") * col("syy") > 0, // the q109 zero-variance sentinel
+            round(col("sxy") / sqrt(col("sxx") * col("syy")), 4))
+            .otherwise(lit(0.0)).as("surprisal_quality_r"))
         .orderBy("lang")
     })
   )
@@ -2963,12 +2985,16 @@ object TextQueries {
         |inter AS (
         |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
         |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
-        |  GROUP BY 1, 2)
-        |SELECT src_a, src_b, inter,
-        |  round(inter / CAST(na.n + nb.n - inter AS DOUBLE), 4) AS jac
-        |FROM inter JOIN sz na ON na.source = src_a
-        |JOIN sz nb ON nb.source = src_b
-        |ORDER BY src_a, src_b""".stripMargin,
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT na.source AS src_a, nb.source AS src_b, na.n AS na, nb.n AS nb
+        |  FROM sz na JOIN sz nb ON na.source < nb.source)
+        |SELECT p.src_a, p.src_b, coalesce(i.inter, 0) AS inter,
+        |  round(coalesce(i.inter, 0) /
+        |    CAST(p.na + p.nb - coalesce(i.inter, 0) AS DOUBLE), 4) AS jac
+        |FROM pairs p LEFT JOIN inter i
+        |  ON p.src_a = i.src_a AND p.src_b = i.src_b
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
 
     // the gram df census + per-doc uniqueness ratio replayed
     "q107_ngram_novelty" ->
@@ -3026,8 +3052,10 @@ object TextQueries {
         |  FROM raw),
         |m AS (SELECT source, avg(x) AS mx, avg(y) AS my, count(*) AS n FROM q GROUP BY 1)
         |SELECT q.source, CAST(m.n AS BIGINT) AS n_docs,
-        |  round(sum((x - mx) * (y - my)) /
-        |    sqrt(sum((x - mx) * (x - mx)) * sum((y - my) * (y - my))), 4) AS len_quality_r
+        |  CASE WHEN sum((x - mx) * (x - mx)) * sum((y - my) * (y - my)) > 0
+        |    THEN round(sum((x - mx) * (y - my)) /
+        |      sqrt(sum((x - mx) * (x - mx)) * sum((y - my) * (y - my))), 4)
+        |    ELSE 0.0 END AS len_quality_r
         |FROM q JOIN m USING(source)
         |GROUP BY q.source, m.n, mx, my ORDER BY 1""".stripMargin,
 
@@ -3066,8 +3094,10 @@ object TextQueries {
         |      FROM sur JOIN qual ON sur.doc_id = qual.doc_id),
         |m AS (SELECT lang, avg(x) AS mx, avg(y) AS my, count(*) AS n FROM q GROUP BY 1)
         |SELECT q.lang, CAST(m.n AS BIGINT) AS n_docs,
-        |  round(sum((x - mx) * (y - my)) /
-        |    sqrt(sum((x - mx) * (x - mx)) * sum((y - my) * (y - my))), 4) AS surprisal_quality_r
+        |  CASE WHEN sum((x - mx) * (x - mx)) * sum((y - my) * (y - my)) > 0
+        |    THEN round(sum((x - mx) * (y - my)) /
+        |      sqrt(sum((x - mx) * (x - mx)) * sum((y - my) * (y - my))), 4)
+        |    ELSE 0.0 END AS surprisal_quality_r
         |FROM q JOIN m USING(lang)
         |GROUP BY q.lang, m.n, mx, my ORDER BY 1""".stripMargin
   )

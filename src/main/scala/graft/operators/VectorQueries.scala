@@ -671,13 +671,7 @@ object VectorQueries {
     // cosine appears only round-4 in aggregate outputs.
     "q105_label_outliers" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val cent = e
-        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy(col("label"), col("dim"))
-        .agg(avg(col("x").cast("double")).as("c"))
-        .groupBy(col("label"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
-        .select(col("label"), expr("transform(pairs, p -> p.c)").as("proto"))
+      val cent = meanVectors(e, "label", "proto", toFloat = false)
       e.join(broadcast(cent), "label")
         .withColumn("cos",
           graft.functions.VectorFunctions.cosine(col("embedding"), col("proto")))
@@ -758,14 +752,24 @@ object VectorQueries {
   /** Mean vector per existing cell assignment: posexplode → per-(cell,dim)
     * mean → re-assemble in dim order.
     */
-  private[graft] def cellMeans(assigned: DataFrame): DataFrame = assigned
-    .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
-    .groupBy(col("cell"), col("dim"))
+  /** Mean embedding per key: posexplode → per-(key, dim) mean →
+    * re-assemble in dim order. One definition of the reassembly idiom
+    * for every mean-vector consumer (IVF centroids keyed by cell cast
+    * to float; q105 prototypes keyed by label kept double).
+    */
+  private[graft] def meanVectors(df: DataFrame, key: String, out: String,
+      toFloat: Boolean): DataFrame = df
+    .select(col(key), posexplode(col("embedding")).as(Seq("dim", "x")))
+    .groupBy(col(key), col("dim"))
     .agg(avg(col("x").cast("double")).as("c"))
-    .groupBy(col("cell"))
+    .groupBy(col(key))
     .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
-    .select(col("cell"),
-      expr("transform(pairs, p -> cast(p.c as float))").as("centroid"))
+    .select(col(key),
+      (if (toFloat) expr("transform(pairs, p -> cast(p.c as float))")
+       else expr("transform(pairs, p -> p.c)")).as(out))
+
+  private[graft] def cellMeans(assigned: DataFrame): DataFrame =
+    meanVectors(assigned, "cell", "centroid", toFloat = true)
 
   /** Nearest-centroid assignment as an aggregation, not a window: the
     * round-1 row_number() form shuffled AND sorted corpus×nlist rows;

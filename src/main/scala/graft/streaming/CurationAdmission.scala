@@ -40,22 +40,10 @@ object CurationAdmission {
     * deterministic forever after.
     */
   def buildReference(s: SparkSession, corpusDir: String, refPath: String): Unit = {
-    val t = tokens(col("text"))
-    val bg = graft.Tables.documents(s, corpusDir)
-      .select(col("doc_id"), col("lang"), t.as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), col("lang"),
-        explode(zip_with(
-          slice(col("t"), lit(1), size(col("t")) - 1),
-          slice(col("t"), lit(2), size(col("t")) - 1),
-          (a, b) => concat(a, lit(" "), b))).as("bg"))
-      .localCheckpoint()
-    val f2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-    val f1 = bg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-      .agg(count(lit(1)).as("c1"))
-    val lm = f2.withColumn("w1", substring_index(col("bg"), " ", 1))
-      .join(f1, "w1")
-      .select(col("bg"), (col("c2") / col("c1").cast("double")).as("p"))
+    // ONE definition of tokenizer + LM math, shared with the batch
+    // funnel's artifact (TextQueries.corpusBigramLm) — the stream must
+    // score against the same model family it twins
+    val (bg, lm) = graft.operators.TextQueries.corpusBigramLm(s, corpusDir)
     lm.write.mode("overwrite").parquet(s"$refPath/lm")
     val per = bg.join(lm, "bg")
       .groupBy(col("doc_id"), col("lang"))
@@ -106,8 +94,12 @@ object CurationAdmission {
       .withColumn("p", coalesce(col("p"), lit(punk)))
       .groupBy(col("doc_id"), col("lang"))
       .agg(avg(-log(col("p"))).as("s"))
-    val lmDropIds = surprisal.join(broadcast(cuts), "lang")
-      .filter(col("s") > col("cut"))
+    // LEFT join: a doc whose language has no reference cutoff cannot be
+    // scored against the frozen model — it DROPS (conservative; an
+    // unknown/garbled lang code is exactly the doc this gate exists to
+    // stop, since all its bigrams pay punk and max out surprisal)
+    val lmDropIds = surprisal.join(broadcast(cuts), Seq("lang"), "left")
+      .filter(col("cut").isNull || col("s") > col("cut"))
       .select(col("doc_id"))
     val lmOk = qualOk.join(lmDropIds, Seq("doc_id"), "left_anti")
       .localCheckpoint() // counted AND handed to the dedup gate
@@ -119,12 +111,15 @@ object CurationAdmission {
     val admitted = s.read.parquet(s"$keptPath/epoch=$batchId").count()
     val dropDedup = (nIn - dropQuality - dropLm) - admitted
 
+    // the epoch value lives ONLY in the partition directory — writing it
+    // as a data column too would be shadowed (and silently retyped to
+    // int) by partition discovery on any root read of the audit table
     val audit = s.range(1).select(
-      lit(batchId).as("epoch"), lit(nIn).as("n_in"),
+      lit(nIn).as("n_in"),
       lit(dropQuality).as("drop_quality"), lit(dropLm).as("drop_lm"),
       lit(dropDedup).as("drop_dedup"), lit(admitted).as("admitted"))
     audit.write.mode("overwrite").parquet(s"$auditPath/epoch=$batchId")
-    audit.head
+    audit.select(lit(batchId).as("epoch"), col("*")).head
   }
 
   /** Wire as a streaming sink over a (doc_id, lang, text) stream. */

@@ -147,15 +147,22 @@ class CurationAdmissionSpec extends AnyFunSuite {
     val ckpt = Files.createTempDirectory("cur_ckpt2").toString
     CurationAdmission.buildReference(spark, corpus, ref)
 
+    // a clean doc under an UNKNOWN lang code: it passes quality but has
+    // no reference cutoff, so the LM gate must drop it (conservative)
+    val unknownLang = Tables.documents(spark, corpus)
+      .filter(graft.functions.TextFunctions.qualityScore(col("text")) >= 0.72)
+      .select("text").head.getString(0)
+
     val mem = MemoryStream[(Long, String, String)]
     val q = CurationAdmission.stream(
       mem.toDF().toDF("doc_id", "lang", "text"),
       ref, store, kept, audit, ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    mem.addData((9001L, "en", junk), (9002L, "en", nonsense))
+    mem.addData((9001L, "en", junk), (9002L, "en", nonsense),
+      (9003L, "xx", unknownLang))
     val run = q.start(); run.awaitTermination(120000)
     val a = spark.read.parquet(audit).head
-    assert(a.getAs[Long]("n_in") == 2 && a.getAs[Long]("admitted") == 0,
-      a.toString)
+    assert(a.getAs[Long]("n_in") == 3 && a.getAs[Long]("admitted") == 0 &&
+      a.getAs[Long]("drop_lm") == 2, a.toString)
   }
 }

@@ -1080,8 +1080,13 @@ class QueriesSpec extends AnyFunSuite {
       .join(e.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
       .join(e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv")), "q_id")
-      .select(graft.functions.VectorFunctions
+      .select(col("q_id"), graft.functions.VectorFunctions
         .cosine(col("qv"), col("embedding")).as("c"))
+      .localCheckpoint()
+    val expAnchors = cosAll.filter(col("c") < 0.35).select("q_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(byAnchor.keySet == expAnchors,
+      s"anchor coverage diverged: got ${byAnchor.keySet}, expected $expAnchors")
     val margin = cosAll.agg(org.apache.spark.sql.functions.min(abs(col("c") - 0.35)))
       .head.getDouble(0)
     assert(margin > 1e-3,
