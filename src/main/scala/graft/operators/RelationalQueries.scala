@@ -581,10 +581,86 @@ object RelationalQueries {
           langs.map(l => col(s"tok_$l")).toArray, "lang", "n_tok")
         .withColumn("lang", regexp_replace(col("lang"), "^tok_", ""))
         .orderBy("source", "lang")
+    }),
+
+    // Sequence-funnel analysis (the ClickHouse windowFunnel workload):
+    // how deep does each user get through signup → view → click →
+    // purchase, where each step must happen strictly AFTER the previous
+    // one and the whole chain within 3 days of the first signup. Stated
+    // as FOUR conditional-min aggregations chained by user_id equi-joins
+    // — each pass keeps O(1) state per user and aggregates with map-side
+    // partials, where the collect-the-user's-events form (what a
+    // windowFunnel UDAF does internally) would buffer unbounded per-user
+    // event lists through the shuffle. All comparisons are integer
+    // microseconds, so step membership is engine-exact; the only double
+    // is the reported avg conversion minutes (integer-derived, round-2).
+    // At 100 TB: the event log is scanned once per step (4 scans of the
+    // type-pruned stream), the step tables are per-USER minima (tiny),
+    // and no window or cartesian appears anywhere.
+    "q111_event_funnel" -> ((s, dir) => {
+      val W = 3L * 86400L * 1000000L // 3 days in micros
+      val e = ev(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us").as("t"))
+        .localCheckpoint() // 5 consumers: the user universe + 4 steps
+      val u = e.select(col("user_id")).distinct()
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
+      val s2 = e.filter(col("event_type") === "view")
+        .join(s1, "user_id")
+        .filter(col("t") > col("t1") && col("t") <= col("t1") + W)
+        .groupBy(col("user_id"), col("t1")).agg(min(col("t")).as("t2"))
+      val s3 = e.filter(col("event_type") === "click")
+        .join(s2, "user_id")
+        .filter(col("t") > col("t2") && col("t") <= col("t1") + W)
+        .groupBy(col("user_id"), col("t1")).agg(min(col("t")).as("t3"))
+      val s4 = e.filter(col("event_type") === "purchase")
+        .join(s3, "user_id")
+        .filter(col("t") > col("t3") && col("t") <= col("t1") + W)
+        .groupBy(col("user_id"), col("t1")).agg(min(col("t")).as("t4"))
+      u.join(s1.select(col("user_id")).withColumn("d1", lit(1)), Seq("user_id"), "left")
+        .join(s2.select(col("user_id")).withColumn("d2", lit(1)), Seq("user_id"), "left")
+        .join(s3.select(col("user_id")).withColumn("d3", lit(1)), Seq("user_id"), "left")
+        .join(s4.select(col("user_id"), (col("t4") - col("t1")).as("dur")),
+          Seq("user_id"), "left")
+        .withColumn("depth",
+          when(col("dur").isNotNull, 4).when(col("d3") === 1, 3)
+            .when(col("d2") === 1, 2).when(col("d1") === 1, 1).otherwise(0))
+        .groupBy(col("depth"))
+        .agg(count(lit(1)).as("n_users"),
+          coalesce(round(avg(col("dur") / lit(60000000.0)), 2), lit(0.0))
+            .as("avg_minutes"))
+        .orderBy("depth")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // the 4-step conditional-min funnel chain replayed
+    "q111_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, t1, min(t) AS t2 FROM e JOIN s1 USING(user_id)
+        |       WHERE event_type = 'view' AND t > t1 AND t <= t1 + 259200000000
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT e.user_id, t1, min(t) AS t3 FROM e JOIN s2 USING(user_id)
+        |       WHERE event_type = 'click' AND t > t2 AND t <= t1 + 259200000000
+        |       GROUP BY 1, 2),
+        |s4 AS (SELECT e.user_id, t1, min(t) AS t4 FROM e JOIN s3 USING(user_id)
+        |       WHERE event_type = 'purchase' AND t > t3 AND t <= t1 + 259200000000
+        |       GROUP BY 1, 2),
+        |d AS (SELECT u.user_id,
+        |        CASE WHEN s4.user_id IS NOT NULL THEN 4
+        |             WHEN s3.user_id IS NOT NULL THEN 3
+        |             WHEN s2.user_id IS NOT NULL THEN 2
+        |             WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS depth,
+        |        s4.t4 - s4.t1 AS dur
+        |      FROM u LEFT JOIN s1 USING(user_id) LEFT JOIN s2 USING(user_id)
+        |      LEFT JOIN s3 USING(user_id) LEFT JOIN s4 USING(user_id))
+        |SELECT depth, count(*) AS n_users,
+        |  coalesce(round(avg(dur / 60000000.0), 2), 0.0) AS avg_minutes
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

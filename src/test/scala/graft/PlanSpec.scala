@@ -563,6 +563,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"grew a cartesian:\n$plan")
   }
 
+  test("q111 funnel: conditional-min steps aggregate partial, no window, no cartesian") {
+    // each step must be a partial-aggable min over user_id-keyed joins —
+    // the windowFunnel-UDAF form would buffer unbounded per-user event
+    // lists; a window or cartesian anywhere breaks the O(1)/user claim
+    val plan = physical(RelationalQueries.defs("q111_event_funnel")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("partial_min"),
+      s"step minima lost their map-side partials:\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"funnel grew a window it doesn't need:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"grew a cartesian:\n$plan")
+  }
+
   test("q109/q110 correlations: means broadcast, partial sums, no window") {
     // the two-pass Pearson kernel: the bounded means table must
     // broadcast back to the doc rows, residual sums aggregate with

@@ -1302,4 +1302,58 @@ class QueriesSpec extends AnyFunSuite {
     assert(worst > 1e-6,
       f"an unrounded correlation sits $worst%.2e (x1e-4) from a round-4 boundary")
   }
+
+  test("q111 funnel: depth histogram replays event-for-event, funnel is monotone") {
+    val rows = RelationalQueries.defs("q111_event_funnel")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byDepth = rows.map(r => r.getAs[Int]("depth") ->
+      (r.getAs[Long]("n_users"), r.getAs[Double]("avg_minutes"))).toMap
+    // every user lands in exactly one depth bucket
+    val users = RelationalQueries.ev(spark, dir)
+      .select("user_id").distinct().count()
+    assert(byDepth.values.map(_._1).sum == users,
+      "depth buckets don't cover the user universe")
+    // at-least-k counts are non-increasing in k (the funnel property)
+    val atLeast = (1 to 4).map(k =>
+      (k to 4).flatMap(d => byDepth.get(d).map(_._1)).sum)
+    assert(atLeast.zip(atLeast.tail).forall { case (a, b) => a >= b },
+      s"funnel not monotone: $atLeast")
+    byDepth.foreach { case (d, (_, m)) =>
+      if (d < 4) assert(m == 0.0, s"depth $d carries a conversion time")
+      else assert(m > 0.0, "depth 4 lost its conversion time")
+    }
+    // full driver-side replay: the 4-step sequential-min walk per user
+    val W = 3L * 86400L * 1000000L
+    val evs = RelationalQueries.ev(spark, dir)
+      .select("user_id", "event_type", "ts_us").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("ts_us")))
+      .groupBy(_._1)
+    val expDepths = evs.map { case (_, es) =>
+      def step(tpe: String, after: Long, limit: Long): Option[Long] = {
+        val c = es.filter(e => e._2 == tpe && e._3 > after && e._3 <= limit)
+        if (c.isEmpty) None else Some(c.map(_._3).min)
+      }
+      val t1 = {
+        val c = es.filter(_._2 == "signup")
+        if (c.isEmpty) None else Some(c.map(_._3).min)
+      }
+      t1 match {
+        case None => 0
+        case Some(a) =>
+          step("view", a, a + W) match {
+            case None => 1
+            case Some(b) => step("click", b, a + W) match {
+              case None => 2
+              case Some(c2) => step("purchase", c2, a + W) match {
+                case None => 3
+                case Some(_) => 4
+              }
+            }
+          }
+      }
+    }.groupBy(identity).map { case (d, v) => d -> v.size.toLong }
+    assert(byDepth.map { case (d, (n, _)) => d -> n } == expDepths,
+      s"funnel replay diverged: got $byDepth, expected $expDepths")
+  }
 }
