@@ -630,6 +630,39 @@ object RelationalQueries {
           coalesce(round(avg(col("dur") / lit(60000000.0)), 2), lit(0.0))
             .as("avg_minutes"))
         .orderBy("depth")
+    }),
+
+    // Cohort retention (q111's companion product-analytics report): users
+    // cohorted by the DAY of their first signup; a cohort member counts
+    // as retained on day-offset k (1..7) if they made a purchase that
+    // day. All keys are integer day indices (epoch-micros div day), so
+    // cohort and cell membership are engine-exact; retention is an
+    // integer ratio rounded only for display. Scale shape: the cohort
+    // table is a per-user min (partial agg); the activity join is
+    // user_id-keyed; the distinct is (user, cohort, offset) — bounded by
+    // users × 8; the matrix agg is partial and the day-bounded cohort
+    // size table broadcasts. No window, no cartesian.
+    "q112_cohort_retention" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us").as("t"))
+        .localCheckpoint() // 2 consumers: cohort assignment + activity
+      val c = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
+        .select(col("user_id"), expr("t1 div 86400000000").as("cd"))
+      val sz = c.groupBy(col("cd")).agg(count(lit(1)).as("cohort_users"))
+      e.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .withColumn("k", expr("(t div 86400000000) - cd"))
+        .filter(col("k").between(1, 7))
+        .select(col("user_id"), col("cd"), col("k")).distinct()
+        .groupBy(col("cd"), col("k"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sz), "cd")
+        .select(col("cd").as("cohort_day"), col("k").cast("int").as("day_offset"),
+          col("cohort_users"), col("n_active"),
+          round(col("n_active") / col("cohort_users").cast("double"), 4)
+            .as("retention"))
+        .orderBy("cohort_day", "day_offset")
     })
   )
 
@@ -660,6 +693,22 @@ object RelationalQueries {
         |SELECT depth, count(*) AS n_users,
         |  coalesce(round(avg(dur / 60000000.0), 2), 0.0) AS avg_minutes
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the daily cohort assignment + purchase-activity matrix replayed
+    "q112_cohort_retention" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |c AS (SELECT user_id, min(t) // 86400000000 AS cd FROM e
+        |      WHERE event_type = 'signup' GROUP BY 1),
+        |sz AS (SELECT cd, count(*) AS cohort_users FROM c GROUP BY 1),
+        |act AS (SELECT DISTINCT c.user_id, c.cd, (e.t // 86400000000) - c.cd AS k
+        |        FROM e JOIN c USING(user_id)
+        |        WHERE e.event_type = 'purchase'
+        |          AND (e.t // 86400000000) - c.cd BETWEEN 1 AND 7),
+        |m AS (SELECT cd, k, count(*) AS n_active FROM act GROUP BY 1, 2)
+        |SELECT m.cd AS cohort_day, CAST(m.k AS INT) AS day_offset,
+        |  sz.cohort_users, m.n_active,
+        |  round(m.n_active / CAST(sz.cohort_users AS DOUBLE), 4) AS retention
+        |FROM m JOIN sz USING(cd) ORDER BY 1, 2""".stripMargin,
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

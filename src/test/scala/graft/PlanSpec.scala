@@ -576,6 +576,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"grew a cartesian:\n$plan")
   }
 
+  test("q112 retention: cohort min partial, bounded size table broadcast, no window") {
+    val plan = physical(RelationalQueries.defs("q112_cohort_retention")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("partial_min"),
+      s"cohort assignment lost its map-side partial:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cohort-size table not broadcast:\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"retention grew a window it doesn't need:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"grew a cartesian:\n$plan")
+  }
+
   test("q109/q110 correlations: means broadcast, partial sums, no window") {
     // the two-pass Pearson kernel: the bounded means table must
     // broadcast back to the doc rows, residual sums aggregate with

@@ -1356,4 +1356,33 @@ class QueriesSpec extends AnyFunSuite {
     assert(byDepth.map { case (d, (n, _)) => d -> n } == expDepths,
       s"funnel replay diverged: got $byDepth, expected $expDepths")
   }
+
+  test("q112 cohort retention: cells replay user-for-user, ratios consistent") {
+    val rows = RelationalQueries.defs("q112_cohort_retention")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_users"))
+      assert(r.getAs[Int]("day_offset") >= 1 && r.getAs[Int]("day_offset") <= 7)
+      val exp = BigDecimal(r.getAs[Long]("n_active").toDouble /
+        r.getAs[Long]("cohort_users"))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("retention") == exp, s"ratio inconsistent: $r")
+    }
+    // full driver-side replay of the activity matrix
+    val evs = RelationalQueries.ev(spark, dir)
+      .select("user_id", "event_type", "ts_us").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("ts_us")))
+    val D = 86400000000L
+    val cohort = evs.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._3).min / D }
+    val cells = evs.filter(_._2 == "purchase")
+      .flatMap { case (u, _, t) => cohort.get(u).map(cd => (u, cd, t / D - cd)) }
+      .filter { case (_, _, k) => k >= 1 && k <= 7 }.distinct
+      .groupBy { case (_, cd, k) => (cd, k) }
+      .map { case (key, v) => key -> v.map(_._1).distinct.size.toLong }
+    val got = rows.map(r => (r.getAs[Long]("cohort_day"),
+      r.getAs[Int]("day_offset").toLong) -> r.getAs[Long]("n_active")).toMap
+    assert(got == cells, s"retention matrix diverged: got $got expected $cells")
+  }
 }
