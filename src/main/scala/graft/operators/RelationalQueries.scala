@@ -626,9 +626,13 @@ object RelationalQueries {
           when(col("dur").isNotNull, 4).when(col("d3") === 1, 3)
             .when(col("d2") === 1, 2).when(col("d1") === 1, 1).otherwise(0))
         .groupBy(col("depth"))
+        // sum(long)/count THEN one double division: the long sum is exact
+        // on both engines regardless of partial-merge order, so the round-2
+        // value is bit-deterministic (avg(double) would sum in engine-
+        // private order and could graze a rounding boundary)
         .agg(count(lit(1)).as("n_users"),
-          coalesce(round(avg(col("dur") / lit(60000000.0)), 2), lit(0.0))
-            .as("avg_minutes"))
+          coalesce(round((sum(col("dur")).cast("double") / count(col("dur"))) /
+            lit(60000000.0), 2), lit(0.0)).as("avg_minutes"))
         .orderBy("depth")
     }),
 
@@ -691,7 +695,8 @@ object RelationalQueries {
         |      FROM u LEFT JOIN s1 USING(user_id) LEFT JOIN s2 USING(user_id)
         |      LEFT JOIN s3 USING(user_id) LEFT JOIN s4 USING(user_id))
         |SELECT depth, count(*) AS n_users,
-        |  coalesce(round(avg(dur / 60000000.0), 2), 0.0) AS avg_minutes
+        |  coalesce(round((CAST(sum(dur) AS DOUBLE) / count(dur)) / 60000000.0, 2),
+        |    0.0) AS avg_minutes
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the daily cohort assignment + purchase-activity matrix replayed

@@ -1642,7 +1642,9 @@ object TextQueries {
       broadcast(sz.select(col("source").as("src_a"), col("n").as("na")))
         .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("nb"))),
           col("src_a") < col("src_b"))
-        .join(inter, Seq("src_a", "src_b"), "left")
+        // inter is bounded by sources² — broadcast it structurally rather
+        // than relying on AQE stats to convert the join at runtime
+        .join(broadcast(inter), Seq("src_a", "src_b"), "left")
         .withColumn("inter", coalesce(col("inter"), lit(0L)))
         .select(col("src_a"), col("src_b"), col("inter"),
           round(col("inter") /

@@ -15,8 +15,12 @@ import graft.functions.TextFunctions._
   *                  tail cutoff of a FROZEN reference LM (trained once
   *                  offline by [[buildReference]] — a stream must score
   *                  against a fixed model, not a model that drifts with
-  *                  every batch; docs with < 2 tokens have no LM score
-  *                  and pass, as in q100);
+  *                  every batch). A scoreable doc whose language has NO
+  *                  reference cutoff also drops here (conservative: it
+  *                  cannot be judged against the frozen model, and an
+  *                  unknown/garbled lang code is exactly what this gate
+  *                  exists to stop). Docs with < 2 tokens have no LM
+  *                  score and pass, as in q100;
   *   3. dedup     — near-duplicates the admitted store or a lower-id
   *                  batch sibling (delegated to [[NearDupAdmission]],
   *                  whose band store and idempotent epoch layout this
