@@ -137,6 +137,74 @@ class CurationAdmissionSpec extends AnyFunSuite {
       "retry double-admitted a document")
   }
 
+  test("multi-epoch drive: conservation holds, clones stay blocked across compaction") {
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    val ref = Files.createTempDirectory("cur_ref3").toString
+    val store = Files.createTempDirectory("cur_store3").toString
+    val kept = Files.createTempDirectory("cur_kept3").toString
+    val audit = Files.createTempDirectory("cur_audit3").toString
+    CurationAdmission.buildReference(spark, corpus, ref)
+    val cuts = spark.read.parquet(s"$ref/cutoffs").collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("cut")).toMap
+    val lm = spark.read.parquet(s"$ref/lm").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val punk = spark.read.parquet(s"$ref/params").head.getDouble(0)
+    def score(text: String): Option[Double] = {
+      val t = text.toLowerCase.replaceAll("[^a-z ]", " ").trim
+        .split("\\s+").filter(_.nonEmpty)
+      if (t.length < 2) None
+      else Some(t.sliding(2).map(w => -math.log(
+        lm.getOrElse(w.mkString(" "), punk))).sum / (t.length - 1))
+    }
+    // greedy pool of mutually-distinct clean docs (pass quality + LM)
+    val pool = Tables.documents(spark, corpus)
+      .filter(qualityScore(col("text")) >= 0.72)
+      .select("doc_id", "lang", "text").collect()
+      .foldLeft(Vector.empty[(Long, String, String)]) { (acc, r) =>
+        val text = r.getAs[String]("text")
+        val ok = score(text).exists(s =>
+          s < cuts(r.getAs[String]("lang")) - 0.05) &&
+          acc.forall { case (_, _, p) =>
+            val a = p.split(" ").toSet; val b = text.split(" ").toSet
+            (a & b).size * 2 < (a | b).size
+          }
+        if (ok) acc :+ ((r.getAs[Long]("doc_id"), r.getAs[String]("lang"), text))
+        else acc
+      }
+    val epochs = math.min(10, (pool.length - 1) / 2)
+    assume(epochs >= 4, s"clean pool too small for a multi-epoch drive: ${pool.length}")
+    var admittedTotal = 0L
+    (0 until epochs).foreach { e =>
+      // mid-drive maintenance: compaction must not unblock clones
+      if (e == epochs / 2)
+        graft.streaming.NearDupAdmission.compact(spark, store)
+      val fresh = pool.slice(1 + 2 * e, 3 + 2 * e)
+      val batch = fresh ++ Seq(
+        (if (e == 0) pool.head._1 else 50000L + e, pool.head._2, pool.head._3),
+        (60000L + e, "en", junk))
+      val row = CurationAdmission.admit(
+        batch.toDF("doc_id", "lang", "text"), e.toLong, ref, store, kept, audit)
+      val (nIn, dq, dl, dd, adm) = (row.getAs[Long]("n_in"),
+        row.getAs[Long]("drop_quality"), row.getAs[Long]("drop_lm"),
+        row.getAs[Long]("drop_dedup"), row.getAs[Long]("admitted"))
+      assert(nIn == dq + dl + dd + adm, s"epoch $e does not conserve: $row")
+      assert(dq == 1, s"epoch $e: junk not dropped at quality: $row")
+      if (e == 0) assert(adm == 3 && dd == 0, s"epoch 0 unexpected: $row")
+      else assert(dd >= 1, s"epoch $e: the epoch-0 clone was not dedup-dropped: $row")
+      admittedTotal += adm
+    }
+    // the admitted corpus is exactly the distinct pool docs that went in
+    val keptIds = spark.read.parquet(kept).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(keptIds.length == keptIds.distinct.length, "a doc was admitted twice")
+    assert(keptIds.length.toLong == admittedTotal,
+      "kept store disagrees with audit accounting")
+    assert(!keptIds.exists(_ >= 50000L), "a clone id slipped into the corpus")
+    // audit has one row per epoch
+    assert(spark.read.parquet(audit).count() == epochs)
+  }
+
   test("streaming wrapper drives the funnel through foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
