@@ -667,6 +667,37 @@ object RelationalQueries {
           round(col("n_active") / col("cohort_users").cast("double"), 4)
             .as("retention"))
         .orderBy("cohort_day", "day_offset")
+    }),
+
+    // Time-series resample: hourly event counts per type on a DENSE
+    // calendar (missing hours zero-filled — the gap-fill every BI layer
+    // needs before charting or window math), smoothed with a trailing
+    // 24-hour moving average. The dense frame is calendar × types —
+    // bounded by the reporting period, NOT the corpus, so at 100 TB the
+    // only corpus-sized stage is the (type, hour) count partial agg; the
+    // calendar spine explodes from a 1-row min/max aggregate, the
+    // bounded type list broadcasts onto it, and the moving-average
+    // window runs over the bounded dense series. All keys are integer
+    // hour indices; the MA averages <= 24 exact longs, so round-4 is
+    // engine-deterministic.
+    "q113_timeseries_gapfill" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .select(col("event_type"), expr("ts_us div 3600000000").as("h"))
+        .localCheckpoint() // 3 consumers: bounds, type list, counts
+      val hours = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+      val types = e.select(col("event_type")).distinct()
+      val cnt = e.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(-23, Window.currentRow)
+      hours.crossJoin(broadcast(types)) // bounded calendar x bounded types
+        .join(cnt, Seq("event_type", "h"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .withColumn("ma24", round(avg(col("n")).over(w), 4))
+        .select(col("event_type"), col("h").as("hour_index"),
+          col("n").as("n_events"), col("ma24"))
+        .orderBy("event_type", "hour_index")
     })
   )
 
@@ -714,6 +745,22 @@ object RelationalQueries {
         |  sz.cohort_users, m.n_active,
         |  round(m.n_active / CAST(sz.cohort_users AS DOUBLE), 4) AS retention
         |FROM m JOIN sz USING(cd) ORDER BY 1, 2""".stripMargin,
+
+    // the dense calendar spine + zero-fill + trailing-24h MA replayed
+    "q113_timeseries_gapfill" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+        |hours AS (SELECT unnest(generate_series(h0, h1)) AS h FROM b),
+        |types AS (SELECT DISTINCT event_type FROM e),
+        |cnt AS (SELECT event_type, h, count(*) AS n FROM e GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT t.event_type, hours.h, coalesce(cnt.n, 0) AS n
+        |  FROM hours CROSS JOIN types t
+        |  LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.h = hours.h)
+        |SELECT event_type, h AS hour_index, CAST(n AS BIGINT) AS n_events,
+        |  round(avg(n) OVER (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 4) AS ma24
+        |FROM dense ORDER BY 1, 2""".stripMargin,
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

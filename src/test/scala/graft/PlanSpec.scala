@@ -588,6 +588,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"grew a cartesian:\n$plan")
   }
 
+  test("q113 gap-fill: partial count, bounded spine join, type-partitioned MA") {
+    // the (type, hour) census must aggregate with map-side partials —
+    // the ONLY corpus-sized stage; the MA window partitions by type over
+    // the bounded dense series; the calendar x types cross join is a
+    // broadcast nested loop over bounded sides, never a CartesianProduct
+    val plan = physical(RelationalQueries.defs("q113_timeseries_gapfill")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("partial_count"),
+      s"hourly census lost its map-side partial:\n$plan")
+    assert("""windowspecdefinition\(event_type""".r.findFirstIn(plan).isDefined,
+      s"MA window lost its type partitioning:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"spine join degenerated to a cartesian:\n$plan")
+  }
+
   test("q109/q110 correlations: means broadcast, partial sums, no window") {
     // the two-pass Pearson kernel: the bounded means table must
     // broadcast back to the doc rows, residual sums aggregate with

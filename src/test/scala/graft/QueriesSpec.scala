@@ -1380,4 +1380,37 @@ class QueriesSpec extends AnyFunSuite {
       r.getAs[Int]("day_offset").toLong) -> r.getAs[Long]("n_active")).toMap
     assert(got == cells, s"retention matrix diverged: got $got expected $cells")
   }
+
+  test("q113 gap-fill: dense calendar, zero-filled gaps, MA replays") {
+    val rows = RelationalQueries.defs("q113_timeseries_gapfill")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    val span = rows.map(_.getAs[Long]("hour_index"))
+    val (h0, h1) = (span.min, span.max)
+    byType.foreach { case (t, rs) =>
+      // dense: every hour of the global span exactly once per type
+      val hrs = rs.map(_.getAs[Long]("hour_index")).sorted
+      assert(hrs.sameElements(h0 to h1), s"$t: calendar not dense")
+    }
+    // the corpus must exercise the zero-fill path at this SF
+    assert(rows.exists(_.getAs[Long]("n_events") == 0L),
+      "no gap was filled — hourly granularity no longer produces gaps")
+    // counts conserve: sum over the dense frame == total events
+    val total = RelationalQueries.ev(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total,
+      "dense counts don't conserve the event total")
+    // MA replay per type from the dense series itself
+    byType.foreach { case (t, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("hour_index"))
+      val ns = sorted.map(_.getAs[Long]("n_events"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val frame = ns.slice(math.max(0, i - 23), i + 1)
+        val exp = BigDecimal(frame.sum.toDouble / frame.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getAs[Double]("ma24") == exp,
+          s"$t hour ${r.getAs[Long]("hour_index")}: MA diverged")
+      }
+    }
+  }
 }
