@@ -626,13 +626,15 @@ object RelationalQueries {
           when(col("dur").isNotNull, 4).when(col("d3") === 1, 3)
             .when(col("d2") === 1, 2).when(col("d1") === 1, 1).otherwise(0))
         .groupBy(col("depth"))
-        // sum(long)/count THEN one double division: the long sum is exact
-        // on both engines regardless of partial-merge order, so the round-2
-        // value is bit-deterministic (avg(double) would sum in engine-
-        // private order and could graze a rounding boundary)
+        // exact sum THEN one double division: the decimal sum is exact on
+        // both engines regardless of partial-merge order (DuckDB sums into
+        // HUGEINT), so the round-2 value is bit-deterministic — avg(double)
+        // would sum in engine-private order and could graze a rounding
+        // boundary. Decimal, not long: at ~1e8 converting users a long sum
+        // of 3-day-micros durations overflows 2^63
         .agg(count(lit(1)).as("n_users"),
-          coalesce(round((sum(col("dur")).cast("double") / count(col("dur"))) /
-            lit(60000000.0), 2), lit(0.0)).as("avg_minutes"))
+          coalesce(round((sum(col("dur").cast("decimal(20,0)")).cast("double") /
+            count(col("dur"))) / lit(60000000.0), 2), lit(0.0)).as("avg_minutes"))
         .orderBy("depth")
     }),
 
@@ -681,14 +683,17 @@ object RelationalQueries {
     // hour indices; the MA averages <= 24 exact longs, so round-4 is
     // engine-deterministic.
     "q113_timeseries_gapfill" -> ((s, dir) => {
-      val e = ev(s, dir)
+      // ONE corpus scan: the (type, hour) census; the calendar bounds and
+      // the type list derive from the BOUNDED census itself, so only the
+      // types × hours table is checkpointed — never the event stream
+      val cnt = ev(s, dir)
         .select(col("event_type"), expr("ts_us div 3600000000").as("h"))
-        .localCheckpoint() // 3 consumers: bounds, type list, counts
-      val hours = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-        .select(explode(sequence(col("h0"), col("h1"))).as("h"))
-      val types = e.select(col("event_type")).distinct()
-      val cnt = e.groupBy(col("event_type"), col("h"))
+        .groupBy(col("event_type"), col("h"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // 3 consumers: bounds, type list, zero-fill join
+      val hours = cnt.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+      val types = cnt.select(col("event_type")).distinct()
       val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
         .rowsBetween(-23, Window.currentRow)
       hours.crossJoin(broadcast(types)) // bounded calendar x bounded types

@@ -31,6 +31,43 @@ class CurationAdmissionSpec extends AnyFunSuite {
   // junk punctuation doc → quality gate (punct ratio ~1 kills the score)
   private val junk = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( ))) @@@ ~~~"
 
+  /** Reference artifacts loaded driver-side: (bigram LM, per-lang
+    * cutoffs, unseen-bigram penalty). ONE loader for every test so the
+    * replicas cannot drift from each other.
+    */
+  private def loadRef(ref: String)
+      : (Map[String, Double], Map[String, Double], Double) = {
+    val lm = spark.read.parquet(s"$ref/lm").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val cuts = spark.read.parquet(s"$ref/cutoffs").collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("cut")).toMap
+    val punk = spark.read.parquet(s"$ref/params").head.getDouble(0)
+    (lm, cuts, punk)
+  }
+
+  /** Driver-side replay of the LM gate's per-doc score. */
+  private def scoreWith(lm: Map[String, Double], punk: Double)(
+      text: String): Option[Double] = {
+    val t = text.toLowerCase.replaceAll("[^a-z ]", " ").trim
+      .split("\\s+").filter(_.nonEmpty)
+    if (t.length < 2) None
+    else Some(t.sliding(2).map(w => -math.log(
+      lm.getOrElse(w.mkString(" "), punk))).sum / (t.length - 1))
+  }
+
+  /** Distinctness in the DEDUP GATE'S OWN metric — normalized 3-gram
+    * shingle jaccard well under the 0.5 drop threshold (a raw word-set
+    * heuristic can misclassify: two docs sharing a verbatim phrase may
+    * differ in enough stray tokens to pass it while their shingle
+    * jaccard still trips the gate).
+    */
+  private def shingleDistinct(a: String, b: String): Boolean = {
+    val sa = graft.functions.TextFunctions.wordNgramsScala(a, 3).toSet
+    val sb = graft.functions.TextFunctions.wordNgramsScala(b, 3).toSet
+    sa.isEmpty || sb.isEmpty ||
+      (sa & sb).size.toDouble / (sa | sb).size < 0.4
+  }
+
   test("funnel gates fire by reason, audit conserves, retry is idempotent") {
     val ref = Files.createTempDirectory("cur_ref").toString
     val store = Files.createTempDirectory("cur_store").toString
@@ -39,10 +76,8 @@ class CurationAdmissionSpec extends AnyFunSuite {
 
     CurationAdmission.buildReference(spark, corpus, ref)
     assert(spark.read.parquet(s"$ref/lm").count() > 0)
-    val cuts = spark.read.parquet(s"$ref/cutoffs").collect()
-      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("cut")).toMap
+    val (lm, cuts, punk) = loadRef(ref)
     assert(cuts.nonEmpty && cuts.values.forall(_ > 0))
-    val punk = spark.read.parquet(s"$ref/params").head.getDouble(0)
     assert(-math.log(punk) > cuts.values.max,
       "the unseen-bigram penalty must exceed every tail cutoff for the nonsense fixture to be deterministic")
 
@@ -53,28 +88,14 @@ class CurationAdmissionSpec extends AnyFunSuite {
     val candidates = Tables.documents(spark, corpus)
       .filter(qualityScore(col("text")) >= 0.72)
       .select("doc_id", "lang", "text").collect()
-    // replay the LM score driver-side to pick 3 docs safely below cut
-    val lm = spark.read.parquet(s"$ref/lm").collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    def score(text: String): Option[Double] = {
-      val t = text.toLowerCase.replaceAll("[^a-z ]", " ").trim
-        .split("\\s+").filter(_.nonEmpty)
-      if (t.length < 2) None
-      else Some(t.sliding(2).map(w => -math.log(
-        lm.getOrElse(w.mkString(" "), punk))).sum / (t.length - 1))
-    }
-    def distinctFrom(text: String, picked: Seq[String]): Boolean =
-      picked.forall { p =>
-        val a = p.split(" ").toSet; val b = text.split(" ").toSet
-        (a & b).size * 2 < (a | b).size
-      }
+    val score = scoreWith(lm, punk) _
     val good = candidates.foldLeft(Vector.empty[org.apache.spark.sql.Row]) {
       (acc, r) =>
         val ok = acc.length < 3 &&
           score(r.getAs[String]("text")).exists(s =>
             s < cuts(r.getAs[String]("lang")) - 0.05) &&
-          distinctFrom(r.getAs[String]("text"),
-            acc.map(_.getAs[String]("text")))
+          acc.forall(p => shingleDistinct(p.getAs[String]("text"),
+            r.getAs[String]("text")))
         if (ok) acc :+ r else acc
     }
     assert(good.length == 3, "corpus no longer yields 3 clean admission fixtures")
@@ -101,13 +122,10 @@ class CurationAdmissionSpec extends AnyFunSuite {
       !good.exists(_.getAs[Long]("doc_id") == id) &&
         score(r.getAs[String]("text")).exists(s =>
           s < cuts(r.getAs[String]("lang")) - 0.05) &&
-        // must not near-duplicate a batch-0 admission: cheap guard — its
-        // text differs from every admitted text in at least half its words
-        good.forall { g =>
-          val a = g.getAs[String]("text").split(" ").toSet
-          val b = r.getAs[String]("text").split(" ").toSet
-          (a & b).size * 2 < (a | b).size
-        }
+        // must not near-duplicate a batch-0 admission — judged in the
+        // gate's own shingle-jaccard metric
+        good.forall(g => shingleDistinct(g.getAs[String]("text"),
+          r.getAs[String]("text")))
     }.take(1)
     assume(fresh.length == 1, "no sufficiently-distinct fresh doc at this SF")
     val clone = (9100L, good.head.getAs[String]("lang"),
@@ -145,19 +163,10 @@ class CurationAdmissionSpec extends AnyFunSuite {
     val kept = Files.createTempDirectory("cur_kept3").toString
     val audit = Files.createTempDirectory("cur_audit3").toString
     CurationAdmission.buildReference(spark, corpus, ref)
-    val cuts = spark.read.parquet(s"$ref/cutoffs").collect()
-      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("cut")).toMap
-    val lm = spark.read.parquet(s"$ref/lm").collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val punk = spark.read.parquet(s"$ref/params").head.getDouble(0)
-    def score(text: String): Option[Double] = {
-      val t = text.toLowerCase.replaceAll("[^a-z ]", " ").trim
-        .split("\\s+").filter(_.nonEmpty)
-      if (t.length < 2) None
-      else Some(t.sliding(2).map(w => -math.log(
-        lm.getOrElse(w.mkString(" "), punk))).sum / (t.length - 1))
-    }
-    // greedy pool of mutually-distinct clean docs (pass quality + LM)
+    val (lm, cuts, punk) = loadRef(ref)
+    val score = scoreWith(lm, punk) _
+    // greedy pool of mutually-distinct clean docs (pass quality + LM,
+    // distinctness in the gate's own shingle metric)
     val pool = Tables.documents(spark, corpus)
       .filter(qualityScore(col("text")) >= 0.72)
       .select("doc_id", "lang", "text").collect()
@@ -165,10 +174,7 @@ class CurationAdmissionSpec extends AnyFunSuite {
         val text = r.getAs[String]("text")
         val ok = score(text).exists(s =>
           s < cuts(r.getAs[String]("lang")) - 0.05) &&
-          acc.forall { case (_, _, p) =>
-            val a = p.split(" ").toSet; val b = text.split(" ").toSet
-            (a & b).size * 2 < (a | b).size
-          }
+          acc.forall { case (_, _, p) => shingleDistinct(p, text) }
         if (ok) acc :+ ((r.getAs[Long]("doc_id"), r.getAs[String]("lang"), text))
         else acc
       }

@@ -588,15 +588,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"grew a cartesian:\n$plan")
   }
 
-  test("q113 gap-fill: partial count, bounded spine join, type-partitioned MA") {
-    // the (type, hour) census must aggregate with map-side partials —
-    // the ONLY corpus-sized stage; the MA window partitions by type over
-    // the bounded dense series; the calendar x types cross join is a
-    // broadcast nested loop over bounded sides, never a CartesianProduct
+  test("q113 gap-fill: census partial below the checkpoint, type-partitioned MA") {
+    // the (type, hour) census — the ONLY corpus-sized stage — is
+    // checkpointed bounded, so the final plan reads its LogicalRDD; pin
+    // the census's own partial-agg shape on the pre-checkpoint frame,
+    // then the MA window partitioning and no-cartesian on the query
+    val census = RelationalQueries.ev(spark, dir)
+      .select(col("event_type"),
+        org.apache.spark.sql.functions.expr("ts_us div 3600000000").as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(physical(census).contains("partial_count"),
+      "hourly census lost its map-side partial")
     val plan = physical(RelationalQueries.defs("q113_timeseries_gapfill")(spark, dir))
       .split("== Initial Plan ==")(0)
-    assert(plan.contains("partial_count"),
-      s"hourly census lost its map-side partial:\n$plan")
     assert("""windowspecdefinition\(event_type""".r.findFirstIn(plan).isDefined,
       s"MA window lost its type partitioning:\n$plan")
     assert(!plan.contains("CartesianProduct"),
