@@ -258,7 +258,10 @@ object Dev {
         import org.apache.spark.sql.functions._
         val qdir = args.lift(1).getOrElse("/root/testdata/sf0.1")
         val e = Tables.embeddings(spark, qdir)
-        val anchors = e.filter(col("vec_id") < 20)
+        // the SAME anchor population q103 mines (NQueries), so the
+        // positives/random rows stay comparable if the constant moves
+        val anchors = e.filter(col("vec_id") <
+            graft.operators.VectorQueries.NQueries)
           .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
         // hoisted + checkpointed: stats() runs three times and q103 builds
         // its own copy — without this the BM25 chain would run 4x per call

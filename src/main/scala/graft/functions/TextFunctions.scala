@@ -41,6 +41,18 @@ object TextFunctions {
   /** Word n-grams as "w1 w2 ... wn" strings. Pure Column math
     * (transform over sequence) — no UDF.
     */
+  /** Adjacent-token bigram strings "w1 w2" from a token array — ONE
+    * definition of the bigram-LM feature for every consumer (the corpus
+    * LM artifact, the frozen streaming reference, per-batch stream
+    * scoring, DSIR features): a tokenizer or key-format change lands in
+    * all of them or none.
+    */
+  def tokenBigrams(t: Column): Column =
+    zip_with(
+      slice(t, lit(1), size(t) - 1),
+      slice(t, lit(2), size(t) - 1),
+      (a, b) => concat(a, lit(" "), b))
+
   def wordNgrams(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>")).otherwise(
       transform(sequence(lit(1), size(toks) - lit(n - 1)),

@@ -398,10 +398,7 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), col("source"), t.as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("lang"), col("source"),
-        explode(zip_with(
-          slice(col("t"), lit(1), size(col("t")) - 1),
-          slice(col("t"), lit(2), size(col("t")) - 1),
-          (a, b) => concat(a, lit(" "), b))).as("bg"))
+        explode(tokenBigrams(col("t"))).as("bg"))
       .localCheckpoint() // 3 consumers: c2, c1, scoring join
     val f2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
     val f1 = bg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
@@ -1542,11 +1539,7 @@ object TextQueries {
         .select(col("doc_id"), col("source"), t.as("t"))
         .filter(size(col("t")) >= 1)
         .select(col("doc_id"), col("source"),
-          explode(concat(col("t"),
-            zip_with(
-              slice(col("t"), lit(1), size(col("t")) - 1),
-              slice(col("t"), lit(2), size(col("t")) - 1),
-              (a, b) => concat(a, lit(" "), b)))).as("f"))
+          explode(concat(col("t"), tokenBigrams(col("t")))).as("f"))
         .withColumn("b", substring(md5(col("f")), 1, 2))
         .localCheckpoint() // 3 consumers: target census, raw census, scoring
       val isTgt = col("source").isin("src0", "src1")
@@ -1636,19 +1629,29 @@ object TextQueries {
           col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
         .agg(count(lit(1)).as("inter"))
-      // the pair UNIVERSE comes from the bounded size table (sources²
-      // broadcast-joined rows), so pairs sharing NO shingle still emit
-      // their jac=0 row — the "full matrix" contract holds on any corpus
-      broadcast(sz.select(col("source").as("src_a"), col("n").as("na")))
-        .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("nb"))),
+      // the pair UNIVERSE comes from the SOURCE LIST itself (bounded,
+      // broadcast), not from the shingle census: a source whose docs are
+      // all too short to shingle still appears, with size 0 — so pairs
+      // sharing NO shingle (or having none at all) emit their jac=0 row
+      // and the "full matrix" contract holds on any corpus. inter is
+      // bounded by sources² — broadcast structurally, not via AQE stats
+      val srcs = Tables.documents(s, dir).select(col("source")).distinct()
+      broadcast(srcs.select(col("source").as("src_a")))
+        .join(broadcast(srcs.select(col("source").as("src_b"))),
           col("src_a") < col("src_b"))
-        // inter is bounded by sources² — broadcast it structurally rather
-        // than relying on AQE stats to convert the join at runtime
+        .join(broadcast(sz.select(col("source").as("src_a"), col("n").as("na"))),
+          Seq("src_a"), "left")
+        .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("nb"))),
+          Seq("src_b"), "left")
         .join(broadcast(inter), Seq("src_a", "src_b"), "left")
         .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .withColumn("uni",
+          coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L)) - col("inter"))
         .select(col("src_a"), col("src_b"), col("inter"),
-          round(col("inter") /
-            (col("na") + col("nb") - col("inter")).cast("double"), 4).as("jac"))
+          // two empty shingle sets have no defined jaccard — 0.0 sentinel
+          when(col("uni") > 0,
+            round(col("inter") / col("uni").cast("double"), 4))
+            .otherwise(lit(0.0)).as("jac"))
         .orderBy("src_a", "src_b")
     }),
 
@@ -1711,8 +1714,14 @@ object TextQueries {
         .agg(sum((col("x") - col("mx")) * (col("y") - col("my"))).as("sxy"),
           sum((col("x") - col("mx")) * (col("x") - col("mx"))).as("sxx"))
         .select(col("lang"), col("n").as("n_ranks"),
-          round(negate(col("sxy") / col("sxx")), 4).as("zipf_alpha"),
-          round(col("my") - (col("sxy") / col("sxx")) * col("mx"), 4).as("ln_c"))
+          // zero-variance sentinel (the q109/q110 guard): a one-token
+          // census has sxx = 0 → Spark NaN vs DuckDB NULL would diverge
+          when(col("sxx") > 0,
+            round(negate(col("sxy") / col("sxx")), 4))
+            .otherwise(lit(0.0)).as("zipf_alpha"),
+          when(col("sxx") > 0,
+            round(col("my") - (col("sxy") / col("sxx")) * col("mx"), 4))
+            .otherwise(lit(0.0)).as("ln_c"))
         .orderBy("lang")
     }),
 
@@ -1728,26 +1737,10 @@ object TextQueries {
     // 20-row means table broadcasts back, and both passes are partial
     // aggs. No window, no join wider than doc rows.
     "q109_len_quality_corr" -> ((s, dir) => {
-      val q = Tables.documents(s, dir)
+      pearsonByKey(Tables.documents(s, dir)
         .select(col("source"), tokenCount(col("text")).cast("double").as("x"),
-          qualityScore(col("text")).as("y"))
-        .localCheckpoint() // 2 consumers: means pass + residual pass
-      val m = q.groupBy(col("source"))
-        .agg(avg(col("x")).as("mx"), avg(col("y")).as("my"),
-          count(lit(1)).as("n"))
-      q.join(broadcast(m), "source")
-        .groupBy(col("source"), col("n"))
-        .agg(sum((col("x") - col("mx")) * (col("y") - col("my"))).as("sxy"),
-          sum((col("x") - col("mx")) * (col("x") - col("mx"))).as("sxx"),
-          sum((col("y") - col("my")) * (col("y") - col("my"))).as("syy"))
-        .select(col("source"), col("n").as("n_docs"),
-          // zero-variance sentinel: a constant-metric group has no defined
-          // correlation — emit 0.0 on BOTH engines instead of Spark null
-          // vs DuckDB NaN (cross-engine divergence on degenerate corpora)
-          when(col("sxx") * col("syy") > 0,
-            round(col("sxy") / sqrt(col("sxx") * col("syy")), 4))
-            .otherwise(lit(0.0)).as("len_quality_r"))
-        .orderBy("source")
+          qualityScore(col("text")).as("y")),
+        "source", "len_quality_r")
     }),
 
     // Metric correlation profiling, part 2 — Pearson r between LM
@@ -1762,25 +1755,38 @@ object TextQueries {
     "q110_surprisal_quality_corr" -> ((s, dir) => {
       val qual = Tables.documents(s, dir)
         .select(col("doc_id"), qualityScore(col("text")).as("y"))
-      val q = docSurprisalShared(s, dir)
+      pearsonByKey(docSurprisalShared(s, dir)
         .select(col("doc_id"), col("lang"), col("s").as("x"))
-        .join(qual, "doc_id")
-        .localCheckpoint() // 2 consumers: means pass + residual pass
-      val m = q.groupBy(col("lang"))
-        .agg(avg(col("x")).as("mx"), avg(col("y")).as("my"),
-          count(lit(1)).as("n"))
-      q.join(broadcast(m), "lang")
-        .groupBy(col("lang"), col("n"))
-        .agg(sum((col("x") - col("mx")) * (col("y") - col("my"))).as("sxy"),
-          sum((col("x") - col("mx")) * (col("x") - col("mx"))).as("sxx"),
-          sum((col("y") - col("my")) * (col("y") - col("my"))).as("syy"))
-        .select(col("lang"), col("n").as("n_docs"),
-          when(col("sxx") * col("syy") > 0, // the q109 zero-variance sentinel
-            round(col("sxy") / sqrt(col("sxx") * col("syy")), 4))
-            .otherwise(lit(0.0)).as("surprisal_quality_r"))
-        .orderBy("lang")
+        .join(qual, "doc_id"),
+        "lang", "surprisal_quality_r")
     })
   )
+
+  /** Two-pass explicit-sums Pearson kernel shared by q109/q110 (ONE
+    * definition of rounding + sentinel semantics): df = (key, x, y, ...).
+    * Means broadcast back onto doc rows, residual sums aggregate with
+    * map-side partials, and a zero-variance group emits the 0.0 sentinel
+    * on BOTH engines instead of Spark null vs DuckDB NaN (cross-engine
+    * divergence on degenerate corpora). A built-in corr() is avoided
+    * because its internal update order is engine-private.
+    */
+  private def pearsonByKey(df: DataFrame, key: String,
+      outCol: String): DataFrame = {
+    val q = df.localCheckpoint() // 2 consumers: means pass + residual pass
+    val m = q.groupBy(col(key))
+      .agg(avg(col("x")).as("mx"), avg(col("y")).as("my"),
+        count(lit(1)).as("n"))
+    q.join(broadcast(m), key)
+      .groupBy(col(key), col("n"))
+      .agg(sum((col("x") - col("mx")) * (col("y") - col("my"))).as("sxy"),
+        sum((col("x") - col("mx")) * (col("x") - col("mx"))).as("sxx"),
+        sum((col("y") - col("my")) * (col("y") - col("my"))).as("syy"))
+      .select(col(key), col("n").as("n_docs"),
+        when(col("sxx") * col("syy") > 0,
+          round(col("sxy") / sqrt(col("sxx") * col("syy")), 4))
+          .otherwise(lit(0.0)).as(outCol))
+      .orderBy(key)
+  }
 
   // ---- SQL-side FNV-1a 64 (bit-exact vs TextFunctions.fnv1a64): DuckDB
   // BIGINT arithmetic traps on overflow, so the accumulator lives in
@@ -2988,12 +2994,18 @@ object TextQueries {
         |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
         |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
         |  GROUP BY 1, 2),
+        |srcs AS (SELECT DISTINCT source FROM documents),
         |pairs AS (
-        |  SELECT na.source AS src_a, nb.source AS src_b, na.n AS na, nb.n AS nb
-        |  FROM sz na JOIN sz nb ON na.source < nb.source)
+        |  SELECT sa.source AS src_a, sb.source AS src_b,
+        |    coalesce(na.n, 0) AS na, coalesce(nb.n, 0) AS nb
+        |  FROM srcs sa JOIN srcs sb ON sa.source < sb.source
+        |  LEFT JOIN sz na ON na.source = sa.source
+        |  LEFT JOIN sz nb ON nb.source = sb.source)
         |SELECT p.src_a, p.src_b, coalesce(i.inter, 0) AS inter,
-        |  round(coalesce(i.inter, 0) /
-        |    CAST(p.na + p.nb - coalesce(i.inter, 0) AS DOUBLE), 4) AS jac
+        |  CASE WHEN p.na + p.nb - coalesce(i.inter, 0) > 0
+        |    THEN round(coalesce(i.inter, 0) /
+        |      CAST(p.na + p.nb - coalesce(i.inter, 0) AS DOUBLE), 4)
+        |    ELSE 0.0 END AS jac
         |FROM pairs p LEFT JOIN inter i
         |  ON p.src_a = i.src_a AND p.src_b = i.src_b
         |ORDER BY p.src_a, p.src_b""".stripMargin,
@@ -3030,8 +3042,12 @@ object TextQueries {
         |        FROM r WHERE rk <= 100),
         |m AS (SELECT lang, avg(x) AS mx, avg(y) AS my, count(*) AS n FROM top GROUP BY 1)
         |SELECT t.lang, CAST(m.n AS BIGINT) AS n_ranks,
-        |  round(-(sum((x - mx) * (y - my)) / sum((x - mx) * (x - mx))), 4) AS zipf_alpha,
-        |  round(my - (sum((x - mx) * (y - my)) / sum((x - mx) * (x - mx))) * mx, 4) AS ln_c
+        |  CASE WHEN sum((x - mx) * (x - mx)) > 0
+        |    THEN round(-(sum((x - mx) * (y - my)) / sum((x - mx) * (x - mx))), 4)
+        |    ELSE 0.0 END AS zipf_alpha,
+        |  CASE WHEN sum((x - mx) * (x - mx)) > 0
+        |    THEN round(my - (sum((x - mx) * (y - my)) / sum((x - mx) * (x - mx))) * mx, 4)
+        |    ELSE 0.0 END AS ln_c
         |FROM top t JOIN m USING(lang)
         |GROUP BY t.lang, m.n, mx, my ORDER BY 1""".stripMargin,
 

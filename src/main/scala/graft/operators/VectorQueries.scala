@@ -22,7 +22,7 @@ object VectorQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private val K = 5
-  private val NQueries = 20
+  private[graft] val NQueries = 20
 
   val defs: Map[String, Q] = Map(
 

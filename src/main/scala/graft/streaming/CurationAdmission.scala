@@ -63,6 +63,13 @@ object CurationAdmission {
     val nbg = bg.count()
     s.range(1).select((lit(1.0) / (lit(nbg) + lit(1)).cast("double")).as("punk"))
       .write.mode("overwrite").parquet(s"$refPath/params")
+    // the corpus-bigram checkpoint is the largest build intermediate —
+    // release its blocks once the reference artifacts are on disk (the
+    // docSurprisalShared pattern), so a long-lived session that trains
+    // the reference and then drives admission doesn't pin it forever
+    bg.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
   }
 
   /** One epoch of the funnel. `batch` = (doc_id, lang, text). Returns the
@@ -90,10 +97,10 @@ object CurationAdmission {
     val scorable = withToks.filter(size(col("t")) >= 2)
     val surprisal = scorable
       .select(col("doc_id"), col("lang"),
-        explode(zip_with(
-          slice(col("t"), lit(1), size(col("t")) - 1),
-          slice(col("t"), lit(2), size(col("t")) - 1),
-          (a, b) => concat(a, lit(" "), b))).as("bg"))
+        // the SAME bigram feature definition the reference LM was
+        // trained with (tokenBigrams) — a drifted inline copy here
+        // would silently miss the whole LM and punk-drop all traffic
+        explode(tokenBigrams(col("t"))).as("bg"))
       .join(lm, Seq("bg"), "left")
       .withColumn("p", coalesce(col("p"), lit(punk)))
       .groupBy(col("doc_id"), col("lang"))
