@@ -703,8 +703,76 @@ object RelationalQueries {
         .select(col("event_type"), col("h").as("hour_index"),
           col("n").as("n_events"), col("ma24"))
         .orderBy("event_type", "hour_index")
+    }),
+
+    // CUBE report — the last of the grouping-analytics family (GROUP BY
+    // q01, ROLLUP q51, PIVOT q83, UNPIVOT q86): every combination of
+    // (returnflag, linestatus) subtotal plus both margins and the grand
+    // total in ONE pass. Spark plans cube as a single Expand + partial
+    // hash agg (each input row fans out to its 4 grouping sets
+    // map-side), so the shuffle carries only aggregate buffers — at
+    // 100 TB this is one scan, never 4 queries. Decimal sums are exact;
+    // NULL grouping keys render as 'ALL' so the margin rows are
+    // engine-identical strings.
+    "q114_sales_cube" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n_items"), col("sum_qty"), col("sum_price"))
+        .orderBy("returnflag", "linestatus")
+    }),
+
+    // Referential-integrity audit — the data-quality pass (dbt tests /
+    // Deequ constraints) a pipeline runs before trusting its joins:
+    // orphan counts for every declared foreign key, reported alongside
+    // the child row count (an all-zero orphan column on this corpus IS
+    // the result — the audit proves integrity; the spec proves the
+    // DETECTOR fires by driving the shared helper with planted
+    // orphans). Each rule is one left-anti count: the orphan side
+    // aggregates map-side to per-partition counts and the parent key
+    // set joins hash-keyed (broadcast when the parent is a dim). No
+    // window, no cartesian.
+    "q115_integrity_audit" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val ords = Tables(s, dir, "orders")
+      val rules: Seq[(String, DataFrame, String, DataFrame, String)] = Seq(
+        ("lineitem_without_order", li, "l_orderkey",
+          ords, "o_orderkey"),
+        ("lineitem_without_part", li, "l_partkey",
+          Tables(s, dir, "part"), "p_partkey"),
+        ("lineitem_without_supplier", li, "l_suppkey",
+          Tables(s, dir, "supplier"), "s_suppkey"),
+        ("orders_without_customer", ords, "o_custkey",
+          Tables(s, dir, "customer"), "c_custkey"),
+        ("events_without_customer", Tables.events(s, dir), "user_id",
+          Tables(s, dir, "customer"), "c_custkey"))
+      rules.map { case (name, child, ck, parent, pk) =>
+        val (rows, orphans) = orphanCounts(child, ck, parent, pk)
+        val r = s.range(1).select(lit(name).as("relation"),
+          lit(rows).as("n_rows"), lit(orphans).as("n_orphans"))
+        r
+      }.reduce(_ unionByName _).orderBy("relation")
     })
   )
+
+  /** One referential rule: (child rows, orphan rows) where an orphan is
+    * a child whose key has no parent. Shared by q115 and its planted-
+    * orphan spec so the detector logic is tested independently of the
+    * (clean) corpus. NULL child keys count as orphans — a FK that is
+    * null references nothing.
+    */
+  private[graft] def orphanCounts(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): (Long, Long) = {
+    val orphans = child.select(col(childKey).as("k"))
+      .join(parent.select(col(parentKey).as("k")).distinct(),
+        Seq("k"), "left_anti")
+      .count()
+    (child.count(), orphans)
+  }
 
   val oracles: Map[String, String] = Map(
     // the 4-step conditional-min funnel chain replayed
@@ -750,6 +818,52 @@ object RelationalQueries {
         |  sz.cohort_users, m.n_active,
         |  round(m.n_active / CAST(sz.cohort_users AS DOUBLE), 4) AS retention
         |FROM m JOIN sz USING(cd) ORDER BY 1, 2""".stripMargin,
+
+    // one-pass CUBE replayed (DuckDB plans GROUP BY CUBE natively)
+    "q114_sales_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // every declared FK rule replayed as a left-anti count
+    "q115_integrity_audit" ->
+      """WITH r AS (
+        |  SELECT 'lineitem_without_order' AS relation,
+        |    (SELECT count(*) FROM lineitem) AS n_rows,
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                       WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        |  UNION ALL
+        |  SELECT 'lineitem_without_part',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM part p
+        |                       WHERE p.p_partkey = l.l_partkey))
+        |  UNION ALL
+        |  SELECT 'lineitem_without_supplier',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM supplier s
+        |                       WHERE s.s_suppkey = l.l_suppkey))
+        |  UNION ALL
+        |  SELECT 'orders_without_customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL
+        |  SELECT 'events_without_customer',
+        |    (SELECT count(*) FROM events),
+        |    (SELECT count(*) FROM events e
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = e.user_id)))
+        |SELECT relation, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_orphans AS BIGINT) AS n_orphans
+        |FROM r ORDER BY 1""".stripMargin,
 
     // the dense calendar spine + zero-fill + trailing-24h MA replayed
     "q113_timeseries_gapfill" ->

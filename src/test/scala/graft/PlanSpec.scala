@@ -609,6 +609,18 @@ class PlanSpec extends AnyFunSuite {
       s"spine join degenerated to a cartesian:\n$plan")
   }
 
+  test("q114 cube: ONE Expand pass with partial aggs, not four queries") {
+    // Spark must plan the cube as a single Expand + partial hash agg —
+    // each input row fans to its 4 grouping sets map-side and only
+    // aggregate buffers cross the shuffle
+    val plan = physical(RelationalQueries.defs("q114_sales_cube")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("Expand"), s"cube lost its one-pass Expand form:\n$plan")
+    assert(plan.contains("partial_count") && plan.contains("partial_sum"),
+      s"cube aggregation lost its map-side partials:\n$plan")
+    assert(!plan.contains("Union"), s"cube degenerated to unioned queries:\n$plan")
+  }
+
   test("q109/q110 correlations: means broadcast, partial sums, no window") {
     // the two-pass Pearson kernel: the bounded means table must
     // broadcast back to the doc rows, residual sums aggregate with

@@ -1381,6 +1381,65 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == cells, s"retention matrix diverged: got $got expected $cells")
   }
 
+  test("q114 cube: margins reconcile with their leaves, grand total covers the table") {
+    val rows = RelationalQueries.defs("q114_sales_cube")(spark, dir).collect()
+    val cells = rows.map(r => (r.getAs[String]("returnflag"),
+      r.getAs[String]("linestatus")) ->
+      (r.getAs[Long]("n_items"), r.getAs[Double]("sum_qty"))).toMap
+    val flags = cells.keys.map(_._1).filter(_ != "ALL").toSeq.distinct
+    val stats = cells.keys.map(_._2).filter(_ != "ALL").toSeq.distinct
+    assert(rows.length == (flags.length + 1) * (stats.length + 1),
+      s"cube is missing grouping sets: ${rows.length}")
+    // each flag margin equals the sum of its leaves (counts and decimals)
+    flags.foreach { f =>
+      val leaves = stats.flatMap(st => cells.get((f, st)))
+      assert(cells((f, "ALL"))._1 == leaves.map(_._1).sum, s"margin $f count")
+      // each leaf is independently rounded to 2 dp, so the margin can
+      // differ from the leaf sum by up to #leaves x 0.005
+      assert(math.abs(cells((f, "ALL"))._2 - leaves.map(_._2).sum) <
+        0.005 * (leaves.length + 1), s"margin $f qty")
+    }
+    // grand total covers the whole table
+    assert(cells(("ALL", "ALL"))._1 ==
+      Tables(spark, dir, "lineitem").count(), "grand total != row count")
+  }
+
+  test("q115 integrity audit replays rule-for-rule; the detector fires on planted orphans") {
+    val rows = RelationalQueries.defs("q115_integrity_audit")(spark, dir).collect()
+    assert(rows.length == 5)
+    // replay each rule driver-side with plain Scala sets
+    def keys(t: String, c: String): Array[Long] =
+      Tables(spark, dir, t).select(col(c).cast("long")).collect().map(_.getLong(0))
+    val exp = Map(
+      "lineitem_without_order" -> (keys("lineitem", "l_orderkey"),
+        keys("orders", "o_orderkey")),
+      "lineitem_without_part" -> (keys("lineitem", "l_partkey"),
+        keys("part", "p_partkey")),
+      "lineitem_without_supplier" -> (keys("lineitem", "l_suppkey"),
+        keys("supplier", "s_suppkey")),
+      "orders_without_customer" -> (keys("orders", "o_custkey"),
+        keys("customer", "c_custkey")),
+      "events_without_customer" ->
+        (RelationalQueries.ev(spark, dir).select(col("user_id")).collect()
+          .map(_.getLong(0)), keys("customer", "c_custkey")))
+    rows.foreach { r =>
+      val (child, parent) = exp(r.getAs[String]("relation"))
+      val pset = parent.toSet
+      assert(r.getAs[Long]("n_rows") == child.length.toLong,
+        s"${r.getAs[String]("relation")}: row count diverged")
+      assert(r.getAs[Long]("n_orphans") == child.count(k => !pset(k)).toLong,
+        s"${r.getAs[String]("relation")}: orphan count diverged")
+    }
+    // the detector itself must FIRE: planted orphans + a null FK
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(2L), Some(99L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val (n, orphans) = RelationalQueries.orphanCounts(child, "fk", parent, "pk")
+    assert(n == 4 && orphans == 2,
+      s"planted orphan + null FK not detected: n=$n orphans=$orphans")
+  }
+
   test("q113 gap-fill: dense calendar, zero-filled gaps, MA replays") {
     val rows = RelationalQueries.defs("q113_timeseries_gapfill")(spark, dir)
       .collect()
