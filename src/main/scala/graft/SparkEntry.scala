@@ -8,7 +8,7 @@ import graft.operators._
   * `queries` is the full operator inventory (SURVEY.md §2) re-expressed
   * Spark-first; `oracleSql` holds the DuckDB-equivalent ANSI SQL for every
   * SQL-expressible query (same column names/rounding on both sides) —
-  * 113 of 114 entries, including the elections (vincenty replayed as a
+  * 114 of 115 entries, including the elections (vincenty replayed as a
   * recursive CTE), every LSH/trained-index pipeline, geohash, lang-ID,
   * the pivot/rollup/unpivot reshaping surface (q83/q84/q86), the
   * per-source KL mixture diagnostic (q85), the portable Count-Min /

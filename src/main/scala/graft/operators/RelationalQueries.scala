@@ -756,6 +756,34 @@ object RelationalQueries {
           lit(rows).as("n_rows"), lit(orphans).as("n_orphans"))
         r
       }.reduce(_ unionByName _).orderBy("relation")
+    }),
+
+    // Market-basket co-occurrence — frequent itemset mining at k=2 (the
+    // retail-analytics classic): the 20 part pairs most often bought in
+    // the same order, with their support. The self-join fans out per
+    // ORDER by basket-size² (baskets are small and bounded — ≤ 13 items
+    // here, never corpus-sized), the pair census aggregates with
+    // map-side partials, and the top-20 is a TakeOrdered over the
+    // census — no global sort materializes. Catalyst's ReusedExchange
+    // dedups the identical distinct-items subplan on both join sides
+    // (PlanSpec pins it), so the basket table computes once. Every
+    // column is an integer and the (n desc, p1, p2) order is total, so
+    // top-20 membership is engine-exact even inside count-tie bands.
+    "q116_basket_pairs" -> ((s, dir) => {
+      val nOrders = Tables(s, dir, "orders").count()
+      val items = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      items.as("a")
+        .join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+        .limit(20)
+        .withColumn("support",
+          round(col("n_orders") / lit(nOrders.toDouble), 6))
+        .orderBy(col("n_orders").desc, col("p1"), col("p2"))
     })
   )
 
@@ -818,6 +846,20 @@ object RelationalQueries {
         |  sz.cohort_users, m.n_active,
         |  round(m.n_active / CAST(sz.cohort_users AS DOUBLE), 4) AS retention
         |FROM m JOIN sz USING(cd) ORDER BY 1, 2""".stripMargin,
+
+    // the distinct-items self-join + pair census + total-order top-20
+    "q116_basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |c AS (SELECT p1, p2, count(*) AS n_orders FROM pairs GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS total FROM orders)
+        |SELECT p1, p2, n_orders,
+        |  round(n_orders / CAST(total AS DOUBLE), 6) AS support
+        |FROM c, n
+        |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin,
 
     // one-pass CUBE replayed (DuckDB plans GROUP BY CUBE natively)
     "q114_sales_cube" ->

@@ -621,6 +621,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Union"), s"cube degenerated to unioned queries:\n$plan")
   }
 
+  test("q116 basket pairs: basket table computed once, TakeOrdered top-k, partial census") {
+    // the identical distinct-items subplan on both join sides must dedup
+    // via ReusedExchange; the top-20 must be a TakeOrdered (no global
+    // sort materialization); the pair census aggregates with partials
+    val plan = physical(RelationalQueries.defs("q116_basket_pairs")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
+      || plan.contains("TableCacheQueryStage"),
+      s"distinct-items subplan computed twice — exchange reuse lost:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 lost its TakeOrdered form:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"pair census lost its map-side partial:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"grew a cartesian:\n$plan")
+  }
+
   test("q109/q110 correlations: means broadcast, partial sums, no window") {
     // the two-pass Pearson kernel: the bounded means table must
     // broadcast back to the doc rows, residual sums aggregate with

@@ -1440,6 +1440,32 @@ class QueriesSpec extends AnyFunSuite {
       s"planted orphan + null FK not detected: n=$n orphans=$orphans")
   }
 
+  test("q116 basket pairs: top-20 replays order-for-order in plain Scala") {
+    val rows = RelationalQueries.defs("q116_basket_pairs")(spark, dir).collect()
+    assert(rows.length == 20)
+    // full driver-side replay of the pair census and total-order top-20
+    val items = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey")))
+      .distinct.groupBy(_._1)
+    val census = items.values.flatMap { its =>
+      val ps = its.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (p, v) => p -> v.size }
+    val expTop = census.toSeq
+      .sortBy { case ((p1, p2), n) => (-n, p1, p2) }.take(20)
+    val got = rows.map(r => ((r.getAs[Long]("p1"), r.getAs[Long]("p2")),
+      r.getAs[Long]("n_orders").toInt))
+    assert(got.toSeq == expTop, s"basket top-20 diverged:\n$got\nvs\n$expTop")
+    // support consistency against the orders table
+    val total = Tables(spark, dir, "orders").count().toDouble
+    rows.foreach { r =>
+      val exp = BigDecimal(r.getAs[Long]("n_orders") / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("support") == exp, "support ratio inconsistent")
+    }
+  }
+
   test("q113 gap-fill: dense calendar, zero-filled gaps, MA replays") {
     val rows = RelationalQueries.defs("q113_timeseries_gapfill")(spark, dir)
       .collect()
