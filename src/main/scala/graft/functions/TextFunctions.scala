@@ -38,21 +38,23 @@ object TextFunctions {
   def tokens(c: Column): Column =
     filter(split(trim(normalizeText(c)), "\\s+"), t => length(t) > 0)
 
-  /** Word n-grams as "w1 w2 ... wn" strings. Pure Column math
-    * (transform over sequence) — no UDF.
-    */
   /** Adjacent-token bigram strings "w1 w2" from a token array — ONE
     * definition of the bigram-LM feature for every consumer (the corpus
     * LM artifact, the frozen streaming reference, per-batch stream
     * scoring, DSIR features): a tokenizer or key-format change lands in
-    * all of them or none.
+    * all of them or none. Self-guarding like wordNgrams: fewer than two
+    * tokens yield an empty array, never a negative slice length.
     */
   def tokenBigrams(t: Column): Column =
-    zip_with(
-      slice(t, lit(1), size(t) - 1),
-      slice(t, lit(2), size(t) - 1),
-      (a, b) => concat(a, lit(" "), b))
+    when(size(t) < 2, array().cast("array<string>")).otherwise(
+      zip_with(
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b)))
 
+  /** Word n-grams as "w1 w2 ... wn" strings. Pure Column math
+    * (transform over sequence) — no UDF.
+    */
   def wordNgrams(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>")).otherwise(
       transform(sequence(lit(1), size(toks) - lit(n - 1)),

@@ -715,13 +715,22 @@ object RelationalQueries {
     // NULL grouping keys render as 'ALL' so the margin rows are
     // engine-identical strings.
     "q114_sales_cube" -> ((s, dir) => {
+      // margin rows are identified by GROUPING(), not coalesce: a
+      // genuine NULL grouping value stays distinguishable from the
+      // 'ALL' margin (coalesce would conflate them into duplicate keys
+      // with engine-nondeterministic relative order)
       Tables(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n_items"),
+        .agg(grouping(col("l_returnflag")).as("g1"),
+          grouping(col("l_linestatus")).as("g2"),
+          count(lit(1)).as("n_items"),
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_price"))
-        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        .select(
+          when(col("g1") === 1, lit("ALL"))
+            .otherwise(col("l_returnflag")).as("returnflag"),
+          when(col("g2") === 1, lit("ALL"))
+            .otherwise(col("l_linestatus")).as("linestatus"),
           col("n_items"), col("sum_qty"), col("sum_price"))
         .orderBy("returnflag", "linestatus")
     }),
@@ -751,10 +760,7 @@ object RelationalQueries {
         ("events_without_customer", Tables.events(s, dir), "user_id",
           Tables(s, dir, "customer"), "c_custkey"))
       rules.map { case (name, child, ck, parent, pk) =>
-        val (rows, orphans) = orphanCounts(child, ck, parent, pk)
-        val r = s.range(1).select(lit(name).as("relation"),
-          lit(rows).as("n_rows"), lit(orphans).as("n_orphans"))
-        r
+        orphanAudit(child, ck, parent, pk, name)
       }.reduce(_ unionByName _).orderBy("relation")
     }),
 
@@ -770,7 +776,9 @@ object RelationalQueries {
     // column is an integer and the (n desc, p1, p2) order is total, so
     // top-20 membership is engine-exact even inside count-tie bands.
     "q116_basket_pairs" -> ((s, dir) => {
-      val nOrders = Tables(s, dir, "orders").count()
+      // lazy 1-row total, not a driver-side count(): building the query
+      // must cost nothing until it executes
+      val nOrders = Tables(s, dir, "orders").agg(count(lit(1)).as("total"))
       val items = Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       items.as("a")
@@ -781,25 +789,31 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("p1"), col("p2"))
         .limit(20)
+        .crossJoin(broadcast(nOrders))
         .withColumn("support",
-          round(col("n_orders") / lit(nOrders.toDouble), 6))
+          round(col("n_orders") / col("total").cast("double"), 6))
+        .drop("total")
         .orderBy(col("n_orders").desc, col("p1"), col("p2"))
     })
   )
 
-  /** One referential rule: (child rows, orphan rows) where an orphan is
-    * a child whose key has no parent. Shared by q115 and its planted-
-    * orphan spec so the detector logic is tested independently of the
-    * (clean) corpus. NULL child keys count as orphans — a FK that is
-    * null references nothing.
+  /** One referential rule as a LAZY 1-row frame (relation, n_rows,
+    * n_orphans) — the counts are subplans, not driver-side actions, so
+    * building q115 costs nothing until it executes and the left-anti
+    * shape stays visible in the physical plan. Shared by q115 and its
+    * planted-orphan spec so the detector logic is tested independently
+    * of the (clean) corpus. NULL child keys count as orphans — a FK
+    * that is null references nothing.
     */
-  private[graft] def orphanCounts(child: DataFrame, childKey: String,
-      parent: DataFrame, parentKey: String): (Long, Long) = {
+  private[graft] def orphanAudit(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, name: String): DataFrame = {
+    val rows = child.agg(count(lit(1)).as("n_rows"))
     val orphans = child.select(col(childKey).as("k"))
       .join(parent.select(col(parentKey).as("k")).distinct(),
         Seq("k"), "left_anti")
-      .count()
-    (child.count(), orphans)
+      .agg(count(lit(1)).as("n_orphans"))
+    rows.crossJoin(orphans) // two 1-row aggregates
+      .select(lit(name).as("relation"), col("n_rows"), col("n_orphans"))
   }
 
   val oracles: Map[String, String] = Map(
@@ -863,8 +877,11 @@ object RelationalQueries {
 
     // one-pass CUBE replayed (DuckDB plans GROUP BY CUBE natively)
     "q114_sales_cube" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      """SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+        |       ELSE l_returnflag END AS returnflag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+        |       ELSE l_linestatus END AS linestatus,
         |  count(*) AS n_items,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_price

@@ -1388,7 +1388,11 @@ class QueriesSpec extends AnyFunSuite {
       (r.getAs[Long]("n_items"), r.getAs[Double]("sum_qty"))).toMap
     val flags = cells.keys.map(_._1).filter(_ != "ALL").toSeq.distinct
     val stats = cells.keys.map(_._2).filter(_ != "ALL").toSeq.distinct
-    assert(rows.length == (flags.length + 1) * (stats.length + 1),
+    // CUBE emits only OBSERVED grouping sets, not the cross product of
+    // observed key values: leaves + one margin per flag + one per status
+    // + the grand total
+    val leaves = cells.keys.count(k => k._1 != "ALL" && k._2 != "ALL")
+    assert(rows.length == leaves + flags.length + stats.length + 1,
       s"cube is missing grouping sets: ${rows.length}")
     // each flag margin equals the sum of its leaves (counts and decimals)
     flags.foreach { f =>
@@ -1435,9 +1439,11 @@ class QueriesSpec extends AnyFunSuite {
     val child = Seq(Some(1L), Some(2L), Some(99L), None)
       .toDF("fk")
     val parent = Seq(1L, 2L, 3L).toDF("pk")
-    val (n, orphans) = RelationalQueries.orphanCounts(child, "fk", parent, "pk")
-    assert(n == 4 && orphans == 2,
-      s"planted orphan + null FK not detected: n=$n orphans=$orphans")
+    val audit = RelationalQueries
+      .orphanAudit(child, "fk", parent, "pk", "planted").head
+    assert(audit.getAs[Long]("n_rows") == 4 &&
+      audit.getAs[Long]("n_orphans") == 2,
+      s"planted orphan + null FK not detected: $audit")
   }
 
   test("q116 basket pairs: top-20 replays order-for-order in plain Scala") {
