@@ -767,12 +767,18 @@ object RelationalQueries {
     // Market-basket co-occurrence — frequent itemset mining at k=2 (the
     // retail-analytics classic): the 20 part pairs most often bought in
     // the same order, with their support. The self-join fans out per
-    // ORDER by basket-size² (baskets are small and bounded — ≤ 13 items
-    // here, never corpus-sized), the pair census aggregates with
-    // map-side partials, and the top-20 is a TakeOrdered over the
-    // census — no global sort materializes. Catalyst's ReusedExchange
-    // dedups the identical distinct-items subplan on both join sides
-    // (PlanSpec pins it), so the basket table computes once. Every
+    // ORDER by basket-size², and that bound is STRUCTURAL, not an
+    // observation: baskets above MaxBasketItems are excluded by the
+    // cheap per-order census before the self-join, so one pathological
+    // 10⁵-item basket at 100 TB costs one filtered census row instead
+    // of 10¹⁰ pairs (and a co-occurrence census over such a basket is
+    // statistically meaningless anyway — the standard market-basket
+    // adjudication). On this corpus no basket exceeds 13 items, so the
+    // cap is invisible to the oracle hash; the planted-basket spec in
+    // QueriesSpec proves the guard fires. The pair census aggregates
+    // with map-side partials, the top-20 is a TakeOrdered (no global
+    // sort), and Catalyst's ReusedExchange dedups the identical capped
+    // basket subplan on both join sides (PlanSpec pins it). Every
     // column is an integer and the (n desc, p1, p2) order is total, so
     // top-20 membership is engine-exact even inside count-tie bands.
     "q116_basket_pairs" -> ((s, dir) => {
@@ -781,21 +787,40 @@ object RelationalQueries {
       val nOrders = Tables(s, dir, "orders").agg(count(lit(1)).as("total"))
       val items = Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-      items.as("a")
-        .join(items.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-        .agg(count(lit(1)).as("n_orders"))
-        .orderBy(col("n_orders").desc, col("p1"), col("p2"))
-        .limit(20)
-        .crossJoin(broadcast(nOrders))
-        .withColumn("support",
-          round(col("n_orders") / col("total").cast("double"), 6))
-        .drop("total")
-        .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      basketPairs(items, nOrders, MaxBasketItems)
     })
   )
+
+  /** Items-per-order cap for q116's self-join fan-out (see the query's
+    * comment). Mirrored in the oracle SQL's HAVING clause. */
+  private[graft] val MaxBasketItems = 100
+
+  /** q116's pair census over a (l_orderkey, l_partkey) basket table,
+    * with the basket-size cap applied to BOTH self-join sides. Shared
+    * with the planted-pathological-basket spec so the guard is tested
+    * independently of the (well-behaved) corpus.
+    */
+  private[graft] def basketPairs(items: DataFrame, nOrders: DataFrame,
+      maxBasket: Int): DataFrame = {
+    val ok = items.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBasket)
+      .select(col("l_orderkey"))
+    val capped = items.join(ok, "l_orderkey")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(20)
+      .crossJoin(broadcast(nOrders))
+      .withColumn("support",
+        round(col("n_orders") / col("total").cast("double"), 6))
+      .drop("total")
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+  }
 
   /** One referential rule as a LAZY 1-row frame (relation, n_rows,
     * n_orphans) — the counts are subplans, not driver-side actions, so
@@ -861,9 +886,13 @@ object RelationalQueries {
         |  round(m.n_active / CAST(sz.cohort_users AS DOUBLE), 4) AS retention
         |FROM m JOIN sz USING(cd) ORDER BY 1, 2""".stripMargin,
 
-    // the distinct-items self-join + pair census + total-order top-20
+    // the distinct-items self-join + pair census + total-order top-20;
+    // the HAVING mirrors MaxBasketItems (a no-op on this corpus — no
+    // basket exceeds 13 items — but part of the declared semantics)
     "q116_basket_pairs" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      """WITH items0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ok AS (SELECT l_orderkey FROM items0 GROUP BY 1 HAVING count(*) <= 100),
+        |items AS (SELECT items0.* FROM items0 JOIN ok USING (l_orderkey)),
         |pairs AS (
         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
         |  FROM items a JOIN items b

@@ -1504,4 +1504,34 @@ class QueriesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q116 basket cap is structural: a pathological basket is excluded, not squared") {
+    import spark.implicits._
+    // one 300-item mega-basket (3× the cap) + two small baskets sharing
+    // a pair; the mega-basket must contribute ZERO pairs while the
+    // small baskets' census is untouched
+    val mega = (0 until 300).map(i => (999L, i.toLong))
+    val small = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (2L, 30L))
+    val items = (mega ++ small).toDF("l_orderkey", "l_partkey")
+    val nOrders = Seq(3L).toDF("total")
+    val rows = RelationalQueries.basketPairs(items, nOrders,
+      RelationalQueries.MaxBasketItems).collect()
+    assert(rows.nonEmpty)
+    // every mega-basket part id is < 300 and only appears there; pairs
+    // of two sub-300 ids other than the small-basket parts would prove
+    // the cap leaked
+    val pairs = rows.map(r => (r.getAs[Long]("p1"), r.getAs[Long]("p2"))).toSet
+    assert(pairs == Set((10L, 20L), (10L, 30L), (20L, 30L)), pairs.toString)
+    val top = rows.head
+    assert(top.getAs[Long]("p1") == 10L && top.getAs[Long]("p2") == 20L &&
+      top.getAs[Long]("n_orders") == 2L, top.toString)
+    // and the corpus itself sits far under the cap, so the cap is
+    // invisible to the oracle: pin the observed per-SF bound
+    val maxBasket = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head.getLong(0)
+    assert(maxBasket <= 13,
+      s"sf0.001 basket bound grew to $maxBasket — revisit MaxBasketItems headroom")
+  }
 }
