@@ -586,7 +586,16 @@ object RelationalQueries {
     // Sequence-funnel analysis (the ClickHouse windowFunnel workload):
     // how deep does each user get through signup → view → click →
     // purchase, where each step must happen strictly AFTER the previous
-    // one and the whole chain within 3 days of the first signup. Stated
+    // one and the whole chain within 3 days of the first signup.
+    // DELIBERATE divergence from windowFunnel: this funnel anchors
+    // exclusively at each user's FIRST signup and walks greedy minima
+    // from there, while windowFunnel evaluates chains from ANY
+    // qualifying first-step event — a user whose first signup stalls but
+    // whose later signup converts reports shallower here. First-anchor
+    // is the common product-analytics definition ("did the user convert
+    // from their initial signup"), keeps O(1)/user state (any-anchor
+    // needs per-anchor chain state), and the oracle and spec replay the
+    // same definition end-to-end. Stated
     // as FOUR conditional-min aggregations chained by user_id equi-joins
     // — each pass keeps O(1) state per user and aggregates with map-side
     // partials, where the collect-the-user's-events form (what a

@@ -1634,7 +1634,14 @@ object TextQueries {
       // all too short to shingle still appears, with size 0 — so pairs
       // sharing NO shingle (or having none at all) emit their jac=0 row
       // and the "full matrix" contract holds on any corpus. inter is
-      // bounded by sources² — broadcast structurally, not via AQE stats
+      // bounded by sources² — broadcast structurally, not via AQE stats.
+      // KNOWN second corpus scan: this distinct re-reads documents even
+      // though shingle-BEARING sources are already in the census — the
+      // shingle-less ones are exactly what the census can't supply. At
+      // 100 TB, swap this for a once-per-snapshot per-source row-count
+      // census (a persisted artifact like the LM) if the extra
+      // source-column scan shows up; at bench scale it's parquet
+      // column-pruned to one dictionary-encoded column and not measurable
       val srcs = Tables.documents(s, dir).select(col("source")).distinct()
       broadcast(srcs.select(col("source").as("src_a")))
         .join(broadcast(srcs.select(col("source").as("src_b"))),
