@@ -192,6 +192,31 @@ object Dev {
           println(s"[dev] wrote /tmp/oracle_$n.sql")
         }
 
+      case Some("ivfrefresh") =>
+        // price incremental index refresh vs full rebuild (SCALING §5):
+        // 80/20 base/delta split, one timed refresh (frozen centroids,
+        // delta-only assignment) vs one timed from-scratch rebuild on
+        // the same combined corpus
+        import org.apache.spark.sql.functions._
+        import graft.operators.IndexMaintenance
+        val dir2 = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        def time[T](label: String)(f: => T): T = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"[dev] $label: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
+        }
+        val e = Tables.embeddings(spark, dir2)
+        val base = e.filter(col("vec_id") < 20 || col("vec_id") % 5 =!= 3)
+        val delta = e.filter(col("vec_id") >= 20 && col("vec_id") % 5 === 3)
+          .select(col("vec_id"), col("embedding"))
+        println(s"[dev] base=${base.count()} delta=${delta.count()}")
+        val idx = time("build base index")(IndexMaintenance.buildIvf(base))
+        idx.assigned.count() // force
+        val (_, rep) = time("incremental refresh")(
+          IndexMaintenance.refreshIvf(idx, delta) match {
+            case (i2, r) => i2.assigned.count(); (i2, r) })
+        println(s"[dev] $rep")
+        time("full rebuild")(IndexMaintenance.buildIvf(e).assigned.count())
+
       case Some("annquality") =>
         // measured ANN quality/speed table: each approximate variant's
         // returned (q_id, neighbor_id) pairs vs q33's exact top-10, with

@@ -255,15 +255,7 @@ object VectorQueries {
       val cent = trainCellsShared(s, dir, e)
       // the inverted file: a persisted index artifact (assignCellsShared)
       val assigned = assignCellsShared(s, dir, e, cent)
-      val probes = probeCells(e, cent, nprobe = 3)
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      assigned.join(broadcast(probes), Seq("cell"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", cosineSim(col("q_vec"), col("embedding")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= K)
-        .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"))
-        .orderBy("q_id", "rk")
+      ivfSearch(assigned, cent, e, nprobe = 3, k = K)
     }),
 
     // Cluster-balanced downsample — semantic diversity sampling, the
@@ -900,6 +892,25 @@ object VectorQueries {
           col("tb.t").as("t"), col("tb.b").as("b"))
         .localCheckpoint()
     }
+
+  /** IVF probe-and-rerank search over an inverted file: broadcast the
+    * query probe list onto the cell-partitioned corpus, exact-cosine
+    * rerank inside the probed cells, top-k per query. ONE definition
+    * shared by q46 and the incremental-maintenance recall specs, so a
+    * refreshed index is searched exactly the way the built index is.
+    */
+  private[graft] def ivfSearch(assigned: DataFrame, cent: DataFrame,
+      e: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val probes = probeCells(e, cent, nprobe)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosineSim(col("q_vec"), col("embedding")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"))
+      .orderBy("q_id", "rk")
+  }
 
   /** Query-side probe list: each query's `nprobe` nearest cells (the
     * synthetic corpus clusters only weakly — diffuse cells need a probe

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{IndexMaintenance, VectorQueries}
+
+/** Incremental IVF index maintenance: stream-append a segment and the
+  * index refreshes for O(delta) with frozen centroids (recall
+  * preserved), while a genuinely drifted append trips the drift
+  * detector and warm-start retrains — the dynamic half of the
+  * persisted-artifact story the corpus-fingerprinted store models
+  * statically.
+  */
+class IndexMaintenanceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // base = 80% of the corpus (queries vec_id < 20 included); delta = the
+  // held-out 20%, arriving later as an appended segment
+  private def split() = {
+    val e = Tables.embeddings(spark, dir)
+    (e.filter(col("vec_id") < 20 || col("vec_id") % 5 =!= 3),
+      e.filter(col("vec_id") >= 20 && col("vec_id") % 5 === 3)
+        .select(col("vec_id"), col("embedding")))
+  }
+
+  test("cell stats are exact sufficient statistics and merge additively") {
+    val (base, _) = split()
+    val idx = IndexMaintenance.buildIvf(base)
+    val stats = idx.stats.collect()
+    assert(stats.map(_.getAs[Long]("n")).sum == base.count(),
+      "stats counts don't cover the corpus")
+    // splitting the inverted file in two and merging the halves' stats
+    // must reproduce the whole-file stats (up to fp reassociation)
+    val h1 = IndexMaintenance.cellStats(idx.assigned.filter(col("vec_id") % 2 === 0))
+    val h2 = IndexMaintenance.cellStats(idx.assigned.filter(col("vec_id") % 2 === 1))
+    val merged = IndexMaintenance.mergeStats(h1, h2).collect()
+      .map(r => r.getAs[Int]("cell") ->
+        (r.getAs[Long]("n"), r.getSeq[Double](r.fieldIndex("sumvec")))).toMap
+    stats.foreach { r =>
+      val (n, sv) = merged(r.getAs[Int]("cell"))
+      assert(n == r.getAs[Long]("n"))
+      r.getSeq[Double](r.fieldIndex("sumvec")).zip(sv).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"sum drifted: $a vs $b")
+      }
+    }
+    // the built index's residual drift (Lloyd never converges) is the
+    // baseline the refresh judges against — small, and carried on the index
+    assert(idx.baselineDrift == IndexMaintenance.maxDrift(idx.stats, idx.centroids))
+    assert(idx.baselineDrift < 0.2, s"baseline residual too large: ${idx.baselineDrift}")
+  }
+
+  test("in-distribution append refreshes incrementally and preserves recall") {
+    val (base, delta) = split()
+    val idx = IndexMaintenance.buildIvf(base)
+    val (idx2, report) = IndexMaintenance.refreshIvf(idx, delta)
+    assert(report.mode == "incremental",
+      s"in-distribution delta should not retrain: $report")
+    assert(report.newVectors == delta.count())
+    assert(report.maxDrift - report.baselineDrift <= report.driftThreshold)
+    val e = Tables.embeddings(spark, dir)
+    assert(idx2.assigned.count() == e.count(), "inverted file lost rows")
+    assert(idx2.stats.collect().map(_.getAs[Long]("n")).sum == e.count(),
+      "refreshed stats don't cover the corpus — the NEXT refresh would misjudge drift")
+
+    // recall over the FULL corpus: the refreshed index must match what a
+    // from-scratch rebuild on base+delta achieves, and clear the same
+    // floor the q46 family pins
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(VectorQueries.defs("q33_ann_bruteforce")(spark, dir))
+    val refreshed = pairs(VectorQueries.ivfSearch(
+      idx2.assigned, idx2.centroids, e, nprobe = 3, k = 5))
+    val rebuilt = pairs {
+      val full = IndexMaintenance.buildIvf(e)
+      VectorQueries.ivfSearch(full.assigned, full.centroids, e, nprobe = 3, k = 5)
+    }
+    val recallRefreshed = (refreshed & brute).size.toDouble / brute.size
+    val recallRebuilt = (rebuilt & brute).size.toDouble / brute.size
+    // absolute floor = the q63 bound on this weakly-clustered synthetic
+    // corpus (q46's own pin is 0.35); the RELATIVE bound below is the
+    // real claim — refresh must not lose recall vs a full rebuild
+    assert(recallRefreshed >= 0.45, s"refreshed recall $recallRefreshed")
+    assert(recallRefreshed >= recallRebuilt - 0.05,
+      s"refresh lost recall vs rebuild: $recallRefreshed vs $recallRebuilt")
+  }
+
+  test("a drifted append trips the detector and warm-start retrains") {
+    val (base, delta) = split()
+    val idx = IndexMaintenance.buildIvf(base)
+    // the drifted segment: every vector collapsed toward one new
+    // direction the corpus never had (scaled down + constant offset) —
+    // whatever cell catches it has its mean dragged off the frozen
+    // centroid
+    val drifted = delta.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(embedding, x -> cast(x * 0.1 + 0.5 as float))").as("embedding"))
+    val (idx3, report) = IndexMaintenance.refreshIvf(idx, drifted)
+    assert(report.mode == "retrain", s"drift not detected: $report")
+    assert(report.maxDrift - report.baselineDrift > report.driftThreshold)
+    assert(idx3.assigned.count() == base.count() + drifted.count())
+    // the retrained centroids moved: at least one frozen centroid has no
+    // bit-identical twin in the new table
+    val before = idx.centroids.collect().map((r => r.getSeq[Float](r.fieldIndex("centroid")))).toSet
+    val after = idx3.centroids.collect().map((r => r.getSeq[Float](r.fieldIndex("centroid")))).toSet
+    assert(before != after, "retrain returned the frozen centroids unchanged")
+    // and the refreshed stats stay exact for the next round
+    assert(idx3.stats.collect().map(_.getAs[Long]("n")).sum ==
+      base.count() + drifted.count())
+  }
+}
