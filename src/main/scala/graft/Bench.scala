@@ -61,33 +61,7 @@ object Bench {
     // queries call (same fingerprint keys), so nothing double-builds.
     // q74 still retrains inside its own timing by design — it IS the
     // training operator and its bench number must stay the training cost.
-    val buildFamilies: Seq[(String, () => Unit)] = Seq(
-      "dedup" -> { () =>
-        graft.operators.TextQueries.lshNeardupPairsShared(spark, sfDir)
-        graft.operators.TextQueries.neardupComponentsShared(spark, sfDir)
-        () },
-      "lm" -> (() => { graft.operators.TextQueries.docSurprisalShared(spark, sfDir); () }),
-      "nb" -> (() => { graft.operators.TextQueries.nbQualityScored(spark, sfDir); () }),
-      "bpe" -> (() => { graft.operators.TextQueries.bpeMergesShared(spark, sfDir, steps = 20); () }),
-      "ivf" -> { () =>
-        val e = Tables.embeddings(spark, sfDir)
-        val cent = graft.operators.VectorQueries.trainCellsShared(spark, sfDir, e)
-        graft.operators.VectorQueries.assignCellsShared(spark, sfDir, e, cent)
-        () },
-      "pq" -> { () =>
-        val e = Tables.embeddings(spark, sfDir)
-        val sv = graft.operators.VectorQueries.pqSubvecsShared(spark, sfDir, e)
-        val cb = graft.operators.VectorQueries.pqCodebookShared(spark, sfDir, sv)
-        graft.operators.VectorQueries.pqCodesShared(spark, sfDir, sv, cb)
-        () },
-      "srp" -> (() => { graft.operators.VectorQueries.srpBandsShared(spark, sfDir); () }))
-    val builds = buildFamilies.map { case (name, build) =>
-      val t0 = System.nanoTime()
-      val ok = try { build(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] build $name failed: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
+    val builds = Artifacts.prewarm(spark, sfDir)
 
     // three INTERLEAVED sweeps (sweep-major, not query-major), report the
     // per-query median across sweeps: back-to-back passes of one query

@@ -132,6 +132,35 @@ object Dev {
           val big = run(dst)
           println(f"[dev] $n%-28s sf0.1=$small%6.2f s  ${copies}x=$big%7.2f s  ratio=${big / small}%5.1f")
         }
+      case Some("timevs") =>
+        // time queries at sf0.1 vs an arbitrary comparison dir (e.g. the
+        // organic sf1 tree from `gensf1`) — the `scale` runner with the
+        // destination taken from args instead of the replica default
+        val src2 = "/root/testdata/sf0.1"
+        val dst2 = args.lift(1).getOrElse("/tmp/graft_sf1n")
+        // prewarm BOTH dirs' artifact stores first (same protocol as
+        // Bench): per-query ratios must measure queries, not whichever
+        // query happens to visit a store first. Build times print — the
+        // build-cost ratio is its own scaling datum.
+        Seq(src2, dst2).foreach { d =>
+          Artifacts.prewarm(spark, d).foreach { case (fam, secs) =>
+            println(f"[dev] build $fam @ $d: $secs%.2f s")
+          }
+        }
+        args.drop(2).foreach { n =>
+          val fn = SparkEntry.queries(n)
+          def run(dir: String): Double = {
+            val t0 = System.nanoTime()
+            fn(spark, dir).write.format("noop").mode("overwrite").save()
+            val secs = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache()
+            secs
+          }
+          run(src2)
+          val small = run(src2)
+          val big = run(dst2)
+          println(f"[dev] $n%-28s sf0.1=$small%6.2f s  cmp=$big%7.2f s  ratio=${big / small}%5.1f")
+        }
       case Some("q39prof") =>
         // isolate q39's first-run cost: regexp? explode? agg? sort-limit?
         import org.apache.spark.sql.functions._
@@ -191,6 +220,147 @@ object Dev {
             SparkEntry.oracleSql(n).getBytes("UTF-8"))
           println(s"[dev] wrote /tmp/oracle_$n.sql")
         }
+
+      case Some("gensf1") =>
+        // ORGANIC sf1 tree (~10× sf0.1 rows AND ~10× key space, freshly
+        // drawn — not replicas): scaling ratios measured on it reflect
+        // organic key-cardinality growth, where the 10× replica's exact
+        // text/vector copies inflate the exact-pair baselines (q28/q44
+        // see every original×copy pair at jaccard/cos 1.0). Fully
+        // deterministic (hash-seeded column math, no Math.random), same
+        // schemas as TESTDATA.md, written once and fingerprint-free (the
+        // generator IS the fingerprint: delete the dir to regenerate).
+        // Distributions mirror the sf0.1 profile: 31-word vocab, doc len
+        // 10..100, lang {en 41%, zh/es/fr/de ~15%}, 20 sources, ~0.16%
+        // planted exact dups; embeddings unit-norm around 10 hash-seeded
+        // label centroids with ~0.5% planted near-dups; TPC-H-ish facts
+        // with fixed dims and 10× fact key spaces.
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.{Column, DataFrame}
+        val src = "/root/testdata/sf0.1"
+        val dst = args.lift(1).getOrElse("/tmp/graft_sf1n")
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dst/_DONE"))) {
+          println(s"[dev] $dst already generated"); return
+        }
+        // uniform in [0,1) from a tagged hash — deterministic, columnar
+        def u(tag: String, cols: Column*): Column =
+          pmod(hash((lit(tag) +: cols): _*), lit(1000000)).cast("double") / 1e6
+        def pick(tag: String, id: Column, vals: Seq[String]): Column =
+          element_at(array(vals.map(lit): _*),
+            pmod(hash(lit(tag), id), lit(vals.length)).cast("int") + 1)
+        def save(df: DataFrame, name: String): Unit = {
+          df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+          println(s"[dev] wrote $name")
+        }
+        // dimension tables stay FIXED as the fact side grows
+        Seq("region", "nation", "part", "supplier").foreach(t =>
+          save(Tables(spark, src, t), t))
+        val nCust = 150000L; val nOrd = 1500000L; val nUsers = 15000L
+        save(spark.range(nCust).select(col("id").as("c_custkey"),
+          format_string("Customer#%09d", col("id")).as("c_name"),
+          pmod(hash(lit("cn"), col("id")), lit(25)).cast("int").as("c_nationkey"),
+          round(lit(-1000.0) + u("cb", col("id")) * 11000.0, 2).as("c_acctbal"),
+          pick("cs", col("id"), Seq("AUTOMOBILE", "HOUSEHOLD", "BUILDING",
+            "FURNITURE", "MACHINERY")).as("c_mktsegment")), "customer")
+        val orders = spark.range(nOrd).select(col("id").as("o_orderkey"),
+          pmod(hash(lit("oc"), col("id")), lit(nCust)).as("o_custkey"),
+          pick("os", col("id"), Seq("F", "O", "P")).as("o_orderstatus"),
+          round(lit(1000.0) + u("ot", col("id")) * 499000.0, 2).as("o_totalprice"),
+          timestamp_micros(lit(788918400000000L) +
+            (u("od", col("id")) * 2404).cast("long") * 86400000000L)
+            .as("o_orderdate"),
+          pick("op", col("id"), Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+            "4-NOT SPECIFIED", "5-LOW")).as("o_orderpriority"))
+        save(orders, "orders")
+        save(orders.select(col("o_orderkey"),
+            explode(sequence(lit(1), (pmod(hash(lit("ln"), col("o_orderkey")),
+              lit(7)) + 1).cast("int"))).as("l_linenumber"))
+          .select(col("o_orderkey").as("l_orderkey"), col("l_linenumber"))
+          .withColumn("rid", hash(lit("li"), col("l_orderkey"), col("l_linenumber")))
+          .select(col("l_orderkey"),
+            pmod(hash(lit("lp"), col("rid")), lit(200000L)).as("l_partkey"),
+            pmod(hash(lit("ls"), col("rid")), lit(10000L)).as("l_suppkey"),
+            col("l_linenumber"),
+            (pmod(hash(lit("lq"), col("rid")), lit(50)) + 1)
+              .cast("double").as("l_quantity"),
+            round(lit(900.0) + u("le", col("rid")) * 104100.0, 2)
+              .as("l_extendedprice"),
+            (pmod(hash(lit("ld"), col("rid")), lit(11)).cast("double") / 100.0)
+              .as("l_discount"),
+            (pmod(hash(lit("lt"), col("rid")), lit(9)).cast("double") / 100.0)
+              .as("l_tax"),
+            pick("lr", col("rid"), Seq("R", "A", "N")).as("l_returnflag"),
+            pick("ll", col("rid"), Seq("F", "O")).as("l_linestatus"),
+            timestamp_micros(lit(789004800000000L) +
+              (u("lsd", col("rid")) * 2498).cast("long") * 86400000000L)
+              .as("l_shipdate")), "lineitem")
+        save(spark.range(1000000L).select(col("id").as("event_id"),
+          timestamp_micros(lit(1704067200000000L) +
+            (u("ets", col("id")) * (30.0 * 86400 - 60) * 1e6).cast("long"))
+            .as("ts"),
+          pmod(hash(lit("eu"), col("id")), lit(nUsers)).as("user_id"),
+          pick("et", col("id"), Seq("signup", "view", "click", "purchase",
+            "error")).as("event_type"),
+          round(u("ev", col("id")) * 560.0, 2).as("value"),
+          format_string("{\"k\": %d}",
+            pmod(hash(lit("ek"), col("id")), lit(100))).as("props")), "events")
+        // documents: fresh token streams from the corpus vocabulary
+        val vocab = Tables.documents(spark, src)
+          .select(explode(split(lower(col("text")), " ")).as("t"))
+          .filter(length(col("t")) > 0).distinct()
+          .collect().map(_.getString(0)).sorted
+        println(s"[dev] vocab=${vocab.length}")
+        val vocabArr = array(vocab.map(lit): _*)
+        val nDocs = 50000L
+        val docs0 = spark.range(nDocs).select(col("id").as("doc_id"),
+          when(u("dl", col("id")) < 0.41, "en")
+            .otherwise(pick("dl2", col("id"), Seq("zh", "es", "fr", "de")))
+            .as("lang"),
+          concat(lit("src"), pmod(hash(lit("dsr"), col("id")), lit(20)))
+            .as("source"),
+          array_join(transform(
+            sequence(lit(0), (pmod(hash(lit("dn"), col("id")), lit(91)) + 9)
+              .cast("int")),
+            i => element_at(vocabArr,
+              pmod(hash(lit("dt"), col("doc_id"), i), lit(vocab.length))
+                .cast("int") + 1)), " ").as("text"))
+        // organic near-dup rate ≈ sf0.1's (8 dup texts / 5000 docs): every
+        // 625th doc is an exact copy of its predecessor under a new id
+        val dupTexts = docs0
+          .select((col("doc_id") + 1).as("doc_id"), col("text").as("dup_text"))
+        save(docs0.join(dupTexts, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(625)) === 624 && col("dup_text").isNotNull,
+              col("dup_text")).otherwise(col("text")).as("text"),
+            col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text"))), "documents")
+        // embeddings: unit-norm around 10 hash-seeded centroids; every
+        // 200th vector is a tiny perturbation of its predecessor
+        val nVec = 20000L
+        val dims = 64
+        def rawVec(tag: String, id: Column): Column = transform(
+          sequence(lit(0), lit(dims - 1)),
+          j => element_at(array((0 until 10).map(l => (u(s"c$l", j) - 0.5) +
+            (u(tag, id, j) - 0.5) * 0.6): _*),
+            pmod(hash(lit("elab"), id), lit(10)).cast("int") + 1))
+        val e0 = spark.range(nVec).select(col("id").as("vec_id"),
+          rawVec("ev", col("id")).as("raw"),
+          pmod(hash(lit("elab"), col("id")), lit(10)).cast("int").as("label"))
+        val dupVecs = e0.select((col("vec_id") + 1).as("vec_id"),
+          transform(col("raw"), x => x + 0.004).as("dup_raw"))
+        save(e0.join(dupVecs, Seq("vec_id"), "left")
+          .withColumn("v",
+            when(pmod(col("vec_id"), lit(200)) === 199 && col("dup_raw").isNotNull,
+              col("dup_raw")).otherwise(col("raw")))
+          .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0),
+            (a, x) => a + x * x)))
+          .select(col("vec_id"),
+            transform(col("v"), x => (x / col("nrm")).cast("float"))
+              .as("embedding"),
+            col("label")), "embeddings")
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$dst/_DONE"),
+          "organic sf1".getBytes)
+        println(s"[dev] organic sf1 tree complete at $dst")
 
       case Some("ivfrefresh") =>
         // price incremental index refresh vs full rebuild (SCALING §5):
