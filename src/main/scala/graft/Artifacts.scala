@@ -18,6 +18,10 @@ object Artifacts {
       graft.operators.TextQueries.neardupComponentsShared(spark, sfDir)
       () },
     "lm" -> (() => { graft.operators.TextQueries.docSurprisalShared(spark, sfDir); () }),
+    "lex" -> { () =>
+      graft.operators.TextQueries.lexDocsShared(spark, sfDir)
+      graft.operators.TextQueries.lexDfShared(spark, sfDir)
+      () },
     "nb" -> (() => { graft.operators.TextQueries.nbQualityScored(spark, sfDir); () }),
     "bpe" -> (() => { graft.operators.TextQueries.bpeMergesShared(spark, sfDir, steps = 20); () }),
     "ivf" -> { () =>

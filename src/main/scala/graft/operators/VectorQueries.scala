@@ -702,13 +702,11 @@ object VectorQueries {
     * terms' posting lists. */
   private[graft] def lexicalRanks(s: SparkSession, dir: String,
       depth: Int): DataFrame = {
-    import graft.functions.TextFunctions.tokens
     val nDocs = Tables.rowCount(s, dir, "documents")
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .localCheckpoint() // 4 consumers: df census, lengths, tf scan, queries
-    val dfT = docs.select(explode(array_distinct(col("t"))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // tokenized corpus + df census from the persisted lexical-index
+    // artifacts (TextQueries.lexDocsShared/lexDfShared, shared with q94)
+    val docs = TextQueries.lexDocsShared(s, dir)
+    val dfT = TextQueries.lexDfShared(s, dir)
     val wq = Window.partitionBy("q_id").orderBy(col("idf").desc, col("token"))
     val qterms = docs.filter(col("doc_id") < NQueries)
       .select(col("doc_id").as("q_id"), explode(array_distinct(col("t"))).as("token"))
