@@ -362,6 +362,28 @@ object Dev {
           "organic sf1".getBytes)
         println(s"[dev] organic sf1 tree complete at $dst")
 
+      case Some("dedupfresh") =>
+        // price incremental dedup-graph refresh vs full rebuild
+        // (SCALING §5): 80/20 base/delta split of the documents table
+        import org.apache.spark.sql.functions._
+        import graft.operators.DedupMaintenance
+        val ddir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        def dtime[T](label: String)(f: => T): T = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"[dev] $label: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
+        }
+        // delta = 2% of the corpus — the realistic daily-segment shape;
+        // a 20% delta amortizes nothing at these corpus sizes (measured)
+        val dAll = Tables.documents(spark, ddir).select("doc_id", "text")
+        val dBase = dAll.filter(col("doc_id") % 50 =!= 3)
+        val dDelta = dAll.filter(col("doc_id") % 50 === 3)
+        println(s"[dev] base=${dBase.count()} delta=${dDelta.count()}")
+        val g0 = dtime("build base graph")(DedupMaintenance.build(dBase))
+        g0.labels.count()
+        dtime("incremental refresh")(
+          DedupMaintenance.refresh(g0, dDelta).labels.count())
+        dtime("full rebuild")(DedupMaintenance.build(dAll).labels.count())
+
       case Some("ivfrefresh") =>
         // price incremental index refresh vs full rebuild (SCALING §5):
         // 80/20 base/delta split, one timed refresh (frozen centroids,

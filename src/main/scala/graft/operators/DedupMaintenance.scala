@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.wordNgramsUdf
+
+/** Incremental maintenance of the near-dup pair graph — the dedup twin
+  * of [[IndexMaintenance]]: when a stream appends a document segment,
+  * the persisted pair graph and component labels must refresh for
+  * O(delta), not O(corpus).
+  *
+  * The persisted graph carries four tables: the shingled docs and their
+  * LSH band table (the "index side" — what NearDupAdmission's store
+  * also keeps), plus the verified pair set and the component labels
+  * (the "result side" — what q29/q38/q52/q55/q61/q72 consume). A
+  * refresh:
+  *
+  *   1. shingles and bands ONLY the delta (row-local, deterministic
+  *      per-doc minhash — banding is independent of the rest of the
+  *      corpus, so old band rows stay valid verbatim);
+  *   2. finds candidates by joining the DELTA's bands against the
+  *      stored+delta band table (bucket-keyed — the cost is the delta's
+  *      bucket collisions, never a corpus self-join; base×base pairs
+  *      are already in the graph and are not re-derived);
+  *   3. exact-verifies jaccard ≥ threshold against the combined shingle
+  *      table and unions the new pairs in;
+  *   4. re-converges component labels from a WARM start: the persisted
+  *      labels plus self-labeled fresh endpoints. Min-label fixpoint is
+  *      order-independent, so the result is bit-identical to a
+  *      from-scratch rebuild (component = min doc_id of the component)
+  *      — the equivalence [[graft.DedupMaintenanceSpec]] proves
+  *      pair-for-pair and label-for-label. Each propagation round costs
+  *      O(edges) (the TRUE-pair table — tiny relative to the corpus),
+  *      and the warm start converges in the rounds a new merge needs to
+  *      travel, not the graph diameter.
+  *
+  * Assumes append-only deltas with fresh doc ids (the streaming-ingest
+  * contract NearDupAdmission enforces upstream).
+  */
+object DedupMaintenance {
+
+  /** The persisted dedup artifacts. `docs` = (doc_id, shingles),
+    * `bands` = (bucket, doc_id), `pairs` = (d1, d2, jac),
+    * `labels` = (doc_id, component). */
+  final case class DedupGraph(docs: DataFrame, bands: DataFrame,
+      pairs: DataFrame, labels: DataFrame)
+
+  private val Threshold = 0.5
+
+  private def shingled(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), wordNgramsUdf(3)(col("text")).as("shingles"))
+    .filter(size(col("shingles")) > 0)
+    .localCheckpoint()
+
+  /** From-scratch build over (doc_id, text) — the same banding/verify
+    * chain as the corpus-fingerprinted store (lshNeardupPairs). */
+  def build(docs: DataFrame): DedupGraph = {
+    val sh = shingled(docs)
+    val banded = TextQueries.bandedOf(sh).localCheckpoint()
+    val pairs = TextQueries.lshPairsFromDocs(sh, banded, Threshold)
+      .localCheckpoint()
+    val init = pairs.select(col("d1").as("doc_id"))
+      .unionByName(pairs.select(col("d2").as("doc_id")))
+      .distinct().withColumn("component", col("doc_id"))
+    DedupGraph(sh, banded, pairs, TextQueries.propagateLabels(pairs, init))
+  }
+
+  /** Refresh for an appended `delta` (doc_id, text) with fresh ids. */
+  def refresh(graph: DedupGraph, delta: DataFrame): DedupGraph = {
+    val shD = shingled(delta)
+    val bandedD = TextQueries.bandedOf(shD).localCheckpoint()
+    val allBands = graph.bands.unionByName(bandedD)
+    // candidates touching the delta: delta bands vs stored+delta bands.
+    // d1 < d2 dedups the delta×delta double-match; base×base pairs never
+    // re-derive because the left side is delta-only.
+    val cand = bandedD.as("a")
+      .join(allBands.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+      .distinct()
+    val allDocs = graph.docs.unionByName(shD)
+    val newPairs = cand
+      .join(allDocs.select(col("doc_id").as("d1"), col("shingles").as("sh1")), "d1")
+      .join(allDocs.select(col("doc_id").as("d2"), col("shingles").as("sh2")), "d2")
+      .withColumn("jac", size(array_intersect(col("sh1"), col("sh2"))) /
+        size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .filter(col("jac") >= Threshold)
+      .select(col("d1"), col("d2"), col("jac"))
+    val pairs = graph.pairs.unionByName(newPairs).localCheckpoint()
+    // warm-start label convergence: persisted labels + fresh endpoints
+    val endpoints = pairs.select(col("d1").as("doc_id"))
+      .unionByName(pairs.select(col("d2").as("doc_id"))).distinct()
+    val init = endpoints
+      .join(graph.labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    DedupGraph(allDocs.localCheckpoint(), allBands.localCheckpoint(),
+      pairs, TextQueries.propagateLabels(pairs, init))
+  }
+}

@@ -109,13 +109,27 @@ object TextQueries {
     */
   private[graft] def neardupComponents(s: SparkSession, dir: String): DataFrame = {
     val pairs = lshNeardupPairsShared(s, dir).select(col("d1"), col("d2"))
-    val edges = pairs
-      .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .cache()
-    var labels = edges.select(col("d1").as("doc_id"))
+    val init = pairs.select(col("d1").as("doc_id"))
+      .unionByName(pairs.select(col("d2").as("doc_id")))
       .distinct()
       .withColumn("component", col("doc_id"))
+    propagateLabels(pairs, init)
+  }
+
+  /** Min-label propagation to fixpoint over an undirected pair set,
+    * starting from `init` (doc_id, component). Shared by the from-scratch
+    * component build (init = every endpoint labels itself) and the
+    * incremental graph refresh (init = the persisted labels plus
+    * self-labeled fresh endpoints — a warm start that converges in the
+    * few rounds it takes new edges' merges to travel, not the graph
+    * diameter). Fixpoint on MIN labels is order-independent, so any
+    * converged start yields the unique answer: component = min doc_id.
+    */
+  private[graft] def propagateLabels(pairs: DataFrame, init: DataFrame): DataFrame = {
+    val edges = pairs.select(col("d1"), col("d2"))
+      .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .cache()
+    var labels = init.cache()
     var cached = labels // the actually-cached plan backing this round
     var changed = 1L
     while (changed > 0) {
