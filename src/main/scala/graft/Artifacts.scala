@@ -21,6 +21,7 @@ object Artifacts {
     "lex" -> { () =>
       graft.operators.TextQueries.lexDocsShared(spark, sfDir)
       graft.operators.TextQueries.lexDfShared(spark, sfDir)
+      graft.operators.TextQueries.gram5Shared(spark, sfDir)
       () },
     "nb" -> (() => { graft.operators.TextQueries.nbQualityScored(spark, sfDir); () }),
     "bpe" -> (() => { graft.operators.TextQueries.bpeMergesShared(spark, sfDir, steps = 20); () }),

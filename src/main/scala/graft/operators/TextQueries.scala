@@ -447,6 +447,18 @@ object TextQueries {
         .localCheckpoint()
     }
 
+  /** Distinct per-doc 5-gram relation (doc_id, lang, g) as a persisted
+    * artifact — the shingle table of the verbatim-overlap family (q68
+    * contamination, q107 novelty): born distinct via row-local
+    * array_distinct, materialized once per corpus snapshot. */
+  private[graft] def gram5Shared(s: SparkSession, dir: String): DataFrame =
+    cachedTextFrame(s, "gram5", dir) {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(wordNgramsUdf(5)(col("text")))).as("g"))
+        .localCheckpoint()
+    }
+
   private[graft] def docSurprisalShared(s: SparkSession, dir: String): DataFrame =
     cachedTextFrame(s, "bigramlm", dir) {
       val (bg, p) = corpusBigramLm(s, dir)
@@ -1084,11 +1096,12 @@ object TextQueries {
       // per-doc gram dedup happens in the array BEFORE the explode —
       // array_distinct is row-local, so the (doc_id, gram) relation is
       // born distinct and the corpus-wide distinct shuffle disappears
-      val grams = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          explode(array_distinct(wordNgramsUdf(5)(col("text")))).as("g"))
+      // the (doc_id, g) relation comes from the persisted shingle-table
+      // artifact (gram5Shared, shared with q107); the split column is
+      // row-local and stays lazy on top of it
+      val grams = gram5Shared(s, dir)
+        .select(col("doc_id"), col("g"))
         .withColumn("split", splitAssign(col("doc_id")))
-        .localCheckpoint() // feeds both sides of the train/eval join
       val train = grams.filter(col("split") === "train")
         .select(col("g")).distinct()
       val j = grams.filter(col("split") =!= "train")
@@ -1710,10 +1723,9 @@ object TextQueries {
     // integer-ratio doubles (bit-exact in IEEE on both engines), so
     // membership is engine-exact even AT the boundary.
     "q107_ngram_novelty" -> ((s, dir) => {
-      val g = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"),
-          explode(array_distinct(wordNgramsUdf(5)(col("text")))).as("g"))
-        .localCheckpoint() // feeds the census and the join back
+      // the persisted shingle-table artifact (gram5Shared, shared with
+      // q68) feeds the census and the join back
+      val g = gram5Shared(s, dir)
       val dfg = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
       g.join(dfg, "g")
         .groupBy(col("doc_id"), col("lang"))
