@@ -22,6 +22,7 @@ object Artifacts {
       graft.operators.TextQueries.lexDocsShared(spark, sfDir)
       graft.operators.TextQueries.lexDfShared(spark, sfDir)
       graft.operators.TextQueries.gram5Shared(spark, sfDir)
+      graft.operators.TextQueries.dsirFeatsShared(spark, sfDir)
       () },
     "nb" -> (() => { graft.operators.TextQueries.nbQualityScored(spark, sfDir); () }),
     "bpe" -> (() => { graft.operators.TextQueries.bpeMergesShared(spark, sfDir, steps = 20); () }),

@@ -459,6 +459,23 @@ object TextQueries {
         .localCheckpoint()
     }
 
+  /** DSIR hashed-feature table (doc_id, source, b) as a persisted
+    * artifact — the explicit corpus-hashing stage of the DSIR pipeline
+    * (Xie et al. 2023 hash the raw corpus once, then score it against
+    * many target distributions); q102 is one such scoring pass. */
+  private[graft] def dsirFeatsShared(s: SparkSession, dir: String): DataFrame =
+    cachedTextFrame(s, "dsirfeats", dir) {
+      val t = tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), t.as("t"))
+        .filter(size(col("t")) >= 1)
+        .select(col("doc_id"), col("source"),
+          explode(concat(col("t"), tokenBigrams(col("t")))).as("f"))
+        .withColumn("b", substring(md5(col("f")), 1, 2))
+        .drop("f")
+        .localCheckpoint()
+    }
+
   private[graft] def docSurprisalShared(s: SparkSession, dir: String): DataFrame =
     cachedTextFrame(s, "bigramlm", dir) {
       val (bg, p) = corpusBigramLm(s, dir)
@@ -1584,14 +1601,10 @@ object TextQueries {
     // weight grazes the w > 0 cut (min |w| is 2.5e-4 across SFs vs the
     // ~1e-13 engine sum-order noise).
     "q102_dsir_weights" -> ((s, dir) => {
-      val t = tokens(col("text"))
-      val feats = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"), t.as("t"))
-        .filter(size(col("t")) >= 1)
-        .select(col("doc_id"), col("source"),
-          explode(concat(col("t"), tokenBigrams(col("t")))).as("f"))
-        .withColumn("b", substring(md5(col("f")), 1, 2))
-        .localCheckpoint() // 3 consumers: target census, raw census, scoring
+      // the hashed-feature table is the persisted DSIR artifact
+      // (dsirFeatsShared) — 3 consumers: target census, raw census,
+      // scoring
+      val feats = dsirFeatsShared(s, dir)
       val isTgt = col("source").isin("src0", "src1")
       val census = feats
         .groupBy(col("b"))

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench-protocol artifact prewarm: every declared family must
+  * build cleanly (no -1 sentinel) — a family that silently breaks here
+  * would surface as conflated build-cost inside whichever query visits
+  * the store first, exactly the accounting the `build` map exists to
+  * prevent.
+  */
+class ArtifactsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("every artifact family prewarms cleanly at sf0.001") {
+    val builds = Artifacts.prewarm(spark, "/root/testdata/sf0.001")
+    assert(builds.map(_._1) ==
+      Seq("dedup", "lm", "lex", "nb", "bpe", "ivf", "pq", "srp"),
+      s"family list drifted: ${builds.map(_._1)}")
+    val failed = builds.filter(_._2 < 0)
+    assert(failed.isEmpty, s"families failed to build: ${failed.map(_._1)}")
+    // a second prewarm hits the fingerprint caches: near-instant, and
+    // proves consumers will read the stores instead of rebuilding
+    val again = Artifacts.prewarm(spark, "/root/testdata/sf0.001")
+    assert(again.forall(_._2 >= 0))
+    assert(again.map(_._2).sum < builds.map(_._2).sum / 2,
+      s"second prewarm rebuilt instead of reading caches: $again vs $builds")
+  }
+}
