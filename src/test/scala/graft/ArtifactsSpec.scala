@@ -26,10 +26,13 @@ class ArtifactsSpec extends AnyFunSuite {
     val failed = builds.filter(_._2 < 0)
     assert(failed.isEmpty, s"families failed to build: ${failed.map(_._1)}")
     // a second prewarm hits the fingerprint caches: near-instant, and
-    // proves consumers will read the stores instead of rebuilding
+    // proves consumers will read the stores instead of rebuilding. The
+    // bound is absolute-OR-relative: inside the full suite an earlier
+    // suite's queries may have already warmed the caches, making BOTH
+    // passes near-zero — a pure ratio then compares timing noise.
     val again = Artifacts.prewarm(spark, "/root/testdata/sf0.001")
     assert(again.forall(_._2 >= 0))
-    assert(again.map(_._2).sum < builds.map(_._2).sum / 2,
+    assert(again.map(_._2).sum < math.max(builds.map(_._2).sum / 2, 2.0),
       s"second prewarm rebuilt instead of reading caches: $again vs $builds")
   }
 }

@@ -65,6 +65,42 @@ class DedupMaintenanceSpec extends AnyFunSuite {
       "clone labels did not merge into the base component")
   }
 
+  test("property: refresh equals rebuild on seeded random corpora and splits") {
+    // fixed-seed random corpora (the SkewAndPropertiesSpec idiom): tiny
+    // vocab → dense near-dup structure, random base/delta split — the
+    // equality must hold whatever cluster shapes and split boundaries
+    // the randomness produces, including components strung ACROSS the
+    // split by chains of pairwise-similar docs
+    import spark.implicits._
+    import scala.util.Random
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    (1 to 3).foreach { seed =>
+      val rnd = new Random(seed)
+      val docs = (0 until 60).map { i =>
+        // half the docs mutate an earlier doc's token stream (1-2 edits)
+        // — guaranteed high-jaccard chains; the rest are fresh draws
+        val toks =
+          if (i >= 10 && rnd.nextBoolean()) {
+            val base = (10 + rnd.nextInt(20)).max(10)
+            val stream = Array.fill(base)(vocab(rnd.nextInt(vocab.length)))
+            stream(rnd.nextInt(stream.length)) = vocab(rnd.nextInt(vocab.length))
+            stream
+          } else Array.fill(10 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length)))
+        (i.toLong, toks.mkString(" "))
+      }
+      val all = docs.toDF("doc_id", "text")
+      val cut = rnd.nextInt(3) + 2 // base = ids with doc_id % cut != 0
+      val base = all.filter(col("doc_id") % cut =!= 0)
+      val delta = all.filter(col("doc_id") % cut === 0)
+      val scratch = DedupMaintenance.build(all)
+      val refreshed = DedupMaintenance.refresh(DedupMaintenance.build(base), delta)
+      assert(pairsOf(refreshed) == pairsOf(scratch),
+        s"seed $seed cut $cut: pair sets diverged")
+      assert(labelsOf(refreshed) == labelsOf(scratch),
+        s"seed $seed cut $cut: labels diverged")
+    }
+  }
+
   test("refresh of an empty delta is a no-op on pairs and labels") {
     val base = Tables.documents(spark, dir).select("doc_id", "text")
       .filter(col("doc_id") % 5 =!= 3)
