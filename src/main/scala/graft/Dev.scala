@@ -117,6 +117,13 @@ object Dev {
             "q57_ann_pq", "q74_bpe_merges", "q92_nb_quality_classifier")
           case _ => SparkEntry.queries.keys.toSeq.sorted
         }
+        // prewarm both dirs' artifact stores (the Bench/timevs protocol):
+        // ratios must measure queries, not store-visit order. scale30
+        // skips the dst prewarm — pricing the 30× BUILDS is its point.
+        Artifacts.prewarm(spark, src).foreach { case (fam, secs) =>
+          println(f"[dev] build $fam @ $src: $secs%.2f s") }
+        if (!thirty) Artifacts.prewarm(spark, dst).foreach { case (fam, secs) =>
+          println(f"[dev] build $fam @ $dst: $secs%.2f s") }
         names.foreach { n =>
           val fn = SparkEntry.queries(n)
           def run(dir: String): Double = {
