@@ -1514,10 +1514,12 @@ object TextQueries {
       val dropDedup = members.join(best, "component")
         .filter(col("doc_id") =!= col("keep_doc"))
         .select(col("doc_id"), lit(true).as("g_dedup"))
-      // gate 3: train docs sharing a 5-gram with the held-out splits
-      val grams = base
-        .select(col("doc_id"), col("split"),
-          explode(array_distinct(wordNgramsUdf(5)(col("text")))).as("g"))
+      // gate 3: train docs sharing a 5-gram with the held-out splits —
+      // the (doc_id, g) relation reads the persisted shingle-table
+      // artifact (gram5Shared, exactly q68's input); split is row-local
+      val grams = gram5Shared(s, dir)
+        .select(col("doc_id"), col("g"))
+        .withColumn("split", splitAssign(col("doc_id")))
       val heldGrams = grams.filter(col("split") =!= "train")
         .select(col("g")).distinct()
       val contam = grams.filter(col("split") === "train")
