@@ -138,6 +138,39 @@ object IndexMaintenance {
     }
   }
 
+  /** Mean per-subvector quantization error (squared L2 to the assigned
+    * code centroid) of a PQ-encoded set — the fit metric for code
+    * refresh: if an appended segment's distortion far exceeds the
+    * corpus's, the frozen codebook no longer describes the data. One
+    * broadcast-nlist pass over the input; returns 0.0 for an empty set
+    * (an empty delta fits any codebook).
+    */
+  def pqDistortion(subvecs: DataFrame, cb: DataFrame): Double = {
+    val r = subvecs.join(org.apache.spark.sql.functions.broadcast(cb), "sub")
+      .withColumn("d2", graft.functions.VectorFunctions
+        .sqDist(col("subvec"), col("centroid")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("d2")).as("d2"))
+      .agg(avg(col("d2"))).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** Refresh the PQ code table for appended subvectors against the
+    * FROZEN codebook: O(|delta| × K) assignment — existing codes stay
+    * valid verbatim (ADC tables are per-query, built from the same
+    * frozen codebook). Returns the combined code table plus the
+    * fit report (delta distortion vs the base corpus's own distortion;
+    * the caller retrains the codebook when the ratio says the appended
+    * data no longer fits — the IVF drift rule's quantization twin).
+    */
+  def refreshPqCodes(codes: DataFrame, cb: DataFrame,
+      baseSubvecs: DataFrame, deltaSubvecs: DataFrame)
+      : (DataFrame, Double, Double) = {
+    val newCodes = VectorQueries.pqAssign(deltaSubvecs, cb).localCheckpoint()
+    (codes.unionByName(newCodes),
+      pqDistortion(deltaSubvecs, cb), pqDistortion(baseSubvecs, cb))
+  }
+
   /** Bootstrap build from a label-bearing corpus (the q46 trainer) plus
     * the stats table and baseline drift the refresh path needs. */
   def buildIvf(e: DataFrame): IvfIndex = {

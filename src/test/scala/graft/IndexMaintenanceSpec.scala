@@ -156,6 +156,43 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       s"refresh lost recall vs rebuild: $recallRefreshed vs $recallRebuilt")
   }
 
+  test("PQ code refresh: delta encodes against the frozen codebook; distortion flags misfit") {
+    val e = Tables.embeddings(spark, dir)
+    val base = e.filter(col("vec_id") % 5 =!= 3)
+    val delta = e.filter(col("vec_id") % 5 === 3)
+      .select(col("vec_id"), col("embedding"))
+    val baseSv = VectorQueries.pqSubvecs(VectorQueries.pqNormalize(base))
+    val cb = VectorQueries.pqCodebook(baseSv)
+    val codes = VectorQueries.pqAssign(baseSv, cb)
+    val deltaSv = VectorQueries.pqSubvecs(VectorQueries.pqNormalize(delta))
+    val (all, dDelta, dBase) = IndexMaintenance.refreshPqCodes(
+      codes, cb, baseSv, deltaSv)
+    // every delta vector got its 8 codes; base codes untouched
+    assert(all.count() == codes.count() + deltaSv.count())
+    assert(all.join(codes, Seq("vec_id", "sub", "code"), "left_semi").count()
+      == codes.count(), "refresh rewrote existing codes")
+    // in-distribution delta quantizes about as well as the base corpus
+    assert(dDelta > 0 && dBase > 0)
+    assert(dDelta < dBase * 1.3,
+      s"in-distribution delta misfit: $dDelta vs base $dBase")
+    // a genuinely alien delta — all mass concentrated in ONE subspace
+    // (unit-norm subvector where the trained centroids carry ~1/√8 of
+    // the norm each) — shows clearly worse distortion: the retrain
+    // signal. (A collapsed-direction delta is NOT alien to PQ: identical
+    // vectors quantize trivially, measured same-as-base distortion.)
+    val alien = delta.select(col("vec_id"),
+      expr("""transform(sequence(0, 63), j -> cast(
+               CASE WHEN j < 8 THEN
+                 CASE WHEN pmod(vec_id + j, 2) = 0 THEN 1.0 ELSE -1.0 END
+               ELSE 0.0 END AS float))""").as("embedding"))
+    val alienSv = VectorQueries.pqSubvecs(VectorQueries.pqNormalize(alien))
+    val dAlien = IndexMaintenance.pqDistortion(alienSv, cb)
+    // measured 1.58x on this corpus (deterministic md5-seeded codebook,
+    // so the margin is stable run-to-run)
+    assert(dAlien > dBase * 1.5,
+      s"alien delta not flagged: $dAlien vs base $dBase")
+  }
+
   test("a drifted append trips the detector and warm-start retrains") {
     val (base, delta) = split()
     val idx = IndexMaintenance.buildIvf(base)
