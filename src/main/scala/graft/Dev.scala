@@ -119,11 +119,13 @@ object Dev {
         }
         // prewarm both dirs' artifact stores (the Bench/timevs protocol):
         // ratios must measure queries, not store-visit order. scale30
-        // skips the dst prewarm — pricing the 30× BUILDS is its point.
-        Artifacts.prewarm(spark, src).foreach { case (fam, secs) =>
-          println(f"[dev] build $fam @ $src: $secs%.2f s") }
-        if (!thirty) Artifacts.prewarm(spark, dst).foreach { case (fam, secs) =>
-          println(f"[dev] build $fam @ $dst: $secs%.2f s") }
+        // prewarms NEITHER side — its ratios compare build-dominated
+        // first visits at both scales (build30/build0.1 is its point),
+        // and warming only one side would make them meaningless.
+        if (!thirty) Seq(src, dst).foreach { d =>
+          Artifacts.prewarm(spark, d).foreach { case (fam, secs) =>
+            println(f"[dev] build $fam @ $d: $secs%.2f s") }
+        }
         names.foreach { n =>
           val fn = SparkEntry.queries(n)
           def run(dir: String): Double = {
