@@ -653,4 +653,24 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"), s"$q: grew a cartesian:\n$plan")
     }
   }
+
+  test("artifact-reader queries carry no inline tokenization in their plans") {
+    // q94/q107/q102 read their staging tables (tokenized corpus, df
+    // census, 5-gram shingles, DSIR buckets) from the persisted
+    // lexical-artifact store; a regression back to per-query staging
+    // shows up as the tokenizer's regexp_replace (tokens() is pure
+    // Column math) or the gram/feature UDF markers reappearing in the
+    // physical plan — and silently re-bills build cost to the query.
+    Seq(
+      "q94_bm25_search" -> TextQueries.defs("q94_bm25_search"),
+      "q107_ngram_novelty" -> TextQueries.defs("q107_ngram_novelty"),
+      "q102_dsir_weights" -> TextQueries.defs("q102_dsir_weights")
+    ).foreach { case (q, fn) =>
+      val plan = physical(fn(spark, dir)).toLowerCase
+      assert(!plan.contains("regexp_replace"),
+        s"$q: inline tokenization reappeared:\n$plan")
+      assert(!plan.contains("wordngrams"),
+        s"$q: inline gram derivation reappeared:\n$plan")
+    }
+  }
 }
