@@ -1,0 +1,217 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Disk-backed, corpus-fingerprinted artifact store — the cross-JVM layer
+  * under the in-memory artifact caches (TextQueries.cachedTextFrame,
+  * VectorQueries.cachedIndexFrame/cachedIndexTable, the BPE merge table).
+  *
+  * The "build once per corpus snapshot" families (dedup pair graph +
+  * component labels, corpus bigram LM, lexical index, NB-labeled corpus,
+  * BPE merges, IVF centroids + inverted file, PQ codebook + code table,
+  * SRP band tables) previously lived only in SparkContext-keyed TrieMaps
+  * over localCheckpoint frames: a fresh JVM rebuilt everything. At 100 TB
+  * these artifacts ARE persisted tables next to the corpus (the index's
+  * data files, the dedup pipeline's staged pair graph); this store is
+  * that layer — each artifact written once as parquet under a path keyed
+  * by (family tag, schema version, corpus fingerprint), read by any later
+  * session whose corpus fingerprint matches. Every build is deterministic
+  * given the corpus (md5-seeded hashing throughout), so a store hit is
+  * bit-equivalent to a rebuild — only the redundant compute is gone.
+  *
+  * Layout: `root/<tag>/fp=<md5(version:fingerprint)>/` containing the
+  * parquet `data/` plus a `_MANIFEST` holding the full unhashed key (the
+  * collision guard — a hash hit with a mismatched manifest is treated as
+  * corrupt and replaced). Writers build into a sibling `.tmp-<uuid>` and
+  * publish with an ATOMIC rename: a killed writer leaves only an ignored
+  * tmp dir, never a half-published artifact.
+  *
+  * Concurrency: a `<entry>.lock` file (atomic create) elects ONE builder
+  * per entry across sessions and JVMs; losers poll for the winner's
+  * manifest and read it — N racing sessions build once, read N times. A
+  * crashed builder's lock goes stale by mtime ([[LockStaleMs]]) and is
+  * stolen; a waiter that outlives [[WaitBuildMs]] falls back to building
+  * its own copy (first-writer-wins publish keeps that safe, just
+  * redundant).
+  *
+  * Root resolution, in order: the `spark.graft.artifacts.path` session
+  * conf, the `SPARK_GRAFT_ARTIFACTS` env var, then
+  * `<java.io.tmpdir>/graft-artifacts`. Set the conf to `off` to disable
+  * the disk layer entirely (the in-memory caches still apply). Bench
+  * points it at a fresh temp dir per run so its `build` map always
+  * prices COLD builds, comparably across rounds.
+  */
+object ArtifactStore {
+
+  /** Bump when ANY shared-artifact builder's semantics change (shingle
+    * size, band geometry, LM smoothing, PQ layout, …): the corpus
+    * fingerprint keys the DATA, this version keys the CODE — a stale
+    * store entry from an older builder must never satisfy a newer
+    * reader.
+    */
+  val SchemaVersion = 1
+
+  private[graft] val LockStaleMs = 15 * 60 * 1000L
+  private[graft] val WaitBuildMs = 20 * 60 * 1000L
+  private val PollMs = 100L
+
+  def rootOf(s: SparkSession): Option[Path] = {
+    val conf = s.conf.getOption("spark.graft.artifacts.path")
+      .orElse(sys.env.get("SPARK_GRAFT_ARTIFACTS"))
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-artifacts")
+    if (conf.isEmpty || conf == "off") None else Some(Paths.get(conf))
+  }
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def versioned(fingerprint: String): String =
+    s"v$SchemaVersion:$fingerprint"
+
+  private def entryDir(root: Path, tag: String, fingerprint: String): Path =
+    root.resolve(tag).resolve("fp=" + md5(versioned(fingerprint)))
+
+  private def manifestOk(dir: Path, fingerprint: String): Boolean =
+    try Files.exists(dir.resolve("_MANIFEST")) &&
+      Files.readString(dir.resolve("_MANIFEST")) == versioned(fingerprint)
+    catch { case _: java.io.IOException => false }
+
+  /** The published artifact for (tag, fingerprint) as a parquet scan, if
+    * the disk layer is on and the entry exists.
+    */
+  def readIfPresent(s: SparkSession, tag: String, fingerprint: String)
+      : Option[DataFrame] = rootOf(s).flatMap { root =>
+    val dir = entryDir(root, tag, fingerprint)
+    if (manifestOk(dir, fingerprint)) {
+      System.err.println(s"[artifacts] disk hit: $tag")
+      Some(s.read.parquet(dir.resolve("data").toString))
+    } else None
+  }
+
+  /** Read the artifact from disk, or elect a builder, run `build`,
+    * publish, and return a reader over the published copy. Falls back to
+    * the raw build frame only when the disk layer is disabled. The
+    * returned frame is otherwise always a plain parquet scan — column
+    * pruning and predicate pushdown apply to artifact readers exactly as
+    * to any staged table.
+    */
+  def readThrough(s: SparkSession, tag: String, fingerprint: String)
+      (build: => DataFrame): DataFrame = rootOf(s) match {
+    case None => build
+    case Some(root) =>
+      val dir = entryDir(root, tag, fingerprint)
+      val deadline = System.currentTimeMillis() + WaitBuildMs
+      var out: Option[DataFrame] = None
+      var built = false
+      while (out.isEmpty) {
+        if (manifestOk(dir, fingerprint)) {
+          if (!built) System.err.println(s"[artifacts] disk hit: $tag")
+          out = Some(s.read.parquet(dir.resolve("data").toString))
+        } else if (acquireLock(lockOf(dir))) {
+          try {
+            if (!manifestOk(dir, fingerprint)) { // winner of a steal re-checks
+              writeEntry(s, dir, fingerprint, build); built = true
+            }
+          } finally releaseLock(lockOf(dir))
+        } else if (System.currentTimeMillis() > deadline) {
+          // the elected builder is alive but slower than any sane build:
+          // build our own copy (publish stays first-writer-wins safe)
+          writeEntry(s, dir, fingerprint, build); built = true
+        } else Thread.sleep(PollMs)
+      }
+      out.get
+  }
+
+  /** Publish-if-absent without reading back — the write-through hook for
+    * trainers that must always retrain in-session (q74 BPE: its bench
+    * cost is the training cost) but whose deterministic product should
+    * still land on disk once for every other session. No-op when the
+    * entry already exists (same corpus ⇒ bit-identical product) or the
+    * disk layer is off.
+    */
+  def put(s: SparkSession, tag: String, fingerprint: String)
+      (df: => DataFrame): Unit = rootOf(s).foreach { root =>
+    val dir = entryDir(root, tag, fingerprint)
+    if (!manifestOk(dir, fingerprint) && acquireLock(lockOf(dir)))
+      try {
+        if (!manifestOk(dir, fingerprint)) writeEntry(s, dir, fingerprint, df)
+      } finally releaseLock(lockOf(dir))
+  }
+
+  private def writeEntry(s: SparkSession, dir: Path, fingerprint: String,
+      build: => DataFrame): Unit = {
+    val built = build
+    val tmp = dir.getParent.resolve(
+      ".tmp-" + java.util.UUID.randomUUID().toString)
+    Files.createDirectories(tmp)
+    built.write.mode("overwrite").parquet(tmp.resolve("data").toString)
+    Files.writeString(tmp.resolve("_MANIFEST"), versioned(fingerprint))
+    // the artifact now lives on disk: release the build frame's
+    // checkpoint blocks (only THIS plan's — the cachedIndexTable
+    // LogicalRDD-id derivation)
+    built.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+    publish(tmp, dir, fingerprint)
+  }
+
+  private def lockOf(dir: Path): Path =
+    dir.getParent.resolve(dir.getFileName.toString + ".lock")
+
+  /** Atomic lock-file election; a lock whose mtime is older than
+    * [[LockStaleMs]] belonged to a crashed builder and is stolen.
+    */
+  private def acquireLock(lock: Path): Boolean =
+    try {
+      Files.createDirectories(lock.getParent)
+      Files.createFile(lock)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val stale =
+          try System.currentTimeMillis() -
+            Files.getLastModifiedTime(lock).toMillis > LockStaleMs
+          catch { case _: java.io.IOException => false } // vanished: next poll wins
+        if (stale) {
+          try Files.deleteIfExists(lock) catch { case _: java.io.IOException => () }
+          acquireLock(lock)
+        } else false
+    }
+
+  private def releaseLock(lock: Path): Unit =
+    try Files.deleteIfExists(lock) catch { case _: java.io.IOException => () }
+
+  /** Atomic first-writer-wins publish. A lost race (target appeared
+    * between the build and the rename) discards this writer's copy; a
+    * target with a MISMATCHED manifest (hash collision, or a corrupt
+    * half-cleaned entry) is replaced rather than trusted.
+    */
+  private def publish(tmp: Path, dir: Path, fingerprint: String): Unit = {
+    try {
+      Files.createDirectories(dir.getParent)
+      Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      // the exact exception for "target already exists" varies by
+      // filesystem (FileAlreadyExists, DirectoryNotEmpty, or a generic
+      // FileSystemException from the rename syscall) — any IO failure
+      // here resolves the same way: trust a valid existing entry,
+      // replace an invalid one
+      case _: java.io.IOException =>
+        if (manifestOk(dir, fingerprint)) deleteRecursively(tmp)
+        else { // corrupt or colliding entry: replace it
+          deleteRecursively(dir)
+          try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: Throwable => deleteRecursively(tmp) }
+        }
+    }
+  }
+
+  private[graft] def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(f => Files.deleteIfExists(f))
+    finally walk.close()
+  }
+}

@@ -15,11 +15,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // fresh disk-artifact store per run: the `build` map must price COLD
+    // builds comparably across rounds — a store warmed by an earlier
+    // session (Verify, a previous bench) would report ~0 s builds and
+    // hide a build-cost regression. Deleted on exit; queries still get
+    // the in-run warm store (the deployed steady state).
+    val coldStore = java.nio.file.Files
+      .createTempDirectory("graft-bench-store").toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.graft.artifacts.path", coldStore)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -47,6 +55,28 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
+
+    // host-noise canary: a PINNED synthetic workload (never change it —
+    // cross-round comparability is its whole point) timed once before
+    // the artifact builds and once before each sweep. The bench record
+    // showed 60.5 → 66.6 → 73.7 s across two rounds of BIT-IDENTICAL
+    // code: wall-time totals drift with the host, so every
+    // round-over-round comparison must be read as a RATIO to the
+    // canary, and the reported noise band (max/min across the canary's
+    // in-run samples) bounds what a same-run swing can explain.
+    def canaryOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(20000000L)
+        .selectExpr("id % 1000 as k", "id as v",
+          "md5(cast(id % 100000 as string)) as s")
+        .groupBy("k").agg(sum("v").as("sv"), count(lit(1)).as("n"),
+          max("s").as("m"))
+        .orderBy("k")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaryPre = canaryOnce()
 
     // artifact prewarm: the corpus-level build products (dedup pair graph
     // + components, corpus bigram LM, NB-labeled corpus, BPE merge table,
@@ -91,7 +121,11 @@ object Bench {
       spark.catalog.clearCache()
       if (ok) secs else -1.0
     }
-    val sweeps = Seq.fill(3)(ordered.map { case (name, fn) => name -> once(name, fn) })
+    val canaries = scala.collection.mutable.ArrayBuffer(canaryPre)
+    val sweeps = Seq.fill(3) {
+      canaries += canaryOnce() // one canary sample per sweep position
+      ordered.map { case (name, fn) => name -> once(name, fn) }
+    }
     // per-query MIN across sweeps, not median: r5 recorded a 5x "regression"
     // on three adjacent untouched queries (q16/q17/q18) because a host
     // stall spanned the same position of TWO sweeps — the median keeps any
@@ -174,6 +208,34 @@ object Bench {
     val buildJson = builds
       .map { case (k, v) => "\"" + k + "\":" + fmtQ(v, 2, 2) }
       .mkString(""","build":{""", ",", "}")
+    // canary summary: min = the host's steady-state speed this run (the
+    // denominator for cross-round ratios), noise = max/min across the 4
+    // in-run samples (what same-host drift can explain WITHIN this run)
+    val canaryMin = canaries.min
+    val canaryNoise = canaries.max / canaries.min
+    val canaryJson = f""","canary":${fmtQ(canaryMin, 2, 2)}%s,"noise":${
+      fmtQ(canaryNoise, 2, 2)}%s"""
+    // per-family build regression gate (sf0.1 only — the envelope is a
+    // measured sf0.1 profile): each family's COLD build, as a ratio to
+    // the in-run canary, must stay within 2× its recorded envelope.
+    // Ratios to the canary — not absolute seconds — so a slow host
+    // can't trip it and a fast host can't mask a real regression.
+    // Envelope recorded round 12 (measured build/canary ratios on a run
+    // whose canary noise was 2.55x — the values carry that margin
+    // already, and the gate adds 2x on top; see BENCHPROTOCOL.md).
+    val buildEnvelope = Map("dedup" -> 3.0, "lm" -> 2.7, "lex" -> 2.0,
+      "nb" -> 0.9, "bpe" -> 2.2, "ivf" -> 1.5, "pq" -> 2.7, "srp" -> 0.4)
+    val gateViolations =
+      if (sfName != "sf0.1") Seq.empty
+      else builds.collect { case (fam, secs)
+        if secs >= 0 && buildEnvelope.contains(fam) &&
+          secs / canaryMin > 2 * buildEnvelope(fam) => fam }
+    val gateJson =
+      if (gateViolations.isEmpty) ""","bgate":"pass""""
+      else gateViolations.map("\"" + _ + "\"")
+        .mkString(""","bgate":[""", ",", "]")
+    gateViolations.foreach(f => System.err.println(
+      s"[bench] BUILD GATE: $f exceeded 2x its canary-relative envelope"))
     // failed queries additionally listed by name — a reader scanning only
     // the headline can't miss them, and a diff vs last round's list is a
     // one-glance regression check. Rendered with the TIER's key function
@@ -193,7 +255,7 @@ object Bench {
       val qs = results
         .map { case (k, v) => "\"" + key(k) + "\":" + fmtQ(v, subSecScale, secScale) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$totalJson,"unit":"sec","stat":"min"$incompleteJson,"queries":$qs$spreadJson$coldJson$buildJson${failedJson(key)},"sf":"$sfName"}"""
+      s"""{"metric":"total","value":$totalJson,"unit":"sec","stat":"min"$incompleteJson,"queries":$qs$spreadJson$coldJson$buildJson$canaryJson$gateJson${failedJson(key)},"sf":"$sfName"}"""
     }
     // The driver records only the LAST 2000 chars of stdout, which also
     // contain sbt's trailing "[success] Total time: ..." line (~80 chars):
@@ -215,5 +277,6 @@ object Bench {
     println(line)
     println(line)
     spark.stop()
+    ArtifactStore.deleteRecursively(java.nio.file.Paths.get(coldStore))
   }
 }

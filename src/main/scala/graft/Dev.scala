@@ -67,6 +67,11 @@ object Dev {
         // the artifact-store amortization argument.
         import org.apache.spark.sql.functions._
         val thirty = args.headOption.contains("scale30")
+        // scale30 compares build-dominated FIRST visits at two scales —
+        // a disk store warmed by an earlier session would turn its
+        // builds into reads and void the comparison; give it a fresh one
+        if (thirty) spark.conf.set("spark.graft.artifacts.path",
+          java.nio.file.Files.createTempDirectory("graft-scale30-store").toString)
         val src = "/root/testdata/sf0.1"
         val dst = if (thirty) "/tmp/graft_sf3" else "/tmp/graft_sf1"
         val copies = if (thirty) 30 else 10
@@ -220,6 +225,15 @@ object Dev {
           .filter(col("jac") >= 0.5)
         time("final count")(fin.count())
         time("final count again")(fin.count())
+      case Some("prewarm") =>
+        // build (or disk-read) every artifact family for a data dir,
+        // printing per-family seconds — run TWICE from separate sbt
+        // invocations with the same SPARK_GRAFT_ARTIFACTS to demonstrate
+        // the cross-JVM store: the second JVM's builds are reads (~0 s)
+        val d = args.lift(1).getOrElse("/root/testdata/sf0.01")
+        Artifacts.prewarm(spark, d).foreach { case (fam, secs) =>
+          println(f"[dev] build $fam @ $d: $secs%.2f s")
+        }
       case Some("oracle") =>
         // print one query's oracle SQL (for DuckDB-side iteration without
         // a full Verify sweep)
@@ -287,8 +301,13 @@ object Dev {
           .select(col("o_orderkey").as("l_orderkey"), col("l_linenumber"))
           .withColumn("rid", hash(lit("li"), col("l_orderkey"), col("l_linenumber")))
           .select(col("l_orderkey"),
-            pmod(hash(lit("lp"), col("rid")), lit(200000L)).as("l_partkey"),
-            pmod(hash(lit("ls"), col("rid")), lit(10000L)).as("l_suppkey"),
+            // FK moduli MUST match the COPIED dimension tables (the dims
+            // stay fixed as the fact side grows): sf0.1 part has 20,000
+            // keys and supplier 1,000 — a larger modulus would orphan
+            // ~90% of lineitem FKs, falsify the q115 all-zero audit on
+            // this tree, and cut part/supplier join selectivity to ~10%
+            pmod(hash(lit("lp"), col("rid")), lit(20000L)).as("l_partkey"),
+            pmod(hash(lit("ls"), col("rid")), lit(1000L)).as("l_suppkey"),
             col("l_linenumber"),
             (pmod(hash(lit("lq"), col("rid")), lit(50)) + 1)
               .cast("double").as("l_quantity"),

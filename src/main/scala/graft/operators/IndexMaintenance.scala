@@ -155,20 +155,41 @@ object IndexMaintenance {
     if (r.isNullAt(0)) 0.0 else r.getDouble(0)
   }
 
+  /** PQ index artifacts: the frozen codebook, the code table, and the
+    * base corpus's own quantization distortion — computed ONCE at build
+    * time (the codebook is frozen, so its fit to the corpus it was
+    * trained on never changes) and persisted alongside the codebook,
+    * exactly as [[IvfIndex.baselineDrift]] persists the build-time
+    * residual. Every refresh's misfit test then compares the DELTA's
+    * distortion against this stored constant — O(|delta|), no
+    * base-corpus pass ever again. */
+  final case class PqIndex(codes: DataFrame, codebook: DataFrame,
+      baseDistortion: Double)
+
+  /** Bootstrap PQ build: train the codebook, encode the corpus, and pin
+    * the base distortion the refresh path judges against. */
+  def buildPq(subvecs: DataFrame): PqIndex = {
+    val cb = VectorQueries.pqCodebook(subvecs)
+    PqIndex(VectorQueries.pqAssign(subvecs, cb).localCheckpoint(), cb,
+      pqDistortion(subvecs, cb))
+  }
+
   /** Refresh the PQ code table for appended subvectors against the
     * FROZEN codebook: O(|delta| × K) assignment — existing codes stay
     * valid verbatim (ADC tables are per-query, built from the same
-    * frozen codebook). Returns the combined code table plus the
-    * fit report (delta distortion vs the base corpus's own distortion;
-    * the caller retrains the codebook when the ratio says the appended
-    * data no longer fits — the IVF drift rule's quantization twin).
+    * frozen codebook). Returns the refreshed index plus the delta's
+    * distortion; the caller retrains the codebook when
+    * `deltaDistortion / index.baseDistortion` says the appended data no
+    * longer fits — the IVF drift rule's quantization twin. The base
+    * side of that ratio is the BUILD-TIME constant carried on the
+    * index, so a refresh never re-reads the base corpus.
     */
-  def refreshPqCodes(codes: DataFrame, cb: DataFrame,
-      baseSubvecs: DataFrame, deltaSubvecs: DataFrame)
-      : (DataFrame, Double, Double) = {
-    val newCodes = VectorQueries.pqAssign(deltaSubvecs, cb).localCheckpoint()
-    (codes.unionByName(newCodes),
-      pqDistortion(deltaSubvecs, cb), pqDistortion(baseSubvecs, cb))
+  def refreshPqCodes(index: PqIndex, deltaSubvecs: DataFrame)
+      : (PqIndex, Double) = {
+    val newCodes = VectorQueries.pqAssign(deltaSubvecs, index.codebook)
+      .localCheckpoint()
+    (index.copy(codes = index.codes.unionByName(newCodes)),
+      pqDistortion(deltaSubvecs, index.codebook))
   }
 
   /** Bootstrap build from a label-bearing corpus (the q46 trainer) plus

@@ -782,9 +782,10 @@ object RelationalQueries {
     // 10⁵-item basket at 100 TB costs one filtered census row instead
     // of 10¹⁰ pairs (and a co-occurrence census over such a basket is
     // statistically meaningless anyway — the standard market-basket
-    // adjudication). On this corpus no basket exceeds 13 items, so the
-    // cap is invisible to the oracle hash; the planted-basket spec in
-    // QueriesSpec proves the guard fires. The pair census aggregates
+    // adjudication). On the driver corpora every basket sits far below
+    // MaxBasketItems (measured maxima: 11 at sf0.001, 13 at sf0.01, 17
+    // at sf0.1), so the cap is invisible to the oracle hash; the
+    // planted-basket spec in QueriesSpec proves the guard fires. The pair census aggregates
     // with map-side partials, the top-20 is a TakeOrdered (no global
     // sort), and Catalyst's ReusedExchange dedups the identical capped
     // basket subplan on both join sides (PlanSpec pins it). Every
@@ -817,10 +818,12 @@ object RelationalQueries {
     // so the guard's only cost is a per-basket count inside a sort the
     // SMJ needs regardless. The census-plus-anti-join form paid a
     // SEPARATE corpus shuffle for the census (~25% of q116 at sf0.1);
-    // this window's partitions are basket-sized — bounded by exactly the
-    // cap being enforced — never corpus-sized, so it is safe at 100 TB
-    // (the corpus-window anti-pattern doesn't apply to a keyed count
-    // whose key this operator bounds).
+    // this window's partitions are basket-sized — the count itself runs
+    // over UNCAPPED baskets (a pathological basket pays its row count
+    // once, linearly, before the filter drops it), which is safe at
+    // 100 TB because a linear count per basket is exactly the cost the
+    // guard exists to cap the QUADRATIC self-join at — never the
+    // corpus-window anti-pattern.
     val wb = Window.partitionBy(col("l_orderkey"))
     val capped = items
       .withColumn("bsz", count(lit(1)).over(wb))
@@ -906,11 +909,13 @@ object RelationalQueries {
         |FROM m JOIN sz USING(cd) ORDER BY 1, 2""".stripMargin,
 
     // the distinct-items self-join + pair census + total-order top-20;
-    // the HAVING mirrors MaxBasketItems (a no-op on this corpus — no
-    // basket exceeds 13 items — but part of the declared semantics)
+    // the HAVING interpolates MaxBasketItems (a no-op on the driver
+    // corpora, whose baskets top out well below it, but part of the
+    // declared semantics — and it can never drift from the Spark guard)
     "q116_basket_pairs" ->
-      """WITH items0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |ok AS (SELECT l_orderkey FROM items0 GROUP BY 1 HAVING count(*) <= 100),
+      s"""WITH items0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ok AS (SELECT l_orderkey FROM items0 GROUP BY 1
+        |       HAVING count(*) <= $MaxBasketItems),
         |items AS (SELECT items0.* FROM items0 JOIN ok USING (l_orderkey)),
         |pairs AS (
         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2

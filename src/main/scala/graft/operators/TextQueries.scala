@@ -250,21 +250,44 @@ object TextQueries {
       .select(col("freq"), initUdf(col("w")).as("syms"))
     val rows = bpeTrainFromVocab(s, vocab, steps)
     bpeArtifacts.put(bpeCorpusFingerprint(s, dir, steps), rows)
+    // write-through (publish-if-absent): training is deterministic given
+    // the corpus, so the disk copy never needs refreshing — but q74
+    // itself must keep retraining in-session (it IS the training
+    // operator; its bench cost must stay the real training cost)
+    graft.ArtifactStore.put(s, s"bpe$steps",
+      Tables.parquetFingerprint(s, dir, "documents"))(
+      s.createDataFrame(rows).toDF("step", "left", "right", "pair_count"))
     rows
   }
+
+  /** Disk-store read of a previously trained merge table (any JVM), as
+    * the driver rows the consumers use. */
+  private def bpeFromStore(s: SparkSession, dir: String, steps: Int)
+      : Option[Seq[(Int, String, String, Long)]] =
+    graft.ArtifactStore.readIfPresent(s, s"bpe$steps",
+      Tables.parquetFingerprint(s, dir, "documents")).map { df =>
+      val rows = df.orderBy("step").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      bpeArtifacts.put(bpeCorpusFingerprint(s, dir, steps), rows)
+      rows
+    }
 
   private[graft] def bpeMergeTable(s: SparkSession, dir: String,
       steps: Int): DataFrame =
     s.createDataFrame(bpeTrain(s, dir, steps))
       .toDF("step", "left", "right", "pair_count")
 
-  /** Merge pairs for encoding: cached artifact if the corpus fingerprint
-    * matches, else train (and cache).
+  /** Merge pairs for encoding: in-memory artifact if the corpus
+    * fingerprint matches, else the disk store's copy (trained by any
+    * earlier session), else train (and cache + publish).
     */
   private[graft] def bpeMergesShared(s: SparkSession, dir: String,
       steps: Int): Seq[(String, String)] =
-    bpeArtifacts.getOrElse(bpeCorpusFingerprint(s, dir, steps),
-      bpeTrain(s, dir, steps)).map(m => (m._2, m._3))
+    bpeArtifacts.get(bpeCorpusFingerprint(s, dir, steps))
+      .orElse(bpeFromStore(s, dir, steps))
+      .getOrElse(bpeTrain(s, dir, steps))
+      .map(m => (m._2, m._3))
 
   private[graft] def lshNeardupPairs(s: SparkSession, dir: String,
       threshold: Double, numHashes: Int = 64, bands: Int = 32,
@@ -302,9 +325,12 @@ object TextQueries {
 
   private def cachedTextFrame(s: SparkSession, tag: String, dir: String)
       (build: => DataFrame): DataFrame = {
-    val key = tag + ":" + System.identityHashCode(s.sparkContext) + ":" +
-      Tables.parquetFingerprint(s, dir, "documents")
-    textFrames.getOrElseUpdate(key, build)
+    val fp = Tables.parquetFingerprint(s, dir, "documents")
+    val key = tag + ":" + System.identityHashCode(s.sparkContext) + ":" + fp
+    // L1: this context's TrieMap. L2: the cross-JVM disk store — a fresh
+    // session re-reads the published parquet instead of rebuilding.
+    textFrames.getOrElseUpdate(key,
+      graft.ArtifactStore.readThrough(s, tag, fp)(build))
   }
 
   /** q92's per-valid-doc NB decision frame (doc_id, cls, margin,
@@ -488,6 +514,83 @@ object TextQueries {
       }.foreach(_.unpersist(blocking = false))
       out
     }
+
+  /** CCNet tercile assignment (per, with columns doc_id/lang/s →
+    * + bucket ∈ {1,2,3}) — EXACTLY `ntile(3) over (partition by lang
+    * order by round(s,6), doc_id)`, restated so no task ever sorts a
+    * language's whole corpus (the deployed CCNet shape: cutoffs first,
+    * then a map-side compare). ntile(3) over n rows gives the first
+    * n%3 buckets ⌈n/3⌉ rows and the rest ⌊n/3⌋, so bucket membership
+    * is "rank ≤ b1" / "rank ≤ b2" for the two per-lang rank boundaries
+    * b1 = ⌊n/3⌋+(n%3≥1), b2 = 2⌊n/3⌋+(n%3≥1)+(n%3≥2). The q70
+    * census-cutoff-broadcast pattern finds the boundary KEYS without a
+    * corpus sort:
+    *   1. census per (lang, round-6 s) with map-side partials — bounded
+    *      by langs × distinct round-6 levels (≤ a few million for any
+    *      surprisal range, independent of corpus size), and a running
+    *      count over THAT census locates which level each rank boundary
+    *      lands in;
+    *   2. within the (at most two per lang) boundary tie-groups, the
+    *      boundary DOC is the (b − cum_start)-th by doc_id — a window
+    *      over just those tie-groups (bounded by the round-6 tie
+    *      cardinality, never the corpus);
+    *   3. every doc then compares its (s6, doc_id) key against the two
+    *      broadcast per-lang boundary keys map-side — one struct
+    *      comparison, no shuffle, no sort.
+    * The (round-6 s, doc_id) key is total (doc_id unique), so the
+    * assignment is bit-identical to the window form at any scale; the
+    * QueriesSpec boundary-graze pin (no surprisal within float noise of
+    * a round-6 edge) covers this form and the oracle's ntile replay
+    * alike.
+    */
+  private[graft] def ccnetTerciles(per0: DataFrame): DataFrame = {
+    val per = per0.withColumn("s6", round(col("s"), 6))
+    val census = per.groupBy(col("lang"), col("s6"))
+      .agg(count(lit(1)).as("c"))
+    val wC = Window.partitionBy(col("lang")).orderBy(col("s6"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = census
+      .withColumn("cum_end", sum(col("c")).over(wC))
+      .withColumn("cum_start", col("cum_end") - col("c"))
+    val tot = census.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+      .withColumn("qn", floor(col("n") / 3.0).cast("long"))
+      .withColumn("b1",
+        col("qn") + when(col("n") % 3 >= 1, 1L).otherwise(0L))
+      .withColumn("b2", col("qn") * 2 +
+        when(col("n") % 3 >= 1, 1L).otherwise(0L) +
+        when(col("n") % 3 >= 2, 1L).otherwise(0L))
+      .select(col("lang"), col("b1"), col("b2"))
+    // the census row each rank boundary lands in, with its 1-based
+    // offset inside that row's doc_id-ordered tie-group
+    val hits = cum.join(tot, "lang")
+      .select(col("lang"), col("s6"), col("cum_start"), col("cum_end"),
+        explode(array(
+          struct(lit(1).as("edge"), col("b1").as("b")),
+          struct(lit(2).as("edge"), col("b2").as("b")))).as("e"))
+      .filter(col("e.b") > col("cum_start") && col("e.b") <= col("cum_end"))
+      .select(col("lang"), col("s6"), col("e.edge").as("edge"),
+        (col("e.b") - col("cum_start")).as("off"))
+    // boundary docs: only the tie-groups a boundary lands in pass the
+    // broadcast semi-join, so this window's partitions are tie-sized
+    val wTie = Window.partitionBy(col("lang"), col("s6"), col("edge"))
+      .orderBy(col("doc_id"))
+    val cuts = per.join(broadcast(hits), Seq("lang", "s6"))
+      .withColumn("rn", row_number().over(wTie))
+      .filter(col("rn") === col("off"))
+      .groupBy(col("lang"))
+      .agg(
+        max(when(col("edge") === 1,
+          struct(col("s6"), col("doc_id")))).as("k1"),
+        max(when(col("edge") === 2,
+          struct(col("s6"), col("doc_id")))).as("k2"))
+    // map-side assignment: one broadcast row per language
+    per.join(broadcast(cuts), Seq("lang"))
+      .withColumn("bucket",
+        when(struct(col("s6"), col("doc_id")) <= col("k1"), 1)
+          .when(struct(col("s6"), col("doc_id")) <= col("k2"), 2)
+          .otherwise(3))
+      .drop("s6", "k1", "k2")
+  }
 
   val defs: Map[String, Q] = Map(
 
@@ -1444,28 +1547,26 @@ object TextQueries {
     // language into head / middle / tail terciles; downstream mixes
     // sample head-heavy. LM = the q67 corpus bigram model; per-doc score
     // = mean bigram surprisal (docs with < 2 tokens have no bigrams and
-    // are excluded, as in q67). Bucket = ntile(3) per lang ordered by
-    // (round-6 surprisal, doc_id) — the round-6 key makes near-duplicate
-    // docs (identical true surprisal, ±1 ulp across engines) collapse
-    // onto one key and break ties by id, so bucket membership is
-    // engine-deterministic; QueriesSpec pins that no doc's surprisal
-    // grazes a round-6 boundary. Scale shape: per-doc scores come from
-    // the persisted corpus-LM artifact (docSurprisalShared — trained and
-    // applied once per corpus snapshot, the deployed CCNet shape; the
-    // builder's LM joins are vocab-sized); the ntile window ranks ONE
-    // row per document (never token-level rows), partitioned by lang.
-    // At 100 TB the exact
-    // tercile is what this oracle-checkable form computes; the deployed
-    // variant computes per-lang cutoffs on a sample and assigns map-side
-    // (CCNet itself does exactly that), changing cost, not semantics.
+    // are excluded, as in q67). Bucket = the exact tercile by (round-6
+    // surprisal, doc_id) rank per lang — the round-6 key makes
+    // near-duplicate docs (identical true surprisal, ±1 ulp across
+    // engines) collapse onto one key and break ties by id, so bucket
+    // membership is engine-deterministic; QueriesSpec pins that no
+    // doc's surprisal grazes a round-6 boundary. Scale shape: per-doc
+    // scores come from the persisted corpus-LM artifact
+    // (docSurprisalShared — trained and applied once per corpus
+    // snapshot, the deployed CCNet shape; the builder's LM joins are
+    // vocab-sized); bucket assignment is ccnetTerciles' two-phase
+    // census-cutoff-broadcast — bit-identical to the oracle's ntile
+    // replay, but no task ever sorts a language's corpus (a dominant
+    // language at 100 TB would otherwise be a single-reducer sort of
+    // billions of rows; CCNet itself assigns against precomputed
+    // cutoffs exactly like this).
     "q98_perplexity_buckets" -> ((s, dir) => {
       // per-doc LM scores come from the shared corpus-LM artifact
       // (docSurprisalShared) — this query is the CCNet tercile split
-      val per = docSurprisalShared(s, dir)
-        .select(col("doc_id"), col("lang"), col("s"))
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(round(col("s"), 6), col("doc_id"))
-      per.withColumn("bucket", ntile(3).over(w))
+      ccnetTerciles(docSurprisalShared(s, dir)
+          .select(col("doc_id"), col("lang"), col("s")))
         .groupBy(col("lang"), col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           round(avg(col("s")), 4).as("avg_surprisal"),
@@ -1493,7 +1594,7 @@ object TextQueries {
     // quality and token counts are row-local; the gram join carries
     // distinct (doc, gram) pairs; the LM chain is q98's — read from the
     // persisted corpus-LM artifact (docSurprisalShared; vocab-sized
-    // joins, per-DOC tercile window); the funnel itself is left joins on
+    // joins, broadcast-cutoff terciles); the funnel itself is left joins on
     // doc_id + ONE conditional aggregation by lang — no corpus window,
     // no cartesian. Oracle-checked hash-for-hash: all four gate chains
     // (recursive closure, quality formula, gram join, bigram LM + ntile)
@@ -1527,12 +1628,10 @@ object TextQueries {
         .select(col("doc_id")).distinct()
         .select(col("doc_id"), lit(true).as("g_contam"))
       // gate 4: the q98 tail tercile over the full corpus — per-doc LM
-      // scores from the shared corpus-LM artifact (docSurprisalShared)
-      val wB = Window.partitionBy(col("lang"))
-        .orderBy(round(col("s"), 6), col("doc_id"))
-      val buckets = docSurprisalShared(s, dir)
-        .select(col("doc_id"), col("lang"), col("s"))
-        .withColumn("bucket", ntile(3).over(wB))
+      // scores from the shared corpus-LM artifact (docSurprisalShared),
+      // buckets from the same two-phase broadcast-cutoff assignment
+      val buckets = ccnetTerciles(docSurprisalShared(s, dir)
+          .select(col("doc_id"), col("lang"), col("s")))
         .select(col("doc_id"), col("bucket"))
       // the funnel: first-gate attribution + per-lang accounting
       base.filter(col("split") === "train")

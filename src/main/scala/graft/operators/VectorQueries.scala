@@ -807,14 +807,18 @@ object VectorQueries {
   private val annArtifacts = scala.collection.concurrent.TrieMap
     .empty[String, (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]
 
-  private def cachedIndexTable(s: SparkSession, key: String)
+  private def cachedIndexTable(s: SparkSession, tag: String, fp: String)
       (build: => DataFrame): DataFrame = {
-    val (rows, schema) = annArtifacts.getOrElseUpdate(key, {
-      val df = build
-      val out = (df.collect().toSeq, df.schema)
-      // the artifact now lives as driver rows; release the training
-      // DataFrame's checkpoint blocks (same LogicalRDD-id derivation as
+    val (rows, schema) = annArtifacts.getOrElseUpdate(s"$tag:$fp", {
+      // L2: the cross-JVM disk store — a trained centroid/codebook table
+      // is read back (nlist×64 floats; tiny) instead of retrained; on a
+      // cold store the elected builder trains, publishes, and the read
+      // below is the published parquet. When the disk layer is off,
+      // build directly and release the training frame's checkpoint
+      // blocks (same LogicalRDD-id derivation as
       // TextQueries.checkpointTracked — only THIS plan's blocks).
+      val df = graft.ArtifactStore.readThrough(s, tag, fp)(build)
+      val out = (df.collect().toSeq, df.schema)
       df.queryExecution.logical.collect {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       }.foreach(_.unpersist(blocking = false))
@@ -827,12 +831,12 @@ object VectorQueries {
 
   private[graft] def trainCellsShared(s: SparkSession, dir: String,
       e: DataFrame): DataFrame =
-    cachedIndexTable(s, "ivf:" + Tables.parquetFingerprint(s, dir, "embeddings"))(
+    cachedIndexTable(s, "ivf", Tables.parquetFingerprint(s, dir, "embeddings"))(
       trainCells(e))
 
   private[graft] def pqCodebookShared(s: SparkSession, dir: String,
       subvecs: => DataFrame): DataFrame =
-    cachedIndexTable(s, "pq:" + Tables.parquetFingerprint(s, dir, "embeddings"))(
+    cachedIndexTable(s, "pq", Tables.parquetFingerprint(s, dir, "embeddings"))(
       pqCodebook(subvecs))
 
   // Corpus-side index tables (the inverted file and the code table) are
@@ -848,9 +852,14 @@ object VectorQueries {
 
   private def cachedIndexFrame(s: SparkSession, tag: String, dir: String)
       (build: => DataFrame): DataFrame = {
-    val key = tag + ":" + System.identityHashCode(s.sparkContext) + ":" +
-      Tables.parquetFingerprint(s, dir, "embeddings")
-    annFrames.getOrElseUpdate(key, build)
+    val fp = Tables.parquetFingerprint(s, dir, "embeddings")
+    val key = tag + ":" + System.identityHashCode(s.sparkContext) + ":" + fp
+    // L1: this context's TrieMap. L2: the cross-JVM disk store — the
+    // inverted file / code table / band tables ARE the index's storage
+    // segments; a fresh session maps the published parquet instead of
+    // re-deriving them from the raw corpus.
+    annFrames.getOrElseUpdate(key,
+      graft.ArtifactStore.readThrough(s, tag, fp)(build))
   }
 
   /** The PQ-encoded corpus, (vec_id, sub, subvec): shared by the code

@@ -52,11 +52,13 @@ object CurationAdmission {
     val per = bg.join(lm, "bg")
       .groupBy(col("doc_id"), col("lang"))
       .agg(avg(-log(col("p"))).as("s"))
-    // tail cutoff = the q98 bucket-2/3 edge: max surprisal of the
-    // middle tercile under the same (round-6 s, doc_id) rank key
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
-      .orderBy(round(col("s"), 6), col("doc_id"))
-    per.withColumn("bucket", ntile(3).over(w))
+      .localCheckpoint() // ccnetTerciles reads it census-, tie- and assignment-side
+    // tail cutoff = the q98 bucket-2/3 edge under the same (round-6 s,
+    // doc_id) rank key, via the SAME two-phase broadcast-cutoff tercile
+    // the batch funnel uses (TextQueries.ccnetTerciles) — no task ever
+    // sorts a language's whole bootstrap corpus, and the stream's gate
+    // can never drift from the batch gate it twins
+    graft.operators.TextQueries.ccnetTerciles(per)
       .filter(col("bucket") <= 2)
       .groupBy(col("lang")).agg(max(col("s")).as("cut"))
       .write.mode("overwrite").parquet(s"$refPath/cutoffs")
@@ -67,9 +69,9 @@ object CurationAdmission {
     // release its blocks once the reference artifacts are on disk (the
     // docSurprisalShared pattern), so a long-lived session that trains
     // the reference and then drives admission doesn't pin it forever
-    bg.queryExecution.logical.collect {
+    Seq(bg, per).foreach(_.queryExecution.logical.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.foreach(_.unpersist(blocking = false))
+    }.foreach(_.unpersist(blocking = false)))
   }
 
   /** One epoch of the funnel. `batch` = (doc_id, lang, text). Returns the

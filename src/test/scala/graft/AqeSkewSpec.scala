@@ -62,6 +62,9 @@ class AqeSkewSpec extends AnyFunSuite {
     // and assert the skewed partition actually splits AND the per-doc
     // surprisal aggregate is byte-identical to the no-AQE plan.
     val prev = Map(
+      // adaptive.enabled is toggled inside surprisal(); restore it from
+      // the snapshot like every other touched conf, not a hard-coded value
+      "spark.sql.adaptive.enabled" -> spark.conf.get("spark.sql.adaptive.enabled"),
       "spark.sql.adaptive.skewJoin.enabled" -> spark.conf.get("spark.sql.adaptive.skewJoin.enabled"),
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
         spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
@@ -98,7 +101,6 @@ class AqeSkewSpec extends AnyFunSuite {
       }
       val (withAqe, plan) = surprisal(aqe = true)
       val (without, _) = surprisal(aqe = false)
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
       assert(plan.contains("skew=true"),
         s"hot bigram did not trigger an AQE skew split:\n$plan")
       // the skew split re-partitions the aggregation's input, so the avg

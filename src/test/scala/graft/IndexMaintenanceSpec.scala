@@ -162,11 +162,17 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     val delta = e.filter(col("vec_id") % 5 === 3)
       .select(col("vec_id"), col("embedding"))
     val baseSv = VectorQueries.pqSubvecs(VectorQueries.pqNormalize(base))
-    val cb = VectorQueries.pqCodebook(baseSv)
-    val codes = VectorQueries.pqAssign(baseSv, cb)
+      .localCheckpoint() // the spec recomputes distortion from it below
+    val idx = IndexMaintenance.buildPq(baseSv)
+    val (cb, codes) = (idx.codebook, idx.codes)
+    // the persisted build-time distortion IS the from-scratch recompute —
+    // the refresh path may trust the stored constant forever after
+    assert(idx.baseDistortion == IndexMaintenance.pqDistortion(baseSv, cb),
+      "persisted base distortion drifted from a from-scratch recompute")
     val deltaSv = VectorQueries.pqSubvecs(VectorQueries.pqNormalize(delta))
-    val (all, dDelta, dBase) = IndexMaintenance.refreshPqCodes(
-      codes, cb, baseSv, deltaSv)
+    val (idx2, dDelta) = IndexMaintenance.refreshPqCodes(idx, deltaSv)
+    val (all, dBase) = (idx2.codes, idx2.baseDistortion)
+    assert(dBase == idx.baseDistortion, "refresh recomputed the base constant")
     // every delta vector got its 8 codes; base codes untouched
     assert(all.count() == codes.count() + deltaSv.count())
     assert(all.join(codes, Seq("vec_id", "sub", "code"), "left_semi").count()

@@ -1,0 +1,184 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{DedupMaintenance, IndexMaintenance, VectorQueries}
+import graft.streaming.{EmbeddingAdmission, NearDupAdmission}
+
+/** The composed steady-state loop a 100 TB deployment actually runs:
+  * segments arrive through the LEDGER write path, the streaming
+  * admission gates dedup them, and ONLY the admitted rows drive
+  * incremental maintenance of the serving artifacts — the dedup pair
+  * graph/labels (DedupMaintenance.refresh), the IVF inverted file
+  * (IndexMaintenance.refreshIvf), and the PQ code table
+  * (IndexMaintenance.refreshPqCodes against the build-time base
+  * distortion). Three in-distribution epochs refresh incrementally
+  * (labels bit-identical to a full rebuild every time); a fourth,
+  * genuinely drifted epoch trips the IVF drift detector into a
+  * warm-start retrain AND the PQ misfit ratio into a codebook retrain.
+  */
+class MaintenanceSoakSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // ledger round-trip: docs as (key=doc_id, value=utf8 text), embeddings
+  // as (key=vec_id, value=comma-joined floats) — the wire format is the
+  // test's, the segment/offset semantics are the ledger's
+  private def appendDocs(topic: String, docs: DataFrame): Unit =
+    docs.select(lit(0).as("partition"), col("doc_id").cast("string").as("key"),
+        col("text").cast("binary").as("value"))
+      .write.format("graft-ledger").option("path", topic).mode("append").save()
+
+  private def readDocs(topic: String, ledgerId: Long): DataFrame =
+    spark.read.format("graft-ledger").option("path", topic).load()
+      .filter(col("ledger_id") === ledgerId)
+      .select(col("key").cast("long").as("doc_id"),
+        col("value").cast("string").as("text"))
+
+  private def appendVecs(topic: String, vecs: DataFrame): Unit =
+    vecs.select(lit(0).as("partition"), col("vec_id").cast("string").as("key"),
+        array_join(transform(col("embedding"), x => x.cast("string")), ",")
+          .cast("binary").as("value"))
+      .write.format("graft-ledger").option("path", topic).mode("append").save()
+
+  private def readVecs(topic: String, ledgerId: Long): DataFrame =
+    spark.read.format("graft-ledger").option("path", topic).load()
+      .filter(col("ledger_id") === ledgerId)
+      .select(col("key").cast("long").as("vec_id"),
+        expr("transform(split(cast(value as string), ','), x -> cast(x as float))")
+          .as("embedding"))
+
+  private def labelSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("doc_id", "component").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("ledger segments -> admission gates -> incremental index/graph refresh, with one drift retrain") {
+    val docTopic = Files.createTempDirectory("soak_docledger").toString
+    val vecTopic = Files.createTempDirectory("soak_vecledger").toString
+    val docStore = Files.createTempDirectory("soak_docstore").toString
+    val docKept = Files.createTempDirectory("soak_dockept").toString
+    val vecStore = Files.createTempDirectory("soak_vecstore").toString
+    val vecKept = Files.createTempDirectory("soak_veckept").toString
+
+    val allDocs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val allVecs = Tables.embeddings(spark, dir)
+    val lbl = allVecs.select(col("vec_id"), col("label"))
+
+    // ---- epoch 0: bootstrap over the base slice --------------------------
+    appendDocs(docTopic, allDocs.filter(col("doc_id") % 5 =!= 3))
+    appendVecs(vecTopic, allVecs.filter(col("vec_id") % 5 =!= 3)
+      .select(col("vec_id"), col("embedding")))
+    NearDupAdmission.admit(readDocs(docTopic, 0L), 0L, docStore, docKept)
+    EmbeddingAdmission.admit(readVecs(vecTopic, 0L), 0L, vecStore, vecKept)
+    val docs0 = spark.read.parquet(s"$docKept/epoch=0")
+      .select("doc_id", "text").localCheckpoint()
+    val vecs0 = spark.read.parquet(s"$vecKept/epoch=0")
+      .select("vec_id", "embedding").localCheckpoint()
+
+    var graph = DedupMaintenance.build(docs0)
+    var ivf = IndexMaintenance.buildIvf(vecs0.join(lbl, "vec_id"))
+    val sv0 = VectorQueries.pqSubvecs(VectorQueries.pqNormalize(vecs0))
+      .localCheckpoint()
+    var pq = IndexMaintenance.buildPq(sv0)
+    assert(pq.baseDistortion > 0)
+
+    var admittedDocs = docs0
+    var admittedVecs = vecs0
+
+    // ---- epochs 1..2: in-distribution segments with planted clones ------
+    (1 to 2).foreach { ep =>
+      val sliceD = allDocs.filter(col("doc_id") % 5 === 3 &&
+        col("doc_id") % 2 === (ep % 2))
+      val cloneD = admittedDocs.orderBy("doc_id").limit(1)
+        .select((col("doc_id") + 100000L * ep).as("doc_id"), col("text"))
+      appendDocs(docTopic, sliceD.unionByName(cloneD))
+      val sliceV = allVecs.filter(col("vec_id") % 5 === 3 &&
+          col("vec_id") % 2 === (ep % 2))
+        .select(col("vec_id"), col("embedding"))
+      val cloneV = admittedVecs.orderBy("vec_id").limit(1)
+        .select((col("vec_id") + 100000L * ep).as("vec_id"), col("embedding"))
+      appendVecs(vecTopic, sliceV.unionByName(cloneV))
+
+      NearDupAdmission.admit(readDocs(docTopic, ep.toLong), ep.toLong,
+        docStore, docKept)
+      EmbeddingAdmission.admit(readVecs(vecTopic, ep.toLong), ep.toLong,
+        vecStore, vecKept, threshold = 0.999)
+      val keptD = spark.read.parquet(s"$docKept/epoch=$ep")
+        .select("doc_id", "text").localCheckpoint()
+      val keptV = spark.read.parquet(s"$vecKept/epoch=$ep")
+        .select("vec_id", "embedding").localCheckpoint()
+      assert(keptD.filter(col("doc_id") >= 100000L).count() == 0,
+        s"epoch $ep: a cloned doc slipped the text gate")
+      assert(keptV.filter(col("vec_id") >= 100000L).count() == 0,
+        s"epoch $ep: a cloned vector slipped the embedding gate")
+      assert(keptD.count() > 0 && keptV.count() > 0)
+
+      // dedup graph: incremental refresh == full rebuild, bit-for-bit
+      graph = DedupMaintenance.refresh(graph, keptD)
+      admittedDocs = admittedDocs.unionByName(keptD)
+      assert(labelSet(graph.labels) ==
+        labelSet(DedupMaintenance.build(admittedDocs).labels),
+        s"epoch $ep: refreshed labels diverged from a rebuild")
+
+      // IVF: in-distribution appends stay incremental (frozen centroids)
+      val (ivf2, report) = IndexMaintenance.refreshIvf(ivf, keptV)
+      assert(report.mode == "incremental", s"epoch $ep: $report")
+      ivf = ivf2
+      admittedVecs = admittedVecs.unionByName(keptV)
+      assert(ivf.assigned.count() == admittedVecs.count())
+
+      // PQ: delta encodes against the frozen codebook; the misfit test
+      // reads the BUILD-TIME constant, no base pass
+      val svD = VectorQueries.pqSubvecs(VectorQueries.pqNormalize(keptV))
+      val (pq2, dDelta) = IndexMaintenance.refreshPqCodes(pq, svD)
+      assert(pq2.baseDistortion == pq.baseDistortion)
+      assert(dDelta < pq.baseDistortion * 1.3,
+        s"epoch $ep: in-distribution delta flagged as misfit: " +
+          s"$dDelta vs ${pq.baseDistortion}")
+      pq = pq2
+    }
+
+    // ---- epoch 3: a genuinely drifted segment ---------------------------
+    // vectors dragged toward a direction the corpus never had, with ~99%
+    // of their mass in ONE subspace (IVF drift + PQ misfit) — but each
+    // keeps its own 0.3x variation, so the segment is diverse enough to
+    // pass the admission gate (mutual cos ≈ 0.986 < the 0.999 threshold)
+    val drifted = allVecs.filter(col("vec_id") % 5 === 3 && col("vec_id") % 2 === 1)
+      .select((col("vec_id") + 900000L).as("vec_id"),
+        expr("""transform(embedding, (x, j) -> cast(
+                 CASE WHEN j < 8 THEN x * 0.3 + 0.9
+                 ELSE x * 0.3 END AS float))""").as("embedding"))
+    appendVecs(vecTopic, drifted)
+    EmbeddingAdmission.admit(readVecs(vecTopic, 3L), 3L, vecStore, vecKept,
+      threshold = 0.999)
+    val keptDrift = spark.read.parquet(s"$vecKept/epoch=3")
+      .select("vec_id", "embedding").localCheckpoint()
+    assert(keptDrift.count() > 0, "drifted segment entirely dropped")
+
+    val (_, driftReport) = IndexMaintenance.refreshIvf(ivf, keptDrift)
+    assert(driftReport.mode == "retrain",
+      s"drifted segment did not trip the IVF detector: $driftReport")
+
+    val svDrift = VectorQueries.pqSubvecs(VectorQueries.pqNormalize(keptDrift))
+    val (_, dAlien) = IndexMaintenance.refreshPqCodes(pq, svDrift)
+    assert(dAlien > pq.baseDistortion * 1.3,
+      s"PQ misfit not flagged: $dAlien vs ${pq.baseDistortion}")
+    // the flagged misfit is what triggers the codebook retrain — rebuild
+    // over admitted+drifted and confirm the NEW codebook fits the drifted
+    // data it was retrained to cover
+    val svAll = sv0.unionByName(svDrift)
+    val pqRetrained = IndexMaintenance.buildPq(svAll)
+    val dAfter = IndexMaintenance.pqDistortion(svDrift, pqRetrained.codebook)
+    assert(dAfter < dAlien,
+      s"codebook retrain did not improve drifted-segment fit: $dAfter vs $dAlien")
+  }
+}

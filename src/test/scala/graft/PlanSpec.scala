@@ -413,20 +413,21 @@ class PlanSpec extends AnyFunSuite {
       s"label-to-quality join fell back to a cartesian:\n$plan")
   }
 
-  test("q98 perplexity buckets: ntile ranks per-DOC rows above a partial per-doc agg") {
-    // the window must rank one row per document (the per-doc surprisal
-    // aggregate sits BELOW it with map-side partials) and stay
-    // partitioned by lang — a window over token- or bigram-level rows, or
-    // an unpartitioned global sort, would serialize the corpus
+  test("q98 perplexity buckets: broadcast-cutoff terciles, no corpus ntile sort") {
+    // the tercile must assign via ccnetTerciles' two-phase form: a
+    // map-side-partial census on (lang, round-6 s), rank boundaries
+    // located on the census, and a BROADCAST of the per-lang boundary
+    // keys back onto the per-doc rows — an ntile window would pull every
+    // document of a language through one task's sort (a dominant
+    // language at 100 TB = a single-reducer sort of billions of rows)
     val plan = physical(TextQueries.defs("q98_perplexity_buckets")(spark, dir))
       .split("== Initial Plan ==")(0)
-    assert(plan.contains("ntile(3)"), s"tercile window missing:\n$plan")
-    assert("""Window \[ntile\(3\)[^\n]*partitionBy=\[lang""".r
-      .findFirstIn(plan).isDefined ||
-      """\[ntile\(3\).*windowspecdefinition\(lang""".r.findFirstIn(plan).isDefined,
-      s"ntile window not partitioned by lang:\n$plan")
-    assert(plan.contains("partial_avg"),
-      s"per-doc surprisal aggregate lost its map-side partial:\n$plan")
+    assert(!plan.contains("ntile"),
+      s"tercile regressed to a per-lang ntile corpus sort:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"round-6 census lost its map-side partial:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-lang boundary keys not broadcast to the assignment:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"LM join fell back to a cartesian:\n$plan")
   }
 
@@ -446,17 +447,18 @@ class PlanSpec extends AnyFunSuite {
       s"ranking windows lost their q_id partitioning:\n$plan")
   }
 
-  test("q100 funnel: doc_id equi-joins, lang-partitioned tercile, partial funnel agg") {
+  test("q100 funnel: doc_id equi-joins, broadcast-cutoff tercile, partial funnel agg") {
     // four gate frames meet the train universe as doc_id-keyed joins (a
-    // cartesian anywhere poisons the whole report), the only window is
-    // q98's per-DOC tercile partitioned by lang, and the final per-lang
-    // accounting aggregates with map-side partials
+    // cartesian anywhere poisons the whole report), the LM gate assigns
+    // buckets via ccnetTerciles' broadcast cutoffs (never a per-lang
+    // ntile sort of the corpus), and the final per-lang accounting
+    // aggregates with map-side partials
     val plan = physical(TextQueries.defs("q100_curation_funnel")(spark, dir))
       .split("== Initial Plan ==")(0)
     assert(!plan.contains("CartesianProduct"),
       s"a funnel gate join fell back to a cartesian:\n$plan")
-    assert("""windowspecdefinition\(lang""".r.findFirstIn(plan).isDefined,
-      s"LM tercile window lost its lang partitioning:\n$plan")
+    assert(!plan.contains("ntile"),
+      s"LM tercile regressed to a per-lang ntile corpus sort:\n$plan")
     assert(plan.contains("partial_min_by"),
       s"canonical-keep selection lost its map-side partial:\n$plan")
     assert(plan.contains("partial_sum"),

@@ -871,6 +871,46 @@ class QueriesSpec extends AnyFunSuite {
       f"a doc surprisal sits $worst%.2e from a round-6 boundary — bucket membership could diverge across engines")
   }
 
+  test("ccnetTerciles == ntile(3) window on ties, singletons and boundary-straddling groups") {
+    // the two-phase broadcast-cutoff assignment must be BIT-identical to
+    // `ntile(3) over (partition by lang order by round(s,6), doc_id)` on
+    // every shape the census form has to get right: languages of size
+    // 1..5 (every n%3 case), massive round-6 tie-groups that straddle
+    // both rank boundaries, ties at the exact head and tail of a
+    // language, and a tie-group equal to the whole language
+    import org.apache.spark.sql.expressions.Window
+    val rows = Seq(
+      // lang "a": n=7, one 5-doc tie straddling both boundaries
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 2.0), (4L, "a", 2.0),
+      (5L, "a", 2.0), (6L, "a", 2.0), (7L, "a", 3.0),
+      // lang "b": all 6 docs one tie-group
+      (10L, "b", 5.5), (11L, "b", 5.5), (12L, "b", 5.5),
+      (13L, "b", 5.5), (14L, "b", 5.5), (15L, "b", 5.5),
+      // langs of size 1, 2, 3, 4, 5
+      (20L, "c", 9.0),
+      (30L, "d", 1.0), (31L, "d", 0.5),
+      (40L, "e", 2.0), (41L, "e", 1.0), (42L, "e", 3.0),
+      (50L, "f", 4.0), (51L, "f", 4.0), (52L, "f", 1.0), (53L, "f", 4.0),
+      (60L, "g", 7.0), (61L, "g", 6.0), (62L, "g", 7.0), (63L, "g", 6.0),
+      (64L, "g", 8.0),
+      // round-6 collapse: distinct s, identical round(s, 6)
+      (70L, "h", 1.0000001), (71L, "h", 1.00000012), (72L, "h", 1.0000004),
+      (73L, "h", 2.0))
+    val per = spark.createDataFrame(rows).toDF("doc_id", "lang", "s")
+    val got = TextQueries.ccnetTerciles(per)
+      .select(col("doc_id"), col("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(org.apache.spark.sql.functions.round(col("s"), 6), col("doc_id"))
+    val want = per.withColumn("bucket", ntile(3).over(w))
+      .select(col("doc_id"), col("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.keySet == want.keySet, "tercile assignment dropped or grew docs")
+    val diffs = want.keys.filter(k => got(k) != want(k)).toSeq.sorted
+    assert(diffs.isEmpty,
+      s"buckets diverge from ntile on docs ${diffs.map(d => s"$d: got ${got(d)} want ${want(d)}").mkString(", ")}")
+  }
+
   test("q99 hybrid RRF: fused top-5 replays from scratch (both rankers + fusion)") {
     val rows = VectorQueries.defs("q99_hybrid_rrf")(spark, dir).collect()
     assert(rows.length == 100, s"expected 20 anchors x 5, got ${rows.length}")
