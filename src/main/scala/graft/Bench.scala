@@ -225,16 +225,17 @@ object Bench {
     // already, and the gate adds 2x on top; see BENCHPROTOCOL.md).
     val buildEnvelope = Map("dedup" -> 3.0, "lm" -> 2.7, "lex" -> 2.0,
       "nb" -> 0.9, "bpe" -> 2.2, "ivf" -> 1.5, "pq" -> 2.7, "srp" -> 0.4)
-    val gateViolations =
-      if (sfName != "sf0.1") Seq.empty
-      else builds.collect { case (fam, secs)
-        if secs >= 0 && buildEnvelope.contains(fam) &&
-          secs / canaryMin > 2 * buildEnvelope(fam) => fam }
+    val gateViolations = builds.collect { case (fam, secs)
+      if secs >= 0 && buildEnvelope.contains(fam) &&
+        secs / canaryMin > 2 * buildEnvelope(fam) => fam }
+    // the envelope is an sf0.1 profile: at any other SF the gate does
+    // not apply and the field is OMITTED (never a vacuous "pass")
     val gateJson =
-      if (gateViolations.isEmpty) ""","bgate":"pass""""
+      if (sfName != "sf0.1") ""
+      else if (gateViolations.isEmpty) ""","bgate":"pass""""
       else gateViolations.map("\"" + _ + "\"")
         .mkString(""","bgate":[""", ",", "]")
-    gateViolations.foreach(f => System.err.println(
+    if (sfName == "sf0.1") gateViolations.foreach(f => System.err.println(
       s"[bench] BUILD GATE: $f exceeded 2x its canary-relative envelope"))
     // failed queries additionally listed by name — a reader scanning only
     // the headline can't miss them, and a diff vs last round's list is a
