@@ -214,4 +214,41 @@ object ArtifactStore {
       .forEach(f => Files.deleteIfExists(f))
     finally walk.close()
   }
+
+  /** Garbage-collect the store: entries whose manifest mtime is older
+    * than `maxAgeMs` (a rewritten corpus gets a new fingerprint, so its
+    * predecessor's entries go cold and only age out here), plus
+    * orphaned `.tmp-*` build dirs and stale `.lock` files past the
+    * crash-steal threshold. Safe against live readers on POSIX (an open
+    * parquet handle survives the unlink) and against racing builders
+    * (a deleted entry is just a miss — the next readThrough
+    * re-publishes). Returns the deleted entry paths.
+    */
+  def gc(root: Path, maxAgeMs: Long): Seq[Path] = {
+    if (!Files.exists(root)) return Seq.empty
+    val now = System.currentTimeMillis()
+    def mtime(p: Path): Long =
+      try Files.getLastModifiedTime(p).toMillis
+      catch { case _: java.io.IOException => 0L }
+    val deleted = scala.collection.mutable.ArrayBuffer[Path]()
+    val fams = Files.list(root)
+    try fams.forEach { fam =>
+      if (Files.isDirectory(fam)) {
+        val entries = Files.list(fam)
+        try entries.forEach { e =>
+          val name = e.getFileName.toString
+          val stale =
+            if (name.startsWith(".tmp-")) now - mtime(e) > LockStaleMs
+            else if (name.endsWith(".lock")) now - mtime(e) > LockStaleMs
+            else if (name.startsWith("fp=")) {
+              val m = e.resolve("_MANIFEST")
+              !Files.exists(m) && now - mtime(e) > LockStaleMs ||
+                Files.exists(m) && now - mtime(m) > maxAgeMs
+            } else false
+          if (stale) { deleted += e; deleteRecursively(e) }
+        } finally entries.close()
+      }
+    } finally fams.close()
+    deleted.toSeq
+  }
 }

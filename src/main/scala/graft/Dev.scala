@@ -234,6 +234,14 @@ object Dev {
         Artifacts.prewarm(spark, d).foreach { case (fam, secs) =>
           println(f"[dev] build $fam @ $d: $secs%.2f s")
         }
+      case Some("storegc") =>
+        // ops maintenance: age out cold store entries (default 7 days)
+        graft.ArtifactStore.rootOf(spark).foreach { root =>
+          val hours = args.lift(1).map(_.toLong).getOrElse(7L * 24)
+          val gone = graft.ArtifactStore.gc(root, hours * 3600 * 1000)
+          println(s"[dev] store gc @ $root: removed ${gone.size} entries")
+          gone.foreach(p => println(s"[dev]   $p"))
+        }
       case Some("oracle") =>
         // print one query's oracle SQL (for DuckDB-side iteration without
         // a full Verify sweep)
@@ -411,6 +419,33 @@ object Dev {
         dtime("incremental refresh")(
           DedupMaintenance.refresh(g0, dDelta).labels.count())
         dtime("full rebuild")(DedupMaintenance.build(dAll).labels.count())
+
+      case Some("lexfresh") =>
+        // price incremental lexical-index + LM-count refresh vs full
+        // rebuild (SCALING §5c): 2% delta, the dedupfresh protocol
+        import org.apache.spark.sql.functions._
+        import graft.operators.CorpusStatsMaintenance
+        val ldir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        def ltime[T](label: String)(f: => T): T = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"[dev] $label: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
+        }
+        val lAll = Tables.documents(spark, ldir).select("doc_id", "text")
+        val lBase = lAll.filter(col("doc_id") % 50 =!= 3)
+        val lDelta = lAll.filter(col("doc_id") % 50 === 3)
+        println(s"[dev] base=${lBase.count()} delta=${lDelta.count()}")
+        val lex0 = ltime("build base lex index")(
+          CorpusStatsMaintenance.buildLex(lBase))
+        val lm0 = ltime("build base lm counts")(
+          CorpusStatsMaintenance.buildLm(lBase))
+        ltime("incremental lex refresh")(
+          CorpusStatsMaintenance.refreshLex(lex0, lDelta).df.count())
+        ltime("incremental lm refresh")(
+          CorpusStatsMaintenance.refreshLm(lm0, lDelta).c2.count())
+        ltime("full lex rebuild")(
+          CorpusStatsMaintenance.buildLex(lAll).df.count())
+        ltime("full lm rebuild")(
+          CorpusStatsMaintenance.buildLm(lAll).c2.count())
 
       case Some("ivfrefresh") =>
         // price incremental index refresh vs full rebuild (SCALING §5):

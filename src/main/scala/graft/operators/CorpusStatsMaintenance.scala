@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.{tokens, tokenBigrams, wordNgramsUdf}
+
+/** Incremental maintenance of the lexical-index and corpus-LM artifact
+  * families — the text-statistics member of the maintenance triad
+  * ([[IndexMaintenance]] for ANN, [[DedupMaintenance]] for the pair
+  * graph). When a stream appends a document segment, these artifacts
+  * must refresh for O(delta), not O(corpus).
+  *
+  * Why that is possible without approximation: every table in the two
+  * families is either
+  *
+  *   - ROW-LOCAL per doc (tokenized corpus, distinct 5-gram shingle
+  *     relation): the delta's rows are computed alone and appended —
+  *     base rows are untouched by construction; or
+  *   - an ADDITIVE census (document-frequency census, bigram/unigram
+  *     count tables): census(base ⊎ delta) = census(base) ⊎+ census
+  *     (delta), merged by key-wise addition — an O(delta + touched
+  *     keys) shuffle, never a corpus re-scan.
+  *
+  * So a refresh is provably EQUAL to a from-scratch rebuild (the spec
+  * pins it bit-for-bit), not an approximation of one — the same
+  * contract DedupMaintenance makes for labels.
+  *
+  * The one subtlety is LM SCORING policy, and it is a declared choice
+  * the engine's two paths already embody: the streaming admission gate
+  * scores against a FROZEN reference LM (CurationAdmission's
+  * `buildReference`), so appended counts never move it; the batch
+  * corpus-snapshot path re-derives conditional probabilities from the
+  * merged counts (vocab-bounded arithmetic — [[BigramLm.lm]]), under
+  * which a pre-existing doc's surprisal legitimately CHANGES. Scoring
+  * delta docs only ([[scoreDocs]] over the delta) is the steady-state
+  * cost; a report that must reflect the new model for every doc pays
+  * the full re-score, exactly as CCNet re-runs its scoring pass per
+  * corpus snapshot.
+  *
+  * Assumes append-only deltas with fresh doc ids (the streaming-ingest
+  * contract NearDupAdmission enforces upstream).
+  */
+object CorpusStatsMaintenance {
+
+  /** The persisted lexical-index artifacts: `docs` = (doc_id, t) the
+    * tokenized corpus, `df` = (token, df) the document-frequency
+    * census, `grams` = (doc_id, g) the distinct per-doc 5-gram shingle
+    * relation — the staging tables behind q94/q99/q103 (BM25), q68/q107
+    * (verbatim overlap), and the funnel's contamination gate. */
+  final case class LexIndex(docs: DataFrame, df: DataFrame, grams: DataFrame)
+
+  /** The persisted corpus-LM SUFFICIENT STATISTICS: `c2` = (bg, c2)
+    * bigram counts, `c1` = (w1, c1) first-token counts. The conditional
+    * LM (bg, p = c2/c1) is DERIVED vocab-bounded math, not a stored
+    * table — so the counts are the only thing a refresh must maintain,
+    * and they merge additively. */
+  final case class BigramLm(c2: DataFrame, c1: DataFrame) {
+    /** Conditional bigram probabilities under the current counts. */
+    def lm: DataFrame = c2
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(c1, "w1")
+      .select(col("bg"), (col("c2") / col("c1").cast("double")).as("p"))
+  }
+
+  private def tokenized(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), tokens(col("text")).as("t"))
+
+  private def dfCensus(toks: DataFrame): DataFrame = toks
+    .select(explode(array_distinct(col("t"))).as("token"))
+    .groupBy(col("token")).agg(count(lit(1)).as("df"))
+
+  private def gramRelation(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      explode(array_distinct(wordNgramsUdf(5)(col("text")))).as("g"))
+
+  /** Key-wise additive merge of two censuses sharing (key, count). */
+  private def mergeCensus(a: DataFrame, b: DataFrame, key: String,
+      cnt: String): DataFrame =
+    a.unionByName(b).groupBy(col(key)).agg(sum(col(cnt)).as(cnt))
+
+  /** From-scratch lexical index over (doc_id, text) — used for the
+    * bootstrap AND as the refresh's equivalence oracle. */
+  def buildLex(docs: DataFrame): LexIndex = {
+    val toks = tokenized(docs).localCheckpoint()
+    LexIndex(toks, dfCensus(toks).localCheckpoint(),
+      gramRelation(docs).localCheckpoint())
+  }
+
+  /** Refresh for an appended `delta` (doc_id, text) with fresh ids:
+    * the delta is tokenized/shingled ALONE (row-local), and the df
+    * census merges by addition — base docs are never re-read. The
+    * per-doc tables come back as LAZY unions over the materialized
+    * segments (only the DELTA's rows are newly checkpointed): copying
+    * the base rows into fresh storage would make the "incremental"
+    * refresh O(corpus) — exactly the segment model the admission
+    * stores' epoch directories use, where compaction (= a rebuild) is
+    * a separate, deliberate maintenance action once the segment count
+    * grows. Only the censuses — vocabulary-bounded, never corpus-sized
+    * — are re-materialized per refresh. */
+  def refreshLex(base: LexIndex, delta: DataFrame): LexIndex = {
+    val toksD = tokenized(delta).localCheckpoint()
+    LexIndex(
+      base.docs.unionByName(toksD),
+      mergeCensus(base.df, dfCensus(toksD), "token", "df").localCheckpoint(),
+      base.grams.unionByName(gramRelation(delta).localCheckpoint()))
+  }
+
+  private def bigrams(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), tokens(col("text")).as("t"))
+    .filter(size(col("t")) >= 2)
+    .select(col("doc_id"), explode(tokenBigrams(col("t"))).as("bg"))
+
+  /** From-scratch LM count tables — the same census math as
+    * TextQueries.corpusBigramLm, persisted as mergeable counts. */
+  def buildLm(docs: DataFrame): BigramLm = {
+    val bg = bigrams(docs).localCheckpoint()
+    BigramLm(
+      bg.groupBy(col("bg")).agg(count(lit(1)).as("c2")).localCheckpoint(),
+      bg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+        .agg(count(lit(1)).as("c1")).localCheckpoint())
+  }
+
+  /** Additive count refresh for an appended `delta` (doc_id, text):
+    * the delta's bigram stream is censused alone and merged key-wise —
+    * O(delta + touched vocab keys), no base re-scan. */
+  def refreshLm(base: BigramLm, delta: DataFrame): BigramLm = {
+    val bgD = bigrams(delta).localCheckpoint()
+    BigramLm(
+      mergeCensus(base.c2,
+        bgD.groupBy(col("bg")).agg(count(lit(1)).as("c2")), "bg", "c2")
+        .localCheckpoint(),
+      mergeCensus(base.c1,
+        bgD.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+          .agg(count(lit(1)).as("c1")), "w1", "c1")
+        .localCheckpoint())
+  }
+
+  /** Per-doc mean bigram surprisal of `docs` under `lm` — the q67/q98
+    * scoring kernel; score the DELTA under the refreshed LM in steady
+    * state, or the whole corpus when a snapshot report must reflect the
+    * new model (the CCNet policy; see object doc). Docs with < 2 tokens
+    * have no bigrams and are absent, as everywhere in the engine. */
+  def scoreDocs(docs: DataFrame, lm: DataFrame): DataFrame =
+    bigrams(docs).join(lm, "bg")
+      .groupBy(col("doc_id"))
+      .agg(avg(-log(col("p"))).as("s"))
+}

@@ -143,6 +143,44 @@ class ArtifactStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("gc ages out cold entries, orphan tmp dirs and stale locks — and spares live ones") {
+    val root = freshRoot()
+    withStore(root) {
+      ArtifactStore.readThrough(spark, "gcfam", "fpOld")(spark.range(3).toDF("id"))
+      ArtifactStore.readThrough(spark, "gcfam", "fpLive")(spark.range(4).toDF("id"))
+      val fam = Paths.get(root, "gcfam")
+      // plant debris a crashed builder would leave
+      val tmp = fam.resolve(".tmp-dead")
+      Files.createDirectories(tmp)
+      val lock = fam.resolve("fp=deadbeef.lock")
+      Files.createFile(lock)
+      // age the old entry's manifest, the tmp dir and the lock past
+      // their thresholds; keep fpLive fresh
+      val oldEntry = Files.list(fam).toArray.map(_.toString)
+        .filter(_.contains("fp=")).filterNot(_.endsWith(".lock")).sorted
+      def age(p: java.nio.file.Path, ms: Long): Unit =
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ms))
+      val entries = oldEntry.map(Paths.get(_))
+      val (live, dead) = entries.partition(e =>
+        Files.readString(e.resolve("_MANIFEST")).endsWith("fpLive"))
+      assert(live.length == 1 && dead.length == 1)
+      dead.foreach(e => age(e.resolve("_MANIFEST"), 100L * 24 * 3600 * 1000))
+      age(tmp, ArtifactStore.LockStaleMs + 60000)
+      age(lock, ArtifactStore.LockStaleMs + 60000)
+      val gone = ArtifactStore.gc(Paths.get(root), 7L * 24 * 3600 * 1000)
+        .map(_.toString).toSet
+      assert(dead.forall(e => gone.contains(e.toString)), s"cold entry survived: $gone")
+      assert(gone.contains(tmp.toString) && gone.contains(lock.toString),
+        s"debris survived: $gone")
+      assert(live.forall(e => !gone.contains(e.toString)), "live entry collected")
+      assert(ArtifactStore.readIfPresent(spark, "gcfam", "fpLive").isDefined,
+        "live entry unreadable after gc")
+      assert(ArtifactStore.readIfPresent(spark, "gcfam", "fpOld").isEmpty,
+        "collected entry still served")
+    }
+  }
+
   test("shared getters are store-backed: a fresh JVM would scan the published parquet") {
     // private corpus (fingerprint collides with nothing, so no L1 entry
     // can satisfy it) → the getter must build THROUGH the store and hand

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.CorpusStatsMaintenance._
+
+/** Incremental lexical-index and corpus-LM maintenance: an appended
+  * segment refreshes every table for O(delta) and the result is
+  * BIT-IDENTICAL to a from-scratch rebuild — the same exact-equivalence
+  * contract DedupMaintenanceSpec pins for labels, here for the df
+  * census, the shingle relation, the LM count tables, the derived
+  * conditional LM, and the per-doc surprisal scores under it.
+  */
+class CorpusStatsMaintenanceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def corpus() = Tables.documents(spark, dir)
+    .select(col("doc_id"), col("text"))
+
+  private def split() = {
+    val d = corpus()
+    (d.filter(col("doc_id") % 5 =!= 3), d.filter(col("doc_id") % 5 === 3))
+  }
+
+  private def censusMap(df: DataFrame, k: String, c: String): Map[String, Long] =
+    df.collect().map(r => r.getAs[String](k) -> r.getAs[Long](c)).toMap
+
+  private def rowSet(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("lexical index refresh == rebuild, bit-for-bit, and never re-reads base docs") {
+    val (base, delta) = split()
+    val idx0 = buildLex(base)
+    val refreshed = refreshLex(idx0, delta)
+    val rebuilt = buildLex(base.unionByName(delta))
+    assert(censusMap(refreshed.df, "token", "df") ==
+      censusMap(rebuilt.df, "token", "df"),
+      "df census diverged from rebuild")
+    assert(rowSet(refreshed.grams.select(col("doc_id"), col("g"))) ==
+      rowSet(rebuilt.grams.select(col("doc_id"), col("g"))),
+      "5-gram relation diverged from rebuild")
+    assert(refreshed.docs.count() == rebuilt.docs.count())
+    // the base tokenized rows are REUSED verbatim (row-local contract):
+    // every base doc's token array in the refreshed index is the same
+    // rows the bootstrap produced
+    assert(refreshed.docs.join(idx0.docs.select(col("doc_id")), "doc_id")
+      .count() == idx0.docs.count())
+  }
+
+  test("LM count refresh == rebuild; derived LM and surprisal scores identical") {
+    val (base, delta) = split()
+    val lm0 = buildLm(base)
+    val refreshed = refreshLm(lm0, delta)
+    val rebuilt = buildLm(base.unionByName(delta))
+    assert(censusMap(refreshed.c2, "bg", "c2") == censusMap(rebuilt.c2, "bg", "c2"),
+      "bigram counts diverged from rebuild")
+    assert(censusMap(refreshed.c1, "w1", "c1") == censusMap(rebuilt.c1, "w1", "c1"),
+      "unigram counts diverged from rebuild")
+    // identical counts -> identical conditional probabilities -> the
+    // full-corpus re-score under the refreshed LM is bit-identical to
+    // scoring under a rebuilt one (same IEEE expressions, same inputs)
+    val all = base.unionByName(delta)
+    val sR = scoreDocs(all, refreshed.lm).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sB = scoreDocs(all, rebuilt.lm).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sR.keySet == sB.keySet)
+    assert(sR.forall { case (d, s) => sB(d) == s },
+      "surprisal under refreshed LM diverged from rebuilt LM")
+    // and the engine's own corpus LM (TextQueries.corpusBigramLm) agrees
+    // with the maintained counts' derived LM — ONE census math
+    val (_, engineLm) = graft.operators.TextQueries.corpusBigramLm(spark, dir)
+    val eng = engineLm.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ours = refreshed.lm.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ours == eng, "maintained LM drifted from the engine's corpus LM")
+  }
+
+  test("degenerate deltas: short docs contribute no bigrams/grams but keep censuses exact") {
+    import spark.implicits._
+    val base = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma")).toDF("doc_id", "text")
+    val delta = Seq((10L, "alpha"), (11L, ""), (12L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val lex = refreshLex(buildLex(base), delta)
+    val rebuilt = buildLex(base.unionByName(delta))
+    assert(censusMap(lex.df, "token", "df") == censusMap(rebuilt.df, "token", "df"))
+    assert(lex.grams.filter(col("doc_id") >= 10L).count() == 0,
+      "a <5-word doc grew a 5-gram")
+    val lm = refreshLm(buildLm(base), delta)
+    val lmRebuilt = buildLm(base.unionByName(delta))
+    assert(censusMap(lm.c2, "bg", "c2") == censusMap(lmRebuilt.c2, "bg", "c2"))
+    // doc 10/11 have < 2 tokens: absent from scoring, as everywhere
+    val scored = scoreDocs(base.unionByName(delta), lm.lm)
+      .collect().map(_.getLong(0)).toSet
+    assert(!scored.contains(10L) && !scored.contains(11L) && scored.contains(12L))
+  }
+}

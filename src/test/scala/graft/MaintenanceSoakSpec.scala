@@ -4,18 +4,19 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{DedupMaintenance, IndexMaintenance, VectorQueries}
+import graft.operators.{CorpusStatsMaintenance, DedupMaintenance, IndexMaintenance, VectorQueries}
 import graft.streaming.{EmbeddingAdmission, NearDupAdmission}
 
 /** The composed steady-state loop a 100 TB deployment actually runs:
   * segments arrive through the LEDGER write path, the streaming
   * admission gates dedup them, and ONLY the admitted rows drive
   * incremental maintenance of the serving artifacts — the dedup pair
-  * graph/labels (DedupMaintenance.refresh), the IVF inverted file
+  * graph/labels (DedupMaintenance.refresh), the lexical index and LM
+  * count tables (CorpusStatsMaintenance), the IVF inverted file
   * (IndexMaintenance.refreshIvf), and the PQ code table
   * (IndexMaintenance.refreshPqCodes against the build-time base
-  * distortion). Three in-distribution epochs refresh incrementally
-  * (labels bit-identical to a full rebuild every time); a fourth,
+  * distortion). The in-distribution epochs refresh incrementally
+  * (labels and censuses bit-identical to a full rebuild); a final,
   * genuinely drifted epoch trips the IVF drift detector into a
   * warm-start retrain AND the PQ misfit ratio into a codebook retrain.
   */
@@ -85,6 +86,8 @@ class MaintenanceSoakSpec extends AnyFunSuite {
       .select("vec_id", "embedding").localCheckpoint()
 
     var graph = DedupMaintenance.build(docs0)
+    var lex = CorpusStatsMaintenance.buildLex(docs0)
+    var lm = CorpusStatsMaintenance.buildLm(docs0)
     var ivf = IndexMaintenance.buildIvf(vecs0.join(lbl, "vec_id"))
     val sv0 = VectorQueries.pqSubvecs(VectorQueries.pqNormalize(vecs0))
       .localCheckpoint()
@@ -129,6 +132,10 @@ class MaintenanceSoakSpec extends AnyFunSuite {
         labelSet(DedupMaintenance.build(admittedDocs).labels),
         s"epoch $ep: refreshed labels diverged from a rebuild")
 
+      // lexical index + LM counts ride the same admitted epochs
+      lex = CorpusStatsMaintenance.refreshLex(lex, keptD)
+      lm = CorpusStatsMaintenance.refreshLm(lm, keptD)
+
       // IVF: in-distribution appends stay incremental (frozen centroids)
       val (ivf2, report) = IndexMaintenance.refreshIvf(ivf, keptV)
       assert(report.mode == "incremental", s"epoch $ep: $report")
@@ -146,6 +153,18 @@ class MaintenanceSoakSpec extends AnyFunSuite {
           s"$dDelta vs ${pq.baseDistortion}")
       pq = pq2
     }
+
+    // after the in-distribution epochs, the maintained text statistics
+    // equal a from-scratch rebuild over everything admitted — exact,
+    // not approximate (additive censuses + row-local per-doc tables)
+    val lexRebuilt = CorpusStatsMaintenance.buildLex(admittedDocs)
+    assert(lex.df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      lexRebuilt.df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      "maintained df census diverged from rebuild")
+    val lmRebuilt = CorpusStatsMaintenance.buildLm(admittedDocs)
+    assert(lm.c2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      lmRebuilt.c2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      "maintained bigram counts diverged from rebuild")
 
     // ---- epoch 3: a genuinely drifted segment ---------------------------
     // vectors dragged toward a direction the corpus never had, with ~99%
