@@ -215,6 +215,68 @@ object ArtifactStore {
     finally walk.close()
   }
 
+  /** Driver-side store snapshot as a LocalRelation — backs the
+    * `graft_artifacts_status(path)` SQL table function
+    * (GraftExtensions): one row per artifact family with entry counts,
+    * on-disk bytes, freshness, and any builder debris (tmp dirs from
+    * crashed builds, lock files) — the ops view an operator checks
+    * before trusting a store or scheduling a [[gc]]. Metadata only
+    * (directory walk; no data files are read).
+    */
+  def statusRelation(rootPath: String)
+      : org.apache.spark.sql.catalyst.plans.logical.LocalRelation = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val out = Seq(
+      AttributeReference("family", StringType, nullable = false)(),
+      AttributeReference("entries", IntegerType, nullable = false)(),
+      AttributeReference("live_entries", IntegerType, nullable = false)(),
+      AttributeReference("bytes", LongType, nullable = false)(),
+      AttributeReference("newest_manifest_ms", LongType, nullable = false)(),
+      AttributeReference("tmp_dirs", IntegerType, nullable = false)(),
+      AttributeReference("locks", IntegerType, nullable = false)())
+    val root = Paths.get(rootPath)
+    val rows =
+      if (!Files.exists(root)) Seq.empty[InternalRow]
+      else {
+        val fams = Files.list(root)
+        try fams.toArray.toSeq.collect {
+          case f: Path if Files.isDirectory(f) =>
+            var (entries, live, tmps, locks) = (0, 0, 0, 0)
+            var bytes = 0L
+            var newest = 0L
+            val children = Files.list(f)
+            try children.forEach { e =>
+              val name = e.getFileName.toString
+              if (name.startsWith(".tmp-")) tmps += 1
+              else if (name.endsWith(".lock")) locks += 1
+              else if (name.startsWith("fp=")) {
+                entries += 1
+                val m = e.resolve("_MANIFEST")
+                if (Files.exists(m)) {
+                  live += 1
+                  newest = math.max(newest,
+                    try Files.getLastModifiedTime(m).toMillis
+                    catch { case _: java.io.IOException => 0L })
+                }
+                val walk = Files.walk(e)
+                try walk.forEach(p =>
+                  if (Files.isRegularFile(p))
+                    bytes += (try Files.size(p)
+                    catch { case _: java.io.IOException => 0L }))
+                finally walk.close()
+              }
+            } finally children.close()
+            InternalRow(UTF8String.fromString(f.getFileName.toString),
+              entries, live, bytes, newest, tmps, locks)
+        } finally fams.close()
+      }
+    LocalRelation(out, rows, isStreaming = false)
+  }
+
   /** Garbage-collect the store: entries whose manifest mtime is older
     * than `maxAgeMs` (a rewritten corpus gets a new fingerprint, so its
     * predecessor's entries go cold and only age out here), plus

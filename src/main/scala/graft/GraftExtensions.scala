@@ -118,6 +118,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.sources.LedgerSource.statusRelation(path)
       }))
 
+    // artifact-store ops TVF: per-family entry counts, bytes, freshness
+    // and builder debris of a disk artifact store — the view an operator
+    // checks before trusting a store or scheduling Dev storegc:
+    //   SELECT * FROM graft_artifacts_status('/tmp/graft-artifacts')
+    e.injectTableFunction((
+      new FunctionIdentifier("graft_artifacts_status"),
+      new ExpressionInfo("graft.ArtifactStore", "graft_artifacts_status"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_artifacts_status", "graft_artifacts_status(path)", 1, args)
+        val path = args.head match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+              s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+          case _ => requireFoldable("graft_artifacts_status", "path", "STRING")
+        }
+        graft.ArtifactStore.statusRelation(path)
+      }))
+
     // companion lag TVF: backlog per partition relative to a checkpoint
     // offsets JSON (the consumer-lag column):
     //   SELECT * FROM graft_ledger_lag('/path', '{"0":[3,2]}')   -- the

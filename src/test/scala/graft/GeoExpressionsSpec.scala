@@ -179,6 +179,46 @@ class GeoExpressionsSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS ledger_tvf")
   }
 
+  test("graft_artifacts_status table function reports store health in SQL") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_status_store")
+    val prev = spark.conf.getOption("spark.graft.artifacts.path")
+    spark.conf.set("spark.graft.artifacts.path", root.toString)
+    try {
+      ArtifactStore.readThrough(spark, "famA", "fp1")(spark.range(10).toDF("id"))
+      ArtifactStore.readThrough(spark, "famA", "fp2")(spark.range(5).toDF("id"))
+      ArtifactStore.readThrough(spark, "famB", "fp1")(spark.range(3).toDF("id"))
+      // plant crashed-builder debris + a corrupt (manifest-less) entry
+      Files.createDirectories(root.resolve("famB").resolve(".tmp-dead"))
+      Files.createFile(root.resolve("famB").resolve("fp=x.lock"))
+      Files.createDirectories(root.resolve("famB").resolve("fp=corrupt"))
+      val rows = spark.sql(
+        s"SELECT * FROM graft_artifacts_status('${root.toString}') ORDER BY family")
+        .collect()
+      assert(rows.length == 2)
+      val a = rows(0)
+      assert(a.getString(0) == "famA" && a.getInt(1) == 2 && a.getInt(2) == 2,
+        a.toString)
+      assert(a.getLong(3) > 0L && a.getLong(4) > 0L) // bytes, newest manifest
+      val b = rows(1)
+      assert(b.getString(0) == "famB" &&
+        (b.getInt(1), b.getInt(2), b.getInt(5), b.getInt(6)) == (2, 1, 1, 1),
+        b.toString) // 2 entries, 1 live, 1 tmp dir, 1 lock
+      // a missing store is an empty report, not an error
+      assert(spark.sql(
+        "SELECT * FROM graft_artifacts_status('/tmp/definitely-missing-store')")
+        .collect().isEmpty)
+      // non-literal path fails as a clean AnalysisException
+      val bad = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT * FROM graft_artifacts_status(concat('a', 'b'))").collect()
+      }
+      assert(bad.getMessage.contains("graft_artifacts_status"), bad.getMessage)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.artifacts.path", v)
+      case None => spark.conf.unset("spark.graft.artifacts.path")
+    }
+  }
+
   test("expression stays inside whole-stage codegen") {
     // parquet-backed input so ConvertToLocalRelation can't pre-evaluate
     val df = Tables.supplier(spark, "/root/testdata/sf0.001")
