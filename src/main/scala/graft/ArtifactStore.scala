@@ -262,12 +262,16 @@ object ArtifactStore {
                     try Files.getLastModifiedTime(m).toMillis
                     catch { case _: java.io.IOException => 0L })
                 }
-                val walk = Files.walk(e)
-                try walk.forEach(p =>
-                  if (Files.isRegularFile(p))
-                    bytes += (try Files.size(p)
-                    catch { case _: java.io.IOException => 0L }))
-                finally walk.close()
+                // a concurrent gc/publish may delete the entry mid-walk;
+                // a vanished subtree counts 0 bytes, it must not throw
+                try {
+                  val walk = Files.walk(e)
+                  try walk.forEach(p =>
+                    if (Files.isRegularFile(p))
+                      bytes += (try Files.size(p)
+                      catch { case _: java.io.IOException => 0L }))
+                  finally walk.close()
+                } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
               }
             } finally children.close()
             InternalRow(UTF8String.fromString(f.getFileName.toString),
