@@ -655,7 +655,12 @@ object TextQueries {
     // path, optionally plus a df-cap on blocking shingles (lossy: drops
     // pairs whose every shared shingle is template-frequent).
     "q28_jaccard_pairs" -> ((s, dir) => {
-      val sh = shingled(s, dir)
+      // stage the shingle relation once (the lshNeardupPairs rationale):
+      // the self-join's two sides and the per-doc counts otherwise each
+      // re-run the tokenize+shingle UDF over the whole corpus — measured
+      // ~2x on the 10x replica. At 100 TB this is the staged
+      // intermediate table a dedup pipeline writes anyway.
+      val sh = shingled(s, dir).localCheckpoint()
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val a = sh.as("a"); val b = sh.as("b")
       val shared = a.join(b,
