@@ -911,6 +911,45 @@ class QueriesSpec extends AnyFunSuite {
       s"buckets diverge from ntile on docs ${diffs.map(d => s"$d: got ${got(d)} want ${want(d)}").mkString(", ")}")
   }
 
+  test("property: ccnetTerciles == ntile(3) on seeded random tie-heavy corpora") {
+    // randomized version of the shape pin above: many languages with
+    // random sizes (covering every n%3 residue) and surprisals drawn
+    // from a deliberately SMALL value set so round-6 tie-groups are
+    // large relative to language size and constantly straddle rank
+    // boundaries — the regime where an off-by-one in the census
+    // boundary-offset math would show up
+    import org.apache.spark.sql.expressions.Window
+    Seq(17L, 4242L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      var id = 0L
+      val rows = (1 to 60).flatMap { li =>
+        val lang = s"l$li"
+        val n = rnd.between(1, 51)
+        // 1..4 distinct levels per lang → expected tie-group ~ n/levels
+        val levels = Array.fill(rnd.between(1, 5))(
+          math.rint(rnd.between(0.0, 20.0) * 1e4) / 1e4)
+        (1 to n).map { _ =>
+          id += 1
+          (id, lang, levels(rnd.nextInt(levels.length)))
+        }
+      }
+      val per = spark.createDataFrame(rows).toDF("doc_id", "lang", "s")
+      val got = TextQueries.ccnetTerciles(per)
+        .select(col("doc_id"), col("bucket"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(org.apache.spark.sql.functions.round(col("s"), 6), col("doc_id"))
+      val want = per.withColumn("bucket", ntile(3).over(w))
+        .select(col("doc_id"), col("bucket"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got.keySet == want.keySet,
+        s"seed $seed: tercile assignment dropped or grew docs")
+      val diffs = want.keys.filter(k => got(k) != want(k)).toSeq.sorted
+      assert(diffs.isEmpty, s"seed $seed: buckets diverge from ntile on " +
+        diffs.take(10).map(d => s"$d: got ${got(d)} want ${want(d)}").mkString(", "))
+    }
+  }
+
   test("q99 hybrid RRF: fused top-5 replays from scratch (both rankers + fusion)") {
     val rows = VectorQueries.defs("q99_hybrid_rrf")(spark, dir).collect()
     assert(rows.length == 100, s"expected 20 anchors x 5, got ${rows.length}")
