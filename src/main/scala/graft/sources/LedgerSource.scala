@@ -191,6 +191,43 @@ object LedgerSource {
   def entriesBetween(ledgers: Seq[LedgerInfo], from: Cursor, to: Cursor): Long =
     backlog(ledgers, from) - backlog(ledgers, to)
 
+  /** Partition set a v1 pushed filter restricts `partition` to, when the
+    * filter is EXACTLY a partition-dir predicate (equality / IN / null
+    * tests on the partition column). Only these are accepted for pushdown:
+    * a `partition-<p>` dir contains precisely the rows with partition = p,
+    * so pruning dirs by an equality/IN set is exact and the predicate
+    * needs no post-scan re-evaluation. Anything else (ranges, Or-trees,
+    * other columns) stays in the plan untouched.
+    */
+  def partitionSetFromFilter(f: org.apache.spark.sql.sources.Filter): Option[Set[Int]] = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo("partition", v: Number) => Some(Set(v.intValue()))
+      case EqualNullSafe("partition", v: Number) => Some(Set(v.intValue()))
+      case In("partition", vs) =>
+        Some(vs.iterator.collect { case n: Number => n.intValue() }.toSet)
+      // partition is non-nullable: IS NULL selects nothing, IS NOT NULL all
+      case IsNull("partition") => Some(Set.empty[Int])
+      case _ => None
+    }
+  }
+
+  /** Bytes on disk for a partition's segment files (metadata-only). */
+  def partitionBytes(dir: Path, ledgers: Seq[LedgerInfo]): Long =
+    ledgers.map { l =>
+      try Files.size(dir.resolve(s"ledger-${l.ledgerId}.log"))
+      catch { case _: Throwable => 0L }
+    }.sum
+
+  /** Test hook: the partition indices the LAST batch planning for each
+    * topic path actually planned splits for — how the pruning specs
+    * observe that static/runtime partition filters reached the source
+    * (planInputPartitions runs again after a runtime filter lands, so the
+    * final recorded value reflects the pruned set).
+    */
+  val lastPlannedPartitions =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Int]]()
+
   /** Stable pinning: partition idx mod sorted host list (reference
     * SparkPulsarRDD.getPreferredLocations:66-97 — deterministic across
     * batches so per-executor consumer/page caches stay hot).
@@ -499,19 +536,50 @@ class LedgerTable(path: String, options: Map[String, String])
   * lookups, not 50.
   */
 class LedgerScanBuilder(path: String, options: Map[String, String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = LedgerOptions.fullSchema(options)
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new LedgerScan(path, options, required)
+  /** Static partition pruning (the 100 TB point of a partitioned log:
+    * `WHERE partition = 3` must read one directory, not the topic).
+    * Accepted filters are EXACT on partition dirs (see
+    * partitionSetFromFilter), so they are consumed here — nothing returned
+    * for Spark to re-evaluate — and surface in `.explain` as
+    * PushedFilters. Everything else is left in the plan untouched.
+    */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    val (accepted, residual) =
+      filters.partition(f => LedgerSource.partitionSetFromFilter(f).isDefined)
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+  private def staticAllowed: Option[Set[Int]] = {
+    val sets = pushed.flatMap(LedgerSource.partitionSetFromFilter)
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+  override def build(): Scan = new LedgerScan(path, options, required, staticAllowed)
 }
 
 class LedgerScan(path: String, options: Map[String, String],
-                 required: StructType) extends Scan
-    with SupportsReportPartitioning with SupportsReportOrdering {
+                 required: StructType,
+                 staticAllowed: Option[Set[Int]] = None) extends Scan
+    with SupportsReportPartitioning with SupportsReportOrdering
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
+  import LedgerSource.{Cursor, LedgerOffset, entriesBetween, listLedgers, partitionBytes}
   override def readSchema(): StructType = required
+  // surfaces static pruning in `.explain` (BatchScan node description)
+  override def description(): String =
+    s"graft-ledger($path)" + staticAllowed.fold("")(s =>
+      s" PushedPartitions: ${s.toSeq.sorted.mkString("[", ",", "]")}")
+  // the stream honors the static partition set too: accepted pushed
+  // filters were removed from the plan as exact, so every path this scan
+  // can execute through must enforce them
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new LedgerMicroBatchStream(path, options, required)
+    new LedgerMicroBatchStream(path, options, required, staticAllowed)
   /** ONE partition-dir listing per scan: the partition count
     * outputPartitioning reports and the splits the batch actually plans
     * must come from the same snapshot — two independent listings under
@@ -527,14 +595,76 @@ class LedgerScan(path: String, options: Map[String, String],
     * inconsistency this snapshot exists to prevent. Readers wanting fresh
     * partitions re-plan (re-build the DataFrame), same as any DSv2 source.
     */
-  private lazy val partitionSnapshot: Seq[Int] =
-    LedgerSource.listPartitions(LedgerSource.toLocalPath(path))
+  private lazy val partitionSnapshot: Seq[Int] = {
+    val all = LedgerSource.listPartitions(LedgerSource.toLocalPath(path))
+    staticAllowed.fold(all)(s => all.filter(s))
+  }
+
+  /** Join-driven runtime partition pruning (the DSv2 dynamic-partition-
+    * pruning hook): when this scan joins a dimension on `partition` and
+    * the dim side carries a selective filter, Spark hands the surviving
+    * join-key values here as an In filter and re-plans the batch's input
+    * partitions — at 100 TB, a lookup joining 3 of 10k log partitions
+    * reads 3 directories instead of the topic. Set before toBatch() is
+    * re-invoked by BatchScanExec; unparseable filters are ignored (runtime
+    * filtering is an optimization — the join still applies the predicate).
+    */
+  @volatile private var runtimeAllowed: Option[Set[Int]] = None
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (required.fieldNames.contains("partition"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("partition"))
+    else Array.empty
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val sets = filters.flatMap(LedgerSource.partitionSetFromFilter)
+    if (sets.nonEmpty) runtimeAllowed = Some(sets.reduce(_ intersect _))
+  }
+
+  private def effectivePartitions: Seq[Int] =
+    runtimeAllowed.fold(partitionSnapshot)(s => partitionSnapshot.filter(s))
 
   // bounded batch read over an explicit [startOffsets, endOffsets) range —
   // the reference's createRDD-over-OffsetRange path (S2), used by the
   // consistency checker to re-read exactly what a stream committed
   override def toBatch(): Batch =
-    new LedgerBatchRead(path, options, required, Some(partitionSnapshot))
+    new LedgerBatchRead(path, options, required, Some(effectivePartitions))
+
+  /** Metadata-only size/row estimates (segment byte sizes + cached entry
+    * counts, same figures the status TVF reports) so Catalyst can SIZE
+    * this source: without them a DSv2 relation defaults to
+    * `spark.sql.defaultSizeInBytes` (= never broadcastable), and a small
+    * lookup topic joined against a 100 TB fact would shuffle both sides.
+    * Honors static pruning and explicit [start,end) offset ranges — bytes
+    * for a sub-range are prorated from the partition's on-disk total.
+    */
+  override def estimateStatistics(): Statistics = {
+    val root = LedgerSource.toLocalPath(path)
+    val startOpt = options.get("startoffsets").map(LedgerOffset.parse(_).cursors)
+    val endOpt = options.get("endoffsets").map(LedgerOffset.parse(_).cursors)
+    var rows = 0L
+    var bytes = 0L
+    partitionSnapshot.foreach { p =>
+      val dir = root.resolve(s"partition-$p")
+      val ledgers = listLedgers(dir)
+      val total = ledgers.map(_.entries).sum
+      val from = startOpt.flatMap(_.get(p)).getOrElse(
+        Cursor(ledgers.headOption.map(_.ledgerId).getOrElse(0L), 0L))
+      val to = endOpt.flatMap(_.get(p)).getOrElse(
+        ledgers.lastOption.map(l => Cursor(l.ledgerId, l.entries))
+          .getOrElse(Cursor(0L, 0L)))
+      val range = math.max(0L, entriesBetween(ledgers, from, to))
+      val dirBytes = partitionBytes(dir, ledgers)
+      rows += range
+      bytes += (if (total <= 0L) 0L
+                else math.ceil(dirBytes.toDouble * range / total).toLong)
+    }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   /** The scan's data IS clustered by the log partition (one InputPartition
     * per `partition-<i>` dir, keyed via `HasPartitionKey`), so report it:
@@ -597,7 +727,9 @@ class LedgerBatchRead(path: String, options: Map[String, String],
     val startOpt = options.get("startoffsets").map(LedgerOffset.parse(_).cursors)
     val endOpt = options.get("endoffsets").map(LedgerOffset.parse(_).cursors)
     val locations = executorLocations()
-    partitions().flatMap { p =>
+    val parts = partitions()
+    LedgerSource.lastPlannedPartitions.put(path, parts)
+    parts.flatMap { p =>
       val ledgers = listLedgers(root.resolve(s"partition-$p"))
       val from = startOpt.flatMap(_.get(p)).getOrElse(
         Cursor(ledgers.headOption.map(_.ledgerId).getOrElse(0L), 0L))
@@ -619,7 +751,8 @@ class LedgerBatchRead(path: String, options: Map[String, String],
   * (SupportsAdmissionControl replaces the DStream RateController).
   */
 class LedgerMicroBatchStream(path: String, options: Map[String, String],
-    required: StructType)
+    required: StructType,
+    allowedPartitions: Option[Set[Int]] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow with ReportsSourceMetrics {
   import LedgerSource._
@@ -708,7 +841,10 @@ class LedgerMicroBatchStream(path: String, options: Map[String, String],
   // driver-estimated rate (the PID estimate in the reference); optional
   private val estimatedRate = options.get("estimatedrate").map(_.toLong)
 
-  private def partitions(): Seq[Int] = listPartitions(root)
+  private def partitions(): Seq[Int] = {
+    val all = listPartitions(root)
+    allowedPartitions.fold(all)(s => all.filter(s))
+  }
 
   // streams have no end: a configured end bound is a misconfiguration, not
   // an option to ignore (the batch path honors it; silence here would be

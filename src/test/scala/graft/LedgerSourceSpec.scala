@@ -124,6 +124,12 @@ class LedgerSourceSpec extends AnyFunSuite {
   test("reported key-grouped partitioning: GROUP BY partition has no Exchange") {
     val topic = writeTopic()
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // this spec pins the storage-partitioned-join machinery, so take the
+    // broadcast path off the table: with reported statistics this tiny
+    // topic broadcasts (a BroadcastExchange — right plan for the size,
+    // wrong plan for the pin); at scale the SPJ path is the one that runs
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       import org.apache.spark.sql.functions._
       val agg = spark.read.format("graft-ledger")
@@ -182,7 +188,10 @@ class LedgerSourceSpec extends AnyFunSuite {
         .option("path", topic.toString).load()
         .select("key").groupBy("key").count()
       assert(byKey.collect().map(_.getLong(1)).sum == 15L)
-    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
+    }
   }
 
   test("unknown and invalid options fail loudly at load time") {
