@@ -1934,6 +1934,60 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("s").as("x"))
         .join(qual, "doc_id"),
         "lang", "surprisal_quality_r")
+    }),
+
+    // Duplicated-SPAN audit — the exact-substring dedup granularity of
+    // Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    // Better", ExactSubstr: suffix-array spans >= 50 tokens), restated
+    // relationally: overlapping STRIDE-1 10-token windows (vs q104's
+    // non-overlapping chunks — chunks can straddle-miss a span, stride-1
+    // windows cannot); a window is duplicated when its hash appears in
+    // >= 2 distinct docs; a doc's longest run of CONSECUTIVE duplicated
+    // windows is its longest duplicated substring (span = run + 9
+    // tokens, >= 20 flags the doc — the Lee et al. threshold scaled to
+    // this corpus's doc lengths). Scale shape: stride-1 windowing
+    // multiplies the census key stream by the window width — the known,
+    // declared cost of substring- over chunk-granularity (a suffix array
+    // avoids it on one machine; sharded corpora pay the xW keys to stay
+    // hash-partitioned) — but every stage is still the q89/q104 shape:
+    // row-local explode, hash-keyed partial-agg census, join back on the
+    // window hash (NOT broadcast — unbounded key space), and the run
+    // detection is a gaps-and-islands window PARTITIONED BY doc_id
+    // (bounded by doc length, never corpus-sized). All-integer spans →
+    // engine-exact membership at the >= 20 boundary.
+    "q117_dup_spans" -> ((s, dir) => {
+      val w = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 10)
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1), size(col("t")) - 9)).as("i"),
+          col("t"))
+        .select(col("doc_id"), col("lang"), col("i"),
+          md5(array_join(slice(col("t"), col("i"), lit(10)), " ")).as("h"))
+        .localCheckpoint() // feeds the census and the join back
+      val nd = w.groupBy(col("h"))
+        .agg(count_distinct(col("doc_id")).as("ndocs"))
+      val dupRuns = w.join(nd, "h").filter(col("ndocs") >= 2)
+        .select(col("doc_id"), col("lang"), col("i"))
+        .withColumn("grp", col("i") -
+          row_number().over(Window.partitionBy("doc_id").orderBy("i")))
+        .groupBy(col("doc_id"), col("lang"), col("grp"))
+        .agg(count(lit(1)).as("run"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("run")).as("maxrun"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 10)
+        .select(col("doc_id"), col("lang"))
+        .join(dupRuns, Seq("doc_id"), "left")
+        .withColumn("span",
+          when(col("maxrun").isNull, lit(0L)).otherwise(col("maxrun") + lit(9L)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("span") >= 20, 1L).otherwise(0L)).as("n_flagged"),
+          round(avg(col("span")), 4).as("avg_span"),
+          max(col("span")).as("max_span"))
+        .orderBy("lang")
     })
   )
 
@@ -3292,6 +3346,38 @@ object TextQueries {
         |      sqrt(sum((x - mx) * (x - mx)) * sum((y - my) * (y - my))), 4)
         |    ELSE 0.0 END AS surprisal_quality_r
         |FROM q JOIN m USING(lang)
-        |GROUP BY q.lang, m.n, mx, my ORDER BY 1""".stripMargin
+        |GROUP BY q.lang, m.n, mx, my ORDER BY 1""".stripMargin,
+
+    // the stride-1 window census, >= 2-doc dup flag, gaps-and-islands
+    // longest run, and per-lang span report replayed
+    "q117_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, lang, i, md5(array_to_string(t[i:i+9], ' ')) AS h
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-9)) AS i) g
+        |  WHERE len(t) >= 10),
+        |nd AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM w GROUP BY 1),
+        |dup AS (
+        |  SELECT w.doc_id, w.lang, w.i
+        |  FROM w JOIN nd USING(h) WHERE nd.ndocs >= 2),
+        |runs AS (
+        |  SELECT doc_id, grp, count(*) AS run FROM (
+        |    SELECT doc_id,
+        |      i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |    FROM dup)
+        |  GROUP BY 1, 2),
+        |per AS (SELECT doc_id, max(run) AS maxrun FROM runs GROUP BY 1),
+        |aud AS (SELECT doc_id, lang FROM toks WHERE len(t) >= 10),
+        |spans AS (
+        |  SELECT a.doc_id, a.lang,
+        |    CASE WHEN p.maxrun IS NULL THEN 0 ELSE p.maxrun + 9 END AS span
+        |  FROM aud a LEFT JOIN per p ON a.doc_id = p.doc_id)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN span >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  round(avg(span), 4) AS avg_span,
+        |  CAST(max(span) AS BIGINT) AS max_span
+        |FROM spans GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

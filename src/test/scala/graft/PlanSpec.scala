@@ -550,6 +550,23 @@ class PlanSpec extends AnyFunSuite {
       s"novelty grew a window it doesn't need:\n$plan")
   }
 
+  test("q117 dup spans: hash-keyed census join, islands window per doc only") {
+    val plan = physical(TextQueries.defs("q117_dup_spans")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"), s"grew a cartesian:\n$plan")
+    // the window census must partial-agg map-side — the join back rides
+    // the same hash keys
+    assert(plan.contains("partial_count"),
+      s"window census lost its map-side partial:\n$plan")
+    // the only window is the gaps-and-islands run detector, PARTITIONED
+    // BY doc_id (bounded by doc length) — a lang- or corpus-level window
+    // here would single-task-sort the corpus
+    val winSpecs = """windowspecdefinition\(([a-z_]+)#""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(winSpecs == Set("doc_id"),
+      s"islands window not doc_id-partitioned: $winSpecs\n$plan")
+  }
+
   test("q108 Zipf: rank window sits above the vocab census, means broadcast") {
     // the window must rank CENSUS rows (vocab-sized) partitioned by lang
     // — a window over occurrences would sort the corpus — and the

@@ -1613,4 +1613,50 @@ class QueriesSpec extends AnyFunSuite {
     assert(maxBasket <= 13,
       s"sf0.001 basket bound grew to $maxBasket — revisit MaxBasketItems headroom")
   }
+
+  test("q117 dup spans: per-lang report replays doc-for-doc driver-side") {
+    val rows = TextQueries.defs("q117_dup_spans")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // independent replay: tokenize, stride-1 10-token windows, >= 2-doc
+    // dup flag, longest consecutive dup run per doc (span = run + 9)
+    def toks(t: String): Array[String] =
+      t.toLowerCase.replaceAll("[^a-z ]", " ").trim
+        .split("\\s+").filter(_.nonEmpty)
+    val wins = Tables.documents(spark, dir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        toks(r.getAs[String]("text"))))
+      .collect { case (id, lang, t) if t.length >= 10 =>
+        (id, lang, (0 to t.length - 10).map(i => t.slice(i, i + 10).mkString(" ")))
+      }
+    val docsPerWin = wins.flatMap { case (id, _, ws) => ws.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (w, v) => w -> v.map(_._2).distinct.size }
+    val spans = wins.map { case (_, lang, ws) =>
+      var best = 0; var run = 0; var prev = -2
+      ws.zipWithIndex.foreach { case (w, i) =>
+        if (docsPerWin(w) >= 2) {
+          run = if (i == prev + 1) run + 1 else 1
+          prev = i
+          best = math.max(best, run)
+        }
+      }
+      (lang, if (best == 0) 0L else best + 9L)
+    }
+    val exp = spans.groupBy(_._1).map { case (lang, v) =>
+      lang -> (v.length.toLong, v.count(_._2 >= 20).toLong, v.map(_._2).max)
+    }
+    val got = rows.map(r => r.getAs[String]("lang") ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_flagged"),
+        r.getAs[Long]("max_span"))).toMap
+    assert(got == exp, s"span replay diverged: got $got expected $exp")
+    rows.foreach { r =>
+      val vs = spans.filter(_._1 == r.getAs[String]("lang")).map(_._2)
+      val expAvg = BigDecimal(vs.sum.toDouble / vs.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("avg_span") == expAvg, s"avg diverged: $r")
+    }
+    // the threshold is live on this corpus (planted clones share spans)
+    assert(rows.map(_.getAs[Long]("n_flagged")).sum > 0,
+      "no flagged docs at sf0.001 — the >= 20 threshold is inert")
+  }
 }
