@@ -537,9 +537,26 @@ class LedgerTable(path: String, options: Map[String, String])
   */
 class LedgerScanBuilder(path: String, options: Map[String, String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownLimit with SupportsPushDownOffset {
   private var required: StructType = LedgerOptions.fullSchema(options)
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var limit: Option[Int] = None
+  private var offset: Option[Int] = None
+  /** LIMIT/OFFSET push all the way down, FULLY: offset planning is
+    * driver-side cursor arithmetic over cached entry counts, so the scan
+    * allocates per-partition [from, to) ranges that skip exactly `offset`
+    * entries and stop at exactly `limit` — a `.limit(100)` over a 100 TB
+    * topic plans ~100 entries of read, not the topic (Spark removes its
+    * own Limit/Offset operators: isPartiallyPushed = false). Spark's
+    * pushdown rule only offers these when every operator below the limit
+    * was itself fully pushed, so residual filters can't reorder through.
+    * Row order is the log's own (partition asc, then ledger/entry) —
+    * deterministic, which is more than LIMIT without ORDER BY promises.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = false
+  override def pushOffset(o: Int): Boolean = { offset = Some(o); true }
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   /** Static partition pruning (the 100 TB point of a partitioned log:
@@ -561,12 +578,15 @@ class LedgerScanBuilder(path: String, options: Map[String, String])
     val sets = pushed.flatMap(LedgerSource.partitionSetFromFilter)
     if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
   }
-  override def build(): Scan = new LedgerScan(path, options, required, staticAllowed)
+  override def build(): Scan =
+    new LedgerScan(path, options, required, staticAllowed, limit, offset)
 }
 
 class LedgerScan(path: String, options: Map[String, String],
                  required: StructType,
-                 staticAllowed: Option[Set[Int]] = None) extends Scan
+                 staticAllowed: Option[Set[Int]] = None,
+                 pushedLimit: Option[Int] = None,
+                 pushedOffset: Option[Int] = None) extends Scan
     with SupportsReportPartitioning with SupportsReportOrdering
     with SupportsReportStatistics with SupportsRuntimeFiltering {
   import LedgerSource.{Cursor, LedgerOffset, entriesBetween, listLedgers, partitionBytes}
@@ -574,7 +594,9 @@ class LedgerScan(path: String, options: Map[String, String],
   // surfaces static pruning in `.explain` (BatchScan node description)
   override def description(): String =
     s"graft-ledger($path)" + staticAllowed.fold("")(s =>
-      s" PushedPartitions: ${s.toSeq.sorted.mkString("[", ",", "]")}")
+      s" PushedPartitions: ${s.toSeq.sorted.mkString("[", ",", "]")}") +
+      pushedOffset.fold("")(o => s" PushedOffset: $o") +
+      pushedLimit.fold("")(l => s" PushedLimit: $l")
   // the stream honors the static partition set too: accepted pushed
   // filters were removed from the plan as exact, so every path this scan
   // can execute through must enforce them
@@ -627,7 +649,8 @@ class LedgerScan(path: String, options: Map[String, String],
   // the reference's createRDD-over-OffsetRange path (S2), used by the
   // consistency checker to re-read exactly what a stream committed
   override def toBatch(): Batch =
-    new LedgerBatchRead(path, options, required, Some(effectivePartitions))
+    new LedgerBatchRead(path, options, required, Some(effectivePartitions),
+      pushedLimit, pushedOffset)
 
   /** Metadata-only size/row estimates (segment byte sizes + cached entry
     * counts, same figures the status TVF reports) so Catalyst can SIZE
@@ -658,11 +681,22 @@ class LedgerScan(path: String, options: Map[String, String],
       bytes += (if (total <= 0L) 0L
                 else math.ceil(dirBytes.toDouble * range / total).toLong)
     }
+    // a FULLY pushed offset/limit removes Spark's own operators, so the
+    // relation's stats must reflect the post-limit size — a .limit(10)
+    // lookup side would otherwise be sized at the whole topic and never
+    // broadcast. Pushed LIMIT is a prefix length INCLUDING the offset
+    // (Spark pushes l + o for Limit(l, Offset(o))): rows = [O, min(n, L))
+    val afterLimit = pushedLimit.fold(rows)(l => math.min(rows, l.toLong))
+    val finalRows = math.max(0L,
+      afterLimit - pushedOffset.map(_.toLong).getOrElse(0L))
+    val finalBytes =
+      if (rows <= 0L) 0L
+      else math.ceil(bytes.toDouble * finalRows / rows).toLong
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(bytes)
+        java.util.OptionalLong.of(finalBytes)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(rows)
+        java.util.OptionalLong.of(finalRows)
     }
   }
 
@@ -713,7 +747,9 @@ class LedgerScan(path: String, options: Map[String, String],
   */
 class LedgerBatchRead(path: String, options: Map[String, String],
     required: StructType,
-    partitionSnapshot: Option[Seq[Int]] = None) extends Batch {
+    partitionSnapshot: Option[Seq[Int]] = None,
+    pushedLimit: Option[Int] = None,
+    pushedOffset: Option[Int] = None) extends Batch {
   import LedgerSource._
 
   private val root = toLocalPath(path)
@@ -729,17 +765,40 @@ class LedgerBatchRead(path: String, options: Map[String, String],
     val locations = executorLocations()
     val parts = partitions()
     LedgerSource.lastPlannedPartitions.put(path, parts)
-    parts.flatMap { p =>
-      val ledgers = listLedgers(root.resolve(s"partition-$p"))
-      val from = startOpt.flatMap(_.get(p)).getOrElse(
-        Cursor(ledgers.headOption.map(_.ledgerId).getOrElse(0L), 0L))
-      val to = endOpt.flatMap(_.get(p)).getOrElse(
-        ledgers.lastOption.map(l => Cursor(l.ledgerId, l.entries))
-          .getOrElse(Cursor(0L, 0L)))
-      if (entriesBetween(ledgers, from, to) <= 0) None
-      else Some(LedgerInputPartition(path, p, from.ledgerId, from.entryId,
-        to.ledgerId, to.entryId, pinTo(locations, p)): InputPartition)
-    }.toArray
+    // Global OFFSET/LIMIT allocation — pure cursor arithmetic over cached
+    // entry counts, so a limit-100 read of a billion-entry topic plans
+    // ~100 entries. Spark's convention for Limit(l, Offset(o, scan)): the
+    // pushed LIMIT is the PREFIX length INCLUDING the skipped rows
+    // (l + o), and OFFSET skips within that prefix — the planned rows are
+    // stream positions [O, L). With nothing pushed the window is
+    // [0, ∞) and this reduces to the full [from, to) plan.
+    val limitPos = pushedLimit.map(_.toLong).getOrElse(Long.MaxValue)
+    val offsetPos = pushedOffset.map(_.toLong).getOrElse(0L)
+    var consumed = 0L // stream position: entries of earlier partitions
+    val out = Seq.newBuilder[InputPartition]
+    parts.foreach { p =>
+      if (consumed < limitPos) {
+        val ledgers = listLedgers(root.resolve(s"partition-$p"))
+        val from = startOpt.flatMap(_.get(p)).getOrElse(
+          Cursor(ledgers.headOption.map(_.ledgerId).getOrElse(0L), 0L))
+        val to = endOpt.flatMap(_.get(p)).getOrElse(
+          ledgers.lastOption.map(l => Cursor(l.ledgerId, l.entries))
+            .getOrElse(Cursor(0L, 0L)))
+        val avail = math.max(0L, entriesBetween(ledgers, from, to))
+        val winStart = math.max(consumed, offsetPos)
+        val winEnd = math.min(consumed + avail, limitPos)
+        if (winEnd > winStart) {
+          val skip = winStart - consumed
+          val take = winEnd - winStart
+          val from2 = if (skip == 0) from else advance(ledgers, from, skip)
+          val end = if (skip + take == avail) to else advance(ledgers, from2, take)
+          out += LedgerInputPartition(path, p, from2.ledgerId, from2.entryId,
+            end.ledgerId, end.entryId, pinTo(locations, p))
+        }
+        consumed += avail
+      }
+    }
+    out.result().toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -160,6 +160,42 @@ class LedgerPruningSpec extends AnyFunSuite {
     assert(planTxt.toLowerCase.contains("dynamicpruning"), planTxt)
   }
 
+  test("limit/offset pushdown: global allocation over partition-ordered ranges") {
+    val topic = writeTopic()
+    // limit within the first partition: 5 rows, the log's own order
+    val l5 = read(topic).limit(5)
+    assert(l5.queryExecution.executedPlan.toString.contains("PushedLimit: 5"))
+    val rows5 = l5.selectExpr("partition", "key").collect()
+    assert(rows5.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      (0 until 5).map(i => (0, s"k$i")))
+    // limit spanning a partition boundary: all 8 of p0 + first 4 of p1
+    val rows12 = read(topic).limit(12).selectExpr("partition", "key").collect()
+    assert(rows12.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      (0 until 8).map(i => (0, s"k$i")) ++ (0 until 4).map(i => (1, s"k$i")))
+    // offset + limit: skip 3, take 4 — entries 3..6 of partition 0
+    val ol = read(topic).offset(3).limit(4)
+    val olPlan = ol.queryExecution.executedPlan.toString
+    // Spark pushes Limit(4, Offset(3)) as prefix length 7 + offset 3
+    assert(olPlan.contains("PushedOffset: 3") && olPlan.contains("PushedLimit: 7"),
+      olPlan)
+    assert(ol.selectExpr("partition", "key").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      (3 until 7).map(i => (0, s"k$i")))
+    // offset spanning a partition boundary, no limit: skip 10 → last 6 of
+    // p1 then all of p2/p3
+    val o10 = read(topic).offset(10).selectExpr("partition", "key").collect()
+    assert(o10.length == 22)
+    assert(o10.take(6).map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      (2 until 8).map(i => (1, s"k$i")))
+    // fully pushed limit caps the reported statistics (a limited lookup
+    // side must be broadcastable by SIZE, not just by operator)
+    val st = read(topic).limit(5).queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.stats
+    }
+    assert(st.exists(_.rowCount.contains(BigInt(5))), st.toString)
+  }
+
   test("runtime filtering composes with static pushdown (intersection)") {
     val topic = writeTopic(entries = 4000, pad = 32)
     import spark.implicits._
