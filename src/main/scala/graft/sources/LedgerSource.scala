@@ -538,11 +538,50 @@ class LedgerTable(path: String, options: Map[String, String])
 class LedgerScanBuilder(path: String, options: Map[String, String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with SupportsPushDownLimit with SupportsPushDownOffset {
+    with SupportsPushDownLimit with SupportsPushDownOffset
+    with SupportsPushDownAggregates {
   private var required: StructType = LedgerOptions.fullSchema(options)
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var limit: Option[Int] = None
   private var offset: Option[Int] = None
+  /** COUNT(*) — optionally GROUP BY partition — answers from segment
+    * METADATA: entry counts are already cached by (size, mtime) for the
+    * driver's admission loop, so `SELECT count(*) FROM topic` is a
+    * directory walk, not a 100 TB read. COMPLETE pushdown (Spark keeps no
+    * aggregate operator); only offered for CountStar over the bare scan —
+    * Spark's rule guarantees every filter below the aggregate was itself
+    * fully pushed, so the accepted partition-pruning filters compose and
+    * anything else blocks the push. GROUP BY partition emits one row per
+    * NON-EMPTY partition (a group only exists where rows do).
+    */
+  private var pushedAgg: Option[LedgerAggPush] = None
+  private def classifyAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[LedgerAggPush] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    val counts = agg.aggregateExpressions.length
+    val allCountStar =
+      counts > 0 && agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+    val gb = agg.groupByExpressions.map {
+      case f: org.apache.spark.sql.connector.expressions.NamedReference
+          if f.fieldNames.sameElements(Array("partition")) => true
+      case _ => false
+    }
+    if (!allCountStar) None
+    else if (gb.isEmpty) Some(LedgerAggPush(groupByPartition = false, counts))
+    else if (gb.length == 1 && gb.head) Some(LedgerAggPush(groupByPartition = true, counts))
+    else None
+  }
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    classifyAgg(agg).isDefined
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    classifyAgg(agg) match {
+      case some @ Some(_) => pushedAgg = some; true
+      case None => false
+    }
+  }
   /** LIMIT/OFFSET push all the way down, FULLY: offset planning is
     * driver-side cursor arithmetic over cached entry counts, so the scan
     * allocates per-partition [from, to) ranges that skip exactly `offset`
@@ -554,9 +593,14 @@ class LedgerScanBuilder(path: String, options: Map[String, String])
     * Row order is the log's own (partition asc, then ledger/entry) —
     * deterministic, which is more than LIMIT without ORDER BY promises.
     */
-  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  // limit/offset never co-push with an aggregate (Spark's rule runs
+  // aggregates first and a Limit between blocks them, but guard anyway:
+  // a limit silently ignored by the agg scan would be a wrong answer)
+  override def pushLimit(l: Int): Boolean =
+    if (pushedAgg.isDefined) false else { limit = Some(l); true }
   override def isPartiallyPushed(): Boolean = false
-  override def pushOffset(o: Int): Boolean = { offset = Some(o); true }
+  override def pushOffset(o: Int): Boolean =
+    if (pushedAgg.isDefined) false else { offset = Some(o); true }
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   /** Static partition pruning (the 100 TB point of a partitioned log:
@@ -578,8 +622,84 @@ class LedgerScanBuilder(path: String, options: Map[String, String])
     val sets = pushed.flatMap(LedgerSource.partitionSetFromFilter)
     if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
   }
-  override def build(): Scan =
-    new LedgerScan(path, options, required, staticAllowed, limit, offset)
+  override def build(): Scan = pushedAgg match {
+    case Some(a) => new LedgerAggScan(path, options, a, staticAllowed)
+    case None =>
+      new LedgerScan(path, options, required, staticAllowed, limit, offset)
+  }
+}
+
+/** An accepted COUNT(*) pushdown: group by partition or global, `counts`
+  * CountStar columns (SELECT count(*), count(*) repeats the column).
+  */
+case class LedgerAggPush(groupByPartition: Boolean, counts: Int)
+
+/** The metadata-answered aggregate scan: one driver-planned split whose
+  * reader emits the precomputed (partition?, count...) rows. Counts honor
+  * statically pruned partitions and explicit [start,end) offset ranges —
+  * the same figures the full scan would have produced, at directory-walk
+  * cost.
+  */
+class LedgerAggScan(path: String, options: Map[String, String],
+    agg: LedgerAggPush, staticAllowed: Option[Set[Int]]) extends Scan {
+  import LedgerSource._
+  override def readSchema(): StructType = {
+    val counts = (1 to agg.counts).map(i =>
+      StructField(s"count_$i", LongType, nullable = false))
+    if (agg.groupByPartition)
+      StructType(StructField("partition", IntegerType, nullable = false) +: counts)
+    else StructType(counts)
+  }
+  override def description(): String =
+    s"graft-ledger($path) PushedAggregates: [COUNT(*)]" +
+      (if (agg.groupByPartition) " GroupBy: [partition]" else "") +
+      staticAllowed.fold("")(s =>
+        s" PushedPartitions: ${s.toSeq.sorted.mkString("[", ",", "]")}")
+  override def toBatch(): Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val root = toLocalPath(path)
+      val startOpt = options.get("startoffsets").map(LedgerOffset.parse(_).cursors)
+      val endOpt = options.get("endoffsets").map(LedgerOffset.parse(_).cursors)
+      val all = listPartitions(root)
+      val parts = staticAllowed.fold(all)(s => all.filter(s))
+      LedgerSource.lastPlannedPartitions.put(path, parts)
+      val perPart = parts.map { p =>
+        val ledgers = listLedgers(root.resolve(s"partition-$p"))
+        val from = startOpt.flatMap(_.get(p)).getOrElse(
+          Cursor(ledgers.headOption.map(_.ledgerId).getOrElse(0L), 0L))
+        val to = endOpt.flatMap(_.get(p)).getOrElse(
+          ledgers.lastOption.map(l => Cursor(l.ledgerId, l.entries))
+            .getOrElse(Cursor(0L, 0L)))
+        p -> math.max(0L, entriesBetween(ledgers, from, to))
+      }
+      val rows: Seq[(Int, Long)] =
+        if (agg.groupByPartition) perPart.filter(_._2 > 0) // groups need rows
+        else Seq((-1, perPart.map(_._2).sum)) // COUNT(*) is 1 row even on empty
+      Array(LedgerAggInputPartition(rows, agg))
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new LedgerAggReaderFactory
+  }
+}
+
+case class LedgerAggInputPartition(rows: Seq[(Int, Long)], agg: LedgerAggPush)
+  extends InputPartition
+
+class LedgerAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val ap = p.asInstanceOf[LedgerAggInputPartition]
+    new PartitionReader[InternalRow] {
+      private val it = ap.rows.iterator
+      private var cur: (Int, Long) = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): InternalRow = {
+        val counts = Seq.fill(ap.agg.counts)(cur._2: Any)
+        if (ap.agg.groupByPartition) InternalRow.fromSeq(cur._1 +: counts)
+        else InternalRow.fromSeq(counts)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class LedgerScan(path: String, options: Map[String, String],

@@ -196,6 +196,41 @@ class LedgerPruningSpec extends AnyFunSuite {
     assert(st.exists(_.rowCount.contains(BigInt(5))), st.toString)
   }
 
+  test("aggregate pushdown: COUNT(*) answers from segment metadata, complete") {
+    val topic = writeTopic()
+    import spark.implicits._
+    // global count: one row, no aggregate operator left in the plan
+    val c = read(topic).selectExpr("count(*) as n")
+    val cPlan = c.queryExecution.executedPlan.toString
+    assert(cPlan.contains("PushedAggregates: [COUNT(*)]"), cPlan)
+    assert(!cPlan.contains("HashAggregate"), s"agg not complete:\n$cPlan")
+    assert(c.collect().map(_.getLong(0)).toSeq == Seq(32L))
+    // grouped count: one row per non-empty partition
+    val g = read(topic).groupBy("partition").count()
+    val gPlan = g.queryExecution.executedPlan.toString
+    assert(gPlan.contains("GroupBy: [partition]"), gPlan)
+    assert(!gPlan.contains("HashAggregate"), s"agg not complete:\n$gPlan")
+    assert(g.collect().map(r => (r.getInt(0), r.getLong(1))).toMap ==
+      (0 until 4).map(_ -> 8L).toMap)
+    // composes with static partition pruning (filters push first; the
+    // aggregate only pushes because every filter below it was consumed)
+    val f = read(topic).filter($"partition".isin(1, 2))
+      .groupBy("partition").count()
+    assert(f.queryExecution.executedPlan.toString.contains("PushedPartitions: [1,2]"))
+    assert(f.collect().map(r => (r.getInt(0), r.getLong(1))).toMap ==
+      Map(1 -> 8L, 2 -> 8L))
+    // a non-pushable aggregate (sum) still answers through the full scan
+    val s2 = read(topic).groupBy("partition")
+      .agg(org.apache.spark.sql.functions.sum("entry_id").as("s"))
+    assert(s2.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(s2.collect().map(r => (r.getInt(0), r.getLong(1))).toMap ==
+      (0 until 4).map(_ -> 28L).toMap) // 0+1+...+7
+    // count over an empty topic is still one zero row
+    val empty = Files.createTempDirectory("graft_pruning_empty")
+    assert(spark.read.format("graft-ledger").option("path", empty.toString)
+      .load().selectExpr("count(*)").collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
   test("runtime filtering composes with static pushdown (intersection)") {
     val topic = writeTopic(entries = 4000, pad = 32)
     import spark.implicits._
