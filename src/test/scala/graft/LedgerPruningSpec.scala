@@ -27,6 +27,7 @@ class LedgerPruningSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -229,6 +230,13 @@ class LedgerPruningSpec extends AnyFunSuite {
     val empty = Files.createTempDirectory("graft_pruning_empty")
     assert(spark.read.format("graft-ledger").option("path", empty.toString)
       .load().selectExpr("count(*)").collect().map(_.getLong(0)).toSeq == Seq(0L))
+    // coherence: the ops TVF and the pushed aggregate read the same
+    // metadata — per-partition entries must agree exactly
+    val tvf = spark.sql(
+      s"SELECT partition, entries FROM graft_ledger_status('${topic.toString}')")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(tvf == g.collect().map(r => (r.getInt(0), r.getLong(1))).toMap,
+      s"status TVF disagrees with pushed COUNT(*): $tvf")
   }
 
   test("runtime filtering composes with static pushdown (intersection)") {
