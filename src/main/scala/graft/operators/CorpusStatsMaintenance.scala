@@ -144,4 +144,81 @@ object CorpusStatsMaintenance {
     bigrams(docs).join(lm, "bg")
       .groupBy(col("doc_id"))
       .agg(avg(-log(col("p"))).as("s"))
+
+  // ---- duplicated-span audit family (q117's staging tables) ----
+
+  /** q117's staging tables: `wins` = the stride-1 10-token window
+    * relation (doc_id, i, h) — ROW-LOCAL per doc; `census` = (h, ndocs)
+    * DISTINCT-DOC counts per window hash. The census is additive across
+    * segments for a subtler reason than the df census: distinct counts
+    * don't sum in general, but segment doc-id sets are DISJOINT (the
+    * fresh-ids ingest contract), so |docs(h)| over base ⊎ delta is
+    * exactly the key-wise sum of per-segment distinct counts. */
+  final case class SpanIndex(wins: DataFrame, census: DataFrame)
+
+  /** A span refresh names the docs whose verdicts may have MOVED: unlike
+    * the df/LM censuses (whose consumers re-score explicitly), the span
+    * audit flags docs, and an appended segment can flip an OLD doc's flag
+    * (a window unique yesterday is duplicated once a new doc quotes it).
+    * `affected` = every delta doc plus every base doc sharing a window
+    * hash with the delta — provably the only docs whose spans can differ
+    * from the previous report. */
+  final case class SpanRefresh(index: SpanIndex, affected: DataFrame)
+
+  private def windows(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), tokens(col("text")).as("t"))
+    .filter(size(col("t")) >= 10)
+    .select(col("doc_id"),
+      explode(sequence(lit(1), size(col("t")) - 9)).as("i"), col("t"))
+    .select(col("doc_id"), col("i"),
+      md5(array_join(slice(col("t"), col("i"), lit(10)), " ")).as("h"))
+
+  private def spanCensus(wins: DataFrame): DataFrame = wins
+    .select(col("h"), col("doc_id")).distinct()
+    .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+
+  /** From-scratch span index over (doc_id, text) — bootstrap AND the
+    * refresh's equivalence oracle. */
+  def buildSpans(docs: DataFrame): SpanIndex = {
+    val w = windows(docs).localCheckpoint()
+    SpanIndex(w, spanCensus(w).localCheckpoint())
+  }
+
+  /** Refresh for an appended `delta` (doc_id, text) with fresh ids: the
+    * delta is windowed alone (row-local, appended lazily like the
+    * lexical per-doc tables), the census merges by key-wise addition,
+    * and the touched-hash set names the affected docs — O(delta +
+    * touched keys + affected rows), never a base re-window. */
+  def refreshSpans(base: SpanIndex, delta: DataFrame): SpanRefresh = {
+    val winsD = windows(delta).localCheckpoint()
+    val touched = winsD.select(col("h")).distinct()
+    val affected = base.wins.join(touched, "h").select(col("doc_id"))
+      .unionByName(winsD.select(col("doc_id")))
+      .distinct().localCheckpoint()
+    SpanRefresh(
+      SpanIndex(
+        base.wins.unionByName(winsD),
+        mergeCensus(base.census, spanCensus(winsD), "h", "ndocs")
+          .localCheckpoint()),
+      affected)
+  }
+
+  /** Per-doc longest duplicated run under the index — q117's islands
+    * kernel: (doc_id, maxrun) for docs holding at least one duplicated
+    * window (span tokens = maxrun + 9; absent docs have none). Pass
+    * `only` to re-score just the affected docs after a refresh — the
+    * steady-state incremental path (the spec pins old-report ⊎ rescored
+    * == rebuild, doc for doc). */
+  def spanRuns(idx: SpanIndex, only: Option[DataFrame] = None): DataFrame = {
+    val wins = only.fold(idx.wins)(docs => idx.wins.join(docs, "doc_id"))
+    wins.join(idx.census, "h").filter(col("ndocs") >= 2)
+      .select(col("doc_id"), col("i"))
+      .withColumn("grp", col("i") - org.apache.spark.sql.functions.row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("i")))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("run")).as("maxrun"))
+  }
 }

@@ -103,4 +103,54 @@ class CorpusStatsMaintenanceSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(!scored.contains(10L) && !scored.contains(11L) && scored.contains(12L))
   }
+
+  private def runsMap(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("maxrun")).toMap
+
+  test("span index refresh == rebuild; affected ⊎ untouched reproduces the report") {
+    val (base, delta) = split()
+    val idx0 = buildSpans(base)
+    val r = refreshSpans(idx0, delta)
+    val rebuilt = buildSpans(base.unionByName(delta))
+    // the distinct-doc census merges by SUM exactly (disjoint doc sets)
+    assert(censusMap(r.index.census, "h", "ndocs") ==
+      censusMap(rebuilt.census, "h", "ndocs"),
+      "span census diverged from rebuild")
+    assert(rowSet(r.index.wins) == rowSet(rebuilt.wins),
+      "window relation diverged from rebuild")
+    // steady-state path: re-score ONLY the affected docs on top of the
+    // previous report — must equal the rebuild's report doc for doc
+    val affected = r.affected.collect().map(_.getLong(0)).toSet
+    val old = runsMap(spanRuns(idx0))
+    val rescored = runsMap(spanRuns(r.index, Some(r.affected)))
+    val merged = old.view.filterKeys(d => !affected(d)).toMap ++ rescored
+    assert(merged == runsMap(spanRuns(rebuilt)),
+      "incremental re-score diverged from rebuild")
+    // spans only grow on appends (ndocs is monotone)
+    old.foreach { case (d, run) =>
+      assert(merged.getOrElse(d, 0L) >= run, s"doc $d span shrank on append")
+    }
+  }
+
+  test("an appended quote flips an OLD doc's verdict — the movable-flag case") {
+    import spark.implicits._
+    def w(prefix: Char, i: Int): String =
+      s"$prefix${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val words = (0 until 40).map(w('w', _))
+    val a = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val idx0 = buildSpans(a)
+    assert(spanRuns(idx0).collect().isEmpty, "a lone doc has no dup spans")
+    // the delta doc quotes 25 consecutive tokens (positions 5..29) of
+    // doc 1 inside otherwise-unique filler
+    val quote = words.slice(4, 29)
+    val deltaText = ((0 until 10).map(w('f', _)) ++ quote ++
+      (0 until 6).map(w('g', _))).mkString(" ")
+    val r = refreshSpans(idx0, Seq((2L, deltaText)).toDF("doc_id", "text"))
+    val affected = r.affected.collect().map(_.getLong(0)).toSet
+    assert(affected == Set(1L, 2L),
+      s"affected set wrong: $affected — doc 1's verdict moved without notice")
+    // a 25-token shared span = 16 consecutive duplicated stride-1 windows
+    val runs = runsMap(spanRuns(r.index, Some(r.affected)))
+    assert(runs == Map(1L -> 16L, 2L -> 16L), runs.toString)
+  }
 }
