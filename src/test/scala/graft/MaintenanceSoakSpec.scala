@@ -88,6 +88,7 @@ class MaintenanceSoakSpec extends AnyFunSuite {
     var graph = DedupMaintenance.build(docs0)
     var lex = CorpusStatsMaintenance.buildLex(docs0)
     var lm = CorpusStatsMaintenance.buildLm(docs0)
+    var spans = CorpusStatsMaintenance.buildSpans(docs0)
     var ivf = IndexMaintenance.buildIvf(vecs0.join(lbl, "vec_id"))
     val sv0 = VectorQueries.pqSubvecs(VectorQueries.pqNormalize(vecs0))
       .localCheckpoint()
@@ -132,9 +133,11 @@ class MaintenanceSoakSpec extends AnyFunSuite {
         labelSet(DedupMaintenance.build(admittedDocs).labels),
         s"epoch $ep: refreshed labels diverged from a rebuild")
 
-      // lexical index + LM counts ride the same admitted epochs
+      // lexical index + LM counts + dup-span census ride the same
+      // admitted epochs
       lex = CorpusStatsMaintenance.refreshLex(lex, keptD)
       lm = CorpusStatsMaintenance.refreshLm(lm, keptD)
+      spans = CorpusStatsMaintenance.refreshSpans(spans, keptD).index
 
       // IVF: in-distribution appends stay incremental (frozen centroids)
       val (ivf2, report) = IndexMaintenance.refreshIvf(ivf, keptV)
@@ -165,6 +168,10 @@ class MaintenanceSoakSpec extends AnyFunSuite {
     assert(lm.c2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
       lmRebuilt.c2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
       "maintained bigram counts diverged from rebuild")
+    val spansRebuilt = CorpusStatsMaintenance.buildSpans(admittedDocs)
+    assert(spans.census.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      spansRebuilt.census.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      "maintained dup-span census diverged from rebuild")
 
     // ---- epoch 3: a genuinely drifted segment ---------------------------
     // vectors dragged toward a direction the corpus never had, with ~99%
