@@ -239,6 +239,60 @@ class LedgerPruningSpec extends AnyFunSuite {
       s"status TVF disagrees with pushed COUNT(*): $tvf")
   }
 
+  test("limit/offset allocation == flat slice on random gappy layouts (property)") {
+    // the cursor arithmetic walks ledger-id gaps, empty ledgers, and
+    // partition boundaries; pin it against the trivially correct
+    // reference — read everything, slice [o, o+l) — over seeded random
+    // layouts and windows
+    val rnd = new scala.util.Random(42)
+    (1 to 8).foreach { _ =>
+      val root = Files.createTempDirectory("graft_pruning_prop")
+      (0 until 3).foreach { p =>
+        val dir = root.resolve(s"partition-$p")
+        Files.createDirectories(dir)
+        var lid = 1L
+        (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+          lid += rnd.nextInt(3) // sparse ids, sometimes consecutive
+          val n = rnd.nextInt(5) // 0..4 entries — empties included
+          Files.write(dir.resolve(s"ledger-$lid.log"),
+            (0 until n).map(i => s"k,p$p-l$lid-e$i").mkString("\n")
+              .getBytes(StandardCharsets.UTF_8))
+          lid += 1
+        }
+      }
+      val full = read(root).selectExpr("cast(value as string)").collect()
+        .map(_.getString(0)).toSeq
+      (1 to 4).foreach { _ =>
+        val o = rnd.nextInt(full.length + 2)
+        val l = 1 + rnd.nextInt(full.length + 2)
+        val got = read(root).offset(o).limit(l)
+          .selectExpr("cast(value as string)").collect().map(_.getString(0)).toSeq
+        assert(got == full.slice(o, o + l),
+          s"offset=$o limit=$l over ${full.length} rows: got $got, " +
+            s"expected ${full.slice(o, o + l)}")
+      }
+    }
+  }
+
+  test("runtime filtering under v2 bucketing: SPJ and DPP coexist correctly") {
+    // the combination square: KeyGroupedPartitioning reported AND a
+    // runtime filter arriving — whatever plan Spark picks, the ANSWER
+    // must be right (the SPJ grouping math must tolerate filtered-away
+    // partitions)
+    val topic = writeTopic(entries = 4000, pad = 32)
+    import spark.implicits._
+    val dim = writeDim(Seq((0, "x"), (1, "keep"), (2, "keep"), (3, "x")))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val fact = read(topic).selectExpr("partition", "key")
+      val res = fact.join(dim, fact("partition") === dim("p"))
+        .where(dim("tag") === "keep")
+        .groupBy("partition").count()
+      assert(res.collect().map(r => (r.getInt(0), r.getLong(1))).toMap ==
+        Map(1 -> 4000L, 2 -> 4000L))
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
   test("runtime filtering composes with static pushdown (intersection)") {
     val topic = writeTopic(entries = 4000, pad = 32)
     import spark.implicits._
