@@ -1,0 +1,138 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import graft.functions.TextFunctions.tokens
+
+/** Streaming verbatim-quote admission — the streaming form of q117's
+  * duplicated-span audit, complementing [[NearDupAdmission]]: LSH catches
+  * documents that are MOSTLY the same, this gate catches documents that
+  * CONTAIN a long exact quote of the admitted corpus (Lee et al. 2022's
+  * ExactSubstr rule as an ingest policy). A document is admitted iff its
+  * longest run of consecutive stride-1 `window`-token hashes covered by
+  * (a) the admitted store or (b) a lower-id document of its own batch
+  * stays under `spanTokens` (runs of `spanTokens - window + 1` windows =
+  * a `spanTokens`-token duplicated substring; same greedy lower-id-wins
+  * as the near-dup gate). Coverage is per-window ("this window exists
+  * somewhere admitted"), exactly q117's census semantics — a run may
+  * stitch windows owned by different store docs, the deliberate batch/
+  * stream agreement.
+  *
+  * Scale shape: the store keeps ONE table — the per-hash census
+  * (h, sn = distinct admitted docs holding h, smin = their min doc_id) in
+  * `epoch=<batchId>` partitions. Census rows merge by key-wise SUM/MIN at
+  * read time, exact because epoch doc-id sets are disjoint (the
+  * CorpusStatsMaintenance.SpanIndex argument); the batch joins it on the
+  * hash key (shuffle = touched keys only), and the islands window
+  * partitions by doc_id — bounded by document length, never corpus-sized.
+  * Nothing data-sized crosses the driver.
+  *
+  * Retry idempotence: an epoch EXCLUDES its own `epoch=<batchId>`
+  * partition from the store read, so a foreachBatch retry that already
+  * published its census cannot self-reject (sub-threshold windows shared
+  * between two docs BOTH kept in the original run would otherwise read
+  * back as covered). Compaction folds epochs into `epoch=0` — offline
+  * maintenance, not concurrent with an active stream, like the near-dup
+  * store's.
+  */
+object QuoteAdmission {
+
+  def admit(batch: DataFrame, batchId: Long, storePath: String,
+            keptPath: String, spanTokens: Int = 20, window: Int = 10): Unit = {
+    require(spanTokens >= window,
+      s"spanTokens ($spanTokens) must be >= window ($window)")
+    val s = batch.sparkSession
+    val runThreshold = spanTokens - window + 1
+
+    val all = batch.select(col("doc_id"), col("text")).localCheckpoint()
+    // (doc_id, i, h): stride-1 window hashes — q117's relation. Docs
+    // shorter than `window` tokens have none and are trivially admitted.
+    val wins = all
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= window)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - (window - 1))).as("i"),
+        col("t"))
+      .select(col("doc_id"), col("i"),
+        md5(array_join(slice(col("t"), col("i"), lit(window)), " ")).as("h"))
+      .localCheckpoint()
+
+    val storeFs = org.apache.hadoop.fs.FileSystem
+      .get(s.sparkContext.hadoopConfiguration)
+    val censusPath = new org.apache.hadoop.fs.Path(s"$storePath/census")
+    // a genuinely-missing store reads empty; any other failure aborts the
+    // epoch (swallowing it would admit quotes of everything admitted)
+    val stored: Option[DataFrame] =
+      if (storeFs.exists(censusPath))
+        Some(s.read.parquet(censusPath.toString)
+          .filter(col("epoch") =!= batchId)) // retries skip their own output
+      else None
+
+    // covered-by-store: the window's hash has at least one admitted owner
+    // (any owner — epochs have fresh ids, so ownership can't be this doc)
+    val storeHit = stored match {
+      case None => wins.select(col("doc_id"), col("i")).limit(0)
+      case Some(census) =>
+        wins.join(census.select(col("h")).distinct(), "h")
+          .select(col("doc_id"), col("i"))
+    }
+    // covered-in-batch: a LOWER-id batch doc holds the same hash (greedy
+    // lower-id-wins, the q38/near-dup convention)
+    val minOwner = wins.groupBy(col("h")).agg(min(col("doc_id")).as("mo"))
+    val batchHit = wins.join(minOwner, "h")
+      .filter(col("mo") < col("doc_id"))
+      .select(col("doc_id"), col("i"))
+
+    // q117's gaps-and-islands kernel over the covered positions
+    val dropped = storeHit.unionByName(batchHit).distinct()
+      .withColumn("grp", col("i") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("i")))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .filter(col("run") >= runThreshold)
+      .select(col("doc_id")).distinct()
+
+    val kept = all.join(dropped, Seq("doc_id"), "left_anti").localCheckpoint()
+    // deterministic epoch dirs: a retried batch overwrites its own output
+    kept.write.mode("overwrite").parquet(s"$keptPath/epoch=$batchId")
+    // the kept docs' census — (h, sn, smin) — is the only thing the store
+    // accumulates; disjoint epoch doc sets make read-time SUM/MIN exact
+    wins.join(kept.select(col("doc_id")), "doc_id")
+      .select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("sn"), min(col("doc_id")).as("smin"))
+      .write.mode("overwrite").parquet(s"$storePath/census/epoch=$batchId")
+  }
+
+  /** Fold accumulated epoch partitions into a single base epoch (the
+    * near-dup store's compaction pattern; offline maintenance only — a
+    * retry AFTER compaction would no longer find its epoch to exclude).
+    */
+  def compact(s: SparkSession, storePath: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val live = s"$storePath/census"
+    val tmp = s"$storePath/census_compact_tmp"
+    val df = try s.read.parquet(live) catch { case _: Throwable => return }
+    df.groupBy(col("h"))
+      .agg(sum(col("sn")).as("sn"), min(col("smin")).as("smin"))
+      .write.mode("overwrite").parquet(s"$tmp/epoch=0")
+    val livePath = new org.apache.hadoop.fs.Path(live)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    if (!fs.delete(livePath, true) && fs.exists(livePath))
+      throw new java.io.IOException(s"compact: cannot remove $live")
+    if (!fs.rename(tmpPath, livePath))
+      throw new java.io.IOException(s"compact: rename $tmp -> $live failed")
+  }
+
+  /** Wire as a streaming sink over a (doc_id, text) stream. */
+  def stream(docs: DataFrame, storePath: String, keptPath: String,
+             checkpoint: String, spanTokens: Int = 20): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        admit(batch, id, storePath, keptPath, spanTokens)
+      }
+}
