@@ -24,15 +24,25 @@ import graft.functions.TextFunctions._
   *   3. dedup     — near-duplicates the admitted store or a lower-id
   *                  batch sibling (delegated to [[NearDupAdmission]],
   *                  whose band store and idempotent epoch layout this
-  *                  funnel reuses unchanged).
+  *                  funnel reuses unchanged);
+  *   4. quote     — contains a verbatim quote (>= quoteSpan consecutive
+  *                  tokens, q117's span semantics) of the admitted
+  *                  corpus or a lower-id batch sibling (delegated to
+  *                  [[QuoteAdmission]] — the streaming analogue of
+  *                  q100's q68 contamination gate). Runs AFTER dedup so
+  *                  an exact clone is attributed to dedup, a contained
+  *                  quote to this gate, matching the batch funnel's
+  *                  first-gate-catches attribution.
   *
   * Scale shape: the quality gate is row-local column math; the LM gate
   * is a shuffle join on the bigram key (the LM table is O(V²)-unbounded
   * — q67's rationale — so it is deliberately NOT broadcast) plus a
   * broadcast of the per-lang cutoff table (bounded by languages); the
-  * dedup gate inherits NearDupAdmission's bucket-join shape. Per-epoch
-  * audit rows overwrite a deterministic `epoch=<batchId>` dir, so a
-  * retried batch reproduces its accounting instead of double-counting.
+  * dedup gate inherits NearDupAdmission's bucket-join shape; the quote
+  * gate joins the window-hash census on its key and runs its islands
+  * window per doc. Per-epoch audit rows overwrite a deterministic
+  * `epoch=<batchId>` dir, so a retried batch reproduces its accounting
+  * instead of double-counting.
   */
 object CurationAdmission {
 
@@ -76,11 +86,11 @@ object CurationAdmission {
 
   /** One epoch of the funnel. `batch` = (doc_id, lang, text). Returns the
     * audit row it also persists: (epoch, n_in, drop_quality, drop_lm,
-    * drop_dedup, admitted).
+    * drop_dedup, drop_quote, admitted).
     */
   def admit(batch: DataFrame, batchId: Long, refPath: String,
             storePath: String, keptPath: String, auditPath: String,
-            qualityFloor: Double = 0.72): Row = {
+            qualityFloor: Double = 0.72, quoteSpan: Int = 20): Row = {
     val s = batch.sparkSession
     val scored = batch
       .withColumn("q", qualityScore(col("text")))
@@ -121,8 +131,31 @@ object CurationAdmission {
     // dedup gate: the near-dup admission component, store shared as-is
     NearDupAdmission.admit(lmOk.select(col("doc_id"), col("text")),
       batchId, storePath, keptPath)
-    val admitted = s.read.parquet(s"$keptPath/epoch=$batchId").count()
-    val dropDedup = (nIn - dropQuality - dropLm) - admitted
+    val dedupKept = s.read.parquet(s"$keptPath/epoch=$batchId")
+      .localCheckpoint() // re-read and OVERWRITTEN by the quote gate below
+    val afterDedup = dedupKept.count()
+    val dropDedup = (nIn - dropQuality - dropLm) - afterDedup
+
+    // verbatim-quote gate (the streaming analogue of q100's q68
+    // contamination gate, q117's span semantics): AFTER dedup, matching
+    // the batch funnel's attribution — an exact clone is a dedup drop,
+    // not a quote drop. The final survivor set overwrites the epoch's
+    // kept dir, and only FINAL survivors publish window census. Known
+    // subtlety, by design: the near-dup store has already accumulated
+    // fingerprints of docs the quote gate then drops — a future
+    // near-variant of a quote-dropped doc stays blocked (conservative;
+    // the quoted content cannot re-enter via a paraphrase of the
+    // dropped doc either).
+    val wins = QuoteAdmission.windowsOf(dedupKept)
+    val quoteDropIds = QuoteAdmission
+      .quoteDrops(wins, batchId, storePath, quoteSpan)
+    val finalKept = dedupKept.join(quoteDropIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // materialize BEFORE overwriting what it reads
+    finalKept.write.mode("overwrite").parquet(s"$keptPath/epoch=$batchId")
+    QuoteAdmission.publishCensus(wins, finalKept.select(col("doc_id")),
+      batchId, storePath)
+    val admitted = finalKept.count()
+    val dropQuote = afterDedup - admitted
 
     // the epoch value lives ONLY in the partition directory — writing it
     // as a data column too would be shadowed (and silently retyped to
@@ -130,7 +163,8 @@ object CurationAdmission {
     val audit = s.range(1).select(
       lit(nIn).as("n_in"),
       lit(dropQuality).as("drop_quality"), lit(dropLm).as("drop_lm"),
-      lit(dropDedup).as("drop_dedup"), lit(admitted).as("admitted"))
+      lit(dropDedup).as("drop_dedup"), lit(dropQuote).as("drop_quote"),
+      lit(admitted).as("admitted"))
     audit.write.mode("overwrite").parquet(s"$auditPath/epoch=$batchId")
     audit.select(lit(batchId).as("epoch"), col("*")).head
   }

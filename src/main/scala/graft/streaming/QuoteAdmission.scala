@@ -39,26 +39,31 @@ import graft.functions.TextFunctions.tokens
   */
 object QuoteAdmission {
 
-  def admit(batch: DataFrame, batchId: Long, storePath: String,
-            keptPath: String, spanTokens: Int = 20, window: Int = 10): Unit = {
+  /** (doc_id, i, h): stride-1 window hashes of (doc_id, text) docs —
+    * q117's relation, materialized once per epoch (drop computation and
+    * census publication both read it). Docs shorter than `window` tokens
+    * have none and are trivially admitted.
+    */
+  def windowsOf(docs: DataFrame, window: Int = 10): DataFrame = docs
+    .select(col("doc_id"), tokens(col("text")).as("t"))
+    .filter(size(col("t")) >= window)
+    .select(col("doc_id"),
+      explode(sequence(lit(1), size(col("t")) - (window - 1))).as("i"),
+      col("t"))
+    .select(col("doc_id"), col("i"),
+      md5(array_join(slice(col("t"), col("i"), lit(window)), " ")).as("h"))
+    .localCheckpoint()
+
+  /** Doc ids of `wins` whose longest covered run reaches the span
+    * threshold — covered by the store (excluding this epoch's own
+    * partition, for retry safety) or by a lower-id doc of the same batch.
+    */
+  def quoteDrops(wins: DataFrame, batchId: Long, storePath: String,
+                 spanTokens: Int = 20, window: Int = 10): DataFrame = {
     require(spanTokens >= window,
       s"spanTokens ($spanTokens) must be >= window ($window)")
-    val s = batch.sparkSession
+    val s = wins.sparkSession
     val runThreshold = spanTokens - window + 1
-
-    val all = batch.select(col("doc_id"), col("text")).localCheckpoint()
-    // (doc_id, i, h): stride-1 window hashes — q117's relation. Docs
-    // shorter than `window` tokens have none and are trivially admitted.
-    val wins = all
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= window)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), size(col("t")) - (window - 1))).as("i"),
-        col("t"))
-      .select(col("doc_id"), col("i"),
-        md5(array_join(slice(col("t"), col("i"), lit(window)), " ")).as("h"))
-      .localCheckpoint()
-
     val storeFs = org.apache.hadoop.fs.FileSystem
       .get(s.sparkContext.hadoopConfiguration)
     val censusPath = new org.apache.hadoop.fs.Path(s"$storePath/census")
@@ -86,24 +91,37 @@ object QuoteAdmission {
       .select(col("doc_id"), col("i"))
 
     // q117's gaps-and-islands kernel over the covered positions
-    val dropped = storeHit.unionByName(batchHit).distinct()
+    storeHit.unionByName(batchHit).distinct()
       .withColumn("grp", col("i") -
         row_number().over(Window.partitionBy("doc_id").orderBy("i")))
       .groupBy(col("doc_id"), col("grp"))
       .agg(count(lit(1)).as("run"))
       .filter(col("run") >= runThreshold)
       .select(col("doc_id")).distinct()
+  }
 
-    val kept = all.join(dropped, Seq("doc_id"), "left_anti").localCheckpoint()
-    // deterministic epoch dirs: a retried batch overwrites its own output
-    kept.write.mode("overwrite").parquet(s"$keptPath/epoch=$batchId")
-    // the kept docs' census — (h, sn, smin) — is the only thing the store
-    // accumulates; disjoint epoch doc sets make read-time SUM/MIN exact
-    wins.join(kept.select(col("doc_id")), "doc_id")
+  /** Publish the admitted docs' per-hash census — (h, sn, smin) — as this
+    * epoch's store partition; disjoint epoch doc sets make read-time
+    * SUM/MIN exact. `keptIds` = (doc_id) the FINAL admitted set (a funnel
+    * must publish survivors of ALL its gates, not just this one).
+    */
+  def publishCensus(wins: DataFrame, keptIds: DataFrame, batchId: Long,
+                    storePath: String): Unit =
+    wins.join(keptIds.select(col("doc_id")), "doc_id")
       .select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h"))
       .agg(count(lit(1)).as("sn"), min(col("doc_id")).as("smin"))
       .write.mode("overwrite").parquet(s"$storePath/census/epoch=$batchId")
+
+  def admit(batch: DataFrame, batchId: Long, storePath: String,
+            keptPath: String, spanTokens: Int = 20, window: Int = 10): Unit = {
+    val all = batch.select(col("doc_id"), col("text")).localCheckpoint()
+    val wins = windowsOf(all, window)
+    val dropped = quoteDrops(wins, batchId, storePath, spanTokens, window)
+    val kept = all.join(dropped, Seq("doc_id"), "left_anti").localCheckpoint()
+    // deterministic epoch dirs: a retried batch overwrites its own output
+    kept.write.mode("overwrite").parquet(s"$keptPath/epoch=$batchId")
+    publishCensus(wins, kept.select(col("doc_id")), batchId, storePath)
   }
 
   /** Fold accumulated epoch partitions into a single base epoch (the

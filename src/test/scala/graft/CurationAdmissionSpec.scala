@@ -110,6 +110,7 @@ class CurationAdmissionSpec extends AnyFunSuite {
     assert(row0.getAs[Long]("drop_quality") == 1, row0.toString)
     assert(row0.getAs[Long]("drop_lm") == 1, row0.toString)
     assert(row0.getAs[Long]("drop_dedup") == 0, row0.toString)
+    assert(row0.getAs[Long]("drop_quote") == 0, row0.toString)
     assert(row0.getAs[Long]("admitted") == 3, row0.toString)
     val kept0 = spark.read.parquet(s"$kept/epoch=0").select("doc_id")
       .collect().map(_.getLong(0)).toSet
@@ -136,12 +137,53 @@ class CurationAdmissionSpec extends AnyFunSuite {
     val row1 = CurationAdmission.admit(batch1.toDF("doc_id", "lang", "text"),
       1L, ref, store, kept, audit)
     assert(row1.getAs[Long]("drop_dedup") == 1, row1.toString)
+    // an exact clone is attributed to DEDUP, not the quote gate (the
+    // batch funnel's first-gate-catches order)
+    assert(row1.getAs[Long]("drop_quote") == 0, row1.toString)
     assert(row1.getAs[Long]("admitted") == 1, row1.toString)
+
+    // batch 2: a doc QUOTING 30 consecutive verbatim tokens of an
+    // admitted doc — passes quality, the LM (its bigrams are the
+    // corpus's own), and the near-dup gate (jaccard vs a long source
+    // stays under threshold), but must trip the QUOTE gate. The
+    // fixture is found by replaying the upstream gates, like `good`.
+    val admittedDocs = (good.map(r => (r.getAs[String]("lang"),
+      r.getAs[String]("text"))) :+
+      ((fresh.head.getAs[String]("lang"), fresh.head.getAs[String]("text"))))
+      .toVector
+    def toksOf(t: String): Array[String] =
+      t.toLowerCase.replaceAll("[^a-z ]", " ").trim
+        .split("\\s+").filter(_.nonEmpty)
+    val snippets = admittedDocs.flatMap { case (lang, text) =>
+      val tk = toksOf(text)
+      (0 to tk.length - 30).map(k => (lang, tk.slice(k, k + 30).mkString(" ")))
+    }
+    val quals = snippets.map(_._2).toDF("text")
+      .select(graft.functions.TextFunctions.qualityScore(col("text")))
+      .collect().map(_.getDouble(0))
+    val quoteFixture = snippets.zip(quals).collectFirst {
+      case ((lang, sn), q)
+          if q >= 0.72 && score(sn).exists(s => s < cuts(lang) - 0.05) &&
+            admittedDocs.forall { case (_, t) => shingleDistinct(t, sn) } =>
+        (lang, sn)
+    }
+    assume(quoteFixture.isDefined,
+      "corpus yields no quality+LM-passing 30-token quote fixture")
+    val (qlang, snippet) = quoteFixture.get
+    val row2 = CurationAdmission.admit(
+      Seq((9200L, qlang, snippet)).toDF("doc_id", "lang", "text"),
+      2L, ref, store, kept, audit)
+    assert(row2.getAs[Long]("drop_quote") == 1 &&
+      row2.getAs[Long]("drop_dedup") == 0 &&
+      row2.getAs[Long]("drop_quality") == 0 &&
+      row2.getAs[Long]("drop_lm") == 0 &&
+      row2.getAs[Long]("admitted") == 0, row2.toString)
 
     // audit conservation on every epoch row
     spark.read.parquet(audit).collect().foreach { r =>
       assert(r.getAs[Long]("n_in") == r.getAs[Long]("drop_quality") +
         r.getAs[Long]("drop_lm") + r.getAs[Long]("drop_dedup") +
+        r.getAs[Long]("drop_quote") +
         r.getAs[Long]("admitted"), s"audit row does not conserve: $r")
     }
 
@@ -191,10 +233,12 @@ class CurationAdmissionSpec extends AnyFunSuite {
         (60000L + e, "en", junk))
       val row = CurationAdmission.admit(
         batch.toDF("doc_id", "lang", "text"), e.toLong, ref, store, kept, audit)
-      val (nIn, dq, dl, dd, adm) = (row.getAs[Long]("n_in"),
+      val (nIn, dq, dl, dd, dquo, adm) = (row.getAs[Long]("n_in"),
         row.getAs[Long]("drop_quality"), row.getAs[Long]("drop_lm"),
-        row.getAs[Long]("drop_dedup"), row.getAs[Long]("admitted"))
-      assert(nIn == dq + dl + dd + adm, s"epoch $e does not conserve: $row")
+        row.getAs[Long]("drop_dedup"), row.getAs[Long]("drop_quote"),
+        row.getAs[Long]("admitted"))
+      assert(nIn == dq + dl + dd + dquo + adm,
+        s"epoch $e does not conserve: $row")
       assert(dq == 1, s"epoch $e: junk not dropped at quality: $row")
       if (e == 0) assert(adm == 3 && dd == 0, s"epoch 0 unexpected: $row")
       else assert(dd >= 1, s"epoch $e: the epoch-0 clone was not dedup-dropped: $row")

@@ -165,6 +165,7 @@ class CurationSoakSpec extends AnyFunSuite {
     rows.foreach { r =>
       assert(r.getAs[Long]("n_in") == r.getAs[Long]("drop_quality") +
         r.getAs[Long]("drop_lm") + r.getAs[Long]("drop_dedup") +
+        r.getAs[Long]("drop_quote") +
         r.getAs[Long]("admitted"), s"audit row does not conserve: $r")
     }
     val nIn = rows.map(_.getAs[Long]("n_in")).sum
