@@ -293,6 +293,24 @@ class LedgerPruningSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
   }
 
+  test("SQL/DDL surface rides the same pushdowns") {
+    val topic = writeTopic()
+    spark.sql("DROP TABLE IF EXISTS graft_pruning_ddl")
+    spark.sql(s"""CREATE TABLE graft_pruning_ddl USING `graft-ledger`
+                 | OPTIONS (path '${topic.toString}')""".stripMargin)
+    try {
+      val cnt = spark.sql("SELECT count(*) AS n FROM graft_pruning_ddl")
+      assert(cnt.queryExecution.executedPlan.toString
+        .contains("PushedAggregates: [COUNT(*)]"))
+      assert(cnt.collect().head.getLong(0) == 32L)
+      val pruned = spark.sql(
+        "SELECT key FROM graft_pruning_ddl WHERE partition = 1 LIMIT 3")
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedPartitions: [1]"), plan)
+      assert(pruned.collect().length == 3)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_pruning_ddl")
+  }
+
   test("runtime filtering composes with static pushdown (intersection)") {
     val topic = writeTopic(entries = 4000, pad = 32)
     import spark.implicits._
