@@ -37,14 +37,20 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object LedgerSource {
 
+  // Nullability is part of the contract: the broker-assigned columns
+  // (topic/partition/ledger_id/entry_id/publish_us) and the payload bytes
+  // are never null by construction — declaring it lets the planner drop
+  // the IsNotNull guards it otherwise wraps around every filter and join
+  // key on this source. `key` IS nullable (a comma-less entry line has no
+  // key; NULL-key rows route by hash on the write path).
   val Schema: StructType = StructType(Seq(
-    StructField("topic", StringType),
-    StructField("partition", IntegerType),
-    StructField("ledger_id", LongType),
-    StructField("entry_id", LongType),
+    StructField("topic", StringType, nullable = false),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("ledger_id", LongType, nullable = false),
+    StructField("entry_id", LongType, nullable = false),
     StructField("key", StringType),
-    StructField("value", BinaryType),
-    StructField("publish_us", LongType)))
+    StructField("value", BinaryType, nullable = false),
+    StructField("publish_us", LongType, nullable = false)))
 
   case class LedgerInfo(ledgerId: Long, entries: Long)
 

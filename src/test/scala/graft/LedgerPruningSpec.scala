@@ -24,12 +24,19 @@ import graft.sources.LedgerSource
   */
 class LedgerPruningSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.extensions", "graft.GraftExtensions")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // getOrCreate would reuse another suite's session (same JVM) and skip
+    // our extensions — force a fresh session so withExtensions applies
+    // (the status-TVF coherence assertion needs the injected function)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
 
   /** 4 partitions × n entries (partition p holds keys k0..k(n-1), values
     * tagged with p), single ledger each. The DPP tests use a topic big
@@ -86,7 +93,11 @@ class LedgerPruningSpec extends AnyFunSuite {
     val topic = writeTopic()
     import spark.implicits._
     assert(read(topic).filter($"partition".isNull).count() == 0)
-    assert(planned(topic).isEmpty)
+    // with partition declared non-nullable, Catalyst folds the predicate
+    // to an empty relation before the source is consulted (planned stays
+    // null); if it ever reaches the source, the pushdown must plan nothing
+    val p = planned(topic)
+    assert(p == null || p.isEmpty, s"planned $p for an impossible predicate")
   }
 
   test("reported statistics: exact entry counts, on-disk bytes, and range proration") {

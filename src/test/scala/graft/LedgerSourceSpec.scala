@@ -132,9 +132,13 @@ class LedgerSourceSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       import org.apache.spark.sql.functions._
+      // sum, not count: COUNT(*) would push into the source and answer
+      // from metadata without any scan (pinned in LedgerPruningSpec) —
+      // this spec pins the key-grouped SCAN layout, so aggregate
+      // something the source can't answer
       val agg = spark.read.format("graft-ledger")
         .option("path", topic.toString).load()
-        .groupBy("partition").agg(count(lit(1)).as("n"))
+        .groupBy("partition").agg(sum(lit(1L)).as("n"))
       // the scan reports KeyGroupedPartitioning(partition) and every split
       // carries its partition id (HasPartitionKey), so EnsureRequirements
       // sees the clustered distribution already satisfied — the per-
@@ -145,10 +149,15 @@ class LedgerSourceSpec extends AnyFunSuite {
       assert(res == Map(0 -> 10L, 1 -> 5L), res.toString)
       // storage-partitioned join: two scans of the same layout joined on
       // the partition key are co-clustered by report — no Exchange on
-      // either side (the J8 "replica-aligned" co-location, made real)
+      // either side (the J8 "replica-aligned" co-location, made real).
+      // Both sides aggregate with sum/max, which do NOT push into the
+      // source: a count() here would be answered from segment METADATA
+      // (PushedAggregates, no scan at all — the better plan, covered
+      // above) and the pushed side would leave the key-grouped layout
+      // this assertion exists to pin.
       def scan() = spark.read.format("graft-ledger")
         .option("path", topic.toString).load()
-      val spj = scan().groupBy("partition").agg(count(lit(1)).as("n"))
+      val spj = scan().groupBy("partition").agg(sum(lit(1L)).as("n"))
         .join(scan().groupBy("partition")
           .agg(max(col("entry_id")).as("maxe")), "partition")
       val spjPlan = spj.queryExecution.executedPlan.toString()
@@ -178,7 +187,7 @@ class LedgerSourceSpec extends AnyFunSuite {
       Files.createDirectories(topic.resolve("partition-2"))
       Files.write(topic.resolve("partition-2").resolve("ledger-1.log"),
         Array.empty[Byte])
-      val withEmpty = scan().groupBy("partition").agg(count(lit(1)).as("n"))
+      val withEmpty = scan().groupBy("partition").agg(sum(lit(1L)).as("n"))
       assert(withEmpty.collect().map(r => (r.getInt(0), r.getLong(1))).toMap ==
         Map(0 -> 10L, 1 -> 5L))
       // pruning the partition column away must degrade gracefully to an
