@@ -165,13 +165,23 @@ object CorpusStatsMaintenance {
     * from the previous report. */
   final case class SpanRefresh(index: SpanIndex, affected: DataFrame)
 
-  private def windows(docs: DataFrame): DataFrame = docs
+  /** THE stride-1 window-hash relation (doc_id, i, h) over (doc_id,
+    * text) docs — the one definition of the span-dedup key, shared by
+    * this census, the streaming quote gate
+    * ([[graft.streaming.QuoteAdmission]]), and pinned against q117's
+    * inline form by the maintenance/gate specs: a tokenizer, width, or
+    * hash-separator change lands everywhere or nowhere.
+    */
+  def windowHashes(docs: DataFrame, window: Int = 10): DataFrame = docs
     .select(col("doc_id"), tokens(col("text")).as("t"))
-    .filter(size(col("t")) >= 10)
+    .filter(size(col("t")) >= window)
     .select(col("doc_id"),
-      explode(sequence(lit(1), size(col("t")) - 9)).as("i"), col("t"))
+      explode(sequence(lit(1), size(col("t")) - (window - 1))).as("i"),
+      col("t"))
     .select(col("doc_id"), col("i"),
-      md5(array_join(slice(col("t"), col("i"), lit(10)), " ")).as("h"))
+      md5(array_join(slice(col("t"), col("i"), lit(window)), " ")).as("h"))
+
+  private def windows(docs: DataFrame): DataFrame = windowHashes(docs, 10)
 
   private def spanCensus(wins: DataFrame): DataFrame = wins
     .select(col("h"), col("doc_id")).distinct()

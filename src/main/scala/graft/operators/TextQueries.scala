@@ -1975,10 +1975,11 @@ object TextQueries {
         .agg(count(lit(1)).as("run"))
         .groupBy(col("doc_id"))
         .agg(max(col("run")).as("maxrun"))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 10)
-        .select(col("doc_id"), col("lang"))
+      // every >= 10-token doc owns >= 1 window, so the audited-doc roster
+      // falls out of the checkpointed window relation — no second corpus
+      // scan / tokenization pass (map-side partial distinct collapses the
+      // xW window stream to ~doc-count rows before the shuffle)
+      w.select(col("doc_id"), col("lang")).distinct()
         .join(dupRuns, Seq("doc_id"), "left")
         .withColumn("span",
           when(col("maxrun").isNull, lit(0L)).otherwise(col("maxrun") + lit(9L)))

@@ -172,13 +172,13 @@ object CurationAdmission {
   /** Wire as a streaming sink over a (doc_id, lang, text) stream. */
   def stream(docs: DataFrame, refPath: String, storePath: String,
              keptPath: String, auditPath: String, checkpoint: String,
-             qualityFloor: Double = 0.72): DataStreamWriter[Row] =
+             qualityFloor: Double = 0.72, quoteSpan: Int = 20): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         admit(batch, id, refPath, storePath, keptPath, auditPath,
-          qualityFloor)
+          qualityFloor, quoteSpan)
         ()
       }
 }

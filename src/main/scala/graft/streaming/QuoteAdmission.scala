@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
-import graft.functions.TextFunctions.tokens
 
 /** Streaming verbatim-quote admission — the streaming form of q117's
   * duplicated-span audit, complementing [[NearDupAdmission]]: LSH catches
@@ -20,14 +19,17 @@ import graft.functions.TextFunctions.tokens
   * stitch windows owned by different store docs, the deliberate batch/
   * stream agreement.
   *
-  * Scale shape: the store keeps ONE table — the per-hash census
-  * (h, sn = distinct admitted docs holding h, smin = their min doc_id) in
-  * `epoch=<batchId>` partitions. Census rows merge by key-wise SUM/MIN at
-  * read time, exact because epoch doc-id sets are disjoint (the
-  * CorpusStatsMaintenance.SpanIndex argument); the batch joins it on the
-  * hash key (shuffle = touched keys only), and the islands window
-  * partitions by doc_id — bounded by document length, never corpus-sized.
-  * Nothing data-sized crosses the driver.
+  * Scale shape: the store keeps ONE table — the admitted corpus's
+  * DISTINCT window hashes in `epoch=<batchId>` partitions (hash
+  * existence is all coverage tests: an epoch excludes its own partition
+  * and cross-epoch ownership can never be self under the fresh-ids
+  * contract, so owner counts would be dead weight in a window-sized key
+  * space; the batch-vs-batch q117 CENSUS semantics live in
+  * CorpusStatsMaintenance.SpanIndex, which shares this gate's window-key
+  * definition). The batch joins the store on the hash key (shuffle =
+  * touched keys only), and the islands window partitions by doc_id —
+  * bounded by document length, never corpus-sized. Nothing data-sized
+  * crosses the driver.
   *
   * Retry idempotence: an epoch EXCLUDES its own `epoch=<batchId>`
   * partition from the store read, so a foreachBatch retry that already
@@ -41,18 +43,15 @@ object QuoteAdmission {
 
   /** (doc_id, i, h): stride-1 window hashes of (doc_id, text) docs —
     * q117's relation, materialized once per epoch (drop computation and
-    * census publication both read it). Docs shorter than `window` tokens
-    * have none and are trivially admitted.
+    * census publication both read it). ONE window-key definition shared
+    * with the incremental span census
+    * ([[graft.operators.CorpusStatsMaintenance.windowHashes]]) so the
+    * batch/stream hash can never drift. Docs shorter than `window`
+    * tokens have none and are trivially admitted.
     */
-  def windowsOf(docs: DataFrame, window: Int = 10): DataFrame = docs
-    .select(col("doc_id"), tokens(col("text")).as("t"))
-    .filter(size(col("t")) >= window)
-    .select(col("doc_id"),
-      explode(sequence(lit(1), size(col("t")) - (window - 1))).as("i"),
-      col("t"))
-    .select(col("doc_id"), col("i"),
-      md5(array_join(slice(col("t"), col("i"), lit(window)), " ")).as("h"))
-    .localCheckpoint()
+  def windowsOf(docs: DataFrame, window: Int = 10): DataFrame =
+    graft.operators.CorpusStatsMaintenance.windowHashes(docs, window)
+      .localCheckpoint()
 
   /** Doc ids of `wins` whose longest covered run reaches the span
     * threshold — covered by the store (excluding this epoch's own
@@ -100,17 +99,18 @@ object QuoteAdmission {
       .select(col("doc_id")).distinct()
   }
 
-  /** Publish the admitted docs' per-hash census — (h, sn, smin) — as this
-    * epoch's store partition; disjoint epoch doc sets make read-time
-    * SUM/MIN exact. `keptIds` = (doc_id) the FINAL admitted set (a funnel
-    * must publish survivors of ALL its gates, not just this one).
+  /** Publish the admitted docs' DISTINCT window hashes as this epoch's
+    * store partition — hash existence is all coverage ever tests (an
+    * epoch's own partition is excluded, and cross-epoch ownership can
+    * never be self, so per-hash owner counts would be dead weight in a
+    * window-sized key space). `keptIds` = (doc_id) the FINAL admitted set
+    * (a funnel must publish survivors of ALL its gates, not just this
+    * one).
     */
   def publishCensus(wins: DataFrame, keptIds: DataFrame, batchId: Long,
                     storePath: String): Unit =
     wins.join(keptIds.select(col("doc_id")), "doc_id")
-      .select(col("h"), col("doc_id")).distinct()
-      .groupBy(col("h"))
-      .agg(count(lit(1)).as("sn"), min(col("doc_id")).as("smin"))
+      .select(col("h")).distinct()
       .write.mode("overwrite").parquet(s"$storePath/census/epoch=$batchId")
 
   def admit(batch: DataFrame, batchId: Long, storePath: String,
@@ -127,15 +127,19 @@ object QuoteAdmission {
   /** Fold accumulated epoch partitions into a single base epoch (the
     * near-dup store's compaction pattern; offline maintenance only — a
     * retry AFTER compaction would no longer find its epoch to exclude).
+    * The base lands in `epoch=-1`: batchIds are non-negative, so the
+    * same-epoch exclusion in quoteDrops can NEVER alias the compacted
+    * base — compacting into epoch=0 would make the first batch of any
+    * FRESH checkpoint (batchId 0) exclude the entire accumulated store
+    * and then overwrite it with its own census.
     */
   def compact(s: SparkSession, storePath: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     val live = s"$storePath/census"
     val tmp = s"$storePath/census_compact_tmp"
     val df = try s.read.parquet(live) catch { case _: Throwable => return }
-    df.groupBy(col("h"))
-      .agg(sum(col("sn")).as("sn"), min(col("smin")).as("smin"))
-      .write.mode("overwrite").parquet(s"$tmp/epoch=0")
+    df.select(col("h")).distinct()
+      .write.mode("overwrite").parquet(s"$tmp/epoch=-1")
     val livePath = new org.apache.hadoop.fs.Path(live)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     if (!fs.delete(livePath, true) && fs.exists(livePath))

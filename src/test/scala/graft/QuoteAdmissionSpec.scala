@@ -78,12 +78,27 @@ class QuoteAdmissionSpec extends AnyFunSuite {
     ).toDF("doc_id", "text"), 2L, store, keptP)
     assert(kept(keptP, 2L) == Set(20L))
 
-    // compaction folds epochs; detection still fires afterwards
+    // compaction folds epochs into epoch=-1 — an id no batch can carry,
+    // so a FRESH checkpoint's batchId-0 epoch can neither exclude the
+    // compacted base from its store read nor overwrite it
     QuoteAdmission.compact(spark, store)
     val epochs = spark.read.parquet(s"$store/census")
       .select("epoch").distinct().collect()
       .map(_.get(0).toString.toLong).toSet
-    assert(epochs == Set(0L), s"compaction left epochs: $epochs")
+    assert(epochs == Set(-1L), s"compaction left epochs: $epochs")
+    // the fresh-checkpoint batchId-0 hazard: a new stream's FIRST batch
+    // against the compacted store must still see every admitted hash
+    val store2 = Files.createTempDirectory("graft_quote_store_fresh").toString
+    val kept2 = Files.createTempDirectory("graft_quote_kept_fresh").toString
+    // copy the compacted census as a pre-existing store for a new stream
+    spark.read.parquet(s"$store/census").drop("epoch").write
+      .parquet(s"$store2/census/epoch=-1")
+    QuoteAdmission.admit(Seq(
+      doc(40L, fill('t', 8) ++ baseWords.slice(10, 35) ++ fill('u', 8)),
+      doc(41L, fill('v', 40))
+    ).toDF("doc_id", "text"), 0L, store2, kept2)
+    assert(kept(kept2, 0L) == Set(41L),
+      "batchId 0 of a fresh checkpoint excluded the compacted base")
     QuoteAdmission.admit(Seq(
       doc(30L, fill('q', 10) ++ baseWords.slice(0, 25) ++ fill('r', 5)),
       doc(31L, fill('s', 40))
