@@ -48,7 +48,13 @@ object ArtifactStore {
     * size, band geometry, LM smoothing, PQ layout, …): the corpus
     * fingerprint keys the DATA, this version keys the CODE — a stale
     * store entry from an older builder must never satisfy a newer
-    * reader.
+    * reader. This is the store's ONE manual invariant, and the
+    * persistent default root (<tmpdir>/graft-artifacts) makes the
+    * failure mode concrete: edit a builder without bumping this and a
+    * warm dev machine serves the OLD builder's parquet to tests and
+    * Verify — green runs that never executed the new code. When in
+    * doubt after touching a builder, bump (cost: one cold rebuild) or
+    * `rm -rf` the default root.
     */
   val SchemaVersion = 1
 
@@ -81,12 +87,41 @@ object ArtifactStore {
   /** The published artifact for (tag, fingerprint) as a parquet scan, if
     * the disk layer is on and the entry exists.
     */
+  /** Mark an entry as used: gc ages by LAST USE (manifest mtime), not
+    * build time — a hot entry of an unchanged corpus must survive any
+    * maxAgeMs as long as sessions keep reading it.
+    */
+  private def touch(dir: Path): Unit =
+    try Files.setLastModifiedTime(dir.resolve("_MANIFEST"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: java.io.IOException => () }
+
+  /** Open the published parquet, self-healing a manifest-present but
+    * unreadable entry (interrupted delete, concurrent gc, torn copy):
+    * the entry is removed — manifest first, so it reads as a MISS — and
+    * the caller falls back to its miss path instead of being wedged.
+    */
+  private def readData(s: SparkSession, dir: Path, tag: String)
+      : Option[DataFrame] =
+    try {
+      val df = s.read.parquet(dir.resolve("data").toString)
+      touch(dir)
+      Some(df)
+    } catch {
+      case e: Exception =>
+        System.err.println(
+          s"[artifacts] unreadable entry for $tag (${e.getClass.getSimpleName}) — removing")
+        deleteRecursively(dir)
+        None
+    }
+
   def readIfPresent(s: SparkSession, tag: String, fingerprint: String)
       : Option[DataFrame] = rootOf(s).flatMap { root =>
     val dir = entryDir(root, tag, fingerprint)
     if (manifestOk(dir, fingerprint)) {
-      System.err.println(s"[artifacts] disk hit: $tag")
-      Some(s.read.parquet(dir.resolve("data").toString))
+      val out = readData(s, dir, tag)
+      if (out.isDefined) System.err.println(s"[artifacts] disk hit: $tag")
+      out
     } else None
   }
 
@@ -107,8 +142,9 @@ object ArtifactStore {
       var built = false
       while (out.isEmpty) {
         if (manifestOk(dir, fingerprint)) {
-          if (!built) System.err.println(s"[artifacts] disk hit: $tag")
-          out = Some(s.read.parquet(dir.resolve("data").toString))
+          out = readData(s, dir, tag) // None self-heals → loop rebuilds
+          if (out.isDefined && !built)
+            System.err.println(s"[artifacts] disk hit: $tag")
         } else if (acquireLock(lockOf(dir))) {
           try {
             if (!manifestOk(dir, fingerprint)) { // winner of a steal re-checks
@@ -161,7 +197,13 @@ object ArtifactStore {
     dir.getParent.resolve(dir.getFileName.toString + ".lock")
 
   /** Atomic lock-file election; a lock whose mtime is older than
-    * [[LockStaleMs]] belonged to a crashed builder and is stolen.
+    * [[LockStaleMs]] belonged to a crashed builder and is stolen. The
+    * steal is an ATOMIC RENAME-aside, not check-then-delete: with a plain
+    * delete, two stealers could each delete-and-recreate (the second
+    * deleting the first's FRESH lock), electing two builders. Exactly one
+    * stealer's move succeeds; the losers re-contend on whatever lock the
+    * winner creates. The aside name keeps the `.lock` suffix so a crashed
+    * stealer's debris is swept by the same gc rule as any stale lock.
     */
   private def acquireLock(lock: Path): Boolean =
     try {
@@ -175,8 +217,13 @@ object ArtifactStore {
             Files.getLastModifiedTime(lock).toMillis > LockStaleMs
           catch { case _: java.io.IOException => false } // vanished: next poll wins
         if (stale) {
-          try Files.deleteIfExists(lock) catch { case _: java.io.IOException => () }
-          acquireLock(lock)
+          val aside = lock.resolveSibling(lock.getFileName.toString +
+            ".stale-" + java.util.UUID.randomUUID() + ".lock")
+          try {
+            Files.move(lock, aside, StandardCopyOption.ATOMIC_MOVE)
+            Files.deleteIfExists(aside)
+            acquireLock(lock)
+          } catch { case _: java.io.IOException => false } // lost the steal race
         } else false
     }
 
@@ -209,6 +256,14 @@ object ArtifactStore {
   }
 
   private[graft] def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
+    // the manifest dies FIRST: the reverse-lexicographic walk below would
+    // otherwise remove data/ before _MANIFEST ('_' sorts before 'd'), and
+    // an INTERRUPTED delete would leave a manifest-present, data-missing
+    // entry that every later manifestOk check trusts (wedging the family
+    // until it ages out). Manifest-first, an interruption leaves
+    // manifest-less debris — a plain miss the next builder replaces.
+    try Files.deleteIfExists(p.resolve("_MANIFEST"))
+    catch { case _: java.io.IOException => () }
     val walk = Files.walk(p)
     try walk.sorted(java.util.Comparator.reverseOrder[Path]())
       .forEach(f => Files.deleteIfExists(f))
@@ -281,9 +336,11 @@ object ArtifactStore {
     LocalRelation(out, rows, isStreaming = false)
   }
 
-  /** Garbage-collect the store: entries whose manifest mtime is older
+  /** Garbage-collect the store: entries whose manifest mtime — refreshed
+    * on EVERY disk hit, so it means last USE, not build time — is older
     * than `maxAgeMs` (a rewritten corpus gets a new fingerprint, so its
-    * predecessor's entries go cold and only age out here), plus
+    * predecessor's entries go cold and only age out here; a hot entry of
+    * an unchanged corpus is touched by its readers and never ages), plus
     * orphaned `.tmp-*` build dirs and stale `.lock` files past the
     * crash-steal threshold. Safe against live readers on POSIX (an open
     * parquet handle survives the unlink) and against racing builders

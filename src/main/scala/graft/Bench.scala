@@ -225,9 +225,15 @@ object Bench {
     // already, and the gate adds 2x on top; see BENCHPROTOCOL.md).
     val buildEnvelope = Map("dedup" -> 3.0, "lm" -> 2.7, "lex" -> 2.0,
       "nb" -> 0.9, "bpe" -> 2.2, "ivf" -> 1.5, "pq" -> 2.7, "srp" -> 0.4)
-    val gateViolations = builds.collect { case (fam, secs)
-      if secs >= 0 && buildEnvelope.contains(fam) &&
-        secs / canaryMin > 2 * buildEnvelope(fam) => fam }
+    // a FAILED build (-1 sentinel) is a violation, not an exemption —
+    // filtering it out would let the line report "bgate":"pass" in the
+    // very run a family's build crashed
+    val gateViolations = builds.collect {
+      case (fam, secs) if secs < 0 && buildEnvelope.contains(fam) =>
+        s"$fam:failed"
+      case (fam, secs) if secs >= 0 && buildEnvelope.contains(fam) &&
+        secs / canaryMin > 2 * buildEnvelope(fam) => fam
+    }
     // the envelope is an sf0.1 profile: at any other SF the gate does
     // not apply and the field is OMITTED (never a vacuous "pass")
     val gateJson =

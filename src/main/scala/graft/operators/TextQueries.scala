@@ -542,6 +542,13 @@ object TextQueries {
     * QueriesSpec boundary-graze pin (no surprisal within float noise of
     * a round-6 edge) covers this form and the oracle's ntile replay
     * alike.
+    *
+    * PRECONDITION: `lang` must be non-null. The census/cutoff joins are
+    * inner equi-joins, so a null-lang row would silently DROP where the
+    * ntile window form would have bucketed it in a NULL partition. Every
+    * caller satisfies this: the documents table's lang is non-null, and
+    * the streaming funnel's LM gate drops unknown-lang docs (no
+    * reference cutoff) before any tercile logic runs.
     */
   private[graft] def ccnetTerciles(per0: DataFrame): DataFrame = {
     val per = per0.withColumn("s6", round(col("s"), 6))

@@ -80,6 +80,15 @@ class ArtifactStoreSpec extends AnyFunSuite {
       assert(healed.collect().length == 5)
       assert(Files.readString(Paths.get(entry, "_MANIFEST")).startsWith("v"),
         "manifest not restored")
+      // the inverse damage — manifest INTACT, data gone (an interrupted
+      // gc delete, a torn copy): the read must self-heal into a rebuild,
+      // not wedge the family behind a trusted-but-unreadable entry
+      ArtifactStore.deleteRecursively(Paths.get(entry, "data"))
+      Files.writeString(Paths.get(entry, "_MANIFEST"),
+        Files.readString(Paths.get(entry, "_MANIFEST"))) // keep it valid
+      val healed2 = ArtifactStore.readThrough(spark, "heal", "fp1")(build)
+      assert(builds.get == 3, "manifest-present/data-missing entry wedged the family")
+      assert(healed2.collect().length == 5)
     }
   }
 

@@ -54,6 +54,18 @@ class CorpusStatsMaintenanceSpec extends AnyFunSuite {
     // rows the bootstrap produced
     assert(refreshed.docs.join(idx0.docs.select(col("doc_id")), "doc_id")
       .count() == idx0.docs.count())
+    // cross-module drift tripwires: this module re-states the engine's
+    // artifact builders (TextQueries.lexDfShared / gram5Shared) rather
+    // than sharing their store-backed getters — these pins are what
+    // catches a builder-expression change landing on one side only
+    val engineDf = graft.operators.TextQueries.lexDfShared(spark, dir)
+    assert(censusMap(refreshed.df, "token", "df") ==
+      censusMap(engineDf, "token", "df"),
+      "maintained df census drifted from the engine's lexDfShared")
+    val engineGrams = graft.operators.TextQueries.gram5Shared(spark, dir)
+    assert(rowSet(refreshed.grams.select(col("doc_id"), col("g"))) ==
+      rowSet(engineGrams.select(col("doc_id"), col("g"))),
+      "maintained gram relation drifted from the engine's gram5Shared")
   }
 
   test("LM count refresh == rebuild; derived LM and surprisal scores identical") {
