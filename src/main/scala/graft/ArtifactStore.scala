@@ -44,19 +44,53 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ArtifactStore {
 
-  /** Bump when ANY shared-artifact builder's semantics change (shingle
-    * size, band geometry, LM smoothing, PQ layout, …): the corpus
-    * fingerprint keys the DATA, this version keys the CODE — a stale
-    * store entry from an older builder must never satisfy a newer
-    * reader. This is the store's ONE manual invariant, and the
-    * persistent default root (<tmpdir>/graft-artifacts) makes the
-    * failure mode concrete: edit a builder without bumping this and a
-    * warm dev machine serves the OLD builder's parquet to tests and
-    * Verify — green runs that never executed the new code. When in
-    * doubt after touching a builder, bump (cost: one cold rebuild) or
-    * `rm -rf` the default root.
+  /** Manual escape hatch for semantic bumps that [[codeFingerprint]]
+    * cannot see (a changed option DEFAULT read from outside the compiled
+    * classes, a store-layout change). Since the code fingerprint below is
+    * folded into every entry key automatically, builder EDITS no longer
+    * need a bump — this stays for the rare out-of-band invalidation.
     */
   val SchemaVersion = 1
+
+  /** Fingerprint of the engine code itself, folded into every entry key:
+    * an entry built by one compile of the builders must never satisfy a
+    * reader running a DIFFERENT compile. The persistent default root
+    * (<tmpdir>/graft-artifacts) made the failure mode concrete before
+    * this existed — edit a builder, forget the manual SchemaVersion bump,
+    * and a warm machine serves the OLD builder's parquet to tests and
+    * Verify: green runs that never executed the new code. Hashing the
+    * compiled classes closes that by construction: unchanged code keeps
+    * its warm entries (incremental compilation leaves untouched class
+    * files byte-identical), any rebuild of the engine costs exactly one
+    * cold re-derivation per corpus. Computed once per JVM from this
+    * class's code-source location — the classes directory (every .class
+    * under it, name + bytes, in sorted order) or the deployed jar's raw
+    * bytes.
+    */
+  private[graft] lazy val codeFingerprint: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    try {
+      val url = getClass.getProtectionDomain.getCodeSource.getLocation
+      val p = Paths.get(url.toURI)
+      if (Files.isDirectory(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.comparing[Path, String](_.toString))
+          .forEach { f =>
+            if (Files.isRegularFile(f) && f.toString.endsWith(".class")) {
+              md.update(p.relativize(f).toString.getBytes("UTF-8"))
+              md.update(Files.readAllBytes(f))
+            }
+          }
+        finally walk.close()
+      } else md.update(Files.readAllBytes(p))
+      md.digest().map("%02x".format(_)).mkString
+    } catch {
+      // no code source (odd classloader): fall back to the manual version
+      // alone rather than refuse to run — the store just loses the
+      // automatic invalidation on such platforms
+      case _: Exception => "unknown"
+    }
+  }
 
   private[graft] val LockStaleMs = 15 * 60 * 1000L
   private[graft] val WaitBuildMs = 20 * 60 * 1000L
@@ -74,7 +108,7 @@ object ArtifactStore {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   private def versioned(fingerprint: String): String =
-    s"v$SchemaVersion:$fingerprint"
+    s"v$SchemaVersion:c$codeFingerprint:$fingerprint"
 
   private def entryDir(root: Path, tag: String, fingerprint: String): Path =
     root.resolve(tag).resolve("fp=" + md5(versioned(fingerprint)))
@@ -114,6 +148,28 @@ object ArtifactStore {
         deleteRecursively(dir)
         None
     }
+
+  /** Liveness check for the in-memory caches above this store
+    * (TextQueries.textFrames, VectorQueries.annFrames): true iff the
+    * published entry still exists on disk under THIS session's store
+    * root. Touches the manifest when it does — an L1 cache hit is a USE,
+    * and [[gc]] ages by last use, so a frame a long-lived session keeps
+    * reading must keep its backing entry alive. When the entry is gone
+    * (gc'd, or the session's store root changed), the caller drops its
+    * cached frame and re-reads through — instead of serving a parquet
+    * scan whose files vanished (FileNotFoundException with no self-heal,
+    * since nothing would ever re-check the L1 key). Disk layer off →
+    * trivially true: the cached frame has no disk backing to lose.
+    */
+  private[graft] def stillLive(s: SparkSession, tag: String,
+      fingerprint: String): Boolean = rootOf(s) match {
+    case None => true
+    case Some(root) =>
+      val dir = entryDir(root, tag, fingerprint)
+      val ok = manifestOk(dir, fingerprint)
+      if (ok) touch(dir)
+      ok
+  }
 
   def readIfPresent(s: SparkSession, tag: String, fingerprint: String)
       : Option[DataFrame] = rootOf(s).flatMap { root =>
@@ -340,12 +396,17 @@ object ArtifactStore {
     * on EVERY disk hit, so it means last USE, not build time — is older
     * than `maxAgeMs` (a rewritten corpus gets a new fingerprint, so its
     * predecessor's entries go cold and only age out here; a hot entry of
-    * an unchanged corpus is touched by its readers and never ages), plus
-    * orphaned `.tmp-*` build dirs and stale `.lock` files past the
-    * crash-steal threshold. Safe against live readers on POSIX (an open
-    * parquet handle survives the unlink) and against racing builders
-    * (a deleted entry is just a miss — the next readThrough
-    * re-publishes). Returns the deleted entry paths.
+    * an unchanged corpus is touched by its readers — including on every
+    * L1 cache hit via [[stillLive]] — and never ages), plus orphaned
+    * `.tmp-*` build dirs and stale `.lock` files past the crash-steal
+    * threshold. Safe against racing builders (a deleted entry is just a
+    * miss — the next readThrough re-publishes) and against the in-memory
+    * frame caches (they re-check [[stillLive]] on every hit and re-read
+    * through on a vanished entry). NOT safe against a reader caught
+    * mid-action: Spark re-opens parquet files per job, so a collected
+    * entry can still fail one in-flight query of a live session — run gc
+    * with a maxAgeMs comfortably above any query's lifetime, never 0, on
+    * a shared store. Returns the deleted entry paths.
     */
   def gc(root: Path, maxAgeMs: Long): Seq[Path] = {
     if (!Files.exists(root)) return Seq.empty

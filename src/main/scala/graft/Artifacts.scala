@@ -49,4 +49,42 @@ object Artifacts {
           System.err.println(s"[bench] build $name failed: ${e.getMessage}"); false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+
+  /** Drop the JVM-local (L1) artifact caches over the disk store. The
+    * bench's noise-robust build gate times each family COLD more than
+    * once in one JVM: repetition N+1 must re-derive from the corpus, not
+    * hit the frames/driver-rows repetition N cached.
+    */
+  def dropSessionCaches(): Unit = {
+    graft.operators.TextQueries.dropSessionCaches()
+    graft.operators.VectorQueries.dropSessionCaches()
+  }
+
+  /** Noise-robust cold-build pricing: time every family against `reps`
+    * FRESH store roots (set per repetition via the session conf; L1
+    * caches dropped so each pass is a genuine re-derivation) and report
+    * each family's MIN across repetitions. A single host stall — r12
+    * fired the build gate on 5/8 families from one window whose canary
+    * noise band was 7.5× — now has to span every repetition of a family
+    * to poison its reported cost, while a real regression moves ALL
+    * repetitions and still trips the gate. Any failed repetition keeps
+    * the -1 failure sentinel. Leaves the conf pointing at the FIRST
+    * (fully published) root with empty L1s: the sweeps then read
+    * published artifacts — the deployed steady state.
+    */
+  def prewarmCold(spark: SparkSession, sfDir: String, roots: Seq[String])
+      : Seq[(String, Double)] = {
+    require(roots.nonEmpty)
+    val reps = roots.map { root =>
+      spark.conf.set("spark.graft.artifacts.path", root)
+      dropSessionCaches()
+      prewarm(spark, sfDir).toMap
+    }
+    spark.conf.set("spark.graft.artifacts.path", roots.head)
+    dropSessionCaches()
+    families(spark, sfDir).map { case (name, _) =>
+      val samples = reps.map(_(name))
+      name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
+    }
+  }
 }

@@ -253,150 +253,46 @@ object Dev {
         }
 
       case Some("gensf1") =>
-        // ORGANIC sf1 tree (~10× sf0.1 rows AND ~10× key space, freshly
-        // drawn — not replicas): scaling ratios measured on it reflect
-        // organic key-cardinality growth, where the 10× replica's exact
-        // text/vector copies inflate the exact-pair baselines (q28/q44
-        // see every original×copy pair at jaccard/cos 1.0). Fully
-        // deterministic (hash-seeded column math, no Math.random), same
-        // schemas as TESTDATA.md, written once and fingerprint-free (the
-        // generator IS the fingerprint: delete the dir to regenerate).
-        // Distributions mirror the sf0.1 profile: 31-word vocab, doc len
-        // 10..100, lang {en 41%, zh/es/fr/de ~15%}, 20 sources, ~0.16%
-        // planted exact dups; embeddings unit-norm around 10 hash-seeded
-        // label centroids with ~0.5% planted near-dups; TPC-H-ish facts
-        // with fixed dims and 10× fact key spaces.
-        import org.apache.spark.sql.functions._
-        import org.apache.spark.sql.{Column, DataFrame}
-        val src = "/root/testdata/sf0.1"
-        val dst = args.lift(1).getOrElse("/tmp/graft_sf1n")
-        if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dst/_DONE"))) {
-          println(s"[dev] $dst already generated"); return
+        genOrganicSf1(spark, args.lift(1).getOrElse("/tmp/graft_sf1n"))
+
+      case Some("verifysf1") =>
+        // weekly-style ORGANIC-sf1 correctness surface (first-class, not a
+        // SCALING appendix): ensure the FK-valid organic tree exists, then
+        // run the full Verify dump over it — outDir then holds every
+        // query's parquet + oracle_sql.json, DuckDB-comparable with
+        // scripts/check.py exactly like the driver's sf0.01 gate:
+        //   sbt "runMain graft.Dev verifysf1" && \
+        //   python3 scripts/check.py /tmp/graft_sf1n /tmp/verify_sf1n
+        val dstV = args.lift(1).getOrElse("/tmp/graft_sf1n")
+        val outV = args.lift(2).getOrElse("/tmp/verify_sf1n")
+        genOrganicSf1(spark, dstV)
+        Verify.main(Array(dstV, outV)) // getOrCreate reuses this session
+
+      case Some("lexprof") =>
+        // per-sub-artifact pricing of the lex family (it doubled in
+        // membership in r12: gram5 + dsirFeats joined lexDocs/lexDf) —
+        // each timed individually against a FRESH store root, then the
+        // family total, so the bench envelope can be sized per member
+        val d = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val subs: Seq[(String, () => Unit)] = Seq(
+          "lexDocs" -> (() => { graft.operators.TextQueries.lexDocsShared(spark, d); () }),
+          "lexDf" -> (() => { graft.operators.TextQueries.lexDfShared(spark, d); () }),
+          "gram5" -> (() => { graft.operators.TextQueries.gram5Shared(spark, d); () }),
+          "dsirFeats" -> (() => { graft.operators.TextQueries.dsirFeatsShared(spark, d); () }))
+        (1 to 2).foreach { rep =>
+          spark.conf.set("spark.graft.artifacts.path", java.nio.file.Files
+            .createTempDirectory("graft-lexprof-store").toString)
+          Artifacts.dropSessionCaches()
+          var total = 0.0
+          subs.foreach { case (name, build) =>
+            val t0 = System.nanoTime()
+            build()
+            val secs = (System.nanoTime() - t0) / 1e9
+            total += secs
+            println(f"[dev] rep$rep lex/$name%-10s $secs%6.2f s")
+          }
+          println(f"[dev] rep$rep lex total     $total%6.2f s")
         }
-        // uniform in [0,1) from a tagged hash — deterministic, columnar
-        def u(tag: String, cols: Column*): Column =
-          pmod(hash((lit(tag) +: cols): _*), lit(1000000)).cast("double") / 1e6
-        def pick(tag: String, id: Column, vals: Seq[String]): Column =
-          element_at(array(vals.map(lit): _*),
-            pmod(hash(lit(tag), id), lit(vals.length)).cast("int") + 1)
-        def save(df: DataFrame, name: String): Unit = {
-          df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
-          println(s"[dev] wrote $name")
-        }
-        // dimension tables stay FIXED as the fact side grows
-        Seq("region", "nation", "part", "supplier").foreach(t =>
-          save(Tables(spark, src, t), t))
-        val nCust = 150000L; val nOrd = 1500000L; val nUsers = 15000L
-        save(spark.range(nCust).select(col("id").as("c_custkey"),
-          format_string("Customer#%09d", col("id")).as("c_name"),
-          pmod(hash(lit("cn"), col("id")), lit(25)).cast("int").as("c_nationkey"),
-          round(lit(-1000.0) + u("cb", col("id")) * 11000.0, 2).as("c_acctbal"),
-          pick("cs", col("id"), Seq("AUTOMOBILE", "HOUSEHOLD", "BUILDING",
-            "FURNITURE", "MACHINERY")).as("c_mktsegment")), "customer")
-        val orders = spark.range(nOrd).select(col("id").as("o_orderkey"),
-          pmod(hash(lit("oc"), col("id")), lit(nCust)).as("o_custkey"),
-          pick("os", col("id"), Seq("F", "O", "P")).as("o_orderstatus"),
-          round(lit(1000.0) + u("ot", col("id")) * 499000.0, 2).as("o_totalprice"),
-          timestamp_micros(lit(788918400000000L) +
-            (u("od", col("id")) * 2404).cast("long") * 86400000000L)
-            .as("o_orderdate"),
-          pick("op", col("id"), Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
-            "4-NOT SPECIFIED", "5-LOW")).as("o_orderpriority"))
-        save(orders, "orders")
-        save(orders.select(col("o_orderkey"),
-            explode(sequence(lit(1), (pmod(hash(lit("ln"), col("o_orderkey")),
-              lit(7)) + 1).cast("int"))).as("l_linenumber"))
-          .select(col("o_orderkey").as("l_orderkey"), col("l_linenumber"))
-          .withColumn("rid", hash(lit("li"), col("l_orderkey"), col("l_linenumber")))
-          .select(col("l_orderkey"),
-            // FK moduli MUST match the COPIED dimension tables (the dims
-            // stay fixed as the fact side grows): sf0.1 part has 20,000
-            // keys and supplier 1,000 — a larger modulus would orphan
-            // ~90% of lineitem FKs, falsify the q115 all-zero audit on
-            // this tree, and cut part/supplier join selectivity to ~10%
-            pmod(hash(lit("lp"), col("rid")), lit(20000L)).as("l_partkey"),
-            pmod(hash(lit("ls"), col("rid")), lit(1000L)).as("l_suppkey"),
-            col("l_linenumber"),
-            (pmod(hash(lit("lq"), col("rid")), lit(50)) + 1)
-              .cast("double").as("l_quantity"),
-            round(lit(900.0) + u("le", col("rid")) * 104100.0, 2)
-              .as("l_extendedprice"),
-            (pmod(hash(lit("ld"), col("rid")), lit(11)).cast("double") / 100.0)
-              .as("l_discount"),
-            (pmod(hash(lit("lt"), col("rid")), lit(9)).cast("double") / 100.0)
-              .as("l_tax"),
-            pick("lr", col("rid"), Seq("R", "A", "N")).as("l_returnflag"),
-            pick("ll", col("rid"), Seq("F", "O")).as("l_linestatus"),
-            timestamp_micros(lit(789004800000000L) +
-              (u("lsd", col("rid")) * 2498).cast("long") * 86400000000L)
-              .as("l_shipdate")), "lineitem")
-        save(spark.range(1000000L).select(col("id").as("event_id"),
-          timestamp_micros(lit(1704067200000000L) +
-            (u("ets", col("id")) * (30.0 * 86400 - 60) * 1e6).cast("long"))
-            .as("ts"),
-          pmod(hash(lit("eu"), col("id")), lit(nUsers)).as("user_id"),
-          pick("et", col("id"), Seq("signup", "view", "click", "purchase",
-            "error")).as("event_type"),
-          round(u("ev", col("id")) * 560.0, 2).as("value"),
-          format_string("{\"k\": %d}",
-            pmod(hash(lit("ek"), col("id")), lit(100))).as("props")), "events")
-        // documents: fresh token streams from the corpus vocabulary
-        val vocab = Tables.documents(spark, src)
-          .select(explode(split(lower(col("text")), " ")).as("t"))
-          .filter(length(col("t")) > 0).distinct()
-          .collect().map(_.getString(0)).sorted
-        println(s"[dev] vocab=${vocab.length}")
-        val vocabArr = array(vocab.map(lit): _*)
-        val nDocs = 50000L
-        val docs0 = spark.range(nDocs).select(col("id").as("doc_id"),
-          when(u("dl", col("id")) < 0.41, "en")
-            .otherwise(pick("dl2", col("id"), Seq("zh", "es", "fr", "de")))
-            .as("lang"),
-          concat(lit("src"), pmod(hash(lit("dsr"), col("id")), lit(20)))
-            .as("source"),
-          array_join(transform(
-            sequence(lit(0), (pmod(hash(lit("dn"), col("id")), lit(91)) + 9)
-              .cast("int")),
-            i => element_at(vocabArr,
-              pmod(hash(lit("dt"), col("doc_id"), i), lit(vocab.length))
-                .cast("int") + 1)), " ").as("text"))
-        // organic near-dup rate ≈ sf0.1's (8 dup texts / 5000 docs): every
-        // 625th doc is an exact copy of its predecessor under a new id
-        val dupTexts = docs0
-          .select((col("doc_id") + 1).as("doc_id"), col("text").as("dup_text"))
-        save(docs0.join(dupTexts, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            when(pmod(col("doc_id"), lit(625)) === 624 && col("dup_text").isNotNull,
-              col("dup_text")).otherwise(col("text")).as("text"),
-            col("lang"), col("source"))
-          .withColumn("n_chars", length(col("text"))), "documents")
-        // embeddings: unit-norm around 10 hash-seeded centroids; every
-        // 200th vector is a tiny perturbation of its predecessor
-        val nVec = 20000L
-        val dims = 64
-        def rawVec(tag: String, id: Column): Column = transform(
-          sequence(lit(0), lit(dims - 1)),
-          j => element_at(array((0 until 10).map(l => (u(s"c$l", j) - 0.5) +
-            (u(tag, id, j) - 0.5) * 0.6): _*),
-            pmod(hash(lit("elab"), id), lit(10)).cast("int") + 1))
-        val e0 = spark.range(nVec).select(col("id").as("vec_id"),
-          rawVec("ev", col("id")).as("raw"),
-          pmod(hash(lit("elab"), col("id")), lit(10)).cast("int").as("label"))
-        val dupVecs = e0.select((col("vec_id") + 1).as("vec_id"),
-          transform(col("raw"), x => x + 0.004).as("dup_raw"))
-        save(e0.join(dupVecs, Seq("vec_id"), "left")
-          .withColumn("v",
-            when(pmod(col("vec_id"), lit(200)) === 199 && col("dup_raw").isNotNull,
-              col("dup_raw")).otherwise(col("raw")))
-          .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0),
-            (a, x) => a + x * x)))
-          .select(col("vec_id"),
-            transform(col("v"), x => (x / col("nrm")).cast("float"))
-              .as("embedding"),
-            col("label")), "embeddings")
-        java.nio.file.Files.write(java.nio.file.Paths.get(s"$dst/_DONE"),
-          "organic sf1".getBytes)
-        println(s"[dev] organic sf1 tree complete at $dst")
 
       case Some("dedupfresh") =>
         // price incremental dedup-graph refresh vs full rebuild
@@ -854,5 +750,155 @@ object Dev {
         println(s"[dev] entry rows = ${flagship.count()}")
     }
     spark.stop()
+  }
+
+  /** ORGANIC sf1 tree builder (the `gensf1` entry; `verifysf1` calls it
+    * to guarantee the tree before a full correctness dump). Idempotent:
+    * a completed tree (marker `_DONE`) is never regenerated.
+    */
+  private def genOrganicSf1(spark: SparkSession, dst: String): Unit = {
+        // ORGANIC sf1 tree (~10× sf0.1 rows AND ~10× key space, freshly
+        // drawn — not replicas): scaling ratios measured on it reflect
+        // organic key-cardinality growth, where the 10× replica's exact
+        // text/vector copies inflate the exact-pair baselines (q28/q44
+        // see every original×copy pair at jaccard/cos 1.0). Fully
+        // deterministic (hash-seeded column math, no Math.random), same
+        // schemas as TESTDATA.md, written once and fingerprint-free (the
+        // generator IS the fingerprint: delete the dir to regenerate).
+        // Distributions mirror the sf0.1 profile: 31-word vocab, doc len
+        // 10..100, lang {en 41%, zh/es/fr/de ~15%}, 20 sources, ~0.16%
+        // planted exact dups; embeddings unit-norm around 10 hash-seeded
+        // label centroids with ~0.5% planted near-dups; TPC-H-ish facts
+        // with fixed dims and 10× fact key spaces.
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.{Column, DataFrame}
+        val src = "/root/testdata/sf0.1"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dst/_DONE"))) {
+          println(s"[dev] $dst already generated"); return
+        }
+        // uniform in [0,1) from a tagged hash — deterministic, columnar
+        def u(tag: String, cols: Column*): Column =
+          pmod(hash((lit(tag) +: cols): _*), lit(1000000)).cast("double") / 1e6
+        def pick(tag: String, id: Column, vals: Seq[String]): Column =
+          element_at(array(vals.map(lit): _*),
+            pmod(hash(lit(tag), id), lit(vals.length)).cast("int") + 1)
+        def save(df: DataFrame, name: String): Unit = {
+          df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+          println(s"[dev] wrote $name")
+        }
+        // dimension tables stay FIXED as the fact side grows
+        Seq("region", "nation", "part", "supplier").foreach(t =>
+          save(Tables(spark, src, t), t))
+        val nCust = 150000L; val nOrd = 1500000L; val nUsers = 15000L
+        save(spark.range(nCust).select(col("id").as("c_custkey"),
+          format_string("Customer#%09d", col("id")).as("c_name"),
+          pmod(hash(lit("cn"), col("id")), lit(25)).cast("int").as("c_nationkey"),
+          round(lit(-1000.0) + u("cb", col("id")) * 11000.0, 2).as("c_acctbal"),
+          pick("cs", col("id"), Seq("AUTOMOBILE", "HOUSEHOLD", "BUILDING",
+            "FURNITURE", "MACHINERY")).as("c_mktsegment")), "customer")
+        val orders = spark.range(nOrd).select(col("id").as("o_orderkey"),
+          pmod(hash(lit("oc"), col("id")), lit(nCust)).as("o_custkey"),
+          pick("os", col("id"), Seq("F", "O", "P")).as("o_orderstatus"),
+          round(lit(1000.0) + u("ot", col("id")) * 499000.0, 2).as("o_totalprice"),
+          timestamp_micros(lit(788918400000000L) +
+            (u("od", col("id")) * 2404).cast("long") * 86400000000L)
+            .as("o_orderdate"),
+          pick("op", col("id"), Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+            "4-NOT SPECIFIED", "5-LOW")).as("o_orderpriority"))
+        save(orders, "orders")
+        save(orders.select(col("o_orderkey"),
+            explode(sequence(lit(1), (pmod(hash(lit("ln"), col("o_orderkey")),
+              lit(7)) + 1).cast("int"))).as("l_linenumber"))
+          .select(col("o_orderkey").as("l_orderkey"), col("l_linenumber"))
+          .withColumn("rid", hash(lit("li"), col("l_orderkey"), col("l_linenumber")))
+          .select(col("l_orderkey"),
+            // FK moduli MUST match the COPIED dimension tables (the dims
+            // stay fixed as the fact side grows): sf0.1 part has 20,000
+            // keys and supplier 1,000 — a larger modulus would orphan
+            // ~90% of lineitem FKs, falsify the q115 all-zero audit on
+            // this tree, and cut part/supplier join selectivity to ~10%
+            pmod(hash(lit("lp"), col("rid")), lit(20000L)).as("l_partkey"),
+            pmod(hash(lit("ls"), col("rid")), lit(1000L)).as("l_suppkey"),
+            col("l_linenumber"),
+            (pmod(hash(lit("lq"), col("rid")), lit(50)) + 1)
+              .cast("double").as("l_quantity"),
+            round(lit(900.0) + u("le", col("rid")) * 104100.0, 2)
+              .as("l_extendedprice"),
+            (pmod(hash(lit("ld"), col("rid")), lit(11)).cast("double") / 100.0)
+              .as("l_discount"),
+            (pmod(hash(lit("lt"), col("rid")), lit(9)).cast("double") / 100.0)
+              .as("l_tax"),
+            pick("lr", col("rid"), Seq("R", "A", "N")).as("l_returnflag"),
+            pick("ll", col("rid"), Seq("F", "O")).as("l_linestatus"),
+            timestamp_micros(lit(789004800000000L) +
+              (u("lsd", col("rid")) * 2498).cast("long") * 86400000000L)
+              .as("l_shipdate")), "lineitem")
+        save(spark.range(1000000L).select(col("id").as("event_id"),
+          timestamp_micros(lit(1704067200000000L) +
+            (u("ets", col("id")) * (30.0 * 86400 - 60) * 1e6).cast("long"))
+            .as("ts"),
+          pmod(hash(lit("eu"), col("id")), lit(nUsers)).as("user_id"),
+          pick("et", col("id"), Seq("signup", "view", "click", "purchase",
+            "error")).as("event_type"),
+          round(u("ev", col("id")) * 560.0, 2).as("value"),
+          format_string("{\"k\": %d}",
+            pmod(hash(lit("ek"), col("id")), lit(100))).as("props")), "events")
+        // documents: fresh token streams from the corpus vocabulary
+        val vocab = Tables.documents(spark, src)
+          .select(explode(split(lower(col("text")), " ")).as("t"))
+          .filter(length(col("t")) > 0).distinct()
+          .collect().map(_.getString(0)).sorted
+        println(s"[dev] vocab=${vocab.length}")
+        val vocabArr = array(vocab.map(lit): _*)
+        val nDocs = 50000L
+        val docs0 = spark.range(nDocs).select(col("id").as("doc_id"),
+          when(u("dl", col("id")) < 0.41, "en")
+            .otherwise(pick("dl2", col("id"), Seq("zh", "es", "fr", "de")))
+            .as("lang"),
+          concat(lit("src"), pmod(hash(lit("dsr"), col("id")), lit(20)))
+            .as("source"),
+          array_join(transform(
+            sequence(lit(0), (pmod(hash(lit("dn"), col("id")), lit(91)) + 9)
+              .cast("int")),
+            i => element_at(vocabArr,
+              pmod(hash(lit("dt"), col("doc_id"), i), lit(vocab.length))
+                .cast("int") + 1)), " ").as("text"))
+        // organic near-dup rate ≈ sf0.1's (8 dup texts / 5000 docs): every
+        // 625th doc is an exact copy of its predecessor under a new id
+        val dupTexts = docs0
+          .select((col("doc_id") + 1).as("doc_id"), col("text").as("dup_text"))
+        save(docs0.join(dupTexts, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(625)) === 624 && col("dup_text").isNotNull,
+              col("dup_text")).otherwise(col("text")).as("text"),
+            col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text"))), "documents")
+        // embeddings: unit-norm around 10 hash-seeded centroids; every
+        // 200th vector is a tiny perturbation of its predecessor
+        val nVec = 20000L
+        val dims = 64
+        def rawVec(tag: String, id: Column): Column = transform(
+          sequence(lit(0), lit(dims - 1)),
+          j => element_at(array((0 until 10).map(l => (u(s"c$l", j) - 0.5) +
+            (u(tag, id, j) - 0.5) * 0.6): _*),
+            pmod(hash(lit("elab"), id), lit(10)).cast("int") + 1))
+        val e0 = spark.range(nVec).select(col("id").as("vec_id"),
+          rawVec("ev", col("id")).as("raw"),
+          pmod(hash(lit("elab"), col("id")), lit(10)).cast("int").as("label"))
+        val dupVecs = e0.select((col("vec_id") + 1).as("vec_id"),
+          transform(col("raw"), x => x + 0.004).as("dup_raw"))
+        save(e0.join(dupVecs, Seq("vec_id"), "left")
+          .withColumn("v",
+            when(pmod(col("vec_id"), lit(200)) === 199 && col("dup_raw").isNotNull,
+              col("dup_raw")).otherwise(col("raw")))
+          .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0),
+            (a, x) => a + x * x)))
+          .select(col("vec_id"),
+            transform(col("v"), x => (x / col("nrm")).cast("float"))
+              .as("embedding"),
+            col("label")), "embeddings")
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$dst/_DONE"),
+          "organic sf1".getBytes)
+        println(s"[dev] organic sf1 tree complete at $dst")
   }
 }

@@ -101,9 +101,27 @@ object GeoQueries {
     // Flagship (§3.1 StreamingAppV3 restated): filter → group per user →
     // time-sorted point list → dedup-and-cap-100 → A10 best-location +
     // A11 cluster-score election. collect_list is an ObjectHashAggregate
-    // with map-side partial merge; group state is capped (≤100 after
-    // dedup, election skipped >500) exactly like the reference, so group
-    // buffers stay bounded at any scale. Oracle-checked END-TO-END with
+    // with map-side partial merge; AFTER the UDF the group state is capped
+    // (≤100 after dedup, election skipped >500) exactly like the
+    // reference.
+    //
+    // DECLARED unbounded-group caveat (the one deliberate full-list
+    // buffer in the engine): the agg buffer itself holds the COMPLETE
+    // per-user point list before dedupAndCap runs, because the exact
+    // reference semantics require it — dedup is FIRST-OCCURRENCE over the
+    // full time-sorted history, then the cap keeps the TAIL 100
+    // (BestLatLngCalculator's deduplicateList-then-takeRight order), so
+    // which 100 points survive depends on every earlier duplicate: a
+    // pre-capped buffer changes verdicts and breaks the oracle. This
+    // matches the reference batch job, which also materializes the merged
+    // list per key. At 100 TB a hot key pays O(its history) here; the
+    // production forms for unbounded histories are (a) the streaming
+    // pipeline (GeotagPipeline / StreamingJobs.bestLocationUpsert), where
+    // each group list is bounded by one micro-batch, and (b) the typed
+    // O(cap)-buffer ElectionAggregators twins (capped merge state, exact
+    // early-exit semantics via latest+count) — parity-pinned against this
+    // query's election on the driver corpora in QueriesSpec ("typed
+    // aggregator twins") and ElectionsSpec. Oracle-checked END-TO-END with
     // the real vincenty kernel: the WGS84 inverse iteration is replayed
     // op-for-op as a DuckDB recursive CTE (vincentyPairCtes below), so the
     // whole flagship — iterative geodesic included — is hash-checked, not

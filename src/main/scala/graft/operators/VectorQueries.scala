@@ -857,9 +857,27 @@ object VectorQueries {
     // L1: this context's TrieMap. L2: the cross-JVM disk store — the
     // inverted file / code table / band tables ARE the index's storage
     // segments; a fresh session maps the published parquet instead of
-    // re-deriving them from the raw corpus.
-    annFrames.getOrElseUpdate(key,
-      graft.ArtifactStore.readThrough(s, tag, fp)(build))
+    // re-deriving them from the raw corpus. Every L1 hit re-checks the
+    // backing entry (stillLive also touches it, so gc's last-use aging
+    // sees cache hits as uses): a vanished entry drops the frame and
+    // re-reads through instead of serving a scan over deleted files.
+    annFrames.get(key) match {
+      case Some(df) if graft.ArtifactStore.stillLive(s, tag, fp) => df
+      case _ =>
+        annFrames.remove(key)
+        annFrames.getOrElseUpdate(key,
+          graft.ArtifactStore.readThrough(s, tag, fp)(build))
+    }
+  }
+
+  /** Drop every JVM-local artifact cache (the L1 layer over the disk
+    * store): the corpus-side index frames and the driver-row centroid/
+    * codebook tables. For harnesses that must re-derive artifacts cold
+    * in ONE JVM — the bench's repeated cold-build timings.
+    */
+  private[graft] def dropSessionCaches(): Unit = {
+    annFrames.clear()
+    annArtifacts.clear()
   }
 
   /** The PQ-encoded corpus, (vec_id, sub, subvec): shared by the code

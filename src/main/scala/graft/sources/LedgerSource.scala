@@ -758,14 +758,30 @@ class LedgerScan(path: String, options: Map[String, String],
     * filtering is an optimization — the join still applies the predicate).
     */
   @volatile private var runtimeAllowed: Option[Set[Int]] = None
+  /** Runtime filtering composes UNSOUNDLY with a fully-pushed LIMIT/
+    * OFFSET: Spark already removed its Limit/Offset operators
+    * (isPartiallyPushed = false), so a runtime filter arriving later
+    * (filter() + a re-planned toBatch()) would make the scan emit the
+    * first `limit` entries OF THE PRUNED PARTITION SET — not the pruned
+    * subset of the original `limit`-entry prefix the deleted Limit
+    * promised. A limit-then-join against a filtered dimension would
+    * silently return different rows. So with a pushed limit/offset this
+    * scan offers NO filter attributes (and ignores any filter handed to
+    * it, as belt): DPP is only an optimization — the join still applies
+    * its predicate to the correct prefix.
+    */
+  private def runtimeFilteringSound: Boolean =
+    pushedLimit.isEmpty && pushedOffset.isEmpty
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (required.fieldNames.contains("partition"))
+    if (runtimeFilteringSound && required.fieldNames.contains("partition"))
       Array(org.apache.spark.sql.connector.expressions.Expressions.column("partition"))
     else Array.empty
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
-    val sets = filters.flatMap(LedgerSource.partitionSetFromFilter)
-    if (sets.nonEmpty) runtimeAllowed = Some(sets.reduce(_ intersect _))
+    if (runtimeFilteringSound) {
+      val sets = filters.flatMap(LedgerSource.partitionSetFromFilter)
+      if (sets.nonEmpty) runtimeAllowed = Some(sets.reduce(_ intersect _))
+    }
   }
 
   private def effectivePartitions: Seq[Int] =
@@ -990,11 +1006,41 @@ class LedgerMicroBatchStream(path: String, options: Map[String, String],
   // is planned; decode failures accumulate from executors
   @volatile private var lastBatchEntries = 0L
   @volatile private var lastBatchBytes = 0L
+  // consumed frontier of the last PLANNED batch — what the metrics-system
+  // backlog gauges measure against (metrics() gets the engine-supplied
+  // consumed offset per progress tick; a registry gauge has no argument)
+  @volatile private var lastPlannedEnd: Map[Int, Cursor] = Map.empty
   private val decodeFailures: org.apache.spark.util.LongAccumulator =
     try {
       org.apache.spark.sql.SparkSession.active.sparkContext
         .longAccumulator(s"graft-ledger($path).decodeFailures")
     } catch { case _: Throwable => null }
+
+  // metrics-SYSTEM registration (reference parity: the per-topic Codahale
+  // Source, PulsarMetricsSource.scala:7-30) — the same figures metrics()
+  // reports per batch, exported as live gauges any configured sink
+  // scrapes. Registration is idempotent per (SparkEnv, topic) and a
+  // missing SparkEnv is a no-op: metrics never fail a stream.
+  locally {
+    def backlogs(): Seq[Long] = {
+      val consumed = lastPlannedEnd
+      partitions().map { p =>
+        val ledgers = listLedgers(partitionDir(p))
+        val c = consumed.getOrElse(p,
+          Cursor(ledgers.headOption.map(_.ledgerId).getOrElse(0L), 0L))
+        backlog(ledgers, c)
+      }
+    }
+    org.apache.spark.metrics.source.GraftLedgerMetricsSource.register(path, Map(
+      "totalBacklog" -> (() => backlogs().sum),
+      "maxPartitionBacklog" ->
+        (() => { val b = backlogs(); if (b.isEmpty) 0L else b.max }),
+      "numPartitions" -> (() => partitions().size.toLong),
+      "batchEntries" -> (() => lastBatchEntries),
+      "batchBytes" -> (() => lastBatchBytes),
+      "decodeFailures" ->
+        (() => Option(decodeFailures).map(_.value.longValue).getOrElse(0L))))
+  }
 
   // Trigger.AvailableNow: snapshot the end target once, then keep emitting
   // rate-limited batches until every partition reaches it.
@@ -1123,6 +1169,7 @@ class LedgerMicroBatchStream(path: String, options: Map[String, String],
     }.toArray
     lastBatchEntries = batchEntries
     lastBatchBytes = batchBytes
+    lastPlannedEnd = e
     planned
   }
 

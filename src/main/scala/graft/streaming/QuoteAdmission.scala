@@ -67,11 +67,21 @@ object QuoteAdmission {
       .get(s.sparkContext.hadoopConfiguration)
     val censusPath = new org.apache.hadoop.fs.Path(s"$storePath/census")
     // a genuinely-missing store reads empty; any other failure aborts the
-    // epoch (swallowing it would admit quotes of everything admitted)
+    // epoch (swallowing it would admit quotes of everything admitted).
+    // A missing census WITH a compaction aside is not "empty" — it is an
+    // INTERRUPTED compact() (crash between the aside-move and the
+    // tmp-move): failing open here would admit long quotes of everything
+    // previously admitted, so fail loudly and point at the recovery.
     val stored: Option[DataFrame] =
       if (storeFs.exists(censusPath))
         Some(s.read.parquet(censusPath.toString)
           .filter(col("epoch") =!= batchId)) // retries skip their own output
+      else if (storeFs.exists(
+          new org.apache.hadoop.fs.Path(s"$storePath/census_compact_aside")))
+        throw new IllegalStateException(
+          s"quote store $storePath: census missing but a compaction aside " +
+            "exists — an interrupted compact(); re-run compact() to recover " +
+            "before admitting")
       else None
 
     // covered-by-store: the window's hash has at least one admitted owner
@@ -137,15 +147,44 @@ object QuoteAdmission {
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     val live = s"$storePath/census"
     val tmp = s"$storePath/census_compact_tmp"
-    val df = try s.read.parquet(live) catch { case _: Throwable => return }
-    df.select(col("h")).distinct()
-      .write.mode("overwrite").parquet(s"$tmp/epoch=-1")
     val livePath = new org.apache.hadoop.fs.Path(live)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    if (!fs.delete(livePath, true) && fs.exists(livePath))
-      throw new java.io.IOException(s"compact: cannot remove $live")
-    if (!fs.rename(tmpPath, livePath))
+    val asidePath = new org.apache.hadoop.fs.Path(s"$storePath/census_compact_aside")
+    // recover an interrupted previous compact(): the crash windows are
+    //   (a) live present + aside present  — crashed after the tmp-move
+    //       landed the NEW census but before the aside delete: the aside
+    //       is superseded debris, drop it;
+    //   (b) live missing + aside present  — crashed between the
+    //       aside-move and the tmp-move: the aside IS the census (intact
+    //       by construction; the tmp may or may not be complete — the
+    //       aside is always safe), restore it and re-compact.
+    // quoteDrops refuses to run while (b) stands, so the window is
+    // fail-loud, never fail-open.
+    if (fs.exists(asidePath)) {
+      if (fs.exists(livePath)) {
+        if (!fs.delete(asidePath, true))
+          throw new java.io.IOException(s"compact: cannot drop stale aside $asidePath")
+      } else if (!fs.rename(asidePath, livePath))
+        throw new java.io.IOException(s"compact: cannot restore $asidePath -> $live")
+    }
+    // a genuinely-missing census is a no-op; any OTHER read failure
+    // propagates (the old catch-everything would silently skip a
+    // compaction over an unreadable store)
+    if (!fs.exists(livePath)) return
+    fs.delete(tmpPath, true) // debris from a run that crashed pre-aside
+    s.read.parquet(live).select(col("h")).distinct()
+      .write.mode("overwrite").parquet(s"$tmp/epoch=-1")
+    // crash-safe publish: live -> aside, tmp -> live, drop aside. At no
+    // point is the census both absent and unrecoverable, and quoteDrops
+    // treats {no live, aside present} as an error, not an empty store.
+    if (!fs.rename(livePath, asidePath))
+      throw new java.io.IOException(s"compact: rename $live -> $asidePath failed")
+    if (!fs.rename(tmpPath, livePath)) {
+      fs.rename(asidePath, livePath) // restore; best-effort before the throw
       throw new java.io.IOException(s"compact: rename $tmp -> $live failed")
+    }
+    if (!fs.delete(asidePath, true))
+      throw new java.io.IOException(s"compact: cannot drop aside $asidePath")
   }
 
   /** Wire as a streaming sink over a (doc_id, text) stream. */

@@ -190,6 +190,65 @@ class ArtifactStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("entry keys carry the code fingerprint: a rebuilt engine can never read stale parquet") {
+    // the historical hazard: edit a builder, forget the manual
+    // SchemaVersion bump, and the persistent default root serves the OLD
+    // builder's parquet — green runs that never executed the new code.
+    // The key folds an md5 of the compiled classes, so a code change IS
+    // a key change by construction.
+    assert(ArtifactStore.codeFingerprint.matches("[0-9a-f]{32}"),
+      s"code fingerprint not computed: ${ArtifactStore.codeFingerprint}")
+    val root = freshRoot()
+    withStore(root) {
+      ArtifactStore.readThrough(spark, "codefp", "fpX")(spark.range(2).toDF("id"))
+      val entry = Files.list(Paths.get(root, "codefp")).toArray.map(_.toString)
+        .filter(_.contains("fp=")).head
+      val manifest = Files.readString(Paths.get(entry, "_MANIFEST"))
+      assert(manifest ==
+        s"v${ArtifactStore.SchemaVersion}:c${ArtifactStore.codeFingerprint}:fpX",
+        s"manifest does not carry the code fingerprint: $manifest")
+    }
+  }
+
+  test("L1-cached getters survive gc: vanished entries re-read through, hits touch the manifest") {
+    val root = freshRoot()
+    val corpus = Files.createTempDirectory("graft-store-corpus2").toString
+    spark.range(20).select(col("id").as("doc_id"),
+        lit("en").as("lang"), lit("src0").as("source"),
+        concat(lit("kappa lambda omicron sigma upsilon "),
+          col("id").cast("string")).as("text"))
+      .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    withStore(root) {
+      def census(): Map[String, Long] =
+        graft.operators.TextQueries.lexDfShared(spark, corpus)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val first = census()
+      assert(first.size == 5 && first.values.forall(_ == 20))
+      val entry = Files.list(Paths.get(root, "lexdf")).toArray.map(_.toString)
+        .filter(_.contains("fp=")).head
+      val manifest = Paths.get(entry, "_MANIFEST")
+      // an L1 hit is a USE: gc ages by last use, so the hit must refresh
+      // the manifest mtime — age it back, hit, observe it move forward
+      val aged = java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - 3600 * 1000)
+      Files.setLastModifiedTime(manifest, aged)
+      census() // L1 hit
+      assert(Files.getLastModifiedTime(manifest).toMillis > aged.toMillis,
+        "L1 cache hit did not touch the manifest — gc would collect a hot entry")
+      // gc the entry out from under the live L1 frame: the next getter
+      // call must notice, drop the dead frame, and re-read through —
+      // not serve a scan over deleted files
+      Files.setLastModifiedTime(manifest, aged)
+      val gone = ArtifactStore.gc(Paths.get(root), 60 * 1000)
+      assert(gone.map(_.toString).contains(entry), s"gc spared the entry: $gone")
+      val healed = census() // must rebuild + republish, not FileNotFound
+      assert(healed == first, "re-read-through census diverged")
+      assert(ArtifactStore.readIfPresent(spark, "lexdf",
+        Tables.parquetFingerprint(spark, corpus, "documents")).isDefined,
+        "getter did not republish after its backing entry was collected")
+    }
+  }
+
   test("shared getters are store-backed: a fresh JVM would scan the published parquet") {
     // private corpus (fingerprint collides with nothing, so no L1 entry
     // can satisfy it) → the getter must build THROUGH the store and hand

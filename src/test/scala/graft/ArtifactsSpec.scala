@@ -35,4 +35,31 @@ class ArtifactsSpec extends AnyFunSuite {
     assert(again.map(_._2).sum < math.max(builds.map(_._2).sum / 2, 2.0),
       s"second prewarm rebuilt instead of reading caches: $again vs $builds")
   }
+
+  test("prewarmCold builds every repetition genuinely cold and leaves the first store live") {
+    import java.nio.file.{Files, Paths}
+    val roots = Seq.fill(2)(
+      Files.createTempDirectory("graft-cold-spec").toString)
+    val prev = spark.conf.getOption("spark.graft.artifacts.path")
+    try {
+      val builds = Artifacts.prewarmCold(spark, "/root/testdata/sf0.001", roots)
+      assert(builds.map(_._1) ==
+        Seq("dedup", "lm", "lex", "nb", "bpe", "ivf", "pq", "srp"))
+      assert(builds.forall(_._2 >= 0), s"cold build failed: $builds")
+      // EVERY root carries a full publication: repetition 2 rebuilt from
+      // the corpus rather than hitting repetition 1's L1 frames (a
+      // near-zero second sample would defeat the min-of-cold-builds gate)
+      roots.foreach { r =>
+        val fams = Files.list(Paths.get(r))
+        try assert(fams.count() >= 8, s"root $r not fully published")
+        finally fams.close()
+      }
+      // the session is left reading the FIRST root — the sweeps' warm
+      // steady state
+      assert(spark.conf.get("spark.graft.artifacts.path") == roots.head)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.artifacts.path", v)
+      case None => spark.conf.unset("spark.graft.artifacts.path")
+    }
+  }
 }

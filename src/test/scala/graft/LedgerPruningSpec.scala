@@ -322,6 +322,36 @@ class LedgerPruningSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_pruning_ddl")
   }
 
+  test("a fully-pushed limit disables runtime filtering (limit-then-join rows)") {
+    // Spark REMOVES its Limit operators when the push is complete
+    // (isPartiallyPushed=false), so if a runtime filter then re-planned
+    // the batch, the scan would emit the first L entries of the PRUNED
+    // partition set — not the pruned subset of the original L-entry
+    // prefix. The scan must therefore decline runtime filtering whenever
+    // a limit/offset was pushed; correctness first, DPP is an optimization.
+    val topic = writeTopic(entries = 4000, pad = 32)
+    val dim = writeDim(Seq((0, "x"), (1, "x"), (2, "keep"), (3, "x")))
+    // log order: the 9000-entry prefix = all of p0 (4000) + all of p1
+    // (4000) + the first 1000 of p2. Joined to the keep=2 dimension the
+    // answer is EXACTLY p2's first 1000 keys; a runtime-pruned scan
+    // would instead return all 4000 of p2.
+    val fact = read(topic).limit(9000)
+    val res = fact.join(dim, fact("partition") === dim("p"))
+      .where(dim("tag") === "keep")
+      .selectExpr("partition", "key")
+    val rows = res.collect()
+    assert(rows.map(_.getInt(0)).toSet == Set(2))
+    assert(rows.length == 1000,
+      s"limit+DPP returned ${rows.length} rows — runtime pruning re-sliced the prefix")
+    assert(rows.map(_.getString(1)).toSet == (0 until 1000).map(i => s"k$i").toSet)
+    // the limit really was pushed, and the scan planned ALL partitions
+    // (no runtime re-plan happened)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 9000"), plan)
+    assert(planned(topic) == Seq(0, 1, 2, 3),
+      s"planned=${planned(topic)} — a runtime filter re-planned a limited scan")
+  }
+
   test("runtime filtering composes with static pushdown (intersection)") {
     val topic = writeTopic(entries = 4000, pad = 32)
     import spark.implicits._

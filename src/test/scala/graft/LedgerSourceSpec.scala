@@ -104,6 +104,37 @@ class LedgerSourceSpec extends AnyFunSuite {
     assert(lastMetrics.get("numPartitions") == "2")
   }
 
+  test("ledger streams register live gauges with the Spark metrics system") {
+    // reference parity: the per-topic Codahale Source
+    // (PulsarMetricsSource.scala:7-30) — same figures as the
+    // ReportsSourceMetrics progress map, but exported through
+    // sparkContext's MetricsSystem where dashboards scrape them
+    import org.apache.spark.metrics.source.GraftLedgerMetricsSource
+    val topic = writeTopic()
+    val df = spark.readStream.format("graft-ledger")
+      .option("path", topic.toString).load()
+    val q = df.writeStream.format("noop")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val names = GraftLedgerMetricsSource.gaugeNames(topic.toString)
+      .map(_.split('.').last).toSet
+    assert(Set("totalBacklog", "maxPartitionBacklog", "numPartitions",
+      "batchEntries", "batchBytes", "decodeFailures").subsetOf(names),
+      s"gauges missing: $names")
+    def g(n: String) = GraftLedgerMetricsSource.gaugeValue(topic.toString, n)
+    // fully consumed: live backlog 0; the last batch moved real entries
+    assert(g("totalBacklog").contains(0L), g("totalBacklog").toString)
+    assert(g("numPartitions").contains(2L))
+    assert(g("batchEntries").exists(_ > 0L))
+    assert(g("decodeFailures").contains(0L))
+    // gauges are LIVE: appended entries show up as backlog with no new
+    // batch planned
+    Files.write(topic.resolve("partition-0").resolve("ledger-9.log"),
+      "kx,px-l9-e0".getBytes(StandardCharsets.UTF_8))
+    assert(g("totalBacklog").contains(1L), g("totalBacklog").toString)
+    assert(g("maxPartitionBacklog").contains(1L))
+  }
+
   test("entry counts are cached by (size, mtime): no re-read until append") {
     val dir = Files.createTempDirectory("graft_count_cache")
     val f = dir.resolve("ledger-1.log")

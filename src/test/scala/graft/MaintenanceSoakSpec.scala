@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{CorpusStatsMaintenance, DedupMaintenance, IndexMaintenance, VectorQueries}
-import graft.streaming.{EmbeddingAdmission, NearDupAdmission}
+import graft.streaming.{EmbeddingAdmission, NearDupAdmission, QuoteAdmission}
 
 /** The composed steady-state loop a 100 TB deployment actually runs:
   * segments arrive through the LEDGER write path, the streaming
@@ -67,6 +67,8 @@ class MaintenanceSoakSpec extends AnyFunSuite {
     val vecTopic = Files.createTempDirectory("soak_vecledger").toString
     val docStore = Files.createTempDirectory("soak_docstore").toString
     val docKept = Files.createTempDirectory("soak_dockept").toString
+    val quoteStore = Files.createTempDirectory("soak_quotestore").toString
+    val quoteKept = Files.createTempDirectory("soak_quotekept").toString
     val vecStore = Files.createTempDirectory("soak_vecstore").toString
     val vecKept = Files.createTempDirectory("soak_veckept").toString
 
@@ -78,9 +80,14 @@ class MaintenanceSoakSpec extends AnyFunSuite {
     appendDocs(docTopic, allDocs.filter(col("doc_id") % 5 =!= 3))
     appendVecs(vecTopic, allVecs.filter(col("vec_id") % 5 =!= 3)
       .select(col("vec_id"), col("embedding")))
+    // two-gate doc funnel, exactly the CurationAdmission ordering: the
+    // near-dup LSH gate first, the verbatim-quote gate over its
+    // survivors — downstream maintenance rides the FINAL admitted set
     NearDupAdmission.admit(readDocs(docTopic, 0L), 0L, docStore, docKept)
+    QuoteAdmission.admit(spark.read.parquet(s"$docKept/epoch=0")
+      .select("doc_id", "text"), 0L, quoteStore, quoteKept)
     EmbeddingAdmission.admit(readVecs(vecTopic, 0L), 0L, vecStore, vecKept)
-    val docs0 = spark.read.parquet(s"$docKept/epoch=0")
+    val docs0 = spark.read.parquet(s"$quoteKept/epoch=0")
       .select("doc_id", "text").localCheckpoint()
     val vecs0 = spark.read.parquet(s"$vecKept/epoch=0")
       .select("vec_id", "embedding").localCheckpoint()
@@ -98,13 +105,51 @@ class MaintenanceSoakSpec extends AnyFunSuite {
     var admittedDocs = docs0
     var admittedVecs = vecs0
 
+    // the incrementally-maintained duplicated-span report (doc_id ->
+    // maxrun), updated per epoch by re-scoring ONLY the affected docs —
+    // pinned doc-for-doc against a full rebuild every epoch
+    def runsMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var spanReport = runsMap(CorpusStatsMaintenance.spanRuns(spans))
+
+    // a deterministic epoch-0-admitted doc with enough tokens to quote
+    // from — the cross-segment quote plants below copy ITS tokens, so an
+    // appended segment must flip this OLD doc's span verdict
+    import graft.functions.TextFunctions.tokens
+    val quotee = docs0.withColumn("t", tokens(col("text")))
+      .filter(size(col("t")) >= 40).orderBy("doc_id").limit(1)
+      .select(col("doc_id"), col("t")).localCheckpoint()
+    val quoteeId = quotee.collect().head.getLong(0)
+
     // ---- epochs 1..2: in-distribution segments with planted clones ------
     (1 to 2).foreach { ep =>
       val sliceD = allDocs.filter(col("doc_id") % 5 === 3 &&
         col("doc_id") % 2 === (ep % 2))
       val cloneD = admittedDocs.orderBy("doc_id").limit(1)
         .select((col("doc_id") + 100000L * ep).as("doc_id"), col("text"))
-      appendDocs(docTopic, sliceD.unionByName(cloneD))
+      // planted quotes of the epoch-0 doc `quotee` (unique letter-only
+      // filler so no other window collides):
+      //  - 25 consecutive tokens -> the quote gate must DROP it (>= 20)
+      //  - 12 consecutive tokens -> passes the gate (< 20) but flips the
+      //    OLD doc's duplicated-span verdict — the cross-segment flip
+      // letter-only filler (tokens() strips digits) that differs per
+      // epoch: identical plants across epochs would be near-dups of each
+      // other and never reach the quote gate
+      val epc = ('a' + ep).toChar
+      val fillQ = (c: Char, n: Int) => (0 until n)
+        .map(i => s"q$c$epc${('a' + i).toChar}${('z' - i).toChar}").mkString(" ")
+      val longQuoteId = 310000L + ep
+      val shortQuoteId = 320000L + ep
+      val quoteLong = quotee.select(lit(longQuoteId).as("doc_id"),
+        concat(lit(fillQ('l', 8)), lit(" "),
+          array_join(slice(col("t"), 3, 25), " "),
+          lit(" "), lit(fillQ('m', 8))).as("text"))
+      val quoteShort = quotee.select(lit(shortQuoteId).as("doc_id"),
+        concat(lit(fillQ('s', 8)), lit(" "),
+          array_join(slice(col("t"), 3, 12), " "),
+          lit(" "), lit(fillQ('t', 8))).as("text"))
+      appendDocs(docTopic,
+        sliceD.unionByName(cloneD).unionByName(quoteLong).unionByName(quoteShort))
       val sliceV = allVecs.filter(col("vec_id") % 5 === 3 &&
           col("vec_id") % 2 === (ep % 2))
         .select(col("vec_id"), col("embedding"))
@@ -114,14 +159,29 @@ class MaintenanceSoakSpec extends AnyFunSuite {
 
       NearDupAdmission.admit(readDocs(docTopic, ep.toLong), ep.toLong,
         docStore, docKept)
+      val nearDupKept = spark.read.parquet(s"$docKept/epoch=$ep")
+        .select("doc_id", "text").localCheckpoint()
+      QuoteAdmission.admit(nearDupKept, ep.toLong, quoteStore, quoteKept)
       EmbeddingAdmission.admit(readVecs(vecTopic, ep.toLong), ep.toLong,
         vecStore, vecKept, threshold = 0.999)
-      val keptD = spark.read.parquet(s"$docKept/epoch=$ep")
+      val keptD = spark.read.parquet(s"$quoteKept/epoch=$ep")
         .select("doc_id", "text").localCheckpoint()
       val keptV = spark.read.parquet(s"$vecKept/epoch=$ep")
         .select("vec_id", "embedding").localCheckpoint()
-      assert(keptD.filter(col("doc_id") >= 100000L).count() == 0,
+      assert(keptD.filter(col("doc_id") >= 100000L &&
+        col("doc_id") < 300000L).count() == 0,
         s"epoch $ep: a cloned doc slipped the text gate")
+      // the quote plants are NOT near-dups (25/12 shared tokens out of
+      // ~56+): they must reach the quote gate, which drops exactly the
+      // long one — per-window store coverage, across segments
+      val ndIds = nearDupKept.filter(col("doc_id") >= 300000L)
+        .collect().map(_.getLong(0)).toSet
+      assert(ndIds == Set(longQuoteId, shortQuoteId),
+        s"epoch $ep: quote plants did not reach the quote gate: $ndIds")
+      val qIds = keptD.filter(col("doc_id") >= 300000L)
+        .collect().map(_.getLong(0)).toSet
+      assert(qIds == Set(shortQuoteId),
+        s"epoch $ep: quote gate verdicts wrong (kept $qIds)")
       assert(keptV.filter(col("vec_id") >= 100000L).count() == 0,
         s"epoch $ep: a cloned vector slipped the embedding gate")
       assert(keptD.count() > 0 && keptV.count() > 0)
@@ -133,11 +193,30 @@ class MaintenanceSoakSpec extends AnyFunSuite {
         labelSet(DedupMaintenance.build(admittedDocs).labels),
         s"epoch $ep: refreshed labels diverged from a rebuild")
 
-      // lexical index + LM counts + dup-span census ride the same
-      // admitted epochs
+      // lexical index + LM counts ride the same admitted epochs
       lex = CorpusStatsMaintenance.refreshLex(lex, keptD)
       lm = CorpusStatsMaintenance.refreshLm(lm, keptD)
-      spans = CorpusStatsMaintenance.refreshSpans(spans, keptD).index
+      // dup-span census: refresh names the affected docs; re-score ONLY
+      // those and splice into the carried report — per epoch, census and
+      // report must equal a from-scratch rebuild exactly
+      val spanRe = CorpusStatsMaintenance.refreshSpans(spans, keptD)
+      spans = spanRe.index
+      val affectedIds = spanRe.affected.collect().map(_.getLong(0)).toSet
+      assert(affectedIds.contains(quoteeId) && affectedIds.contains(shortQuoteId),
+        s"epoch $ep: cross-segment quote did not mark the quoted doc as " +
+          s"affected ($affectedIds)")
+      spanReport = spanReport.filterNot(kv => affectedIds(kv._1)) ++
+        runsMap(CorpusStatsMaintenance.spanRuns(spans, Some(spanRe.affected)))
+      val rebuiltSpans = CorpusStatsMaintenance.buildSpans(admittedDocs)
+      assert(spans.census.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        == rebuiltSpans.census.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+        s"epoch $ep: refreshed span census diverged from rebuild")
+      assert(spanReport == runsMap(CorpusStatsMaintenance.spanRuns(rebuiltSpans)),
+        s"epoch $ep: incremental span report diverged from rebuild")
+      // the flip itself: the OLD epoch-0 doc now reports a duplicated
+      // run of exactly the planted 12-token quote (12 - 10 + 1 windows)
+      assert(spanReport.get(quoteeId).contains(3L),
+        s"epoch $ep: quoted doc's verdict ${spanReport.get(quoteeId)} != Some(3)")
 
       // IVF: in-distribution appends stay incremental (frozen centroids)
       val (ivf2, report) = IndexMaintenance.refreshIvf(ivf, keptV)

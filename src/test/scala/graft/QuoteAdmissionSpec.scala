@@ -106,6 +106,65 @@ class QuoteAdmissionSpec extends AnyFunSuite {
     assert(kept(keptP, 3L) == Set(31L))
   }
 
+  test("compact is crash-safe: interrupted windows fail loud and recover, never open") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_quote_store_crash").toString
+    val keptP = Files.createTempDirectory("graft_quote_kept_crash").toString
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val baseWords = (0 until 40).map(w('a', _))
+    val fill = (c: Char, n: Int) => (0 until n).map(w(c, _))
+    QuoteAdmission.admit(
+      Seq(doc(1L, baseWords), doc(2L, fill('b', 40))).toDF("doc_id", "text"),
+      0L, store, keptP)
+
+    // crash window (b): live was renamed aside, tmp never landed — the
+    // most dangerous state, since a missing census otherwise reads as an
+    // EMPTY store and the gate would admit quotes of everything admitted
+    assert(fs.rename(p(s"$store/census"), p(s"$store/census_compact_aside")))
+    val quoting = Seq(
+      doc(10L, fill('c', 8) ++ baseWords.slice(5, 30) ++ fill('d', 8)),
+      doc(11L, fill('e', 40))).toDF("doc_id", "text")
+    val ex = intercept[IllegalStateException] {
+      QuoteAdmission.admit(quoting, 1L, store, keptP)
+    }
+    assert(ex.getMessage.contains("compact"), ex.getMessage)
+
+    // recovery: compact() restores the aside, completes, and the
+    // recovered base still rejects the long quote
+    QuoteAdmission.compact(spark, store)
+    assert(!fs.exists(p(s"$store/census_compact_aside")))
+    assert(!fs.exists(p(s"$store/census_compact_tmp")))
+    val epochs = spark.read.parquet(s"$store/census")
+      .select("epoch").distinct().collect()
+      .map(_.get(0).toString.toLong).toSet
+    assert(epochs == Set(-1L), s"recovered compact left epochs: $epochs")
+    QuoteAdmission.admit(quoting, 1L, store, keptP)
+    assert(kept(keptP, 1L) == Set(11L), "recovered base lost admitted hashes")
+
+    // crash window (a): the new census landed but the aside delete did
+    // not — superseded debris; the next compact() must drop it quietly
+    // and still produce a correct base
+    assert(fs.mkdirs(p(s"$store/census_compact_aside/epoch=-1")))
+    QuoteAdmission.compact(spark, store)
+    assert(!fs.exists(p(s"$store/census_compact_aside")))
+    QuoteAdmission.admit(Seq(
+      doc(20L, fill('f', 8) ++ baseWords.slice(0, 25) ++ fill('g', 8)),
+      doc(21L, fill('h', 40))).toDF("doc_id", "text"), 2L, store, keptP)
+    assert(kept(keptP, 2L) == Set(21L))
+
+    // pre-aside debris: a tmp left by a run that crashed before touching
+    // the live census must not block or corrupt the next compact
+    assert(fs.mkdirs(p(s"$store/census_compact_tmp/epoch=-1")))
+    QuoteAdmission.compact(spark, store)
+    assert(!fs.exists(p(s"$store/census_compact_tmp")))
+    QuoteAdmission.admit(Seq(
+      doc(30L, fill('i', 8) ++ baseWords.slice(3, 28) ++ fill('j', 8)),
+      doc(31L, fill('k', 40))).toDF("doc_id", "text"), 3L, store, keptP)
+    assert(kept(keptP, 3L) == Set(31L))
+  }
+
   test("quote gate wired as a streaming sink over MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
