@@ -6,7 +6,7 @@ Reads each <verifyOutDir>/<query>/ parquet (written by graft.Verify), runs
 the matching SQL from oracle_sql.json in DuckDB against the raw tables in
 <sfDir>, and compares row counts, sorted column names, and sorted values.
 """
-import sys, json, glob, math
+import sys, json, glob, math, os
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -30,15 +30,26 @@ def table_key(rows, cols):
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
+    # large-SF oracles (the recursive-CTE replays at organic sf1) exceed
+    # DuckDB's default in-memory budget — allow spilling instead of dying
+    # with an allocation failure mid-oracle
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("PRAGMA memory_limit='80GB'")
     for t in TABLES:
+        # driver testdata = single files; Spark-written trees (e.g. the
+        # organic sf1 from `Dev gensf1`) = directories of part files
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_rows_only = 0
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = qdir.rstrip("/").split("/")[-1]
+        if only and not any(p in name for p in only):
+            continue
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
             print(f"FAIL {name}: no parquet output")
@@ -82,4 +93,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # optional 3rd+ args: substring filters to re-check specific queries
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3:] or None))

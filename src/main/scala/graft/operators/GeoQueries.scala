@@ -88,12 +88,22 @@ object GeoQueries {
     // halving (25 steps): every interval endpoint is a dyadic rational,
     // so the double math is exact on both engines and the comparison
     // cascade reproduces geohashEncodeScala bit-for-bit.
+    //
+    // avg_value is the EXACT mean, derived as round(sum,2)/n rather than
+    // round(avg,4): values carry 2 decimals, so the true per-cell sum IS
+    // a 2-decimal number and round(·,2) only strips double-representation
+    // noise (it can never sit on a .005 boundary), after which both
+    // engines divide identical doubles by identical counts — bit-equal.
+    // round(avg,4) instead LANDS on half-ties (an n=8 cell's true mean
+    // has 5 decimals): the first organic-sf1 oracle sweep caught 10 of
+    // 265,951 cells flipping ±0.0001 between Spark's BigDecimal HALF_UP
+    // (decimal string) and DuckDB's rounding of the raw binary double.
     "q23_geohash_cells" -> ((s, dir) => {
       geoEvents(s, dir)
         .withColumn("cell", geohashEncode(col("lat"), col("lng"), 5))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n"),
-          round(avg("value"), 4).as("avg_value"))
+          (round(sum("value"), 2) / count(lit(1))).as("avg_value"))
         .filter(col("n") >= 2)
         .orderBy("cell")
     }),
@@ -1223,7 +1233,8 @@ object GeoQueries {
         |  SELECT event_id, value,
         |    string_agg(substring('0123456789bcdefghjkmnpqrstuvwxyz', v+1, 1), '' ORDER BY g) AS cell
         |  FROM ch GROUP BY 1, 2)
-        |SELECT cell, count(*) AS n, round(avg(value), 4) AS avg_value
+        |SELECT cell, count(*) AS n,
+        |  round(CAST(sum(value) AS DOUBLE), 2) / count(*) AS avg_value
         |FROM cells GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin
   )
 }
