@@ -146,36 +146,17 @@ object GeoQueries {
     // (GeoFunctions.vincentyM doc) and resolves by insertion order
     // identically in both engines. Exact semantics additionally pinned
     // by ElectionsSpec.
-    "q40_best_location" -> ((s, dir) => {
-      import s.implicits._
-      val pts = geoEvents(s, dir)
-        .filter(col("event_type").isin("click", "purchase") &&
-          col("acc") > 0 && col("acc") < 200)
-        .select(col("user_id"), col("lat"), col("lng"), col("acc"),
-          col("ts_ms"))
-      val grouped = pts
-        .groupBy(col("user_id"))
-        .agg(sort_array(collect_list(struct(
-          col("ts_ms"), col("lat"), col("lng"), col("acc")))).as("pts"))
-      val elect = udf { (pts: Seq[Row]) =>
-        val points = pts.map(r => Pt(r.getDouble(1), r.getDouble(2),
-          r.getDouble(3), r.getLong(0)))
-        val deduped = Elections.dedupAndCap(points)
-        // one shared distance matrix for both elections (parity-spec'd)
-        val ((blat, blng), (slat, slng, conf)) = Elections.electBoth(deduped)
-        (deduped.length, blat, blng, slat, slng, conf)
-      }
-      grouped
-        .withColumn("r", elect(col("pts")))
-        .select(col("user_id"),
-          col("r._1").as("n_points"),
-          col("r._2").as("best_lat"),
-          col("r._3").as("best_lng"),
-          col("r._4").as("score_lat"),
-          col("r._5").as("score_lng"),
-          col("r._6").as("confidence"))
-        .orderBy("user_id")
-    }),
+    "q40_best_location" -> ((s, dir) => bestLocationElection(s, dir, None)),
+
+    // q40's deterministic 1-in-50 user sample — the ORGANIC-SF1 audit
+    // twin (the q80-for-q48 pattern: same operator, a restated checkable
+    // surface). q40's own oracle replays vincenty per point pair as a
+    // recursive CTE and exceeds DuckDB's capacity at sf1 (~1.6G
+    // recursion rows; SCALING §6b), so THIS sibling runs the IDENTICAL
+    // pipeline over `user_id % 50 = 0` — the full election chain stays
+    // hash-checked at every scale the organic tree sweeps, at 1/2500 of
+    // the oracle's pair count.
+    "q118_election_sample" -> ((s, dir) => bestLocationElection(s, dir, Some(50))),
 
     // A13 delivery refinement: purchases = deliveries, views = GPS pings;
     // range-join pings within ±30 min of each delivery (replaces the
@@ -443,6 +424,42 @@ object GeoQueries {
     })
   )
 
+  /** q40's flagship election pipeline (and q118's sampled audit twin —
+    * `sampleMod` keeps every user whose id ≡ 0 mod it). One body so the
+    * twin can never drift from the flagship.
+    */
+  private def bestLocationElection(s: SparkSession, dir: String,
+      sampleMod: Option[Int]): DataFrame = {
+    val pts = geoEvents(s, dir)
+      .filter(col("event_type").isin("click", "purchase") &&
+        col("acc") > 0 && col("acc") < 200)
+      .filter(sampleMod.fold(lit(true))(m => col("user_id") % m === 0))
+      .select(col("user_id"), col("lat"), col("lng"), col("acc"),
+        col("ts_ms"))
+    val grouped = pts
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(
+        col("ts_ms"), col("lat"), col("lng"), col("acc")))).as("pts"))
+    val elect = udf { (pts: Seq[Row]) =>
+      val points = pts.map(r => Pt(r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(0)))
+      val deduped = Elections.dedupAndCap(points)
+      // one shared distance matrix for both elections (parity-spec'd)
+      val ((blat, blng), (slat, slng, conf)) = Elections.electBoth(deduped)
+      (deduped.length, blat, blng, slat, slng, conf)
+    }
+    grouped
+      .withColumn("r", elect(col("pts")))
+      .select(col("user_id"),
+        col("r._1").as("n_points"),
+        col("r._2").as("best_lat"),
+        col("r._3").as("best_lng"),
+        col("r._4").as("score_lat"),
+        col("r._5").as("score_lng"),
+        col("r._6").as("confidence"))
+      .orderBy("user_id")
+  }
+
   /** Shared CTE prefix of the q77/q79 election oracles: dedup+cap exactly
     * as q64 over the accMod=3 geometry, ordered pairwise haversine meters
     * spelled op-for-op like haversineMScala (self pairs included, as in
@@ -635,12 +652,14 @@ object GeoQueries {
        |  FROM vf3),
        |p AS (SELECT * FROM ptriv UNION ALL SELECT * FROM vdist)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    // q40's election replayed with the REAL vincenty kernel (see
-    // vincentyPairCtes): same dedup+cap prefix as q64 (cap 100 here),
-    // then the identical A10/A11 relational tail as q77 — plus the
-    // n>500 A10 guard q40's cap makes reachable in principle.
-    "q40_best_location" ->
+  /** q40's election replayed with the REAL vincenty kernel (see
+    * vincentyPairCtes): same dedup+cap prefix as q64 (cap 100 here),
+    * then the identical A10/A11 relational tail as q77 — plus the
+    * n>500 A10 guard q40's cap makes reachable in principle. `pred` is
+    * prepended to the event filter: "" for the flagship, the 1-in-50
+    * user sample for q118's organic-sf1 audit twin.
+    */
+  private def electionVincentyOracle(pred: String): String =
       (s"""WITH RECURSIVE g AS (
           |  SELECT user_id,
           |    (user_id % 120) - 60 + value / 1000.0 AS lat,
@@ -648,7 +667,7 @@ object GeoQueries {
           |    value % 120.0 AS acc,
           |    epoch_ms(ts) AS ts_ms
           |  FROM events
-          |  WHERE event_type IN ('click', 'purchase')
+          |  WHERE ${pred}event_type IN ('click', 'purchase')
           |    AND value % 120.0 > 0 AND value % 120.0 < 200),
           |f AS (
           |  SELECT user_id, lat, lng, acc, min(ts_ms) AS fts
@@ -724,7 +743,11 @@ object GeoQueries {
           |LEFT JOIN b10 ON b10.user_id = un.user_id
           |LEFT JOIN (SELECT user_id, lat, lng FROM w11 WHERE rk = 1) w ON w.user_id = un.user_id
           |LEFT JOIN conf ON conf.user_id = un.user_id
-          |ORDER BY un.user_id""".stripMargin),
+          |ORDER BY un.user_id""".stripMargin)
+
+  val oracles: Map[String, String] = Map(
+    "q40_best_location" -> electionVincentyOracle(""),
+    "q118_election_sample" -> electionVincentyOracle("user_id % 50 = 0 AND "),
 
     // q41's passthrough bound (see the query's notes): ≤2 pings per
     // delivery at every test SF < minCount=3, so the output is provably
