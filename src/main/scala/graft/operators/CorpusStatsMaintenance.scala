@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions.{tokens, tokenBigrams, wordNgramsUdf}
+import graft.functions.TextFunctions.{qualityScore, splitAssign, tokens, tokenBigrams, wordNgramsUdf}
 
 /** Incremental maintenance of the lexical-index and corpus-LM artifact
   * families — the text-statistics member of the maintenance triad
@@ -144,6 +144,78 @@ object CorpusStatsMaintenance {
     bigrams(docs).join(lm, "bg")
       .groupBy(col("doc_id"))
       .agg(avg(-log(col("p"))).as("s"))
+
+  // ---- NB quality-classifier family (q92's sufficient statistics) ----
+
+  /** THE labeled-tokenized corpus transform (doc_id, split, cls, toks)
+    * over raw (…, doc_id, text) docs — one definition shared by the q92
+    * artifact builder ([[TextQueries.nbQualityScored]]'s `nblabeled`
+    * store entry) and the incremental NB maintenance below, so the
+    * labeling threshold and split policy can never drift between the
+    * batch snapshot and the maintained counts.
+    */
+  def nbLabeled(docs: DataFrame): DataFrame = docs
+    .withColumn("split", splitAssign(col("doc_id")))
+    .withColumn("cls",
+      when(qualityScore(col("text")) >= 0.8, "hi").otherwise("lo"))
+    .select(col("doc_id"), col("split"), col("cls"),
+      tokens(col("text")).as("toks"))
+
+  /** The multinomial-NB SUFFICIENT STATISTICS: `docs` = the labeled
+    * tokenized corpus (row-local per doc), `tf` = (token, tf_hi, tf_lo)
+    * TRAIN-split per-class occurrence counts — a two-column additive
+    * census — and the class priors `dHi`/`dLo` (train doc counts,
+    * plain additive longs). Everything q92's scorer derives (class
+    * totals, vocabulary size, the (0+1)-smoothed per-type log-ratio
+    * model, the UNK constant, the prior log-odds) is vocab-bounded
+    * arithmetic over exactly these counts, so maintaining them additively
+    * maintains the classifier: identical counts ⇒ identical model ⇒
+    * identical margins, with no approximation step anywhere.
+    */
+  final case class NbStats(docs: DataFrame, tf: DataFrame,
+      dHi: Long, dLo: Long)
+
+  private def nbTf(labeled: DataFrame): DataFrame = labeled
+    .filter(col("split") === "train")
+    .select(explode(col("toks")).as("token"), col("cls"))
+    .groupBy(col("token"))
+    .agg(sum(when(col("cls") === "hi", 1L).otherwise(0L)).as("tf_hi"),
+      sum(when(col("cls") === "lo", 1L).otherwise(0L)).as("tf_lo"))
+
+  private def nbPriors(labeled: DataFrame): (Long, Long) = {
+    // sum() over an empty frame is NULL, and an empty delta segment is
+    // legal — coalesce to 0 so the additive merge stays total
+    val r = labeled.filter(col("split") === "train")
+      .agg(coalesce(sum(when(col("cls") === "hi", 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col("cls") === "lo", 1L).otherwise(0L)), lit(0L)))
+      .collect().head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** From-scratch NB statistics over (…, doc_id, text) docs — bootstrap
+    * AND the refresh's equivalence oracle. */
+  def buildNb(docs: DataFrame): NbStats = {
+    val labeled = nbLabeled(docs).localCheckpoint()
+    val (dHi, dLo) = nbPriors(labeled)
+    NbStats(labeled, nbTf(labeled).localCheckpoint(), dHi, dLo)
+  }
+
+  /** Refresh for an appended `delta` with fresh ids: the delta is
+    * labeled/tokenized ALONE (row-local; the corpus table comes back as
+    * a lazy union over the materialized segments, like the lexical
+    * per-doc tables), the per-class token census merges by key-wise
+    * addition over both count columns, and the priors add — O(delta +
+    * touched vocab keys), never a base re-scan. */
+  def refreshNb(base: NbStats, delta: DataFrame): NbStats = {
+    val labeledD = nbLabeled(delta).localCheckpoint()
+    val (dHi, dLo) = nbPriors(labeledD)
+    val tf = base.tf.unionByName(nbTf(labeledD))
+      .groupBy(col("token"))
+      .agg(sum(col("tf_hi")).as("tf_hi"), sum(col("tf_lo")).as("tf_lo"))
+      .localCheckpoint()
+    NbStats(base.docs.unionByName(labeledD), tf,
+      base.dHi + dHi, base.dLo + dLo)
+  }
 
   // ---- duplicated-span audit family (q117's staging tables) ----
 

@@ -367,12 +367,10 @@ object TextQueries {
     // corpus is the preprocessing table a deployed pipeline materializes
     // once per snapshot, not per scoring query.
     val docs = cachedTextFrame(s, "nblabeled", dir) {
-      Tables.documents(s, dir)
-        .withColumn("split", splitAssign(col("doc_id")))
-        .withColumn("cls",
-          when(qualityScore(col("text")) >= 0.8, "hi").otherwise("lo"))
-        .select(col("doc_id"), col("split"), col("cls"),
-          tokens(col("text")).as("toks"))
+      // ONE labeling/split/tokenize definition shared with the
+      // incremental NB maintenance (CorpusStatsMaintenance.nbLabeled):
+      // the maintained counts and this snapshot can never drift
+      CorpusStatsMaintenance.nbLabeled(Tables.documents(s, dir))
         .localCheckpoint() // feeds class counts, priors AND valid scoring
     }
     val toks = docs.select(col("doc_id"), col("split"), col("cls"),

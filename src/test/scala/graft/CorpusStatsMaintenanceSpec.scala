@@ -96,6 +96,35 @@ class CorpusStatsMaintenanceSpec extends AnyFunSuite {
     assert(ours == eng, "maintained LM drifted from the engine's corpus LM")
   }
 
+  test("NB statistics refresh == rebuild: per-class token census, priors, labeled rows") {
+    val (base, delta) = split()
+    val nb0 = buildNb(base)
+    val refreshed = refreshNb(nb0, delta)
+    val rebuilt = buildNb(base.unionByName(delta))
+    def tfMap(df: DataFrame): Map[String, (Long, Long)] =
+      df.collect().map(r => r.getAs[String]("token") ->
+        (r.getAs[Long]("tf_hi"), r.getAs[Long]("tf_lo"))).toMap
+    assert(tfMap(refreshed.tf) == tfMap(rebuilt.tf),
+      "per-class token census diverged from rebuild")
+    assert((refreshed.dHi, refreshed.dLo) == (rebuilt.dHi, rebuilt.dLo),
+      "class priors diverged from rebuild")
+    // the labeled corpus table is row-local: refreshed rows == rebuilt
+    // rows, and the base's rows are reused verbatim (no base re-label)
+    assert(rowSet(refreshed.docs.select(col("doc_id"), col("split"), col("cls")))
+      == rowSet(rebuilt.docs.select(col("doc_id"), col("split"), col("cls"))))
+    assert(refreshed.docs.join(nb0.docs.select(col("doc_id")), "doc_id")
+      .count() == nb0.docs.count())
+    // identical counts ⇒ identical smoothed model ⇒ identical margins
+    // (the derivation is deterministic vocab-bounded arithmetic; the
+    // shared nbLabeled definition is what TextQueries' q92 artifact
+    // builds from, so batch and maintenance can't drift)
+    val emptyDelta = corpus().filter(lit(false))
+    val noop = refreshNb(rebuilt, emptyDelta)
+    assert((noop.dHi, noop.dLo) == (rebuilt.dHi, rebuilt.dLo) &&
+      tfMap(noop.tf) == tfMap(rebuilt.tf),
+      "empty delta changed the NB statistics")
+  }
+
   test("degenerate deltas: short docs contribute no bigrams/grams but keep censuses exact") {
     import spark.implicits._
     val base = Seq((1L, "alpha beta gamma delta epsilon zeta"),

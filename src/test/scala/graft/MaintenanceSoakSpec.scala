@@ -95,6 +95,7 @@ class MaintenanceSoakSpec extends AnyFunSuite {
     var graph = DedupMaintenance.build(docs0)
     var lex = CorpusStatsMaintenance.buildLex(docs0)
     var lm = CorpusStatsMaintenance.buildLm(docs0)
+    var nb = CorpusStatsMaintenance.buildNb(docs0)
     var spans = CorpusStatsMaintenance.buildSpans(docs0)
     var ivf = IndexMaintenance.buildIvf(vecs0.join(lbl, "vec_id"))
     val sv0 = VectorQueries.pqSubvecs(VectorQueries.pqNormalize(vecs0))
@@ -193,9 +194,11 @@ class MaintenanceSoakSpec extends AnyFunSuite {
         labelSet(DedupMaintenance.build(admittedDocs).labels),
         s"epoch $ep: refreshed labels diverged from a rebuild")
 
-      // lexical index + LM counts ride the same admitted epochs
+      // lexical index + LM counts + NB statistics ride the same
+      // admitted epochs
       lex = CorpusStatsMaintenance.refreshLex(lex, keptD)
       lm = CorpusStatsMaintenance.refreshLm(lm, keptD)
+      nb = CorpusStatsMaintenance.refreshNb(nb, keptD)
       // dup-span census: refresh names the affected docs; re-score ONLY
       // those and splice into the carried report — per epoch, census and
       // report must equal a from-scratch rebuild exactly
@@ -247,6 +250,12 @@ class MaintenanceSoakSpec extends AnyFunSuite {
     assert(lm.c2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
       lmRebuilt.c2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
       "maintained bigram counts diverged from rebuild")
+    val nbRebuilt = CorpusStatsMaintenance.buildNb(admittedDocs)
+    assert(nb.tf.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      == nbRebuilt.tf.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap,
+      "maintained NB token census diverged from rebuild")
+    assert((nb.dHi, nb.dLo) == (nbRebuilt.dHi, nbRebuilt.dLo),
+      "maintained NB priors diverged from rebuild")
     val spansRebuilt = CorpusStatsMaintenance.buildSpans(admittedDocs)
     assert(spans.census.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
       spansRebuilt.census.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
