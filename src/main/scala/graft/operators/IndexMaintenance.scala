@@ -201,4 +201,53 @@ object IndexMaintenance {
     val stats = cellStats(assigned).localCheckpoint()
     IvfIndex(assigned, cent, stats, maxDrift(stats, cent))
   }
+
+  /** The SRP band-table index (q34/q37's corpus side) with its FROZEN
+    * geometry: `bands` = the persisted (vec_id, embedding, t, b) bucket
+    * files, `bits` = the bucket width the index was hashed with, sized
+    * from corpus cardinality at BUILD time
+    * ([[VectorQueries.srpBitsFor]]), `vectors` = the exact corpus count
+    * the next refresh sizes against. Unlike IVF/PQ there is nothing
+    * trained here — the hyperplanes are seed-derived — so an append is
+    * purely ROW-LOCAL under the frozen width; the one thing that CAN
+    * go stale is the width itself (per-bucket occupancy grows linearly
+    * with the corpus), which is a deterministic arithmetic signal, not
+    * a measured one.
+    */
+  final case class SrpIndex(bands: DataFrame, bits: Int, vectors: Long)
+
+  /** What an SRP refresh did: `mode` is "incremental" (the grown corpus
+    * still sizes the frozen width) or "rebuild" (occupancy crossed the
+    * width boundary — re-hash the corpus at `widthNow` to restore the
+    * ~32-vectors-per-bucket design point; candidates stay CORRECT either
+    * way, the signal is about probe cost). */
+  final case class SrpRefreshReport(mode: String, newVectors: Long,
+      frozenWidth: Int, widthNow: Int)
+
+  /** Bootstrap SRP build: size the width from the corpus, hash every
+    * vector into the L band tables. */
+  def buildSrp(e: DataFrame): SrpIndex = {
+    val n = e.count()
+    val bits = VectorQueries.srpBitsFor(n)
+    SrpIndex(VectorQueries.srpBandRows(e, bits).localCheckpoint(), bits, n)
+  }
+
+  /** Refresh for appended vectors with fresh ids: the delta is hashed
+    * ALONE under the FROZEN width (one definition with the builder —
+    * [[VectorQueries.srpBandRows]] — so the two can never drift) and the
+    * band tables gain its rows; base rows are never re-hashed. A width
+    * change recommendation is the report's rebuild signal — the SRP
+    * analogue of IVF's drift detector and PQ's misfit ratio, here exact
+    * arithmetic on the carried count. */
+  def refreshSrp(base: SrpIndex, delta: DataFrame)
+      : (SrpIndex, SrpRefreshReport) = {
+    val nD = delta.count()
+    val bands = base.bands.unionByName(
+      VectorQueries.srpBandRows(delta, base.bits).localCheckpoint())
+    val n = base.vectors + nD
+    val widthNow = VectorQueries.srpBitsFor(n)
+    val mode = if (widthNow == base.bits) "incremental" else "rebuild"
+    (SrpIndex(bands, base.bits, n),
+      SrpRefreshReport(mode, nD, base.bits, widthNow))
+  }
 }

@@ -908,15 +908,23 @@ object VectorQueries {
     * (seeds 16·t apart), preserving q37 ⊇ q34 candidate coverage. */
   private[graft] def srpBandsShared(s: SparkSession, dir: String): DataFrame =
     cachedIndexFrame(s, "srpbands", dir) {
-      val bits = srpAnnBits(s, dir)
-      Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"), explode(array(
-          (0 until SrpAnnTables).map(t => struct(lit(t).as("t"),
-            srpBucketExpr(col("embedding"), bits, 16 * t).as("b"))): _*)).as("tb"))
-        .select(col("vec_id"), col("embedding"),
-          col("tb.t").as("t"), col("tb.b").as("b"))
+      srpBandRows(Tables.embeddings(s, dir), srpAnnBits(s, dir))
         .localCheckpoint()
     }
+
+  /** The L=[[SrpAnnTables]] SRP band rows (vec_id, embedding, t, b) of an
+    * embedding frame under a FROZEN bit width — ONE banding definition
+    * shared by the persisted band-table builder above and the
+    * incremental maintenance ([[IndexMaintenance.refreshSrp]]): an
+    * appended segment must hash with the width the index was BUILT with,
+    * or the same vector family lands in two different bucket spaces.
+    */
+  private[graft] def srpBandRows(e: DataFrame, bits: Int): DataFrame =
+    e.select(col("vec_id"), col("embedding"), explode(array(
+        (0 until SrpAnnTables).map(t => struct(lit(t).as("t"),
+          srpBucketExpr(col("embedding"), bits, 16 * t).as("b"))): _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.t").as("t"), col("tb.b").as("b"))
 
   /** IVF probe-and-rerank search over an inverted file: broadcast the
     * query probe list onto the cell-partitioned corpus, exact-cosine
@@ -1078,10 +1086,16 @@ object VectorQueries {
     * between tables. The oracle recomputes the same width from count(*)
     * in SQL — both sides must use THIS formula.
     */
-  private[graft] def srpAnnBits(s: SparkSession, dir: String): Int =
+  /** Bucket width sized from corpus cardinality (≈32 vectors per bucket
+    * per table at the design point, clamped to [4,16]). Exposed per-count
+    * so the SRP maintenance can ask what width a GROWN corpus would size
+    * — a width change is its rebuild signal. */
+  private[graft] def srpBitsFor(n: Long): Int =
     math.min(16, math.max(4,
-      (math.log(Tables.rowCount(s, dir, "embeddings").toDouble) /
-        math.log(2)).ceil.toInt - 5))
+      (math.log(n.toDouble) / math.log(2)).ceil.toInt - 5))
+
+  private[graft] def srpAnnBits(s: SparkSession, dir: String): Int =
+    srpBitsFor(Tables.rowCount(s, dir, "embeddings"))
 
   /** OR-construction width for q37: 8 independent tables, seeds 16·t
     * apart (table 0 = q34's band).

@@ -199,6 +199,44 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       s"alien delta not flagged: $dAlien vs base $dBase")
   }
 
+  test("SRP refresh: row-local under the frozen width; width boundary signals rebuild") {
+    val (base, delta) = split()
+    val baseE = base.select(col("vec_id"), col("embedding"))
+    val idx0 = IndexMaintenance.buildSrp(baseE)
+    // in-range append: refreshed bands == a from-scratch rebuild over
+    // base ⊎ delta, bit-for-bit (the widths agree at these sizes, so
+    // rebuild and frozen-width refresh must hash identically)
+    val (idx1, rep1) = IndexMaintenance.refreshSrp(idx0, delta)
+    assert(rep1.mode == "incremental", rep1.toString)
+    val rebuilt = IndexMaintenance.buildSrp(baseE.unionByName(delta))
+    assert(rebuilt.bits == idx0.bits, "test premise: widths must agree")
+    def bandSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.select(col("vec_id"), col("t"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(bandSet(idx1.bands) == bandSet(rebuilt.bands),
+      "frozen-width refresh diverged from rebuild")
+    // base rows reused verbatim — the delta is the only newly hashed set
+    assert(idx1.bands.join(idx0.bands.select(col("vec_id")).distinct(), "vec_id")
+      .count() == idx0.bands.count())
+
+    // width-boundary append: a delta that grows the corpus past the next
+    // power of two sizes a WIDER bucket space — the refresh still hashes
+    // the delta under the FROZEN width (candidates stay correct; mixing
+    // widths would split the bucket space) and reports "rebuild"
+    val bigDelta = Tables.embeddings(spark, dir)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      .unionByName(Tables.embeddings(spark, dir)
+        .select((col("vec_id") + 200000L).as("vec_id"), col("embedding")))
+    val (idx2, rep2) = IndexMaintenance.refreshSrp(idx1, bigDelta)
+    assert(rep2.mode == "rebuild" && rep2.widthNow > rep2.frozenWidth,
+      rep2.toString)
+    assert(idx2.bits == idx0.bits, "refresh silently changed the frozen width")
+    val expectedDelta = bandSet(
+      graft.operators.VectorQueries.srpBandRows(bigDelta, idx0.bits))
+    assert(bandSet(idx2.bands.filter(col("vec_id") >= 100000L)) == expectedDelta,
+      "delta was not hashed under the frozen width")
+  }
+
   test("a drifted append trips the detector and warm-start retrains") {
     val (base, delta) = split()
     val idx = IndexMaintenance.buildIvf(base)

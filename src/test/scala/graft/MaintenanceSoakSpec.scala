@@ -98,6 +98,7 @@ class MaintenanceSoakSpec extends AnyFunSuite {
     var nb = CorpusStatsMaintenance.buildNb(docs0)
     var spans = CorpusStatsMaintenance.buildSpans(docs0)
     var ivf = IndexMaintenance.buildIvf(vecs0.join(lbl, "vec_id"))
+    var srp = IndexMaintenance.buildSrp(vecs0)
     val sv0 = VectorQueries.pqSubvecs(VectorQueries.pqNormalize(vecs0))
       .localCheckpoint()
     var pq = IndexMaintenance.buildPq(sv0)
@@ -228,6 +229,12 @@ class MaintenanceSoakSpec extends AnyFunSuite {
       admittedVecs = admittedVecs.unionByName(keptV)
       assert(ivf.assigned.count() == admittedVecs.count())
 
+      // SRP: row-local append under the frozen width (no boundary at
+      // these sizes, so the report must say incremental)
+      val (srp2, srpRep) = IndexMaintenance.refreshSrp(srp, keptV)
+      assert(srpRep.mode == "incremental", s"epoch $ep: $srpRep")
+      srp = srp2
+
       // PQ: delta encodes against the frozen codebook; the misfit test
       // reads the BUILD-TIME constant, no base pass
       val svD = VectorQueries.pqSubvecs(VectorQueries.pqNormalize(keptV))
@@ -256,6 +263,11 @@ class MaintenanceSoakSpec extends AnyFunSuite {
       "maintained NB token census diverged from rebuild")
     assert((nb.dHi, nb.dLo) == (nbRebuilt.dHi, nbRebuilt.dLo),
       "maintained NB priors diverged from rebuild")
+    val srpRebuilt = IndexMaintenance.buildSrp(admittedVecs)
+    assert(srpRebuilt.bits == srp.bits &&
+      srp.bands.select("vec_id", "t", "b").collect().map(_.toSeq).toSet ==
+        srpRebuilt.bands.select("vec_id", "t", "b").collect().map(_.toSeq).toSet,
+      "maintained SRP band tables diverged from rebuild")
     val spansRebuilt = CorpusStatsMaintenance.buildSpans(admittedDocs)
     assert(spans.census.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
       spansRebuilt.census.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
