@@ -8,10 +8,11 @@ import graft.operators._
   * `queries` is the full operator inventory (SURVEY.md §2) re-expressed
   * Spark-first; `oracleSql` holds the DuckDB-equivalent ANSI SQL for every
   * SQL-expressible query (same column names/rounding on both sides) —
-  * 116 of 117 entries, including the elections (vincenty replayed as a
+  * 119 of 120 entries, including the elections (vincenty replayed as a
   * recursive CTE — q40 plus its 1-in-50 sampled twin q118, which keeps
   * the chain hash-checkable at organic sf1), every LSH/trained-index
-  * pipeline, geohash, lang-ID,
+  * pipeline (through q119's SemDeDup over the trained IVF cells and
+  * q120's Bloom-bitset decontamination), geohash, lang-ID,
   * the pivot/rollup/unpivot reshaping surface (q83/q84/q86), the
   * per-source KL mixture diagnostic (q85), the portable Count-Min /
   * weighted-sampling pair (q87/q88), the passage-dedup / TF-IDF

@@ -250,4 +250,71 @@ object IndexMaintenance {
     (SrpIndex(bands, base.bits, n),
       SrpRefreshReport(mode, nD, base.bits, widthNow))
   }
+
+  /** Semantic-dedup state over an IVF index (q119's operator form —
+    * SemDeDup, Abbas et al. 2023): `members` is the roster (vec_id,
+    * cell, embedding, csim) with csim = cosine to the OWN frozen
+    * centroid (the prototypicality key the keep rule orders by), and
+    * `dropped` the ids pruned so far. Both are valid exactly as long as
+    * the index's centroid GEOMETRY is: after an incremental
+    * [[refreshIvf]] (frozen centroids) the state refreshes additively;
+    * after a retrain (cells and csims both move) it must rebuild —
+    * the same staleness contract as every other family here.
+    */
+  final case class SemDedupState(members: DataFrame, dropped: DataFrame,
+      tau: Double)
+
+  /** The dropped side of every qualifying within-cell near-dup pair
+    * between rosters `a` and `b` under the SemDeDup keep rule: the MORE
+    * prototypical member (higher csim, ties dropping the larger id)
+    * loses. Symmetric in its pair, so the caller controls the pair
+    * universe via `idCond` (a < b at build; delta × all at refresh —
+    * where delta×delta pairs appear twice and collapse in the distinct).
+    */
+  private def semDrops(a: DataFrame, b: DataFrame,
+      idCond: org.apache.spark.sql.Column, tau: Double): DataFrame =
+    a.alias("a").join(b.alias("b"),
+        col("a.cell") === col("b.cell") && idCond)
+      .filter(cosineSim(col("a.embedding"), col("b.embedding")) >= tau)
+      .select(when(col("a.csim") > col("b.csim") ||
+          (col("a.csim") === col("b.csim") &&
+            col("a.vec_id") > col("b.vec_id")), col("a.vec_id"))
+        .otherwise(col("b.vec_id")).as("vec_id"))
+      .distinct()
+
+  private def semRoster(assigned: DataFrame, cent: DataFrame): DataFrame =
+    assigned.join(broadcast(cent), "cell")
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        cosineSim(col("embedding"), col("centroid")).as("csim"))
+
+  /** Bootstrap semantic-dedup pass over a built index: per-cell
+    * pairwise (Σ|cell|², the q119 cost shape), drop set persisted. */
+  def buildSemDedup(index: IvfIndex, tau: Double = 0.35): SemDedupState = {
+    val m = semRoster(index.assigned, index.centroids).localCheckpoint()
+    SemDedupState(m, semDrops(m, m,
+      col("a.vec_id") < col("b.vec_id"), tau).localCheckpoint(), tau)
+  }
+
+  /** Refresh for appended vectors with fresh ids under FROZEN
+    * centroids: base×base pairs (and base csims) are untouched by an
+    * append, and the drop set is a plain UNION over pairs, so the
+    * refresh only scores delta × (base ∪ delta) within cells —
+    * O(|delta| × cell) instead of Σ|cell|² — and is bit-identical to a
+    * rebuild on the grown roster. An append CAN drop an old vector (a
+    * new, less prototypical near-dup ousts its more prototypical base
+    * twin — the keep rule prefers diversity); the spec plants exactly
+    * that. After a centroid retrain, rebuild instead.
+    */
+  def refreshSemDedup(state: SemDedupState, index: IvfIndex,
+      delta: DataFrame): SemDedupState = {
+    val dm = semRoster(
+      VectorQueries.assignCells(delta.select(col("vec_id"), col("embedding")),
+        index.centroids), index.centroids).localCheckpoint()
+    val all = state.members.unionByName(dm)
+    val newDrops = semDrops(dm, all,
+      col("a.vec_id") =!= col("b.vec_id"), state.tau)
+    SemDedupState(all,
+      state.dropped.unionByName(newDrops).distinct().localCheckpoint(),
+      state.tau)
+  }
 }

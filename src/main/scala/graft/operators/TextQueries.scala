@@ -2014,6 +2014,61 @@ object TextQueries {
           round(avg(col("span")), 4).as("avg_span"),
           max(col("span")).as("max_span"))
         .orderBy("lang")
+    }),
+
+    // Bloom-filter decontamination — the 100 TB form of q68's benchmark-
+    // overlap check: instead of shuffle-joining the corpus's gram stream
+    // against the benchmark grams, the benchmark (held-out valid+test
+    // splits, q53 convention) is compressed ONCE into a fixed-size Bloom
+    // bitset that BROADCASTS, and the corpus is scanned a single time
+    // with 4 codegen'd hash probes per gram — no corpus-side shuffle at
+    // all on the production path. Deterministic end-to-end: positions
+    // are md5-derived (k=4 seeds), m = smallest power of two >= 16×
+    // |benchmark grams| (measured FP rate ~0.2%), the bitset lives as
+    // 32-bit lanes in a words table (m/32 rows — bounded, broadcast;
+    // 32-bit lanes because a 1<<63 differs across engines). The exact-
+    // membership audit columns (n_exact_hits / n_false_pos) are the
+    // verification twin in the q28/q29 pattern: a deployed pipeline
+    // drops them and keeps only the probe path. Oracle replays the
+    // same build + probe bit-for-bit via the strpos hex polynomial.
+    "q120_bloom_decontaminate" -> ((s, dir) => {
+      val grams = gram5Shared(s, dir).select(col("doc_id"), col("g"))
+        .withColumn("split", splitAssign(col("doc_id")))
+      val bench = grams.filter(col("split") =!= "train")
+        .select(col("g")).distinct()
+      // 1-row broadcast scalar (the q76 totals idiom); 2^k via pow —
+      // exact in doubles up to 2^53, and the Scala shiftleft API only
+      // takes literal shift amounts
+      val mRow = bench.agg(pow(lit(2.0),
+        ceil(log2(count(lit(1)).cast("double") * 16.0)).cast("double"))
+        .cast("long").as("m"))
+      def pos(i: Int) = pmod(conv(substring(
+        md5(concat(lit(s"bloom$i:"), col("g"))), 1, 8), 16, 10).cast("long"),
+        col("m"))
+      val lane = pow(lit(2.0), (col("p") % 32).cast("double")).cast("long")
+      val words = bench.crossJoin(broadcast(mRow))
+        .select(col("g"), explode(array((0 until 4).map(pos): _*)).as("p"))
+        .groupBy(shiftright(col("p"), 5).as("w"))
+        .agg(bit_or(lane).as("bits"))
+      val trainG = grams.filter(col("split") === "train")
+        .select(col("doc_id"), col("g"))
+      val hits = trainG.crossJoin(broadcast(mRow))
+        .select(col("doc_id"), col("g"),
+          explode(array((0 until 4).map(pos): _*)).as("p"))
+        .join(broadcast(words), shiftright(col("p"), 5) === col("w"), "left")
+        .groupBy(col("doc_id"), col("g"))
+        .agg(min(when(coalesce(col("bits"), lit(0L)).bitwiseAND(lane) =!= 0,
+          1).otherwise(0)).as("hit"))
+      val exact = trainG.join(bench, Seq("g"))
+        .select(col("doc_id"), col("g"), lit(1).as("ex"))
+      hits.join(exact, Seq("doc_id", "g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(col("hit")).cast("long").as("n_bloom_hits"),
+          sum(coalesce(col("ex"), lit(0))).cast("long").as("n_exact_hits"))
+        .withColumn("n_false_pos", col("n_bloom_hits") - col("n_exact_hits"))
+        .withColumn("contaminated", col("n_bloom_hits") > 0)
+        .orderBy("doc_id")
     })
   )
 
@@ -2063,6 +2118,16 @@ object TextQueries {
   private def fnvS(expr: String): String =
     s"(CASE WHEN ${fnvU(expr)} < $Half THEN CAST(${fnvU(expr)} AS BIGINT) " +
       s"ELSE CAST(${fnvU(expr)} - $U64 AS BIGINT) END)"
+
+  /** Value of an 8-hex-char string via the strpos polynomial (the q65
+    * hex→int idiom widened to 32 bits — no from_hex dependency; BIGINT
+    * literals so no term overflows INT32). Feeds the q120 oracle's
+    * Bloom positions. */
+  private def hex8(h: String): String =
+    (0 until 8).map(j =>
+      s"(strpos('0123456789abcdef', substring($h,${j + 1},1))-1)" +
+        s"*CAST(${1L << (4 * (7 - j))} AS BIGINT)")
+      .mkString("(", " + ", ")")
 
   /** Shared CTE prefix of the q74/q75 oracles: the BPE trainer replayed as
     * a recursive CTE (see the q74 oracle comment for the mechanics). Ends
@@ -3404,6 +3469,51 @@ object TextQueries {
         |  CAST(sum(CASE WHEN span >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
         |  round(avg(span), 4) AS avg_span,
         |  CAST(max(span) AS BIGINT) AS max_span
-        |FROM spans GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM spans GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the Bloom build + probe replayed bit-for-bit: q68's gram/split
+    // CTEs, m from the same count, positions via the strpos hex
+    // polynomial (hex8 — the q65 idiom widened to 32 bits), lanes and
+    // probes with the identical 32-bit shift arithmetic
+    "q120_bloom_decontaminate" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+        |      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-4)) AS i) gg
+        |      WHERE len(t) >= 5),
+        |sp AS (SELECT doc_id,
+        |         CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'valid'
+        |              WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |              ELSE 'train' END AS split
+        |       FROM documents),
+        |gs AS (SELECT g.doc_id, sp.split, g.g FROM g JOIN sp USING(doc_id)),
+        |bench AS (SELECT DISTINCT g FROM gs WHERE split <> 'train'),
+        |mm AS (SELECT CAST(1 AS BIGINT) << CAST(ceil(log2(16.0 * count(*))) AS INT) AS m
+        |       FROM bench),
+        |pos AS (
+        |  SELECT b.g, ${hex8("substring(md5('bloom' || CAST(i.i AS VARCHAR) || ':' || b.g), 1, 8)")} % mm.m AS p
+        |  FROM bench b, generate_series(0, 3) i(i), mm),
+        |words AS (
+        |  SELECT p // 32 AS w, bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+        |  FROM pos GROUP BY 1),
+        |probe AS (
+        |  SELECT gs.doc_id, gs.g, ${hex8("substring(md5('bloom' || CAST(i.i AS VARCHAR) || ':' || gs.g), 1, 8)")} % mm.m AS p
+        |  FROM gs, generate_series(0, 3) i(i), mm
+        |  WHERE gs.split = 'train'),
+        |hits AS (
+        |  SELECT pr.doc_id, pr.g,
+        |    min(CASE WHEN (COALESCE(w.bits, 0) & (CAST(1 AS BIGINT) << CAST(pr.p % 32 AS INT))) <> 0 THEN 1 ELSE 0 END) AS hit
+        |  FROM probe pr LEFT JOIN words w ON w.w = pr.p // 32
+        |  GROUP BY 1, 2),
+        |ex AS (SELECT gs.doc_id, gs.g, 1 AS ex FROM gs JOIN bench USING(g)
+        |       WHERE gs.split = 'train')
+        |SELECT h.doc_id, count(*) AS n_grams,
+        |  CAST(sum(h.hit) AS BIGINT) AS n_bloom_hits,
+        |  CAST(sum(COALESCE(e.ex, 0)) AS BIGINT) AS n_exact_hits,
+        |  CAST(sum(h.hit) - sum(COALESCE(e.ex, 0)) AS BIGINT) AS n_false_pos,
+        |  (sum(h.hit) > 0) AS contaminated
+        |FROM hits h LEFT JOIN ex e ON e.doc_id = h.doc_id AND e.g = h.g
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -673,6 +673,47 @@ object VectorQueries {
           round(avg(col("cos")), 4).as("avg_cos"),
           round(min(col("cos")), 4).as("min_cos"))
         .orderBy("label")
+    }),
+
+    // Semantic dedup (SemDeDup, Abbas et al. 2023): prune near-duplicate
+    // MEANING, not near-duplicate text — embedding-space near-dups found
+    // inside the coarse k-means cells of the corpus's trained IVF index
+    // (trainCellsShared/assignCellsShared — the q46 artifacts, reused
+    // as-is), so the pairwise comparison is per-cell, never corpus². A
+    // within-cell pair with cosine >= 0.35 (the q44 near-dup band on
+    // this corpus) is a semantic duplicate; the member KEPT is the one
+    // farther from its centroid (lower csim — SemDeDup keeps the least
+    // prototypical member of a duplicate group to preserve diversity),
+    // ties dropping the larger vec_id. Scale shape: the inverted file is
+    // the persisted index artifact (corpus shuffled onto its cells once,
+    // at BUILD time); the self-join is cell-equi (no corpus² — Σ|cell|²,
+    // with nlist the knob that bounds cell size exactly as in the paper:
+    // at 100 TB nlist is sized so a cell holds ~10⁵ vectors and each
+    // cell's quadratic stays executor-local); centroids broadcast; the
+    // drop set is duplicate-pair-sized and left-joins back in one pass.
+    // Oracle replays the Lloyd chain + per-cell pairs + the keep rule.
+    "q119_semdedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cent = trainCellsShared(s, dir, e)
+      val assigned = assignCellsShared(s, dir, e, cent)
+      val scored = assigned.join(broadcast(cent), "cell")
+        .withColumn("csim", cosineSim(col("embedding"), col("centroid")))
+        .select(col("vec_id"), col("cell"), col("embedding"), col("csim"))
+      val drops = scored.alias("a")
+        .join(scored.alias("b"), col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", cosineSim(col("a.embedding"), col("b.embedding")))
+        .filter(col("cos") >= 0.35)
+        .select(when(col("a.csim") > col("b.csim") ||
+            (col("a.csim") === col("b.csim") &&
+              col("a.vec_id") > col("b.vec_id")), col("a.vec_id"))
+          .otherwise(col("b.vec_id")).as("vec_id"))
+        .distinct()
+      scored.join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("dropped"), lit(false)).as("dropped"),
+          round(col("csim"), 4).as("csim"))
+        .orderBy("vec_id")
     })
   )
 
@@ -1966,6 +2007,34 @@ object VectorQueries {
         |  CAST(sum(CASE WHEN cos < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
         |  round(avg(cos), 4) AS avg_cos,
         |  round(min(cos), 4) AS min_cos
-        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the q46 Lloyd-chain replay + per-cell pairwise cosine + the
+    // keep-least-prototypical rule; own-centroid csim read back from the
+    // final assignment's score table a3_s
+    "q119_semdedup" -> (
+      s"""WITH seed AS (SELECT label AS cell, vec_id, embedding FROM embeddings),
+         |${ivfMeans("seed", "c0")},
+         |${ivfAssign("c0", "a1")},
+         |${ivfMeans("a1", "c1")},
+         |${ivfAssign("c1", "a2")},
+         |${ivfMeans("a2", "c2")},
+         |${ivfAssign("c2", "a3")},
+         |own AS (
+         |  SELECT a.vec_id, a.cell, a.embedding, s.cos AS csim
+         |  FROM a3 a JOIN a3_s s ON s.vec_id = a.vec_id AND s.cell = a.cell),
+         |prs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    a.csim AS cs_a, b.csim AS cs_b,
+         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |                           CAST(b.embedding AS DOUBLE[])) AS cos
+         |  FROM own a JOIN own b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |drops AS (
+         |  SELECT DISTINCT CASE WHEN cs_a > cs_b OR (cs_a = cs_b AND id_a > id_b)
+         |    THEN id_a ELSE id_b END AS vec_id
+         |  FROM prs WHERE cos >= 0.35)
+         |SELECT o.vec_id, o.cell, (d.vec_id IS NOT NULL) AS dropped,
+         |  round(o.csim, 4) AS csim
+         |FROM own o LEFT JOIN drops d USING(vec_id) ORDER BY o.vec_id""".stripMargin)
   )
 }

@@ -259,4 +259,57 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(idx3.stats.collect().map(_.getAs[Long]("n")).sum ==
       base.count() + drifted.count())
   }
+
+  test("semantic-dedup refresh equals rebuild bit-for-bit under frozen centroids") {
+    val (base, delta) = split()
+    val idxB = IndexMaintenance.buildIvf(base)
+    val (idx2, rep) = IndexMaintenance.refreshIvf(idxB, delta)
+    assert(rep.mode == "incremental")
+    val st0 = IndexMaintenance.buildSemDedup(idxB)
+    val refreshed = IndexMaintenance.refreshSemDedup(st0, idx2, delta)
+    val rebuilt = IndexMaintenance.buildSemDedup(idx2)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids(rebuilt.dropped).nonEmpty,
+      "no duplicates on the grown roster — the equality below proves nothing")
+    assert(ids(refreshed.dropped) == ids(rebuilt.dropped),
+      s"drop sets diverged: extra=${ids(refreshed.dropped) -- ids(rebuilt.dropped)} " +
+        s"missing=${ids(rebuilt.dropped) -- ids(refreshed.dropped)}")
+    def roster(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell", "csim").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(roster(refreshed.members) == roster(rebuilt.members),
+      "member rosters diverged — delta assignment or csim drifted from the builder's")
+  }
+
+  test("semantic-dedup append can oust a MORE prototypical base twin") {
+    import spark.implicits._
+    // two clean 2-vector-wide clusters; within-cluster cosines top out at
+    // 0.707, so tau=0.95 finds nothing at build time
+    val base = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0.707f, 0.707f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 0f), 0),
+      (3L, Array(0f, 0f, 1f, 0f), 1),
+      (4L, Array(0f, 0f, 0.707f, 0.707f), 1),
+      (5L, Array(0f, 0f, 0f, 1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val idx = IndexMaintenance.buildIvf(base)
+    val st = IndexMaintenance.buildSemDedup(idx, tau = 0.95)
+    assert(st.dropped.count() == 0, "planted base should hold no dups at 0.95")
+    // the appended vector is a near-copy of vec 1 (cos ≈ 0.9999) sitting
+    // slightly OFF the cell centroid — the keep rule preserves diversity,
+    // so the base twin (csim ≈ 1.0, the most prototypical member) loses
+    val delta = Seq((10L, Array(0.69f, 0.72f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val st2 = IndexMaintenance.refreshSemDedup(st, idx, delta)
+    val dropped = st2.dropped.collect().map(_.getLong(0)).toSet
+    assert(dropped == Set(1L),
+      s"expected the OLD prototypical twin dropped, got $dropped")
+    // and the additive refresh still equals a rebuild on the grown index
+    val (idx2, rep) = IndexMaintenance.refreshIvf(idx, delta)
+    assert(rep.mode == "incremental", s"one in-cluster vector tripped drift: $rep")
+    val rebuilt = IndexMaintenance.buildSemDedup(idx2, tau = 0.95)
+    assert(rebuilt.dropped.collect().map(_.getLong(0)).toSet == dropped)
+  }
 }

@@ -103,6 +103,7 @@ class MaintenanceSoakSpec extends AnyFunSuite {
       .localCheckpoint()
     var pq = IndexMaintenance.buildPq(sv0)
     assert(pq.baseDistortion > 0)
+    var sem = IndexMaintenance.buildSemDedup(ivf)
 
     var admittedDocs = docs0
     var admittedVecs = vecs0
@@ -229,6 +230,11 @@ class MaintenanceSoakSpec extends AnyFunSuite {
       admittedVecs = admittedVecs.unionByName(keptV)
       assert(ivf.assigned.count() == admittedVecs.count())
 
+      // semantic dedup: the drop set is a plain union over pairs, so an
+      // admitted epoch refreshes it additively under the same frozen
+      // centroids the IVF refresh just preserved
+      sem = IndexMaintenance.refreshSemDedup(sem, ivf, keptV)
+
       // SRP: row-local append under the frozen width (no boundary at
       // these sizes, so the report must say incremental)
       val (srp2, srpRep) = IndexMaintenance.refreshSrp(srp, keptV)
@@ -268,6 +274,13 @@ class MaintenanceSoakSpec extends AnyFunSuite {
       srp.bands.select("vec_id", "t", "b").collect().map(_.toSeq).toSet ==
         srpRebuilt.bands.select("vec_id", "t", "b").collect().map(_.toSeq).toSet,
       "maintained SRP band tables diverged from rebuild")
+    val semRebuilt = IndexMaintenance.buildSemDedup(ivf)
+    def semIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(semIds(semRebuilt.dropped).nonEmpty,
+      "no semantic dups among admitted vectors — the soak equality proves nothing")
+    assert(semIds(sem.dropped) == semIds(semRebuilt.dropped),
+      "maintained semantic-dedup drop set diverged from rebuild")
     val spansRebuilt = CorpusStatsMaintenance.buildSpans(admittedDocs)
     assert(spans.census.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
       spansRebuilt.census.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,

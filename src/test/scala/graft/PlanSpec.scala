@@ -692,4 +692,30 @@ class PlanSpec extends AnyFunSuite {
         s"$q: inline gram derivation reappeared:\n$plan")
     }
   }
+
+  test("q119 semdedup: centroids broadcast, cell-equi pair join, no cartesian") {
+    val plan = physical(VectorQueries.defs("q119_semdedup")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"centroids not broadcast:\n$plan")
+    // the pairwise stage must be the cell-bucketed equi join (Σ|cell|²),
+    // never an unkeyed corpus² product
+    assert(!plan.contains("CartesianProduct"),
+      s"pairwise stage degenerated to corpus²:\n$plan")
+    // the drop-set distinct must run two-stage (map-side dedup below the
+    // exchange, final above) — a keys-only HashAggregate pair
+    assert("""HashAggregate\(keys=\[vec_id""".r.findAllIn(plan).size >= 2,
+      s"drop-set dedup not two-stage:\n$plan")
+  }
+
+  test("q120 bloom: m scalar and words bitset broadcast, no cartesian") {
+    val plan = physical(TextQueries.defs("q120_bloom_decontaminate")(spark, dir))
+    // the 1-row m scalar rides a broadcast nested loop (the q76 totals
+    // idiom); the m/32-row lane table rides a BroadcastHashJoin — the
+    // probe path must not shuffle the corpus gram stream against either
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"1-row m scalar not broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"words bitset not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+  }
 }

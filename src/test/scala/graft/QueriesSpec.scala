@@ -1659,4 +1659,91 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_flagged")).sum > 0,
       "no flagged docs at sf0.001 — the >= 20 threshold is inert")
   }
+
+  test("q119 semdedup: keep rule replays driver-side, margins clear both cuts") {
+    val rows = VectorQueries.defs("q119_semdedup")(spark, dir).collect()
+    val e = Tables.embeddings(spark, dir)
+    assert(rows.length == e.count(), "output does not cover the corpus")
+    val dropped = rows.filter(_.getAs[Boolean]("dropped"))
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(dropped.nonEmpty,
+      "no semantic duplicates at sf0.001 — the 0.35 band is inert")
+    // full driver-side replay from the same persisted index artifacts:
+    // plain-Scala in-order double cosine (the kernel's accumulation
+    // order), per-cell pairs, the keep-least-prototypical rule
+    val cent = VectorQueries.trainCellsShared(spark, dir, e).collect()
+      .map(r => r.getAs[Int]("cell") ->
+        r.getSeq[Float](r.fieldIndex("centroid")).toArray).toMap
+    def cos(a: Array[Float], b: Array[Double]): Double = {
+      var dot = 0.0; var aa = 0.0; var bb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i).toDouble * b(i); aa += a(i).toDouble * a(i); bb += b(i) * b(i)
+        i += 1
+      }
+      if (math.sqrt(aa) == 0 || math.sqrt(bb) == 0) 0.0
+      else dot / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val members = VectorQueries.assignCellsShared(spark, dir, e,
+        VectorQueries.trainCellsShared(spark, dir, e)).collect()
+      .map { r =>
+        val v = r.getSeq[Float](r.fieldIndex("embedding")).toArray
+        val cell = r.getAs[Int]("cell")
+        (r.getAs[Long]("vec_id"), cell,
+          v, cos(v, cent(cell).map(_.toDouble)))
+      }
+    var cutMargin = Double.MaxValue
+    val expDrops = scala.collection.mutable.Set.empty[Long]
+    members.groupBy(_._2).values.foreach { cellRows =>
+      for (a <- cellRows; b <- cellRows if a._1 < b._1) {
+        val c = cos(a._3, b._3.map(_.toDouble))
+        cutMargin = math.min(cutMargin, math.abs(c - 0.35))
+        if (c >= 0.35) {
+          assert(a._4 != b._4,
+            s"exact prototypicality tie ${a._1}/${b._1} — rule relies on id only")
+          expDrops += (if (a._4 > b._4) a._1 else b._1)
+        }
+      }
+    }
+    assert(dropped == expDrops.toSet,
+      s"drop set diverged: extra=${dropped -- expDrops} missing=${expDrops.toSet -- dropped}")
+    assert(cutMargin > 1e-5,
+      f"a pair cosine sits $cutMargin%.2e from the 0.35 cut — membership could diverge across engines")
+  }
+
+  test("q120 bloom decontamination: zero false negatives, exact census reconciles, FP rate bounded") {
+    val rows = TextQueries.defs("q120_bloom_decontaminate")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nb, ne, nf) = (r.getAs[Long]("n_bloom_hits"),
+        r.getAs[Long]("n_exact_hits"), r.getAs[Long]("n_false_pos"))
+      assert(nb >= ne,
+        s"doc ${r.getAs[Long]("doc_id")}: bloom missed a true benchmark gram — a Bloom filter cannot false-negative")
+      assert(nf == nb - ne)
+      assert(r.getAs[Boolean]("contaminated") == (nb > 0))
+      assert(nb <= r.getAs[Long]("n_grams"))
+    }
+    // independent exact-contamination census (q68's join shape, recounted
+    // per doc) must equal the audit columns
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.TextFunctions.wordNgramsUdf(5)(col("text")))).as("g"))
+      .withColumn("split",
+        graft.functions.TextFunctions.splitAssign(col("doc_id")))
+    val bench = grams.filter(col("split") =!= "train").select("g").distinct()
+    val expExact = grams.filter(col("split") === "train")
+      .join(bench, "g").groupBy("doc_id").agg(count(lit(1)).as("ne"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("ne")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact_hits") ==
+        expExact.getOrElse(r.getAs[Long]("doc_id"), 0L),
+        s"doc ${r.getAs[Long]("doc_id")}: exact audit diverges from the independent census")
+    }
+    // the 16×/k=4 sizing keeps the measured FP rate ~0.2%; a regression
+    // in m (or a lane-arithmetic bug flooding bits) shows up here
+    val fps = rows.map(_.getAs[Long]("n_false_pos")).sum
+    val grs = rows.map(_.getAs[Long]("n_grams")).sum
+    assert(fps.toDouble / grs < 0.02,
+      s"FP rate ${fps.toDouble / grs} — bloom sizing regressed")
+  }
 }
