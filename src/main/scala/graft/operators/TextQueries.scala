@@ -2021,9 +2021,9 @@ object TextQueries {
     // against the benchmark grams, the benchmark (held-out valid+test
     // splits, q53 convention) is compressed ONCE into a fixed-size Bloom
     // bitset that BROADCASTS, and the corpus is scanned a single time
-    // with 4 codegen'd hash probes per gram — no corpus-side shuffle at
-    // all on the production path. Deterministic end-to-end: positions
-    // are md5-derived (k=4 seeds), m = smallest power of two >= 16×
+    // with ONE codegen'd md5 per gram sliced into k=4 probe positions —
+    // no corpus-side shuffle at all on the production path. Deterministic
+    // end-to-end: m = smallest power of two >= 16×
     // |benchmark grams| (measured FP rate ~0.2%), the bitset lives as
     // 32-bit lanes in a words table (m/32 rows — bounded, broadcast;
     // 32-bit lanes because a 1<<63 differs across engines). The exact-
@@ -2036,36 +2036,52 @@ object TextQueries {
         .withColumn("split", splitAssign(col("doc_id")))
       val bench = grams.filter(col("split") =!= "train")
         .select(col("g")).distinct()
+        .localCheckpoint() // 3 consumers: m scalar, lane build, audit join
       // 1-row broadcast scalar (the q76 totals idiom); 2^k via pow —
       // exact in doubles up to 2^53, and the Scala shiftleft API only
       // takes literal shift amounts
       val mRow = bench.agg(pow(lit(2.0),
         ceil(log2(count(lit(1)).cast("double") * 16.0)).cast("double"))
         .cast("long").as("m"))
-      def pos(i: Int) = pmod(conv(substring(
-        md5(concat(lit(s"bloom$i:"), col("g"))), 1, 8), 16, 10).cast("long"),
-        col("m"))
-      val lane = pow(lit(2.0), (col("p") % 32).cast("double")).cast("long")
+      // the k=4 positions slice one md5 digest into its four 8-hex-char
+      // quarters (32 independent bits each) — one hash per gram, not four
+      def pos(i: Int) = pmod(conv(substring(col("h"), 8 * i + 1, 8), 16, 10)
+        .cast("long"), col("m"))
+      val digest = md5(concat(lit("bloom:"), col("g")))
+      def lane(p: org.apache.spark.sql.Column) =
+        pow(lit(2.0), (p % 32).cast("double")).cast("long")
       val words = bench.crossJoin(broadcast(mRow))
+        .withColumn("h", digest)
         .select(col("g"), explode(array((0 until 4).map(pos): _*)).as("p"))
         .groupBy(shiftright(col("p"), 5).as("w"))
-        .agg(bit_or(lane).as("bits"))
-      val trainG = grams.filter(col("split") === "train")
+        .agg(bit_or(lane(col("p"))).as("bits"))
+        .localCheckpoint() // m/32 rows, broadcast once per probe
+      // probe path: the exact-audit membership rides ONE broadcast left
+      // join (benchmark sets are bounded by nature — they don't grow
+      // with the corpus), then the k=4 probes are CHAINED broadcast
+      // lookups against the lane table — no explode, no (doc_id, gram)
+      // shuffle aggregate; nothing shuffles until the per-doc partial agg
+      val base = grams.filter(col("split") === "train")
         .select(col("doc_id"), col("g"))
-      val hits = trainG.crossJoin(broadcast(mRow))
-        .select(col("doc_id"), col("g"),
-          explode(array((0 until 4).map(pos): _*)).as("p"))
-        .join(broadcast(words), shiftright(col("p"), 5) === col("w"), "left")
-        .groupBy(col("doc_id"), col("g"))
-        .agg(min(when(coalesce(col("bits"), lit(0L)).bitwiseAND(lane) =!= 0,
-          1).otherwise(0)).as("hit"))
-      val exact = trainG.join(bench, Seq("g"))
-        .select(col("doc_id"), col("g"), lit(1).as("ex"))
-      hits.join(exact, Seq("doc_id", "g"), "left")
+        .join(broadcast(bench.withColumn("ex", lit(1))), Seq("g"), "left")
+        .crossJoin(broadcast(mRow))
+        .withColumn("h", digest)
+      val probed = (0 until 4).foldLeft(base) { (df, i) =>
+        df.withColumn(s"p$i", pos(i))
+          .join(broadcast(words.select(col("w").as(s"w$i"),
+            col("bits").as(s"bits$i"))),
+            shiftright(col(s"p$i"), 5) === col(s"w$i"), "left")
+      }
+      val hit = (0 until 4).map(i =>
+        coalesce(col(s"bits$i"), lit(0L))
+          .bitwiseAND(lane(col(s"p$i"))) =!= 0).reduce(_ && _)
+      probed
+        .select(col("doc_id"), when(hit, 1).otherwise(0).as("hit"),
+          coalesce(col("ex"), lit(0)).as("ex"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
           sum(col("hit")).cast("long").as("n_bloom_hits"),
-          sum(coalesce(col("ex"), lit(0))).cast("long").as("n_exact_hits"))
+          sum(col("ex")).cast("long").as("n_exact_hits"))
         .withColumn("n_false_pos", col("n_bloom_hits") - col("n_exact_hits"))
         .withColumn("contaminated", col("n_bloom_hits") > 0)
         .orderBy("doc_id")
@@ -3492,13 +3508,13 @@ object TextQueries {
         |mm AS (SELECT CAST(1 AS BIGINT) << CAST(ceil(log2(16.0 * count(*))) AS INT) AS m
         |       FROM bench),
         |pos AS (
-        |  SELECT b.g, ${hex8("substring(md5('bloom' || CAST(i.i AS VARCHAR) || ':' || b.g), 1, 8)")} % mm.m AS p
+        |  SELECT b.g, ${hex8("substring(md5('bloom:' || b.g), 8 * i.i + 1, 8)")} % mm.m AS p
         |  FROM bench b, generate_series(0, 3) i(i), mm),
         |words AS (
         |  SELECT p // 32 AS w, bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
         |  FROM pos GROUP BY 1),
         |probe AS (
-        |  SELECT gs.doc_id, gs.g, ${hex8("substring(md5('bloom' || CAST(i.i AS VARCHAR) || ':' || gs.g), 1, 8)")} % mm.m AS p
+        |  SELECT gs.doc_id, gs.g, ${hex8("substring(md5('bloom:' || gs.g), 8 * i.i + 1, 8)")} % mm.m AS p
         |  FROM gs, generate_series(0, 3) i(i), mm
         |  WHERE gs.split = 'train'),
         |hits AS (

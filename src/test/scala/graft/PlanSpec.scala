@@ -717,5 +717,10 @@ class PlanSpec extends AnyFunSuite {
       s"words bitset not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
     assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+    // every join on the probe path is a broadcast lookup (the audit set
+    // and the lane table are both bounded): the corpus gram stream must
+    // not shuffle before the per-doc partial agg
+    assert(!plan.contains("SortMergeJoin"),
+      s"probe path shuffled the gram stream:\n$plan")
   }
 }
