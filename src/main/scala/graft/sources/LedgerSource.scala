@@ -218,6 +218,84 @@ object LedgerSource {
     }
   }
 
+  /** Is `f` a publish_us range predicate the scan can turn into a
+    * metadata seek? (The write path assigns publish_us = ledger_id·10⁶ +
+    * entry_id, so time bounds map to cursor bounds — see
+    * [[trimToPublishBounds]].) These are pushed as PRUNING bounds only:
+    * they stay residual in the plan, so Spark re-applies the predicate —
+    * which also keeps LIMIT/OFFSET and aggregate pushdown from composing
+    * through them (Spark only offers those over fully-pushed filters).
+    */
+  def isPublishRangeFilter(f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case GreaterThan("publish_us", _: Number) => true
+      case GreaterThanOrEqual("publish_us", _: Number) => true
+      case LessThan("publish_us", _: Number) => true
+      case LessThanOrEqual("publish_us", _: Number) => true
+      case EqualTo("publish_us", _: Number) => true
+      case _ => false
+    }
+  }
+
+  /** [lo, hi) publish_us window implied by a CONJUNCTION of pushed range
+    * filters (None = unbounded on that side). +1 adjustments saturate at
+    * Long.MaxValue — saturation can only widen the window, and the
+    * predicate stays residual, so conservative inclusion is safe. */
+  def publishBounds(filters: Seq[org.apache.spark.sql.sources.Filter])
+      : (Option[Long], Option[Long]) = {
+    import org.apache.spark.sql.sources._
+    var lo: Option[Long] = None
+    var hi: Option[Long] = None
+    def addLo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
+    def addHi(v: Long): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
+    def sat(v: Long): Long = if (v == Long.MaxValue) v else v + 1
+    filters.foreach {
+      case GreaterThan("publish_us", v: Number) => addLo(sat(v.longValue()))
+      case GreaterThanOrEqual("publish_us", v: Number) => addLo(v.longValue())
+      case LessThan("publish_us", v: Number) => addHi(v.longValue())
+      case LessThanOrEqual("publish_us", v: Number) => addHi(sat(v.longValue()))
+      case EqualTo("publish_us", v: Number) =>
+        addLo(v.longValue()); addHi(sat(v.longValue()))
+      case _ => ()
+    }
+    (lo, hi)
+  }
+
+  /** Trim a partition's [from, to) cursor window to the entries that can
+    * satisfy publish_us ∈ [lo, hi) — the time-index seek: publish_us =
+    * ledger_id·10⁶ + entry_id, so a ledger covers the publish window
+    * [id·10⁶, id·10⁶ + entries) and both trim points come from METADATA
+    * alone (ledger ids + cached entry counts — no segment bytes read).
+    * Sound unconditionally: the prefix excluded by the lo-trim has
+    * publish < lo and the suffix excluded by the hi-trim has publish ≥ hi
+    * by construction, whatever the entry counts; exact at both ends for
+    * segments under 10⁶ entries (the write path's roll-over invariant) —
+    * interior entries of a pathological over-long segment are kept
+    * conservatively and cleaned by the residual predicate. */
+  def trimToPublishBounds(ledgers: Seq[LedgerInfo], from: Cursor, to: Cursor,
+      lo: Option[Long], hi: Option[Long]): (Cursor, Cursor) = {
+    def leq(a: Cursor, b: Cursor): Boolean = a.ledgerId < b.ledgerId ||
+      (a.ledgerId == b.ledgerId && a.entryId <= b.entryId)
+    var f = from
+    var t = to
+    lo.foreach { l =>
+      // first cursor whose publish_us can reach l
+      val c = ledgers.find(li => li.ledgerId * 1000000L + li.entries > l)
+        .fold(t)(li => Cursor(li.ledgerId,
+          math.min(li.entries, math.max(0L, l - li.ledgerId * 1000000L))))
+      if (!leq(c, f)) f = c
+    }
+    hi.foreach { h =>
+      // exclusive end: inside the last ledger whose window starts below h
+      val c = ledgers.filter(_.ledgerId * 1000000L < h).lastOption
+        .fold(f)(li => Cursor(li.ledgerId,
+          math.min(li.entries, math.max(0L, h - li.ledgerId * 1000000L))))
+      if (!leq(t, c)) t = c
+    }
+    if (leq(f, t)) (f, t) else (f, f)
+  }
+
   /** Bytes on disk for a partition's segment files (metadata-only). */
   def partitionBytes(dir: Path, ledgers: Seq[LedgerInfo]): Long =
     ledgers.map { l =>
@@ -233,6 +311,12 @@ object LedgerSource {
     */
   val lastPlannedPartitions =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Int]]()
+
+  /** Test hook: the per-partition [from, to) cursor ranges the LAST batch
+    * planning planned — how the time-pruning specs observe that
+    * publish_us bounds became a metadata seek, not a full read. */
+  val lastPlannedRanges =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Cursor, Cursor)]]()
 
   /** Stable pinning: partition idx mod sorted host list (reference
     * SparkPulsarRDD.getPreferredLocations:66-97 — deterministic across
@@ -614,14 +698,22 @@ class LedgerScanBuilder(path: String, options: Map[String, String])
     * Accepted filters are EXACT on partition dirs (see
     * partitionSetFromFilter), so they are consumed here — nothing returned
     * for Spark to re-evaluate — and surface in `.explain` as
-    * PushedFilters. Everything else is left in the plan untouched.
+    * PushedFilters. publish_us range predicates are pushed as PRUNING
+    * BOUNDS (the time-index seek: trimToPublishBounds) but returned as
+    * residual — Spark re-applies them, which both covers the pathological
+    * over-long-segment case and blocks LIMIT/OFFSET/aggregate pushdown
+    * from composing through an un-consumed filter. Everything else is
+    * left in the plan untouched.
     */
+  private var tsBounds: (Option[Long], Option[Long]) = (None, None)
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
-    val (accepted, residual) =
+    val (accepted, rest) =
       filters.partition(f => LedgerSource.partitionSetFromFilter(f).isDefined)
-    pushed = accepted
-    residual
+    val tsF = rest.filter(LedgerSource.isPublishRangeFilter)
+    tsBounds = LedgerSource.publishBounds(tsF.toSeq)
+    pushed = accepted ++ tsF
+    rest
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   private def staticAllowed: Option[Set[Int]] = {
@@ -631,7 +723,8 @@ class LedgerScanBuilder(path: String, options: Map[String, String])
   override def build(): Scan = pushedAgg match {
     case Some(a) => new LedgerAggScan(path, options, a, staticAllowed)
     case None =>
-      new LedgerScan(path, options, required, staticAllowed, limit, offset)
+      new LedgerScan(path, options, required, staticAllowed, limit, offset,
+        tsBounds)
   }
 }
 
@@ -712,20 +805,29 @@ class LedgerScan(path: String, options: Map[String, String],
                  required: StructType,
                  staticAllowed: Option[Set[Int]] = None,
                  pushedLimit: Option[Int] = None,
-                 pushedOffset: Option[Int] = None) extends Scan
+                 pushedOffset: Option[Int] = None,
+                 tsBounds: (Option[Long], Option[Long]) = (None, None))
+    extends Scan
     with SupportsReportPartitioning with SupportsReportOrdering
     with SupportsReportStatistics with SupportsRuntimeFiltering {
-  import LedgerSource.{Cursor, LedgerOffset, entriesBetween, listLedgers, partitionBytes}
+  import LedgerSource.{Cursor, LedgerOffset, entriesBetween, listLedgers, partitionBytes, trimToPublishBounds}
   override def readSchema(): StructType = required
   // surfaces static pruning in `.explain` (BatchScan node description)
   override def description(): String =
     s"graft-ledger($path)" + staticAllowed.fold("")(s =>
       s" PushedPartitions: ${s.toSeq.sorted.mkString("[", ",", "]")}") +
       pushedOffset.fold("")(o => s" PushedOffset: $o") +
-      pushedLimit.fold("")(l => s" PushedLimit: $l")
+      pushedLimit.fold("")(l => s" PushedLimit: $l") +
+      (if (tsBounds._1.isDefined || tsBounds._2.isDefined)
+        s" PushedPublishRange: [${tsBounds._1.getOrElse("")}," +
+          s"${tsBounds._2.getOrElse("")})"
+       else "")
   // the stream honors the static partition set too: accepted pushed
   // filters were removed from the plan as exact, so every path this scan
-  // can execute through must enforce them
+  // can execute through must enforce them. tsBounds deliberately do NOT
+  // reach the stream: they were returned residual (Spark re-applies the
+  // predicate), and a stream's admission window is cursor-driven anyway —
+  // the bounds are a batch seek optimization only.
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new LedgerMicroBatchStream(path, options, required, staticAllowed)
   /** ONE partition-dir listing per scan: the partition count
@@ -792,7 +894,7 @@ class LedgerScan(path: String, options: Map[String, String],
   // consistency checker to re-read exactly what a stream committed
   override def toBatch(): Batch =
     new LedgerBatchRead(path, options, required, Some(effectivePartitions),
-      pushedLimit, pushedOffset)
+      pushedLimit, pushedOffset, tsBounds)
 
   /** Metadata-only size/row estimates (segment byte sizes + cached entry
     * counts, same figures the status TVF reports) so Catalyst can SIZE
@@ -812,11 +914,16 @@ class LedgerScan(path: String, options: Map[String, String],
       val dir = root.resolve(s"partition-$p")
       val ledgers = listLedgers(dir)
       val total = ledgers.map(_.entries).sum
-      val from = startOpt.flatMap(_.get(p)).getOrElse(
+      val from0 = startOpt.flatMap(_.get(p)).getOrElse(
         Cursor(ledgers.headOption.map(_.ledgerId).getOrElse(0L), 0L))
-      val to = endOpt.flatMap(_.get(p)).getOrElse(
+      val to0 = endOpt.flatMap(_.get(p)).getOrElse(
         ledgers.lastOption.map(l => Cursor(l.ledgerId, l.entries))
           .getOrElse(Cursor(0L, 0L)))
+      // publish_us bounds narrow the estimate the same way they narrow
+      // the planned splits — a time-sliced lookup sizes (and broadcasts)
+      // like the slice it reads, not like the whole topic
+      val (from, to) =
+        trimToPublishBounds(ledgers, from0, to0, tsBounds._1, tsBounds._2)
       val range = math.max(0L, entriesBetween(ledgers, from, to))
       val dirBytes = partitionBytes(dir, ledgers)
       rows += range
@@ -891,7 +998,8 @@ class LedgerBatchRead(path: String, options: Map[String, String],
     required: StructType,
     partitionSnapshot: Option[Seq[Int]] = None,
     pushedLimit: Option[Int] = None,
-    pushedOffset: Option[Int] = None) extends Batch {
+    pushedOffset: Option[Int] = None,
+    tsBounds: (Option[Long], Option[Long]) = (None, None)) extends Batch {
   import LedgerSource._
 
   private val root = toLocalPath(path)
@@ -918,14 +1026,21 @@ class LedgerBatchRead(path: String, options: Map[String, String],
     val offsetPos = pushedOffset.map(_.toLong).getOrElse(0L)
     var consumed = 0L // stream position: entries of earlier partitions
     val out = Seq.newBuilder[InputPartition]
+    val ranges = Seq.newBuilder[(Int, Cursor, Cursor)]
     parts.foreach { p =>
       if (consumed < limitPos) {
         val ledgers = listLedgers(root.resolve(s"partition-$p"))
-        val from = startOpt.flatMap(_.get(p)).getOrElse(
+        val from0 = startOpt.flatMap(_.get(p)).getOrElse(
           Cursor(ledgers.headOption.map(_.ledgerId).getOrElse(0L), 0L))
-        val to = endOpt.flatMap(_.get(p)).getOrElse(
+        val to0 = endOpt.flatMap(_.get(p)).getOrElse(
           ledgers.lastOption.map(l => Cursor(l.ledgerId, l.entries))
             .getOrElse(Cursor(0L, 0L)))
+        // the time-index seek: publish_us bounds narrow [from, to) from
+        // metadata before anything is allocated — trim-then-allocate is
+        // also the correct filter-below-limit order, though a residual
+        // time filter blocks limit pushdown so the two never co-occur
+        val (from, to) =
+          trimToPublishBounds(ledgers, from0, to0, tsBounds._1, tsBounds._2)
         val avail = math.max(0L, entriesBetween(ledgers, from, to))
         val winStart = math.max(consumed, offsetPos)
         val winEnd = math.min(consumed + avail, limitPos)
@@ -936,10 +1051,12 @@ class LedgerBatchRead(path: String, options: Map[String, String],
           val end = if (skip + take == avail) to else advance(ledgers, from2, take)
           out += LedgerInputPartition(path, p, from2.ledgerId, from2.entryId,
             end.ledgerId, end.entryId, pinTo(locations, p))
+          ranges += ((p, from2, end))
         }
         consumed += avail
       }
     }
+    LedgerSource.lastPlannedRanges.put(path, ranges.result())
     out.result().toArray
   }
 

@@ -282,6 +282,30 @@ class LedgerPruningSpec extends AnyFunSuite {
           s"offset=$o limit=$l over ${full.length} rows: got $got, " +
             s"expected ${full.slice(o, o + l)}")
       }
+      // the time seek over the same gappy layout: random [lo, hi) windows
+      // (including empty, gap-straddling, and beyond-the-log ones) must
+      // return exactly the flat filter's rows, and every planned range
+      // must hold ONLY qualifying entries (the trim is exact, both ends)
+      val fullTs = read(root).selectExpr("publish_us").collect()
+        .map(_.getLong(0)).toSeq
+      import spark.implicits._
+      (1 to 4).foreach { _ =>
+        val lo = rnd.nextInt(9) * 1000000L + rnd.nextInt(6) - 1
+        val hi = lo + rnd.nextInt(4) * 1000000L + rnd.nextInt(6)
+        val got = read(root)
+          .filter($"publish_us" >= lo && $"publish_us" < hi)
+          .selectExpr("publish_us").collect().map(_.getLong(0)).toSeq
+        assert(got.sorted == fullTs.filter(t => t >= lo && t < hi).sorted,
+          s"[$lo,$hi): got $got")
+        val plannedEntries = Option(ranges(root)).toSeq.flatten.map {
+          case (p, f, t) =>
+            val ledgers = LedgerSource.listLedgers(
+              root.resolve(s"partition-$p"))
+            LedgerSource.entriesBetween(ledgers, f, t)
+        }.sum
+        assert(plannedEntries == got.length,
+          s"[$lo,$hi): planned $plannedEntries entries for ${got.length} rows — trim not exact")
+      }
     }
   }
 
@@ -362,5 +386,101 @@ class LedgerPruningSpec extends AnyFunSuite {
     val rows = res.collect()
     assert(rows.map(_.getInt(0)).toSet == Set(2))
     assert(planned(topic) == Seq(2), s"planned=${planned(topic)}")
+  }
+
+  /** 4 partitions × ledgers 1/3/7 (5 entries each, gappy ids) — the
+    * time-seek fixture: publish_us = ledger_id·10⁶ + entry_id, so the
+    * log's publish windows are [1e6,1e6+5), [3e6,3e6+5), [7e6,7e6+5)
+    * with real coverage gaps between them. */
+  private def writeTimeTopic(): Path = {
+    val root = Files.createTempDirectory("graft_time_topic")
+    (0 until 4).foreach { p =>
+      val dir = root.resolve(s"partition-$p")
+      Files.createDirectories(dir)
+      Seq(1, 3, 7).foreach { l =>
+        Files.write(dir.resolve(s"ledger-$l.log"),
+          (0 until 5).map(i => s"k$i,p$p-l$l-e$i").mkString("\n")
+            .getBytes(StandardCharsets.UTF_8))
+      }
+    }
+    root
+  }
+
+  private def ranges(topic: Path) =
+    LedgerSource.lastPlannedRanges.get(topic.toString)
+
+  test("time-range pushdown: publish_us bounds become a metadata cursor seek") {
+    val topic = writeTimeTopic()
+    import spark.implicits._
+    val df = read(topic)
+      .filter($"publish_us" >= 3000002L && $"publish_us" < 7000002L)
+      .selectExpr("partition", "ledger_id", "entry_id", "publish_us")
+    val rows = df.collect()
+    // qualifying: ledger 3 entries 2..4 + ledger 7 entries 0..1, per partition
+    assert(rows.length == 4 * 5, s"got ${rows.length}")
+    assert(rows.forall(r => r.getLong(3) >= 3000002L && r.getLong(3) < 7000002L))
+    // the seek reached the source: every planned range trimmed to exactly
+    // the qualifying window — 5 of 15 entries read per partition
+    val rs = ranges(topic)
+    assert(rs.map(_._1).sorted == Seq(0, 1, 2, 3))
+    rs.foreach { case (_, from, to) =>
+      assert(from == LedgerSource.Cursor(3, 2) && to == LedgerSource.Cursor(7, 2),
+        s"range not trimmed: $from..$to")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedPublishRange: [3000002,7000002)"), plan)
+    // the predicate stays residual — the seek is a pruning bound, not a
+    // consumed filter (that's what keeps limit/agg pushdown from
+    // composing through it)
+    assert(plan.contains("Filter"), plan)
+  }
+
+  test("time-range pushdown: equality, empty/gap windows, partition composition") {
+    val topic = writeTimeTopic()
+    import spark.implicits._
+    // equality = a one-entry window
+    assert(read(topic).filter($"publish_us" === 3000003L).count() == 4)
+    ranges(topic).foreach { case (_, f, t) =>
+      assert(f == LedgerSource.Cursor(3, 3) && t == LedgerSource.Cursor(3, 4),
+        s"equality window not a single entry: $f..$t")
+    }
+    // a window beyond the log plans NOTHING
+    assert(read(topic).filter($"publish_us" >= 9000000L).count() == 0)
+    assert(ranges(topic).isEmpty, s"planned ${ranges(topic)} beyond the log")
+    // a window falling inside a ledger-id coverage GAP plans nothing too
+    assert(read(topic)
+      .filter($"publish_us" >= 5000000L && $"publish_us" < 7000000L)
+      .count() == 0)
+    assert(ranges(topic).isEmpty, s"planned ${ranges(topic)} inside a gap")
+    // composes with static partition pruning: one directory, one tail slice
+    val rows = read(topic)
+      .filter($"partition" === 2 && $"publish_us" >= 7000001L)
+      .selectExpr("partition", "publish_us").collect()
+    assert(rows.length == 4 && rows.forall(_.getInt(0) == 2))
+    assert(ranges(topic).map(_._1) == Seq(2))
+  }
+
+  test("a publish_us filter blocks limit pushdown and narrows reported stats") {
+    val topic = writeTimeTopic()
+    import spark.implicits._
+    // residual time filter between scan and Limit → Spark keeps its own
+    // Limit operator (the limit/DPP-unsoundness lesson, same shape)
+    val df = read(topic).filter($"publish_us" >= 3000000L).limit(3)
+    val rows = df.selectExpr("publish_us").collect()
+    assert(rows.length == 3 && rows.forall(_.getLong(0) >= 3000000L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedLimit"), plan)
+    assert(plan.contains("PushedPublishRange"), plan)
+    // the scan relation's own estimate reflects the trim (a time-sliced
+    // lookup sizes like its slice): 5 of 15 entries per partition
+    val sliced = read(topic)
+      .filter($"publish_us" >= 3000002L && $"publish_us" < 7000002L)
+    val scanStats = sliced.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.stats
+    }
+    assert(scanStats.nonEmpty, "no DSv2 scan relation in the optimized plan")
+    assert(scanStats.head.rowCount.contains(BigInt(20)),
+      s"rows ${scanStats.head.rowCount} — stats don't reflect the time trim")
   }
 }
