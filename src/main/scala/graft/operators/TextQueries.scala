@@ -2085,6 +2085,42 @@ object TextQueries {
         .withColumn("n_false_pos", col("n_bloom_hits") - col("n_exact_hits"))
         .withColumn("contaminated", col("n_bloom_hits") > 0)
         .orderBy("doc_id")
+    }),
+
+    // Deterministic multi-epoch shuffle-shard manifest — the data-LOADER
+    // op every large pretraining run needs: per epoch, every doc gets a
+    // reproducible pseudo-random position (md5 keyed by epoch:id — a
+    // DIFFERENT global permutation each epoch, with no RNG state to
+    // carry) and a shard (hash % world_size), and the manifest reports
+    // what each (epoch, shard) worker will stream: doc count, token
+    // mass, the first/last docs in read order, and an ORDER-SENSITIVE
+    // checksum (Σ pos·(id mod 997)) so a re-run or a resumed run can
+    // prove it would feed the identical sequence. Scale shape: the
+    // permutation key is row-local Column math; the one window
+    // partitions by (epoch, shard) — world_size is the parallelism
+    // knob, so each shard's rank spans corpus/n_shards rows (the q73
+    // sharded-window pattern; at 100 TB n_shards is the fleet size, not
+    // 8); output is epochs × shards rows. Oracle replays hash → shard →
+    // rank → checksum; every compared quantity is integer arithmetic,
+    // engine-exact.
+    "q121_epoch_shuffle_manifest" -> ((s, dir) => {
+      val nShards = 8
+      val keyed = Tables.documents(s, dir)
+        .select(col("doc_id"), tokenCount(col("text")).cast("long").as("ntok"),
+          explode(array((0 until 3).map(lit): _*)).as("epoch"))
+        .withColumn("h", md5(concat(lit("shuffle:"),
+          col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))))
+        .withColumn("shard", pmod(conv(substring(col("h"), 1, 4), 16, 10)
+          .cast("long"), lit(nShards.toLong)))
+      val w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+      keyed.withColumn("pos", row_number().over(w))
+        .groupBy(col("epoch"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          min_by(col("doc_id"), col("pos")).as("first_doc"),
+          max_by(col("doc_id"), col("pos")).as("last_doc"),
+          sum(col("pos") * (col("doc_id") % 997)).as("order_checksum"))
+        .orderBy("epoch", "shard")
     })
   )
 
@@ -2135,15 +2171,16 @@ object TextQueries {
     s"(CASE WHEN ${fnvU(expr)} < $Half THEN CAST(${fnvU(expr)} AS BIGINT) " +
       s"ELSE CAST(${fnvU(expr)} - $U64 AS BIGINT) END)"
 
-  /** Value of an 8-hex-char string via the strpos polynomial (the q65
-    * hex→int idiom widened to 32 bits — no from_hex dependency; BIGINT
-    * literals so no term overflows INT32). Feeds the q120 oracle's
-    * Bloom positions. */
-  private def hex8(h: String): String =
-    (0 until 8).map(j =>
+  /** Value of the first `n` hex chars of `h` via the strpos polynomial
+    * (the q65 hex→int idiom, width-generic — no from_hex dependency;
+    * BIGINT literals so no term overflows INT32). Feeds the q120
+    * oracle's Bloom positions (n=8) and the q121 shard hash (n=4). */
+  private def hexPoly(h: String, n: Int): String =
+    (0 until n).map(j =>
       s"(strpos('0123456789abcdef', substring($h,${j + 1},1))-1)" +
-        s"*CAST(${1L << (4 * (7 - j))} AS BIGINT)")
+        s"*CAST(${1L << (4 * (n - 1 - j))} AS BIGINT)")
       .mkString("(", " + ", ")")
+  private def hex8(h: String): String = hexPoly(h, 8)
 
   /** Shared CTE prefix of the q74/q75 oracles: the BPE trainer replayed as
     * a recursive CTE (see the q74 oracle comment for the mechanics). Ends
@@ -3530,6 +3567,32 @@ object TextQueries {
         |  CAST(sum(h.hit) - sum(COALESCE(e.ex, 0)) AS BIGINT) AS n_false_pos,
         |  (sum(h.hit) > 0) AS contaminated
         |FROM hits h LEFT JOIN ex e ON e.doc_id = h.doc_id AND e.g = h.g
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // hash → shard → per-(epoch, shard) rank → order checksum replayed;
+    // all-integer outputs, engine-exact
+    "q121_epoch_shuffle_manifest" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |k AS (
+        |  SELECT d.doc_id, d.ntok, CAST(i.i AS INT) AS epoch,
+        |    md5('shuffle:' || CAST(i.i AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS h
+        |  FROM d, generate_series(0, 2) i(i)),
+        |sh AS (
+        |  SELECT doc_id, ntok, epoch, h,
+        |    ${hexPoly("substring(h, 1, 4)", 4)} % 8 AS shard
+        |  FROM k),
+        |p AS (
+        |  SELECT epoch, shard, doc_id, ntok,
+        |    row_number() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id) AS pos
+        |  FROM sh)
+        |SELECT epoch, shard, count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  min_by(doc_id, pos) AS first_doc,
+        |  max_by(doc_id, pos) AS last_doc,
+        |  CAST(sum(pos * (doc_id % 997)) AS BIGINT) AS order_checksum
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -723,4 +723,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"probe path shuffled the gram stream:\n$plan")
   }
+
+  test("q121 shuffle manifest: join-free, one sharded rank window, partial aggs") {
+    val plan = physical(TextQueries.defs("q121_epoch_shuffle_manifest")(spark, dir))
+    // the permutation key is row-local and the manifest is a rollup —
+    // there is nothing to join
+    assert(!plan.contains("Join"), s"manifest grew a join:\n$plan")
+    assert(plan.contains("row_number"), s"rank window missing:\n$plan")
+    // the window partitions by (epoch, shard) — world_size-sharded, the
+    // q73 pattern — never by a constant
+    assert(!plan.contains("Window [") ||
+      !plan.contains("windowspecdefinition(1"),
+      s"window degenerated to a single partition:\n$plan")
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+  }
 }

@@ -1746,4 +1746,47 @@ class QueriesSpec extends AnyFunSuite {
     assert(fps.toDouble / grs < 0.02,
       s"FP rate ${fps.toDouble / grs} — bloom sizing regressed")
   }
+
+  test("q121 shuffle manifest: coverage, balance, per-epoch permutations, replayed order") {
+    val rows = TextQueries.defs("q121_epoch_shuffle_manifest")(spark, dir).collect()
+    assert(rows.length == 24, s"expected 3 epochs × 8 shards, got ${rows.length}")
+    val total = Tables.documents(spark, dir).count()
+    (0 until 3).foreach { e =>
+      val er = rows.filter(_.getAs[Int]("epoch") == e)
+      assert(er.map(_.getAs[Long]("n_docs")).sum == total,
+        s"epoch $e does not cover the corpus")
+    }
+    // different epochs must be DIFFERENT global permutations — the whole
+    // point of keying the hash by epoch
+    val byEpoch = rows.groupBy(_.getAs[Int]("epoch")).map { case (e, rs) =>
+      e -> rs.sortBy(_.getAs[Long]("shard"))
+        .map(_.getAs[Long]("order_checksum")).toSeq
+    }
+    assert(byEpoch(0) != byEpoch(1) && byEpoch(1) != byEpoch(2),
+      "epoch permutations identical — the shuffle key is not epoch-dependent")
+    // md5 is uniform: no shard may dominate the stream
+    val counts = rows.map(_.getAs[Long]("n_docs"))
+    assert(counts.max < 3 * counts.min,
+      s"shard imbalance: ${counts.min}..${counts.max}")
+    // full driver-side replay of one (epoch, shard): hash order,
+    // first/last in read order, and the order-sensitive checksum
+    val docs = Tables.documents(spark, dir).select("doc_id").collect()
+      .map(_.getLong(0))
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val members = docs.map { id =>
+      val h = md5hex(s"shuffle:1:$id")
+      (id, h, java.lang.Long.parseLong(h.substring(0, 4), 16) % 8)
+    }.filter(_._3 == 3L).sortBy(t => (t._2, t._1))
+    val got = rows.find(r =>
+      r.getAs[Int]("epoch") == 1 && r.getAs[Long]("shard") == 3L).get
+    assert(got.getAs[Long]("n_docs") == members.length.toLong)
+    assert(got.getAs[Long]("first_doc") == members.head._1)
+    assert(got.getAs[Long]("last_doc") == members.last._1)
+    val ck = members.zipWithIndex
+      .map { case ((id, _, _), i) => (i + 1).toLong * (id % 997) }.sum
+    assert(got.getAs[Long]("order_checksum") == ck,
+      "order checksum diverged from the plain-Scala replay")
+  }
 }
