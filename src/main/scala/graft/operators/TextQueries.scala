@@ -2121,6 +2121,69 @@ object TextQueries {
           max_by(col("doc_id"), col("pos")).as("last_doc"),
           sum(col("pos") * (col("doc_id") % 997)).as("order_checksum"))
         .orderBy("epoch", "shard")
+    }),
+
+    // Gopher quality-rule gate (Rae et al. 2021, A1.1) — the canonical
+    // NAMED rule suite with per-rule attribution, where q25's composite
+    // score gives one number: word-count ∈ [50, 100k], mean RAW word
+    // length ∈ [3, 10], ≥80% of words alphabetic, ≥1 distinct Gopher
+    // stop word (the paper's threshold is 2; this corpus's synthetic
+    // vocabulary carries only "the" from the fixed 8-word list, so the
+    // gate is calibrated to 1 to stay live — the spec pins that it
+    // fires in BOTH directions), and repetition — the char mass of the doc's
+    // most-repeated word bigram ≤ 20% of its chars (the "fraction of
+    // characters in the top n-gram" rule; max over cnt·len needs no
+    // top-gram tie-break). Raw whitespace words (the tokenCount
+    // convention), not the normalized tokenizer — the word-shape rules
+    // are about the text as it stands. The line/paragraph rules are
+    // omitted: this corpus is single-line by construction. Scale shape:
+    // four rules are row-local Column math; the repetition census is a
+    // (doc, bigram)-keyed partial agg collapsing to one max per doc
+    // (q54's shape), joined back on doc_id; report is a per-lang
+    // rollup. Every rule compares exact int-ratio doubles — identical
+    // IEEE division on both engines, so even boundary hits agree;
+    // oracle replays all five rules.
+    "q122_gopher_rules" -> ((s, dir) => {
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          length(trim(col("text"))).as("n_chars"),
+          split(trim(col("text")), "\\s+").as("w"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("w"),
+          size(col("w")).as("n_words"),
+          expr("aggregate(w, 0L, (a, x) -> a + length(x))").as("sum_len"),
+          expr("size(filter(w, x -> x rlike '[a-zA-Z]'))").as("n_alpha"),
+          expr("size(array_intersect(transform(w, x -> lower(x)), " +
+            s"array(${stops.map("'" + _ + "'").mkString(",")})))").as("n_stop"))
+        .localCheckpoint() // feeds the bigram census AND the rule rollup
+      val rep = base
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokenBigrams(col("w"))).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c") * length(col("g"))).as("rep_mass"))
+      val mean = col("sum_len").cast("double") / col("n_words")
+      base.join(rep, Seq("doc_id"), "left")
+        .select(col("lang"), col("doc_id"),
+          (col("n_words") >= 50 && col("n_words") <= 100000).as("r_wc"),
+          (mean >= 3.0 && mean <= 10.0).as("r_wlen"),
+          (col("n_alpha").cast("double") / col("n_words") >= 0.8).as("r_alpha"),
+          (col("n_stop") >= 1).as("r_stop"),
+          (coalesce(col("rep_mass"), lit(0L)).cast("double") / col("n_chars")
+            <= 0.2).as("r_rep"))
+        .withColumn("keep", col("r_wc") && col("r_wlen") && col("r_alpha") &&
+          col("r_stop") && col("r_rep"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("r_wc"), 1L).otherwise(0L)).as("fail_word_count"),
+          sum(when(!col("r_wlen"), 1L).otherwise(0L)).as("fail_word_len"),
+          sum(when(!col("r_alpha"), 1L).otherwise(0L)).as("fail_alpha"),
+          sum(when(!col("r_stop"), 1L).otherwise(0L)).as("fail_stopwords"),
+          sum(when(!col("r_rep"), 1L).otherwise(0L)).as("fail_repetition"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          coalesce(sum(when(col("keep"), col("doc_id"))), lit(0L))
+            .as("kept_id_checksum"))
+        .orderBy("lang")
     })
   )
 
@@ -3593,6 +3656,52 @@ object TextQueries {
         |  min_by(doc_id, pos) AS first_doc,
         |  max_by(doc_id, pos) AS last_doc,
         |  CAST(sum(pos * (doc_id % 997)) AS BIGINT) AS order_checksum
-        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // all five Gopher rules replayed on the raw word arrays; the
+    // repetition census as the same (doc, bigram) group + per-doc max
+    "q122_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, len(trim(text)) AS n_chars,
+        |    string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang, n_chars, w, len(w) AS n_words,
+        |    CAST(list_aggregate(list_transform(w, x -> len(x)), 'sum') AS BIGINT) AS sum_len,
+        |    len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(list_transform(w, x -> lower(x)), s))) AS n_stop
+        |  FROM d),
+        |g AS (
+        |  SELECT doc_id, t.g FROM b,
+        |    LATERAL (SELECT unnest(list_transform(generate_series(1, len(w)-1),
+        |      i -> w[i] || ' ' || w[i+1])) AS g) t
+        |  WHERE len(w) >= 2),
+        |rep AS (
+        |  SELECT doc_id, MAX(c * glen) AS rep_mass FROM (
+        |    SELECT doc_id, g, count(*) AS c, len(g) AS glen FROM g GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT b.lang, b.doc_id,
+        |    (n_words >= 50 AND n_words <= 100000) AS r_wc,
+        |    (CAST(sum_len AS DOUBLE)/n_words >= 3.0
+        |     AND CAST(sum_len AS DOUBLE)/n_words <= 10.0) AS r_wlen,
+        |    (CAST(n_alpha AS DOUBLE)/n_words >= 0.8) AS r_alpha,
+        |    (n_stop >= 1) AS r_stop,
+        |    (CAST(COALESCE(rep.rep_mass, 0) AS DOUBLE)/n_chars <= 0.2) AS r_rep
+        |  FROM b LEFT JOIN rep USING(doc_id)),
+        |k AS (
+        |  SELECT lang, doc_id, r_wc, r_wlen, r_alpha, r_stop, r_rep,
+        |    (r_wc AND r_wlen AND r_alpha AND r_stop AND r_rep) AS keep
+        |  FROM r)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+        |  CAST(sum(CASE WHEN NOT r_wlen THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_len,
+        |  CAST(sum(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+        |  CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
+        |  CAST(sum(CASE WHEN NOT r_rep THEN 1 ELSE 0 END) AS BIGINT) AS fail_repetition,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(sum(CASE WHEN keep THEN doc_id END), 0) AS BIGINT) AS kept_id_checksum
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

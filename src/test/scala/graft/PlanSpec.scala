@@ -737,4 +737,14 @@ class PlanSpec extends AnyFunSuite {
       s"window degenerated to a single partition:\n$plan")
     assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
   }
+
+  test("q122 gopher rules: row-local rules, windowless repetition census, no cartesian") {
+    val plan = physical(TextQueries.defs("q122_gopher_rules")(spark, dir))
+    // four rules are pure Column math and the fifth is a (doc, bigram)
+    // partial agg joined back on doc_id — a corpus window would be the
+    // regression
+    assert(!plan.contains("Window"), s"rules grew a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+  }
 }

@@ -1789,4 +1789,55 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.getAs[Long]("order_checksum") == ck,
       "order checksum diverged from the plain-Scala replay")
   }
+
+  test("q122 gopher rules: full plain-Scala replay, ruleset alive, gate passable") {
+    val rows = TextQueries.defs("q122_gopher_rules")(spark, dir).collect()
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length.toLong)
+    // replay all five rules per doc in plain Scala
+    val stops = Set("the", "be", "to", "of", "and", "that", "have", "with")
+    case class R(wc: Boolean, wlen: Boolean, alpha: Boolean, stop: Boolean,
+      rep: Boolean) { def keep: Boolean = wc && wlen && alpha && stop && rep }
+    val judged = docs.map { case (id, lang, text) =>
+      val t = text.trim
+      val w = t.split("\\s+")
+      val n = w.length
+      val mean = w.map(_.length).sum.toDouble / n
+      val alphaFrac = w.count(_.matches(".*[a-zA-Z].*")).toDouble / n
+      val lw = w.map(_.toLowerCase)
+      val nStop = stops.count(lw.contains)
+      val repMass = if (n < 2) 0L
+        else w.sliding(2).map(_.mkString(" ")).toSeq.groupBy(identity)
+          .map { case (g, v) => v.size.toLong * g.length }.max
+      (id, lang, R(n >= 50 && n <= 100000, mean >= 3.0 && mean <= 10.0,
+        alphaFrac >= 0.8, nStop >= 1, repMass.toDouble / t.length <= 0.2))
+    }
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val js = judged.filter(_._2 == lang)
+      assert(r.getAs[Long]("fail_word_count") == js.count(!_._3.wc).toLong, lang)
+      assert(r.getAs[Long]("fail_word_len") == js.count(!_._3.wlen).toLong, lang)
+      assert(r.getAs[Long]("fail_alpha") == js.count(!_._3.alpha).toLong, lang)
+      assert(r.getAs[Long]("fail_stopwords") == js.count(!_._3.stop).toLong, lang)
+      assert(r.getAs[Long]("fail_repetition") == js.count(!_._3.rep).toLong, lang)
+      assert(r.getAs[Long]("n_kept") == js.count(_._3.keep).toLong, lang)
+      assert(r.getAs[Long]("kept_id_checksum") ==
+        js.filter(_._3.keep).map(_._1).sum, lang)
+    }
+    // the gate is alive on this corpus: at least one rule fires AND some
+    // docs survive — a ruleset that drops nothing (or everything) tests
+    // nothing
+    val fails = rows.map(r => r.getAs[Long]("fail_word_count") +
+      r.getAs[Long]("fail_word_len") + r.getAs[Long]("fail_alpha") +
+      r.getAs[Long]("fail_stopwords") + r.getAs[Long]("fail_repetition")).sum
+    val kept = rows.map(_.getAs[Long]("n_kept")).sum
+    assert(fails > 0, "no rule fires at sf0.001 — the gate is inert")
+    assert(kept > 0, "every doc fails — thresholds are miscalibrated")
+    // the corpus-calibrated stopword threshold (>=1, see the query doc)
+    // must itself fire in both directions
+    assert(rows.map(_.getAs[Long]("fail_stopwords")).sum > 0,
+      "stopword rule inert — every doc carries a Gopher stop word")
+  }
 }
