@@ -303,4 +303,56 @@ object CorpusStatsMaintenance {
       .groupBy(col("doc_id"))
       .agg(max(col("run")).as("maxrun"))
   }
+
+  /** q120's decontamination bitset as a maintained artifact: the
+    * 32-bit-lane `words` table, the FROZEN width `m`, and the gram
+    * count the next refresh sizes against. Bloom inserts are bit_or —
+    * commutative AND idempotent — so under a frozen width the bitset of
+    * base ∪ delta IS the key-wise OR of the two builds: a refresh
+    * equals a rebuild exactly, even when delta grams overlap base
+    * grams. The one staleness axis is the WIDTH (sized 16× grams at
+    * build): a grown benchmark degrades the FP rate deterministically,
+    * so the refresh carries the same arithmetic rebuild signal as
+    * SRP's bucket width. `grams` may OVERCOUNT across overlapping
+    * deltas (a bitset cannot count distinct members) — conservative by
+    * direction: it can only recommend the rebuild early, never late.
+    */
+  final case class BloomIndex(words: DataFrame, m: Long, grams: Long)
+
+  final case class BloomRefreshReport(mode: String, newGrams: Long,
+      frozenWidth: Long, widthNow: Long)
+
+  /** Words table of a gram set under an EXPLICIT width — the bootstrap
+    * builder's body, and the refresh-equivalence oracle (a rebuild
+    * compared against a refresh must hold the width fixed). */
+  def buildBloomAt(bench: DataFrame, m: Long): DataFrame =
+    TextQueries.bloomWordRows(bench.select(col("g")).distinct()
+      .withColumn("m", lit(m))).localCheckpoint()
+
+  /** Bootstrap build over a (g) benchmark-gram frame: size the width
+    * from the distinct count, hash every gram in. */
+  def buildBloom(bench: DataFrame): BloomIndex = {
+    val n = bench.select(col("g")).distinct().count()
+    val m = TextQueries.bloomWidthFor(n)
+    BloomIndex(buildBloomAt(bench, m), m, n)
+  }
+
+  /** Refresh for appended benchmark grams (a new eval suite joining the
+    * decontamination set): the delta hashes ALONE under the frozen
+    * width (one kernel definition with q120 — TextQueries.bloomPos/
+    * bloomLane/bloomWordRows) and merges by key-wise bit_or; base grams
+    * are never re-hashed. O(|delta| + m/32) per refresh. */
+  def refreshBloom(base: BloomIndex, deltaGrams: DataFrame)
+      : (BloomIndex, BloomRefreshReport) = {
+    val nD = deltaGrams.select(col("g")).distinct().count()
+    val words = base.words.unionByName(buildBloomAt(deltaGrams, base.m))
+      .groupBy(col("w")).agg(bit_or(col("bits")).as("bits"))
+      .localCheckpoint()
+    val grams = base.grams + nD
+    val widthNow = TextQueries.bloomWidthFor(grams)
+    (BloomIndex(words, base.m, grams),
+      BloomRefreshReport(
+        if (widthNow == base.m) "incremental" else "rebuild",
+        nD, base.m, widthNow))
+  }
 }

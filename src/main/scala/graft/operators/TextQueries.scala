@@ -503,6 +503,43 @@ object TextQueries {
         .localCheckpoint()
     }
 
+  // ---- Bloom decontamination kernels (ONE definition shared by q120
+  // ---- and CorpusStatsMaintenance.buildBloom/refreshBloom — a bitset
+  // ---- refreshed with different hashing would probe garbage) ----------
+
+  /** Smallest power of two >= 16·n — the bitset width sizing (k=4
+    * probes at this load → ~0.2% measured FP rate). */
+  private[graft] def bloomWidthFor(n: Long): Long = {
+    val x = 16L * math.max(n, 1L)
+    val h = java.lang.Long.highestOneBit(x)
+    if (h == x) x else h << 1
+  }
+
+  private[graft] def bloomDigest(g: Column): Column =
+    md5(concat(lit("bloom:"), g))
+
+  /** Probe position i (of 4): the digest's i-th 8-hex-char quarter,
+    * mod the width column m. */
+  private[graft] def bloomPos(h: Column, m: Column, i: Int): Column =
+    pmod(conv(substring(h, 8 * i + 1, 8), 16, 10).cast("long"), m)
+
+  /** The 32-bit lane mask of a position (2^(p mod 32) — pow is exact in
+    * doubles to 2^53, and lanes are 32-bit because a 1<<63 differs
+    * across engines). */
+  private[graft] def bloomLane(p: Column): Column =
+    pow(lit(2.0), (p % 32).cast("double")).cast("long")
+
+  /** The words table (w, bits) of a gram set: expects columns (g, m) —
+    * m as a column so q120 can carry it as a 1-row broadcast scalar and
+    * the maintenance as a frozen literal. */
+  private[graft] def bloomWordRows(gm: DataFrame): DataFrame = {
+    val withH = gm.withColumn("h", bloomDigest(col("g")))
+    withH.select(explode(array((0 until 4).map(i =>
+        bloomPos(col("h"), col("m"), i)): _*)).as("p"))
+      .groupBy(shiftright(col("p"), 5).as("w"))
+      .agg(bit_or(bloomLane(col("p"))).as("bits"))
+  }
+
   /** DSIR hashed-feature table (doc_id, source, b) as a persisted
     * artifact — the explicit corpus-hashing stage of the DSIR pipeline
     * (Xie et al. 2023 hash the raw corpus once, then score it against
@@ -2044,17 +2081,13 @@ object TextQueries {
         ceil(log2(count(lit(1)).cast("double") * 16.0)).cast("double"))
         .cast("long").as("m"))
       // the k=4 positions slice one md5 digest into its four 8-hex-char
-      // quarters (32 independent bits each) — one hash per gram, not four
-      def pos(i: Int) = pmod(conv(substring(col("h"), 8 * i + 1, 8), 16, 10)
-        .cast("long"), col("m"))
-      val digest = md5(concat(lit("bloom:"), col("g")))
-      def lane(p: org.apache.spark.sql.Column) =
-        pow(lit(2.0), (p % 32).cast("double")).cast("long")
-      val words = bench.crossJoin(broadcast(mRow))
-        .withColumn("h", digest)
-        .select(col("g"), explode(array((0 until 4).map(pos): _*)).as("p"))
-        .groupBy(shiftright(col("p"), 5).as("w"))
-        .agg(bit_or(lane(col("p"))).as("bits"))
+      // quarters (32 independent bits each) — one hash per gram, not
+      // four; ONE kernel definition (bloomDigest/bloomPos/bloomLane/
+      // bloomWordRows below) shared with the incremental maintenance
+      // (CorpusStatsMaintenance.buildBloom/refreshBloom), so a refreshed
+      // bitset can never hash differently from the built one
+      def pos(i: Int) = bloomPos(col("h"), col("m"), i)
+      val words = bloomWordRows(bench.crossJoin(broadcast(mRow)))
         .localCheckpoint() // m/32 rows, broadcast once per probe
       // probe path: the exact-audit membership rides ONE broadcast left
       // join (benchmark sets are bounded by nature — they don't grow
@@ -2065,7 +2098,7 @@ object TextQueries {
         .select(col("doc_id"), col("g"))
         .join(broadcast(bench.withColumn("ex", lit(1))), Seq("g"), "left")
         .crossJoin(broadcast(mRow))
-        .withColumn("h", digest)
+        .withColumn("h", bloomDigest(col("g")))
       val probed = (0 until 4).foldLeft(base) { (df, i) =>
         df.withColumn(s"p$i", pos(i))
           .join(broadcast(words.select(col("w").as(s"w$i"),
@@ -2074,7 +2107,7 @@ object TextQueries {
       }
       val hit = (0 until 4).map(i =>
         coalesce(col(s"bits$i"), lit(0L))
-          .bitwiseAND(lane(col(s"p$i"))) =!= 0).reduce(_ && _)
+          .bitwiseAND(bloomLane(col(s"p$i"))) =!= 0).reduce(_ && _)
       probed
         .select(col("doc_id"), when(hit, 1).otherwise(0).as("hit"),
           coalesce(col("ex"), lit(0)).as("ex"))

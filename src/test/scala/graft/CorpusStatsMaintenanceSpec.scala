@@ -194,4 +194,55 @@ class CorpusStatsMaintenanceSpec extends AnyFunSuite {
     val runs = runsMap(spanRuns(r.index, Some(r.affected)))
     assert(runs == Map(1L -> 16L, 2L -> 16L), runs.toString)
   }
+
+  test("bloom bitset refresh == rebuild under the frozen width; overlap idempotent; growth signals") {
+    import spark.implicits._
+    // the q120 build input: distinct held-out-split 5-grams, arriving as
+    // a large bootstrap segment + a ~10% later segment (a new eval suite)
+    val grams = corpus()
+      .select(explode(array_distinct(graft.functions.TextFunctions
+        .wordNgramsUdf(5)(col("text")))).as("g"),
+        graft.functions.TextFunctions.splitAssign(col("doc_id")).as("split"))
+      .filter(col("split") =!= "train").select(col("g")).distinct()
+      .localCheckpoint()
+    val b2 = grams.filter(length(col("g")) % 10 === 1)
+    val b1 = grams.filter(length(col("g")) % 10 =!= 1)
+    assert(b2.count() > 0 && b2.count() < b1.count() / 4)
+    val idx0 = buildBloom(b1)
+    val (idx1, rep) = refreshBloom(idx0, b2)
+    assert(rep.mode == "incremental",
+      s"a ~10% benchmark growth must not re-size the width: $rep")
+    def wordsMap(df: DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rebuilt = buildBloomAt(grams, idx0.m)
+    assert(wordsMap(idx1.words) == wordsMap(rebuilt),
+      "refreshed bitset diverged from a rebuild at the frozen width")
+    // bit_or is idempotent: replaying an already-inserted segment leaves
+    // every lane untouched (the gram COUNT overcounts — by design,
+    // conservative toward an early rebuild recommendation)
+    val (idx2, _) = refreshBloom(idx1, b2)
+    assert(wordsMap(idx2.words) == wordsMap(idx1.words),
+      "overlapping delta flipped lanes — inserts are not idempotent")
+    assert(idx2.grams > idx1.grams)
+    // kernel probe soundness, replayed with java MessageDigest: every
+    // inserted gram's 4 sliced positions are set in the refreshed bitset
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val wm = wordsMap(idx1.words)
+    b2.limit(20).collect().map(_.getString(0)).foreach { g =>
+      val h = md5hex("bloom:" + g)
+      (0 until 4).foreach { i =>
+        val p = java.lang.Long.parseLong(h.substring(8 * i, 8 * i + 8), 16) % idx0.m
+        val bit = 1L << (p % 32).toInt
+        assert((wm.getOrElse(p / 32, 0L) & bit) != 0,
+          s"gram '$g' probe $i not set — kernel drifted from the builder")
+      }
+    }
+    // a benchmark grown past the width's load budget carries the
+    // deterministic rebuild signal (the SRP width analogue)
+    val big = (0 until 20000).map(i => s"synthetic gram number $i").toDF("g")
+    val (_, rep2) = refreshBloom(idx1, big)
+    assert(rep2.mode == "rebuild" && rep2.widthNow > rep2.frozenWidth, rep2.toString)
+  }
 }

@@ -97,6 +97,14 @@ class MaintenanceSoakSpec extends AnyFunSuite {
     var lm = CorpusStatsMaintenance.buildLm(docs0)
     var nb = CorpusStatsMaintenance.buildNb(docs0)
     var spans = CorpusStatsMaintenance.buildSpans(docs0)
+    // the q120 decontamination bitset over the admitted corpus's
+    // held-out-split grams (the benchmark side grows as epochs admit)
+    def benchGrams(docs: org.apache.spark.sql.DataFrame) = docs
+      .select(explode(array_distinct(graft.functions.TextFunctions
+        .wordNgramsUdf(5)(col("text")))).as("g"),
+        graft.functions.TextFunctions.splitAssign(col("doc_id")).as("split"))
+      .filter(col("split") =!= "train").select(col("g")).distinct()
+    var bloom = CorpusStatsMaintenance.buildBloom(benchGrams(docs0))
     var ivf = IndexMaintenance.buildIvf(vecs0.join(lbl, "vec_id"))
     var srp = IndexMaintenance.buildSrp(vecs0)
     val sv0 = VectorQueries.pqSubvecs(VectorQueries.pqNormalize(vecs0))
@@ -201,6 +209,7 @@ class MaintenanceSoakSpec extends AnyFunSuite {
       lex = CorpusStatsMaintenance.refreshLex(lex, keptD)
       lm = CorpusStatsMaintenance.refreshLm(lm, keptD)
       nb = CorpusStatsMaintenance.refreshNb(nb, keptD)
+      bloom = CorpusStatsMaintenance.refreshBloom(bloom, benchGrams(keptD))._1
       // dup-span census: refresh names the affected docs; re-score ONLY
       // those and splice into the carried report — per epoch, census and
       // report must equal a from-scratch rebuild exactly
@@ -281,6 +290,12 @@ class MaintenanceSoakSpec extends AnyFunSuite {
       "no semantic dups among admitted vectors — the soak equality proves nothing")
     assert(semIds(sem.dropped) == semIds(semRebuilt.dropped),
       "maintained semantic-dedup drop set diverged from rebuild")
+    val bloomRebuilt = CorpusStatsMaintenance.buildBloomAt(
+      benchGrams(admittedDocs), bloom.m)
+    def laneMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(laneMap(bloom.words) == laneMap(bloomRebuilt),
+      "maintained decontamination bitset diverged from rebuild at the frozen width")
     val spansRebuilt = CorpusStatsMaintenance.buildSpans(admittedDocs)
     assert(spans.census.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
       spansRebuilt.census.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
