@@ -296,6 +296,19 @@ object LedgerSource {
     if (leq(f, t)) (f, t) else (f, f)
   }
 
+  /** Intersect the pushed-filter publish window with the reader-option
+    * window ([startPublishUs, endPublishUs) — exclusive end, matching
+    * the filter form): lo sides max, hi sides min. The option side is a
+    * HARD read bound (the Kafka startingTimestamp analogue), enforced by
+    * the same exact metadata trim as the filter side. */
+  def mergedPublishBounds(options: Map[String, String],
+      pushed: (Option[Long], Option[Long])): (Option[Long], Option[Long]) = {
+    val oLo = options.get("startpublishus").map(_.toLong)
+    val oHi = options.get("endpublishus").map(_.toLong)
+    ((pushed._1 ++ oLo).reduceOption(_ max _),
+      (pushed._2 ++ oHi).reduceOption(_ min _))
+  }
+
   /** Bytes on disk for a partition's segment files (metadata-only). */
   def partitionBytes(dir: Path, ledgers: Seq[LedgerInfo]): Long =
     ledgers.map { l =>
@@ -491,6 +504,13 @@ object LedgerOptions {
     // format ({"0":[ledgerId,entryId],...})
     "startoffsets" -> offsetErr,
     "endoffsets" -> offsetErr,
+    // time-based positions (the Kafka startingTimestamp / consumer
+    // seek-by-time analogue): [startPublishUs, endPublishUs) resolved to
+    // cursors from segment metadata (trimToPublishBounds); streams accept
+    // only the start side, and each side is exclusive with its cursor
+    // twin above
+    "startpublishus" -> nonNegNum,
+    "endpublishus" -> nonNegNum,
     // write path: bucket count for key-hash routing of NULL partitions
     "writepartitions" -> (v =>
       try { if (v.toInt > 0) None else Some("must be > 0") }
@@ -558,6 +578,14 @@ object LedgerOptions {
     if (norm.get("authprovider").contains("token") && !norm.contains("authtoken"))
       throw new IllegalArgumentException(
         "graft-ledger: authProvider=token requires the 'authToken' option")
+    // one start position, one end position — a cursor bound and a time
+    // bound on the same side would silently shadow each other
+    if (norm.contains("startpublishus") && norm.contains("startoffsets"))
+      throw new IllegalArgumentException(
+        "graft-ledger: choose ONE start position: 'startOffsets' (cursors) or 'startPublishUs' (time)")
+    if (norm.contains("endpublishus") && norm.contains("endoffsets"))
+      throw new IllegalArgumentException(
+        "graft-ledger: choose ONE end position: 'endOffsets' (cursors) or 'endPublishUs' (time)")
     norm
   }
 
@@ -811,6 +839,11 @@ class LedgerScan(path: String, options: Map[String, String],
     with SupportsReportPartitioning with SupportsReportOrdering
     with SupportsReportStatistics with SupportsRuntimeFiltering {
   import LedgerSource.{Cursor, LedgerOffset, entriesBetween, listLedgers, partitionBytes, trimToPublishBounds}
+  // pushed publish_us filters ∩ the startPublishUs/endPublishUs reader
+  // options — one effective window drives the trim, the stats, and the
+  // planned splits
+  private val effBounds: (Option[Long], Option[Long]) =
+    LedgerSource.mergedPublishBounds(options, tsBounds)
   override def readSchema(): StructType = required
   // surfaces static pruning in `.explain` (BatchScan node description)
   override def description(): String =
@@ -818,9 +851,9 @@ class LedgerScan(path: String, options: Map[String, String],
       s" PushedPartitions: ${s.toSeq.sorted.mkString("[", ",", "]")}") +
       pushedOffset.fold("")(o => s" PushedOffset: $o") +
       pushedLimit.fold("")(l => s" PushedLimit: $l") +
-      (if (tsBounds._1.isDefined || tsBounds._2.isDefined)
-        s" PushedPublishRange: [${tsBounds._1.getOrElse("")}," +
-          s"${tsBounds._2.getOrElse("")})"
+      (if (effBounds._1.isDefined || effBounds._2.isDefined)
+        s" PushedPublishRange: [${effBounds._1.getOrElse("")}," +
+          s"${effBounds._2.getOrElse("")})"
        else "")
   // the stream honors the static partition set too: accepted pushed
   // filters were removed from the plan as exact, so every path this scan
@@ -894,7 +927,7 @@ class LedgerScan(path: String, options: Map[String, String],
   // consistency checker to re-read exactly what a stream committed
   override def toBatch(): Batch =
     new LedgerBatchRead(path, options, required, Some(effectivePartitions),
-      pushedLimit, pushedOffset, tsBounds)
+      pushedLimit, pushedOffset, effBounds)
 
   /** Metadata-only size/row estimates (segment byte sizes + cached entry
     * counts, same figures the status TVF reports) so Catalyst can SIZE
@@ -923,7 +956,7 @@ class LedgerScan(path: String, options: Map[String, String],
       // the planned splits — a time-sliced lookup sizes (and broadcasts)
       // like the slice it reads, not like the whole topic
       val (from, to) =
-        trimToPublishBounds(ledgers, from0, to0, tsBounds._1, tsBounds._2)
+        trimToPublishBounds(ledgers, from0, to0, effBounds._1, effBounds._2)
       val range = math.max(0L, entriesBetween(ledgers, from, to))
       val dirBytes = partitionBytes(dir, ledgers)
       rows += range
@@ -1199,6 +1232,8 @@ class LedgerMicroBatchStream(path: String, options: Map[String, String],
   // the same trap LedgerOptions.validate exists to kill)
   require(!options.contains("endoffsets"),
     "graft-ledger: 'endOffsets' is only valid for batch reads (spark.read); a stream has no end")
+  require(!options.contains("endpublishus"),
+    "graft-ledger: 'endPublishUs' is only valid for batch reads (spark.read); a stream has no end")
 
   // explicit start position for NEW checkpoints (the reference's
   // external-offset resume made explicit; Kafka startingOffsets analogue).
@@ -1207,13 +1242,27 @@ class LedgerMicroBatchStream(path: String, options: Map[String, String],
     options.get("startoffsets")
       .map(LedgerOffset.parse(_).cursors).getOrElse(Map.empty)
 
+  // time-based start for NEW checkpoints (Kafka startingTimestamp /
+  // consumer seek-by-time analogue): the first cursor whose publish_us
+  // can reach the bound, resolved per partition from segment metadata —
+  // exclusive with startOffsets (LedgerOptions.validate). Checkpointed
+  // streams resume from their committed cursors as always; this only
+  // positions a FRESH query.
+  private val startTime: Option[Long] =
+    options.get("startpublishus").map(_.toLong)
+
   private def partitionDir(p: Int): Path = root.resolve(s"partition-$p")
 
   override def initialOffset(): Offset =
     LedgerOffset(partitions().map { p =>
-      val first = listLedgers(partitionDir(p)).headOption
-      p -> startOverride.getOrElse(p,
-        Cursor(first.map(_.ledgerId).getOrElse(0L), 0L))
+      val ledgers = listLedgers(partitionDir(p))
+      val first = Cursor(ledgers.headOption.map(_.ledgerId).getOrElse(0L), 0L)
+      val default = startTime.fold(first) { t =>
+        val end = ledgers.lastOption.map(l => Cursor(l.ledgerId, l.entries))
+          .getOrElse(first)
+        trimToPublishBounds(ledgers, first, end, Some(t), None)._1
+      }
+      p -> startOverride.getOrElse(p, default)
     }.toMap)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()

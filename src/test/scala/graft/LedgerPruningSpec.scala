@@ -483,4 +483,47 @@ class LedgerPruningSpec extends AnyFunSuite {
     assert(scanStats.head.rowCount.contains(BigInt(20)),
       s"rows ${scanStats.head.rowCount} — stats don't reflect the time trim")
   }
+
+  test("time reader options slice the batch read; options and filters intersect") {
+    val topic = writeTimeTopic()
+    import spark.implicits._
+    // option-only window = the filter form's exact cursor slice (the
+    // Kafka startingTimestamp shape: the time resolves to cursors, then
+    // the read is a plain cursor range)
+    val opt = spark.read.format("graft-ledger")
+      .option("path", topic.toString)
+      .option("startPublishUs", "3000002")
+      .option("endPublishUs", "7000002")
+      .load()
+    val rows = opt.selectExpr("publish_us").collect().map(_.getLong(0))
+    assert(rows.length == 20, s"got ${rows.length}")
+    assert(rows.forall(t => t >= 3000002L && t < 7000002L))
+    ranges(topic).foreach { case (_, f, t) =>
+      assert(f == LedgerSource.Cursor(3, 2) && t == LedgerSource.Cursor(7, 2),
+        s"option window not trimmed: $f..$t")
+    }
+    assert(opt.queryExecution.executedPlan.toString
+      .contains("PushedPublishRange: [3000002,7000002)"))
+    // a pushed filter INTERSECTS the option window: max of lows, min of
+    // highs — same final slice
+    val both = spark.read.format("graft-ledger")
+      .option("path", topic.toString)
+      .option("startPublishUs", "1000000")
+      .option("endPublishUs", "7000002")
+      .load().filter($"publish_us" >= 3000002L)
+    assert(both.count() == 20)
+    ranges(topic).foreach { case (_, f, t) =>
+      assert(f == LedgerSource.Cursor(3, 2) && t == LedgerSource.Cursor(7, 2),
+        s"intersection not applied: $f..$t")
+    }
+    // two start positions (cursor + time) would shadow each other —
+    // validation kills the combination before anything reads
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-ledger").option("path", topic.toString)
+        .option("startPublishUs", "1")
+        .option("startOffsets", """{"0":[1,0]}""")
+        .load().collect()
+    }
+    assert(e.getMessage.contains("ONE start position"), e.getMessage)
+  }
 }

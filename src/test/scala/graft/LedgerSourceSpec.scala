@@ -455,4 +455,44 @@ class LedgerSourceSpec extends AnyFunSuite {
     assert(rows.length == 17, s"got ${rows.length}") // 15 + 2, no dups
     assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).distinct.length == 17)
   }
+
+  test("startPublishUs positions a fresh stream mid-log (seek-by-time)") {
+    val topic = writeTopic()
+    val out = Files.createTempDirectory("graft_ledger_seek_sink").toString
+    val ckpt = Files.createTempDirectory("graft_ledger_seek_ckpt").toString
+    // bound 2000003 lands INSIDE p1's ledger 2 (entries 3..4 qualify) and
+    // ABOVE all of p0's ledger 1 (skipped whole) — p0 starts at ledger 4
+    val q = spark.readStream.format("graft-ledger")
+      .option("path", topic.toString)
+      .option("startPublishUs", "2000003")
+      .load()
+      .selectExpr("partition", "ledger_id", "entry_id", "publish_us")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 6,
+      s"got ${rows.length}: ${rows.sortBy(_._4).mkString(",")}")
+    assert(rows.forall(_._4 >= 2000003L), "an entry below the seek leaked")
+    assert(rows.filter(_._1 == 0).forall(_._2 == 4L),
+      "p0's pre-seek ledger was not skipped whole")
+    // a stream end bound is a misconfiguration, failed loudly (the
+    // endOffsets contract applied to the time form)
+    val err = intercept[Exception] {
+      val bad = spark.readStream.format("graft-ledger")
+        .option("path", topic.toString).option("endPublishUs", "5000000")
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_ledger_seek_bad").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      bad.awaitTermination(60000)
+    }
+    def causes(t: Throwable): Seq[String] =
+      Iterator.iterate(t.asInstanceOf[Throwable])(_.getCause)
+        .takeWhile(_ != null).take(8).map(m => String.valueOf(m.getMessage)).toSeq
+    assert(causes(err).exists(_.contains("endPublishUs")), causes(err).toString)
+  }
 }
