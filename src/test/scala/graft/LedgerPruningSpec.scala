@@ -526,4 +526,40 @@ class LedgerPruningSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("ONE start position"), e.getMessage)
   }
+
+  test("time seek composes with runtime partition filtering (DPP)") {
+    // a DPP-sized time topic: 4 partitions × ledgers 1/3 × 2000 padded
+    // entries, so the filtered dim broadcasts and runtime filters are
+    // not dropped as useless
+    val root = Files.createTempDirectory("graft_time_dpp_topic")
+    (0 until 4).foreach { p =>
+      val d = root.resolve(s"partition-$p")
+      Files.createDirectories(d)
+      Seq(1, 3).foreach { l =>
+        Files.write(d.resolve(s"ledger-$l.log"),
+          (0 until 2000).map(i => s"k$i,p$p-l$l-e$i-" + ("x" * 32))
+            .mkString("\n").getBytes(StandardCharsets.UTF_8))
+      }
+    }
+    import spark.implicits._
+    val dim = writeDim(Seq((0, "a"), (1, "b"), (2, "keep"), (3, "c")))
+    // time window = ledger 3's first half only
+    val fact = read(root)
+      .filter($"publish_us" >= 3000000L && $"publish_us" < 3001000L)
+      .selectExpr("partition", "publish_us")
+    val res = fact.join(dim, fact("partition") === dim("p"))
+      .where(dim("tag") === "keep")
+    val rows = res.collect()
+    assert(rows.length == 1000, s"got ${rows.length}")
+    assert(rows.map(_.getInt(0)).toSet == Set(2))
+    assert(rows.forall(r => r.getLong(1) >= 3000000L && r.getLong(1) < 3001000L))
+    // BOTH prunings reached the source: one surviving partition, and its
+    // planned range trimmed to the window
+    val rs = ranges(root)
+    assert(rs.map(_._1) == Seq(2), s"DPP did not prune: $rs")
+    rs.foreach { case (_, f, t) =>
+      assert(f == LedgerSource.Cursor(3, 0) && t == LedgerSource.Cursor(3, 1000),
+        s"time trim lost under DPP re-planning: $f..$t")
+    }
+  }
 }
