@@ -153,4 +153,51 @@ class SkewAndPropertiesSpec extends AnyFunSuite {
         s"trial $trial: $out vs $expOut")
     }
   }
+
+  test("property: publish trim never excludes a qualifying entry — even on over-long segments") {
+    // trimToPublishBounds' Scaladoc claims unconditional SOUNDNESS (the
+    // Spark-level property test only covers the normal <1e6-entry
+    // layouts where the trim is also exact); pin the pathological case
+    // — segments longer than the 1e6 publish roll-over, whose windows
+    // OVERLAP their neighbors' — with interval arithmetic per ledger
+    import graft.sources.LedgerSource
+    import graft.sources.LedgerSource.{Cursor, LedgerInfo}
+    val rnd = new Random(7)
+    (1 to 300).foreach { trial =>
+      var lid = 1L
+      val ledgers = (0 until 1 + rnd.nextInt(4)).map { _ =>
+        lid += rnd.nextInt(3)
+        val n = if (rnd.nextBoolean()) rnd.nextInt(5).toLong
+                else 500000L + rnd.nextInt(3000000) // spans neighbors
+        val li = LedgerInfo(lid, n); lid += 1; li
+      }
+      val from = Cursor(ledgers.head.ledgerId, 0L)
+      val to = Cursor(ledgers.last.ledgerId, ledgers.last.entries)
+      val lo = rnd.nextInt(8).toLong * 1000000L + rnd.nextInt(6) - 1L
+      val hi = lo + rnd.nextInt(4).toLong * 1000000L + rnd.nextInt(6)
+      val (f, t) = LedgerSource.trimToPublishBounds(
+        ledgers, from, to, Some(lo), Some(hi))
+      val pathological = ledgers.exists(_.entries > 1000000L)
+      ledgers.foreach { li =>
+        val start = li.ledgerId * 1000000L
+        val qLo = math.max(0L, lo - start)
+        val qHi = math.min(li.entries, hi - start)
+        if (qHi > qLo) {
+          // this ledger's kept entry window under the trimmed cursor range
+          val kLo = if (li.ledgerId < f.ledgerId) Long.MaxValue
+                    else if (li.ledgerId == f.ledgerId) f.entryId else 0L
+          val kHi = if (li.ledgerId > t.ledgerId) Long.MinValue
+                    else if (li.ledgerId == t.ledgerId) t.entryId else li.entries
+          assert(kLo <= qLo && qHi <= kHi,
+            s"trial $trial: trim excluded qualifying entries — ledger $li " +
+              s"qualifies [$qLo,$qHi) but keeps [$kLo,$kHi) " +
+              s"(lo=$lo hi=$hi f=$f t=$t)")
+          // and on clean layouts the trim is EXACT at both ends too
+          if (!pathological)
+            assert(kLo == qLo || kLo == 0L,
+              s"trial $trial: clean-layout lo-trim inexact")
+        }
+      }
+    }
+  }
 }
