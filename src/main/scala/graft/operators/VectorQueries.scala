@@ -691,6 +691,10 @@ object VectorQueries {
     // at 100 TB nlist is sized so a cell holds ~10⁵ vectors and each
     // cell's quadratic stays executor-local); centroids broadcast; the
     // drop set is duplicate-pair-sized and left-joins back in one pass.
+    // `scored` derives twice (the pair branch and the output branch) —
+    // deliberate: it is a broadcast join + column math over the ALREADY
+    // checkpointed inverted file, and re-deriving it is cheaper at scale
+    // than materializing a second corpus-sized copy per query.
     // Oracle replays the Lloyd chain + per-cell pairs + the keep rule.
     "q119_semdedup" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
