@@ -200,4 +200,17 @@ class SkewAndPropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: bloom width sizing is the MINIMAL power of two >= 16n") {
+    import graft.operators.TextQueries.bloomWidthFor
+    val rnd = new Random(11)
+    val ns = Seq(0L, 1L, 2L, 3L, 4L, 4095L, 4096L, 4097L) ++
+      (1 to 50).map(_ => rnd.nextInt(2000000).toLong)
+    ns.foreach { n =>
+      val m = bloomWidthFor(n)
+      assert(java.lang.Long.bitCount(m) == 1, s"n=$n: m=$m not a power of two")
+      assert(m >= 16L * math.max(n, 1L), s"n=$n: m=$m under-sized")
+      assert(m / 2 < 16L * math.max(n, 1L), s"n=$n: m=$m not minimal")
+    }
+  }
 }
