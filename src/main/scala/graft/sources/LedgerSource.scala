@@ -787,16 +787,25 @@ class LedgerAggScan(path: String, options: Map[String, String],
       val root = toLocalPath(path)
       val startOpt = options.get("startoffsets").map(LedgerOffset.parse(_).cursors)
       val endOpt = options.get("endoffsets").map(LedgerOffset.parse(_).cursors)
+      // startPublishUs/endPublishUs are HARD read bounds even with no
+      // Catalyst filter in the plan (publish_us FILTERS stay residual, so
+      // Spark never pushes an aggregate over them — the option path is the
+      // only way a time window reaches this scan). Counts must match the
+      // rows the trimmed row scan returns: same mergedPublishBounds window,
+      // same metadata trim as LedgerBatchRead.
+      val bounds = mergedPublishBounds(options, (None, None))
       val all = listPartitions(root)
       val parts = staticAllowed.fold(all)(s => all.filter(s))
       LedgerSource.lastPlannedPartitions.put(path, parts)
       val perPart = parts.map { p =>
         val ledgers = listLedgers(root.resolve(s"partition-$p"))
-        val from = startOpt.flatMap(_.get(p)).getOrElse(
+        val from0 = startOpt.flatMap(_.get(p)).getOrElse(
           Cursor(ledgers.headOption.map(_.ledgerId).getOrElse(0L), 0L))
-        val to = endOpt.flatMap(_.get(p)).getOrElse(
+        val to0 = endOpt.flatMap(_.get(p)).getOrElse(
           ledgers.lastOption.map(l => Cursor(l.ledgerId, l.entries))
             .getOrElse(Cursor(0L, 0L)))
+        val (from, to) =
+          trimToPublishBounds(ledgers, from0, to0, bounds._1, bounds._2)
         p -> math.max(0L, entriesBetween(ledgers, from, to))
       }
       val rows: Seq[(Int, Long)] =

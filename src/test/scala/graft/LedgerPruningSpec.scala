@@ -527,6 +527,41 @@ class LedgerPruningSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ONE start position"), e.getMessage)
   }
 
+  test("aggregate pushdown honors time reader options (agg count == rows read)") {
+    // the option path carries NO Catalyst filter, so COUNT(*) pushes to
+    // the metadata agg scan — which must count the trimmed window, not
+    // the topic (same DataFrame, same answer whichever plan runs)
+    val topic = writeTimeTopic()
+    import spark.implicits._
+    def sliced = spark.read.format("graft-ledger")
+      .option("path", topic.toString)
+      .option("startPublishUs", "3000002")
+      .option("endPublishUs", "7000002")
+      .load()
+    val c = sliced.selectExpr("count(*) as n")
+    assert(c.queryExecution.executedPlan.toString
+      .contains("PushedAggregates: [COUNT(*)]"), "count did not push")
+    val pushed = c.collect().head.getLong(0)
+    val read = sliced.count() // same plan shape — and rows agree too
+    val rows = sliced.selectExpr("publish_us").collect().length
+    assert(pushed == 20L && read == 20L && rows == 20,
+      s"agg/row disagreement under time options: pushed=$pushed rows=$rows")
+    // grouped form and static-pruning composition: per-partition slice is
+    // 5 entries, and partition = 2 narrows to one group
+    val g = sliced.groupBy("partition").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(g == Map(0 -> 5L, 1 -> 5L, 2 -> 5L, 3 -> 5L), g.toString)
+    val one = sliced.filter($"partition" === 2)
+      .groupBy("partition").count().collect()
+    assert(one.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((2, 5L)))
+    // a window beyond the log: zero — global count still yields one row
+    val empty = spark.read.format("graft-ledger")
+      .option("path", topic.toString)
+      .option("startPublishUs", "9000000")
+      .load().selectExpr("count(*)").collect()
+    assert(empty.map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
   test("time seek composes with runtime partition filtering (DPP)") {
     // a DPP-sized time topic: 4 partitions × ledgers 1/3 × 2000 padded
     // entries, so the filtered dim broadcasts and runtime filters are
