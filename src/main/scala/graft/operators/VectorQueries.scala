@@ -239,15 +239,17 @@ object VectorQueries {
     }),
 
     // IVF ANN: k-means coarse centroids (Lloyd iterations, deterministically
-    // seeded from the label means — the q35 training step carried to its
-    // use), every corpus vector assigned to its nearest cell, queries
-    // probe the 3 nearest cells, exact cosine re-rank within the probed
-    // cells. At 100 TB the inverted file is the partitioning: the corpus
-    // shuffles once on cell_id (≈ corpus/nlist rows per cell), queries
-    // broadcast, each executor scans only probed cells (scan cost drops by
-    // nlist/nprobe vs q33), and centroid training runs on a sample.
-    // Oracle-checked hash-for-hash (the full IVF build replayed in SQL:
-    // label-mean seeds, 2 Lloyd rounds, probes, rerank — float-cast
+    // Forgy-seeded from nlist md5-ordered corpus vectors, nlist sized
+    // from the corpus count — see trainCells), every corpus vector
+    // assigned to its nearest cell, queries probe the 3 nearest cells,
+    // exact cosine re-rank within the probed cells. At 100 TB the
+    // inverted file is the partitioning: the corpus shuffles once on
+    // cell_id (≈ IvfTargetCellSize rows per cell by construction),
+    // queries broadcast, each executor scans only probed cells (scan
+    // cost drops by nlist/nprobe vs q33), and centroid training runs on
+    // a sample. Oracle-checked hash-for-hash (the full IVF build
+    // replayed in SQL: corpus-sized nlist, md5-sample seeds, 2 Lloyd
+    // rounds, probes, rerank — float-cast
     // centroids absorb cross-engine aggregation-order noise); QueriesSpec
     // pins recall vs q33 on sf0.001.
     "q46_ann_ivf" -> ((s, dir) => {
@@ -687,9 +689,12 @@ object VectorQueries {
     // ties dropping the larger vec_id. Scale shape: the inverted file is
     // the persisted index artifact (corpus shuffled onto its cells once,
     // at BUILD time); the self-join is cell-equi (no corpus² — Σ|cell|²,
-    // with nlist the knob that bounds cell size exactly as in the paper:
-    // at 100 TB nlist is sized so a cell holds ~10⁵ vectors and each
-    // cell's quadratic stays executor-local); centroids broadcast; the
+    // and the trainer SIZES nlist from the corpus count
+    // (ceil(N / IvfTargetCellSize), oracle-replayed), so cell population
+    // stays ~constant as N grows: Σ|cell|² ≈ N·IvfTargetCellSize, linear
+    // in the corpus, and each cell's quadratic — the paper's "cells hold
+    // a bounded vector count" contract — stays executor-local in code,
+    // not prose); centroids broadcast; the
     // drop set is duplicate-pair-sized and left-joins back in one pass.
     // `scored` derives twice (the pair branch and the output branch) —
     // deliberate: it is a broadcast join + column math over the ALREADY
@@ -823,14 +828,42 @@ object VectorQueries {
       .select(col("vec_id"), col("best.cell").as("cell"),
         col("best.embedding").as("embedding"))
 
-  /** Coarse-centroid training: seed = label means; 2 Lloyd iterations of
-    * assign → recompute. localCheckpoint (not cache): the trained
-    * centroids feed BOTH the corpus assignment and the query probes —
-    * materialize once, and the blocks are released with the RDD instead
-    * of pinning the session's catalog cache for its lifetime.
+  /** Target inverted-file cell size: nlist = ceil(N / this), so cell
+    * population — and therefore q119's Σ|cell|² within-cell pair cost —
+    * stays ~constant as the corpus grows (SemDeDup's own deployment
+    * shape: cells hold a bounded vector count and each cell's quadratic
+    * stays executor-local). 50 is the test-scale knob (nlist = 10 at the
+    * 500-vector spec corpus, 40 at sf0.1, 400 at the 10× replica sweep);
+    * a 100 TB deployment raises it to ~10⁵. The oracle replays the same
+    * integer ceil-division, so the sizing is part of the checked
+    * contract, not prose.
+    */
+  private[graft] val IvfTargetCellSize = 50L
+
+  /** nlist for an N-vector corpus: ceil-division, at least 1. */
+  private[graft] def ivfNlist(n: Long): Int =
+    math.max(1L, (n + IvfTargetCellSize - 1L) / IvfTargetCellSize).toInt
+
+  /** Coarse-centroid training: CORPUS-SIZED nlist (= ceil(N / target
+    * cell size)) seeded Forgy-style from nlist md5-ordered corpus
+    * vectors — a deterministic random sample with no full sort
+    * (TakeOrderedAndProject, the pqCodebook seeding pattern) — then 2
+    * Lloyd iterations of assign → recompute. Seeding from actual vectors
+    * (not group means) keeps seeds spread across the data distribution,
+    * so cells stay populated and roughly balanced as nlist grows.
+    * localCheckpoint (not cache): the trained centroids feed BOTH the
+    * corpus assignment and the query probes — materialize once, and the
+    * blocks are released with the RDD instead of pinning the session's
+    * catalog cache for its lifetime.
     */
   private[graft] def trainCells(e: DataFrame): DataFrame = {
-    var cent = cellMeans(e.select(col("label").as("cell"), col("embedding")))
+    val nlist = ivfNlist(e.count())
+    val seedKey = md5(concat(lit("ivf:"), col("vec_id").cast("string")))
+    val seedOrder = Window.orderBy(seedKey, col("vec_id"))
+    var cent = e
+      .orderBy(seedKey, col("vec_id")).limit(nlist)
+      .withColumn("cell", row_number().over(seedOrder) - 1)
+      .select(col("cell"), col("embedding").as("centroid"))
     for (_ <- 0 until 2) cent = cellMeans(assignCells(e, cent))
     cent.localCheckpoint()
   }
@@ -1445,8 +1478,9 @@ object VectorQueries {
 
   // ---- q46 oracle machinery: the IVF build replayed in SQL --------------
   //
-  // The whole IVF index is deterministic given the corpus (label-mean
-  // seeds, 2 fixed Lloyd iterations, csim-DESC/cell-ASC tie-breaks), so
+  // The whole IVF index is deterministic given the corpus (corpus-sized
+  // nlist, md5-ordered Forgy seeds, 2 fixed Lloyd iterations,
+  // csim-DESC/cell-ASC tie-breaks), so
   // it IS oracle-able: each stage re-expressed with the kernel's exact
   // accumulation order (in-order double dot/norm sums — the q34 idiom).
   // The one cross-engine hazard, aggregation-order noise in the centroid
@@ -1466,6 +1500,21 @@ object VectorQueries {
        |      k -> CAST($a[k] AS DOUBLE) * CAST($a[k] AS DOUBLE)), 'sum') AS aa,
        |    list_aggregate(list_transform(generate_series(1, least(len($a), len($b))),
        |      k -> CAST($b[k] AS DOUBLE) * CAST($b[k] AS DOUBLE)), 'sum') AS bb) x""".stripMargin
+
+  /** trainCells seeding replay: nlist = ceil(N / IvfTargetCellSize)
+    * (integer floor-division form — bit-exact vs the Scala ceil-div at
+    * any N), c0 = the first nlist corpus vectors in (md5('ivf:'||vec_id),
+    * vec_id) order, cell = 0-based rank. The sizing itself is part of
+    * the oracle-checked contract. */
+  private def ivfSeedC0: String =
+    s"""nl AS (SELECT CAST((count(*) + ${IvfTargetCellSize - 1}) // $IvfTargetCellSize AS INT) AS nlist
+       |       FROM embeddings),
+       |c0 AS (
+       |  SELECT rk - 1 AS cell, embedding AS centroid FROM (
+       |    SELECT embedding,
+       |      row_number() OVER (ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |    FROM embeddings) t, nl
+       |  WHERE rk <= nl.nlist)""".stripMargin
 
   /** cellMeans replay: per-(cell, dim) double avg → FLOAT → in-dim-order
     * centroid list. */
@@ -1645,8 +1694,7 @@ object VectorQueries {
     // the full IVF-PQ composition: q46's cell chain + q57's PQ chain in
     // one WITH, ADC restricted to each query's nprobe=4 probed cells
     "q63_ann_ivfpq" -> (
-      s"""WITH seed AS (SELECT label AS cell, vec_id, embedding FROM embeddings),
-         |${ivfMeans("seed", "c0")},
+      s"""WITH $ivfSeedC0,
          |${ivfAssign("c0", "a1")},
          |${ivfMeans("a1", "c1")},
          |${ivfAssign("c1", "a2")},
@@ -1667,12 +1715,11 @@ object VectorQueries {
          |  JOIN padc a ON a.q_id = p.q_id AND a.sub = v.sub AND a.code = v.code
          |  GROUP BY 1, 2)""".stripMargin + pqRerankTail),
 
-    // the IVF build + probe + rerank replayed end-to-end: label-mean
-    // seeds, 2 Lloyd iterations, final assignment, nprobe=3 probes from
+    // the IVF build + probe + rerank replayed end-to-end: corpus-sized
+    // nlist + Forgy seeds, 2 Lloyd iterations, final assignment, nprobe=3 probes from
     // the same score table, exact-cosine top-5 within probed cells
     "q46_ann_ivf" -> (
-      s"""WITH seed AS (SELECT label AS cell, vec_id, embedding FROM embeddings),
-         |${ivfMeans("seed", "c0")},
+      s"""WITH $ivfSeedC0,
          |${ivfAssign("c0", "a1")},
          |${ivfMeans("a1", "c1")},
          |${ivfAssign("c1", "a2")},
@@ -1723,8 +1770,7 @@ object VectorQueries {
     // the q46 Lloyd-chain replay composed with q65's hex-bucket sampling
     // replay: census + flatten target over the final assignment a3
     "q91_cluster_balanced_sample" -> (
-      s"""WITH seed AS (SELECT label AS cell, vec_id, embedding FROM embeddings),
-         |${ivfMeans("seed", "c0")},
+      s"""WITH $ivfSeedC0,
          |${ivfAssign("c0", "a1")},
          |${ivfMeans("a1", "c1")},
          |${ivfAssign("c1", "a2")},
@@ -1825,8 +1871,7 @@ object VectorQueries {
     // the q46 Lloyd chain composed with class-based TF-IDF over the
     // documents that have an embedding (doc_id = vec_id)
     "q95_cluster_topics" -> (
-      s"""WITH seed AS (SELECT label AS cell, vec_id, embedding FROM embeddings),
-         |${ivfMeans("seed", "c0")},
+      s"""WITH $ivfSeedC0,
          |${ivfAssign("c0", "a1")},
          |${ivfMeans("a1", "c1")},
          |${ivfAssign("c1", "a2")},
@@ -2017,8 +2062,7 @@ object VectorQueries {
     // keep-least-prototypical rule; own-centroid csim read back from the
     // final assignment's score table a3_s
     "q119_semdedup" -> (
-      s"""WITH seed AS (SELECT label AS cell, vec_id, embedding FROM embeddings),
-         |${ivfMeans("seed", "c0")},
+      s"""WITH $ivfSeedC0,
          |${ivfAssign("c0", "a1")},
          |${ivfMeans("a1", "c1")},
          |${ivfAssign("c1", "a2")},
