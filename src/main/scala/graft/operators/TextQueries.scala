@@ -2074,12 +2074,15 @@ object TextQueries {
       val bench = grams.filter(col("split") =!= "train")
         .select(col("g")).distinct()
         .localCheckpoint() // 3 consumers: m scalar, lane build, audit join
-      // 1-row broadcast scalar (the q76 totals idiom); 2^k via pow —
-      // exact in doubles up to 2^53, and the Scala shiftleft API only
-      // takes literal shift amounts
-      val mRow = bench.agg(pow(lit(2.0),
-        ceil(log2(count(lit(1)).cast("double") * 16.0)).cast("double"))
-        .cast("long").as("m"))
+      // width from the ONE sizing kernel the maintenance path uses
+      // (bloomWidthFor — a query sized by a second inline formula could
+      // silently desynchronize from buildBloom/refreshBloom), as a
+      // driver-side 1-row count over the already-checkpointed bench.
+      // Also guards the empty-bench edge: bloomWidthFor(0) = 16, where
+      // the old inline log2(0) yielded a null m that poisoned every
+      // probe. The oracle's 2^ceil(log2(16n)) replay is pinned equal to
+      // bloomWidthFor over the width boundaries in SkewAndPropertiesSpec.
+      val m = bloomWidthFor(bench.count())
       // the k=4 positions slice one md5 digest into its four 8-hex-char
       // quarters (32 independent bits each) — one hash per gram, not
       // four; ONE kernel definition (bloomDigest/bloomPos/bloomLane/
@@ -2087,7 +2090,7 @@ object TextQueries {
       // (CorpusStatsMaintenance.buildBloom/refreshBloom), so a refreshed
       // bitset can never hash differently from the built one
       def pos(i: Int) = bloomPos(col("h"), col("m"), i)
-      val words = bloomWordRows(bench.crossJoin(broadcast(mRow)))
+      val words = bloomWordRows(bench.withColumn("m", lit(m)))
         .localCheckpoint() // m/32 rows, broadcast once per probe
       // probe path: the exact-audit membership rides ONE broadcast left
       // join (benchmark sets are bounded by nature — they don't grow
@@ -2097,7 +2100,7 @@ object TextQueries {
       val base = grams.filter(col("split") === "train")
         .select(col("doc_id"), col("g"))
         .join(broadcast(bench.withColumn("ex", lit(1))), Seq("g"), "left")
-        .crossJoin(broadcast(mRow))
+        .withColumn("m", lit(m))
         .withColumn("h", bloomDigest(col("g")))
       val probed = (0 until 4).foldLeft(base) { (df, i) =>
         df.withColumn(s"p$i", pos(i))

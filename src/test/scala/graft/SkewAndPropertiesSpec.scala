@@ -212,5 +212,21 @@ class SkewAndPropertiesSpec extends AnyFunSuite {
       assert(m >= 16L * math.max(n, 1L), s"n=$n: m=$m under-sized")
       assert(m / 2 < 16L * math.max(n, 1L), s"n=$n: m=$m not minimal")
     }
+    // the oracle's floating-point replay (2^ceil(log2(16n)), the only
+    // other place a width is computed) equals the bit-arithmetic kernel
+    // at every tested n INCLUDING the exact power-of-two boundaries —
+    // log2 of an integer-valued double is either exact (x = 2^k) or far
+    // enough from an integer that ulp noise can't flip the ceil
+    val sqlNs = ns.filter(_ >= 1L) ++
+      Seq(1L << 10, (1L << 10) + 1, (1L << 20) - 1, 1L << 20)
+    import spark.implicits._
+    val got = sqlNs.toDF("n")
+      .selectExpr("n",
+        "cast(pow(2.0, cast(ceil(log2(cast(n as double) * 16.0)) as double)) as long) AS m")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sqlNs.foreach { n =>
+      assert(got(n) == bloomWidthFor(n),
+        s"n=$n: SQL width ${got(n)} != kernel ${bloomWidthFor(n)}")
+    }
   }
 }
