@@ -540,6 +540,28 @@ object TextQueries {
       .agg(bit_or(bloomLane(col("p"))).as("bits"))
   }
 
+  /** The probe side of the Bloom path, shared by q120 (which rides an
+    * exact-audit column alongside) and q123 (the probe-only deployed
+    * form): ONE codegen'd md5 per gram sliced into k=4 positions, each
+    * probed as a CHAINED broadcast lookup against the lane table — no
+    * explode, no (doc_id, gram) shuffle aggregate; extra input columns
+    * ride through untouched. Appends `hit` (0/1). */
+  private[graft] def bloomProbeHits(grams: DataFrame, words: DataFrame,
+      m: Long): DataFrame = {
+    val base = grams.withColumn("m", lit(m))
+      .withColumn("h", bloomDigest(col("g")))
+    val probed = (0 until 4).foldLeft(base) { (df, i) =>
+      df.withColumn(s"p$i", bloomPos(col("h"), col("m"), i))
+        .join(broadcast(words.select(col("w").as(s"w$i"),
+          col("bits").as(s"bits$i"))),
+          shiftright(col(s"p$i"), 5) === col(s"w$i"), "left")
+    }
+    val hit = (0 until 4).map(i =>
+      coalesce(col(s"bits$i"), lit(0L))
+        .bitwiseAND(bloomLane(col(s"p$i"))) =!= 0).reduce(_ && _)
+    probed.withColumn("hit", when(hit, 1).otherwise(0))
+  }
+
   /** DSIR hashed-feature table (doc_id, source, b) as a persisted
     * artifact — the explicit corpus-hashing stage of the DSIR pipeline
     * (Xie et al. 2023 hash the raw corpus once, then score it against
@@ -2089,36 +2111,52 @@ object TextQueries {
       // bloomWordRows below) shared with the incremental maintenance
       // (CorpusStatsMaintenance.buildBloom/refreshBloom), so a refreshed
       // bitset can never hash differently from the built one
-      def pos(i: Int) = bloomPos(col("h"), col("m"), i)
       val words = bloomWordRows(bench.withColumn("m", lit(m)))
         .localCheckpoint() // m/32 rows, broadcast once per probe
-      // probe path: the exact-audit membership rides ONE broadcast left
-      // join (benchmark sets are bounded by nature — they don't grow
-      // with the corpus), then the k=4 probes are CHAINED broadcast
-      // lookups against the lane table — no explode, no (doc_id, gram)
-      // shuffle aggregate; nothing shuffles until the per-doc partial agg
+      // probe path (bloomProbeHits — shared with q123, the probe-only
+      // deployed form): the exact-audit membership rides ONE broadcast
+      // left join alongside (benchmark sets are bounded by nature — they
+      // don't grow with the corpus); nothing shuffles until the per-doc
+      // partial agg
       val base = grams.filter(col("split") === "train")
         .select(col("doc_id"), col("g"))
         .join(broadcast(bench.withColumn("ex", lit(1))), Seq("g"), "left")
-        .withColumn("m", lit(m))
-        .withColumn("h", bloomDigest(col("g")))
-      val probed = (0 until 4).foldLeft(base) { (df, i) =>
-        df.withColumn(s"p$i", pos(i))
-          .join(broadcast(words.select(col("w").as(s"w$i"),
-            col("bits").as(s"bits$i"))),
-            shiftright(col(s"p$i"), 5) === col(s"w$i"), "left")
-      }
-      val hit = (0 until 4).map(i =>
-        coalesce(col(s"bits$i"), lit(0L))
-          .bitwiseAND(bloomLane(col(s"p$i"))) =!= 0).reduce(_ && _)
-      probed
-        .select(col("doc_id"), when(hit, 1).otherwise(0).as("hit"),
+      bloomProbeHits(base, words, m)
+        .select(col("doc_id"), col("hit"),
           coalesce(col("ex"), lit(0)).as("ex"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
           sum(col("hit")).cast("long").as("n_bloom_hits"),
           sum(col("ex")).cast("long").as("n_exact_hits"))
         .withColumn("n_false_pos", col("n_bloom_hits") - col("n_exact_hits"))
+        .withColumn("contaminated", col("n_bloom_hits") > 0)
+        .orderBy("doc_id")
+    }),
+
+    // The PROBE-ONLY form of q120 — what a deployed decontamination
+    // pipeline actually runs (the exact-membership audit columns are
+    // q120's verification twin and get dropped in production, exactly as
+    // q29 is the deployed sibling of q28). First-class so the bench
+    // prices the cheap path as its own number instead of leaving "the
+    // probe part is cheap" as prose attached to q120's audited cost:
+    // build the bitset from the held-out grams, then ONE corpus scan of
+    // chained broadcast lane lookups and a per-doc partial agg — the
+    // only shuffle on the probe side is the final doc_id aggregate.
+    "q123_bloom_probe" -> ((s, dir) => {
+      val grams = gram5Shared(s, dir).select(col("doc_id"), col("g"))
+        .withColumn("split", splitAssign(col("doc_id")))
+      val bench = grams.filter(col("split") =!= "train")
+        .select(col("g")).distinct()
+        .localCheckpoint() // 2 consumers: the m scalar and the lane build
+      val m = bloomWidthFor(bench.count())
+      val words = bloomWordRows(bench.withColumn("m", lit(m)))
+        .localCheckpoint()
+      val train = grams.filter(col("split") === "train")
+        .select(col("doc_id"), col("g"))
+      bloomProbeHits(train, words, m)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(col("hit")).cast("long").as("n_bloom_hits"))
         .withColumn("contaminated", col("n_bloom_hits") > 0)
         .orderBy("doc_id")
     }),
@@ -3667,6 +3705,44 @@ object TextQueries {
         |  (sum(h.hit) > 0) AS contaminated
         |FROM hits h LEFT JOIN ex e ON e.doc_id = h.doc_id AND e.g = h.g
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the q120 replay minus the exact-audit join — build, positions,
+    // lanes, and probes are the identical CTEs
+    "q123_bloom_probe" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+        |      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-4)) AS i) gg
+        |      WHERE len(t) >= 5),
+        |sp AS (SELECT doc_id,
+        |         CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'valid'
+        |              WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |              ELSE 'train' END AS split
+        |       FROM documents),
+        |gs AS (SELECT g.doc_id, sp.split, g.g FROM g JOIN sp USING(doc_id)),
+        |bench AS (SELECT DISTINCT g FROM gs WHERE split <> 'train'),
+        |mm AS (SELECT CAST(1 AS BIGINT) << CAST(ceil(log2(16.0 * count(*))) AS INT) AS m
+        |       FROM bench),
+        |pos AS (
+        |  SELECT b.g, ${hex8("substring(md5('bloom:' || b.g), 8 * i.i + 1, 8)")} % mm.m AS p
+        |  FROM bench b, generate_series(0, 3) i(i), mm),
+        |words AS (
+        |  SELECT p // 32 AS w, bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+        |  FROM pos GROUP BY 1),
+        |probe AS (
+        |  SELECT gs.doc_id, gs.g, ${hex8("substring(md5('bloom:' || gs.g), 8 * i.i + 1, 8)")} % mm.m AS p
+        |  FROM gs, generate_series(0, 3) i(i), mm
+        |  WHERE gs.split = 'train'),
+        |hits AS (
+        |  SELECT pr.doc_id, pr.g,
+        |    min(CASE WHEN (COALESCE(w.bits, 0) & (CAST(1 AS BIGINT) << CAST(pr.p % 32 AS INT))) <> 0 THEN 1 ELSE 0 END) AS hit
+        |  FROM probe pr LEFT JOIN words w ON w.w = pr.p // 32
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(hit) AS BIGINT) AS n_bloom_hits,
+        |  (sum(hit) > 0) AS contaminated
+        |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // hash → shard → per-(epoch, shard) rank → order checksum replayed;
     // all-integer outputs, engine-exact

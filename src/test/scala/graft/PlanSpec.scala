@@ -706,13 +706,14 @@ class PlanSpec extends AnyFunSuite {
       s"drop-set dedup not two-stage:\n$plan")
   }
 
-  test("q120 bloom: m scalar and words bitset broadcast, no cartesian") {
+  test("q120 bloom: words bitset broadcast, literal width, no cartesian") {
     val plan = physical(TextQueries.defs("q120_bloom_decontaminate")(spark, dir))
-    // the 1-row m scalar rides a broadcast nested loop (the q76 totals
-    // idiom); the m/32-row lane table rides a BroadcastHashJoin — the
-    // probe path must not shuffle the corpus gram stream against either
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"1-row m scalar not broadcast:\n$plan")
+    // m is a driver-side literal (one bloomWidthFor kernel with the
+    // maintenance path), so the probe plan carries NO 1-row scalar join
+    // at all; the m/32-row lane table rides a BroadcastHashJoin — the
+    // probe path must not shuffle the corpus gram stream against it
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"width became a planned scalar join again:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"words bitset not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
@@ -722,6 +723,20 @@ class PlanSpec extends AnyFunSuite {
     // not shuffle before the per-doc partial agg
     assert(!plan.contains("SortMergeJoin"),
       s"probe path shuffled the gram stream:\n$plan")
+  }
+
+  test("q123 probe-only bloom: chained broadcast lookups, no shuffle join") {
+    val plan = physical(TextQueries.defs("q123_bloom_probe")(spark, dir))
+    // the deployed form: k=4 chained broadcast lane lookups + the final
+    // per-doc partial agg are the WHOLE plan — any shuffle join, scalar
+    // join, or cartesian means the production path regressed
+    assert(plan.contains("BroadcastHashJoin"),
+      s"words bitset not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"probe path shuffled the gram stream:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"unexpected join shape:\n$plan")
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
   }
 
   test("q121 shuffle manifest: join-free, one sharded rank window, partial aggs") {

@@ -1747,6 +1747,25 @@ class QueriesSpec extends AnyFunSuite {
       s"FP rate ${fps.toDouble / grs} — bloom sizing regressed")
   }
 
+  test("q123 probe-only bloom agrees with its audited twin q120 row-for-row") {
+    // the deployed form drops only the audit columns — every shared
+    // figure (roster, gram counts, bloom hits, verdicts) must be
+    // IDENTICAL to q120's: same bitset, same probes, same aggregation
+    val audited = TextQueries.defs("q120_bloom_decontaminate")(spark, dir)
+      .select("doc_id", "n_grams", "n_bloom_hits", "contaminated").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_bloom_hits"),
+          r.getAs[Boolean]("contaminated")))).toMap
+    val probe = TextQueries.defs("q123_bloom_probe")(spark, dir).collect()
+    assert(probe.length == audited.size, "roster diverged")
+    probe.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(audited(id) == ((r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_bloom_hits"), r.getAs[Boolean]("contaminated"))),
+        s"doc $id: probe-only form diverged from the audited twin")
+    }
+  }
+
   test("q121 shuffle manifest: coverage, balance, per-epoch permutations, replayed order") {
     val rows = TextQueries.defs("q121_epoch_shuffle_manifest")(spark, dir).collect()
     assert(rows.length == 24, s"expected 3 epochs × 8 shards, got ${rows.length}")
