@@ -258,11 +258,39 @@ object IndexMaintenance {
     * `dropped` the ids pruned so far. Both are valid exactly as long as
     * the index's centroid GEOMETRY is: after an incremental
     * [[refreshIvf]] (frozen centroids) the state refreshes additively;
-    * after a retrain (cells and csims both move) it must rebuild —
-    * the same staleness contract as every other family here.
+    * after a retrain (cells and csims both move) it must rebuild. The
+    * geometry this state was scored against is PINNED by `centroidFp`
+    * ([[centroidFingerprint]]), so the contract is enforced in
+    * [[refreshSemDedup]] — a retrained index triggers a reported
+    * rebuild, never a silent mixed-geometry merge — matching the
+    * drift/misfit/width signals the other families carry.
     */
   final case class SemDedupState(members: DataFrame, dropped: DataFrame,
-      tau: Double)
+      tau: Double, centroidFp: String)
+
+  /** What a semantic-dedup refresh did: `mode` is "incremental" (frozen
+    * geometry — delta scored against the accumulated roster) or
+    * "rebuild" (the index's centroids no longer match the fingerprint
+    * the state was scored under — full Σ|cell|² pass over the index). */
+  final case class SemDedupRefreshReport(mode: String, newVectors: Long,
+      stateFp: String, indexFp: String)
+
+  /** Deterministic fingerprint of a centroid table's GEOMETRY: md5 over
+    * the sorted per-row (cell, centroid-floats) digests — order- and
+    * partitioning-independent, computed as one tiny aggregate (nlist
+    * rows), never collected to the driver. Two identically-trained
+    * tables agree bit-for-bit (float centroids are exact); any retrain
+    * that moves a single float changes it.
+    */
+  def centroidFingerprint(cent: DataFrame): String = {
+    val r = cent
+      .select(md5(concat_ws(":", col("cell"),
+        expr("array_join(transform(centroid, x -> cast(x as string)), ',')")))
+        .as("h"))
+      .agg(md5(concat_ws(",", array_sort(collect_list(col("h"))))).as("fp"))
+      .head()
+    if (r.isNullAt(0)) "empty" else r.getString(0)
+  }
 
   /** The dropped side of every qualifying within-cell near-dup pair
     * between rosters `a` and `b` under the SemDeDup keep rule: the MORE
@@ -292,7 +320,8 @@ object IndexMaintenance {
   def buildSemDedup(index: IvfIndex, tau: Double = 0.35): SemDedupState = {
     val m = semRoster(index.assigned, index.centroids).localCheckpoint()
     SemDedupState(m, semDrops(m, m,
-      col("a.vec_id") < col("b.vec_id"), tau).localCheckpoint(), tau)
+      col("a.vec_id") < col("b.vec_id"), tau).localCheckpoint(), tau,
+      centroidFingerprint(index.centroids))
   }
 
   /** Refresh for appended vectors with fresh ids under FROZEN
@@ -303,18 +332,34 @@ object IndexMaintenance {
     * rebuild on the grown roster. An append CAN drop an old vector (a
     * new, less prototypical near-dup ousts its more prototypical base
     * twin — the keep rule prefers diversity); the spec plants exactly
-    * that. After a centroid retrain, rebuild instead.
+    * that. A centroid retrain is DETECTED, not trusted to the caller:
+    * the index's fingerprint is checked against the one the state was
+    * scored under, and on mismatch the state REBUILDS from the (already
+    * delta-bearing, post-retrain) index — a stale-csim merge across two
+    * geometries is structurally impossible. The report says which path
+    * ran, the family's pattern.
     */
   def refreshSemDedup(state: SemDedupState, index: IvfIndex,
-      delta: DataFrame): SemDedupState = {
-    val dm = semRoster(
-      VectorQueries.assignCells(delta.select(col("vec_id"), col("embedding")),
-        index.centroids), index.centroids).localCheckpoint()
-    val all = state.members.unionByName(dm)
-    val newDrops = semDrops(dm, all,
-      col("a.vec_id") =!= col("b.vec_id"), state.tau)
-    SemDedupState(all,
-      state.dropped.unionByName(newDrops).distinct().localCheckpoint(),
-      state.tau)
+      delta: DataFrame): (SemDedupState, SemDedupRefreshReport) = {
+    val indexFp = centroidFingerprint(index.centroids)
+    if (indexFp != state.centroidFp) {
+      // refreshIvf already folded the delta into the retrained index's
+      // roster, so the rebuild covers base ∪ delta under ONE geometry
+      (buildSemDedup(index, state.tau),
+        SemDedupRefreshReport("rebuild", delta.count(), state.centroidFp,
+          indexFp))
+    } else {
+      val dm = semRoster(
+        VectorQueries.assignCells(delta.select(col("vec_id"), col("embedding")),
+          index.centroids), index.centroids).localCheckpoint()
+      val all = state.members.unionByName(dm)
+      val newDrops = semDrops(dm, all,
+        col("a.vec_id") =!= col("b.vec_id"), state.tau)
+      (SemDedupState(all,
+        state.dropped.unionByName(newDrops).distinct().localCheckpoint(),
+        state.tau, state.centroidFp),
+        SemDedupRefreshReport("incremental", dm.count(), state.centroidFp,
+          indexFp))
+    }
   }
 }

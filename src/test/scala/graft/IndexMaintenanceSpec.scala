@@ -266,7 +266,9 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     val (idx2, rep) = IndexMaintenance.refreshIvf(idxB, delta)
     assert(rep.mode == "incremental")
     val st0 = IndexMaintenance.buildSemDedup(idxB)
-    val refreshed = IndexMaintenance.refreshSemDedup(st0, idx2, delta)
+    val (refreshed, semRep) = IndexMaintenance.refreshSemDedup(st0, idx2, delta)
+    assert(semRep.mode == "incremental",
+      s"frozen centroids misread as a retrain: $semRep")
     val rebuilt = IndexMaintenance.buildSemDedup(idx2)
     def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.select("vec_id").collect().map(_.getLong(0)).toSet
@@ -302,7 +304,7 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     // so the base twin (csim ≈ 1.0, the most prototypical member) loses
     val delta = Seq((10L, Array(0.69f, 0.72f, 0f, 0f)))
       .toDF("vec_id", "embedding")
-    val st2 = IndexMaintenance.refreshSemDedup(st, idx, delta)
+    val (st2, _) = IndexMaintenance.refreshSemDedup(st, idx, delta)
     val dropped = st2.dropped.collect().map(_.getLong(0)).toSet
     assert(dropped == Set(1L),
       s"expected the OLD prototypical twin dropped, got $dropped")
@@ -311,5 +313,35 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(rep.mode == "incremental", s"one in-cluster vector tripped drift: $rep")
     val rebuilt = IndexMaintenance.buildSemDedup(idx2, tau = 0.95)
     assert(rebuilt.dropped.collect().map(_.getLong(0)).toSet == dropped)
+  }
+
+  test("semantic-dedup refresh detects a retrained index and rebuilds, reported") {
+    val (base, delta) = split()
+    val idx = IndexMaintenance.buildIvf(base)
+    val st = IndexMaintenance.buildSemDedup(idx)
+    assert(st.centroidFp == IndexMaintenance.centroidFingerprint(idx.centroids))
+    // force the retrain path with the drifted-segment shape (same recipe
+    // as the drift-detector test): the refreshed index's geometry moved,
+    // so the state's fingerprint no longer matches
+    val drifted = delta.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(embedding, x -> cast(x * 0.1 + 0.5 as float))").as("embedding"))
+    val (idxR, ivfRep) = IndexMaintenance.refreshIvf(idx, drifted)
+    assert(ivfRep.mode == "retrain", s"precondition: $ivfRep")
+    val (stR, semRep) = IndexMaintenance.refreshSemDedup(st, idxR, drifted)
+    assert(semRep.mode == "rebuild",
+      s"stale geometry not detected: $semRep")
+    assert(semRep.stateFp != semRep.indexFp)
+    // the rebuilt state IS a from-scratch build over the retrained index:
+    // same drop set, same roster csims, re-pinned fingerprint
+    val scratch = IndexMaintenance.buildSemDedup(idxR)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids(stR.dropped) == ids(scratch.dropped))
+    assert(stR.centroidFp == scratch.centroidFp)
+    // and the fingerprint itself is order-independent: a reshuffled
+    // centroid table fingerprints identically
+    assert(IndexMaintenance.centroidFingerprint(
+      idxR.centroids.repartition(7).sortWithinPartitions(col("centroid")(0)))
+      == stR.centroidFp)
   }
 }

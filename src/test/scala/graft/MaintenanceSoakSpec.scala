@@ -241,8 +241,11 @@ class MaintenanceSoakSpec extends AnyFunSuite {
 
       // semantic dedup: the drop set is a plain union over pairs, so an
       // admitted epoch refreshes it additively under the same frozen
-      // centroids the IVF refresh just preserved
-      sem = IndexMaintenance.refreshSemDedup(sem, ivf, keptV)
+      // centroids the IVF refresh just preserved — and the fingerprint
+      // gate must agree those centroids ARE frozen
+      val (sem2, semRep) = IndexMaintenance.refreshSemDedup(sem, ivf, keptV)
+      assert(semRep.mode == "incremental", s"epoch $ep: $semRep")
+      sem = sem2
 
       // SRP: row-local append under the frozen width (no boundary at
       // these sizes, so the report must say incremental)
@@ -318,9 +321,24 @@ class MaintenanceSoakSpec extends AnyFunSuite {
       .select("vec_id", "embedding").localCheckpoint()
     assert(keptDrift.count() > 0, "drifted segment entirely dropped")
 
-    val (_, driftReport) = IndexMaintenance.refreshIvf(ivf, keptDrift)
+    val (ivfRetrained, driftReport) = IndexMaintenance.refreshIvf(ivf, keptDrift)
     assert(driftReport.mode == "retrain",
       s"drifted segment did not trip the IVF detector: $driftReport")
+
+    // the retrain moved the centroid geometry, so the semantic-dedup
+    // state's fingerprint gate must fire: the refresh reports "rebuild"
+    // and its result is a from-scratch pass over the retrained index —
+    // never an additive merge of csims scored under two geometries
+    val (semAfter, semDriftRep) =
+      IndexMaintenance.refreshSemDedup(sem, ivfRetrained, keptDrift)
+    assert(semDriftRep.mode == "rebuild",
+      s"retrained centroids not detected: $semDriftRep")
+    val semFromScratch = IndexMaintenance.buildSemDedup(ivfRetrained)
+    assert(semIds(semAfter.dropped) == semIds(semFromScratch.dropped),
+      "post-retrain semantic-dedup state diverged from a from-scratch build")
+    assert(semAfter.centroidFp == semFromScratch.centroidFp &&
+      semAfter.centroidFp != sem.centroidFp,
+      "rebuild did not re-pin the state to the retrained geometry")
 
     val svDrift = VectorQueries.pqSubvecs(VectorQueries.pqNormalize(keptDrift))
     val (_, dAlien) = IndexMaintenance.refreshPqCodes(pq, svDrift)
