@@ -209,7 +209,10 @@ class MaintenanceSoakSpec extends AnyFunSuite {
       lex = CorpusStatsMaintenance.refreshLex(lex, keptD)
       lm = CorpusStatsMaintenance.refreshLm(lm, keptD)
       nb = CorpusStatsMaintenance.refreshNb(nb, keptD)
-      bloom = CorpusStatsMaintenance.refreshBloom(bloom, benchGrams(keptD))._1
+      val (bloom2, bloomRep) =
+        CorpusStatsMaintenance.refreshBloom(bloom, benchGrams(keptD))
+      assert(bloomRep.mode == "incremental", s"epoch $ep: $bloomRep")
+      bloom = bloom2
       // dup-span census: refresh names the affected docs; re-score ONLY
       // those and splice into the carried report — per epoch, census and
       // report must equal a from-scratch rebuild exactly
@@ -303,6 +306,42 @@ class MaintenanceSoakSpec extends AnyFunSuite {
     assert(spans.census.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
       spansRebuilt.census.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
       "maintained dup-span census diverged from rebuild")
+
+    // ---- bloom width resize: a new eval suite crosses the boundary ------
+    // the bitset's staleness axis is its width (sized 16× grams at
+    // build); a benchmark addition big enough to cross the power-of-two
+    // boundary must RAISE the rebuild signal, the acted-on rebuild must
+    // resize, and the lifecycle must continue cleanly under the new
+    // frozen width — the same signal → rebuild → carry-on pattern the
+    // IVF-drift and PQ-misfit stages below exercise
+    val gramsToCross = bloom.m / 16 - bloom.grams + 16
+    assert(gramsToCross > 0, "soak epochs already crossed the width boundary")
+    val evalSuite = spark.range(gramsToCross)
+      .selectExpr("concat('ev ', cast(id as string), ' wq zx vk') AS g")
+      .localCheckpoint()
+    val (bloomUp, upRep) = CorpusStatsMaintenance.refreshBloom(bloom, evalSuite)
+    assert(upRep.mode == "rebuild",
+      s"boundary crossing did not raise the rebuild signal: $upRep")
+    assert(upRep.widthNow > upRep.frozenWidth, upRep.toString)
+    // the un-acted refresh is still sound at the frozen (now undersized)
+    // width — the signal is about FP rate, never correctness
+    assert(bloomUp.m == bloom.m)
+    // act on the signal: from-scratch rebuild over every decontamination
+    // gram admitted so far plus the new suite — the width grows
+    val allBench = benchGrams(admittedDocs).unionByName(evalSuite)
+    bloom = CorpusStatsMaintenance.buildBloom(allBench)
+    assert(bloom.m > upRep.frozenWidth,
+      s"rebuild kept the undersized width: ${bloom.m} vs ${upRep.frozenWidth}")
+    // and refreshes keep working under the NEW frozen width: one more
+    // delta, incremental verdict, bitset equal to a frozen-width rebuild
+    val tailSuite = spark.range(50)
+      .selectExpr("concat('tl ', cast(id as string), ' mq rb hy') AS g")
+      .localCheckpoint()
+    val (bloomTail, tailRep) = CorpusStatsMaintenance.refreshBloom(bloom, tailSuite)
+    assert(tailRep.mode == "incremental", s"post-resize refresh: $tailRep")
+    assert(laneMap(bloomTail.words) == laneMap(CorpusStatsMaintenance
+        .buildBloomAt(allBench.unionByName(tailSuite), bloom.m)),
+      "post-resize refreshed bitset diverged from a frozen-width rebuild")
 
     // ---- epoch 3: a genuinely drifted segment ---------------------------
     // vectors dragged toward a direction the corpus never had, with ~99%
