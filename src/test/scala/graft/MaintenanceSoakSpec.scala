@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{CorpusStatsMaintenance, DedupMaintenance, IndexMaintenance, VectorQueries}
-import graft.streaming.{EmbeddingAdmission, NearDupAdmission, QuoteAdmission}
+import graft.streaming.{EmbeddingAdmission, NearDupAdmission, QuoteAdmission, SemanticAdmission}
 
 /** The composed steady-state loop a 100 TB deployment actually runs:
   * segments arrive through the LEDGER write path, the streaming
@@ -112,6 +112,17 @@ class MaintenanceSoakSpec extends AnyFunSuite {
     var pq = IndexMaintenance.buildPq(sv0)
     assert(pq.baseDistortion > 0)
     var sem = IndexMaintenance.buildSemDedup(ivf)
+
+    // the streaming SemDeDup gate rides the SAME frozen trained geometry
+    // as the offline state: epoch-0 vectors seed its store, every
+    // admitted epoch flows through it, and the end-state store must hold
+    // NO within-cell pair at its tau — the gate's whole contract,
+    // checked globally below
+    val semStore = Files.createTempDirectory("soak_semstore").toString
+    val semKept = Files.createTempDirectory("soak_semkept").toString
+    val semTau = 0.35 // the q119 near-dup band on this corpus
+    SemanticAdmission.admit(vecs0, 0L, ivf.centroids, semStore, semKept,
+      tau = semTau)
 
     var admittedDocs = docs0
     var admittedVecs = vecs0
@@ -250,6 +261,12 @@ class MaintenanceSoakSpec extends AnyFunSuite {
       assert(semRep.mode == "incremental", s"epoch $ep: $semRep")
       sem = sem2
 
+      // the streaming gate admits the same epoch under the same frozen
+      // geometry (incremental refresh never moves centroids, so the
+      // store's fingerprint pin holds across epochs)
+      SemanticAdmission.admit(keptV, ep.toLong, ivf.centroids,
+        semStore, semKept, tau = semTau)
+
       // SRP: row-local append under the frozen width (no boundary at
       // these sizes, so the report must say incremental)
       val (srp2, srpRep) = IndexMaintenance.refreshSrp(srp, keptV)
@@ -306,6 +323,23 @@ class MaintenanceSoakSpec extends AnyFunSuite {
     assert(spans.census.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
       spansRebuilt.census.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
       "maintained dup-span census diverged from rebuild")
+
+    // the streaming gate's global contract: the admitted semantic store
+    // holds NO within-cell pair at tau — every duplicate was caught
+    // either in-batch or against the store, across all three epochs —
+    // and the gate genuinely dropped vectors (the invariant isn't vacuous)
+    {
+      import graft.functions.expressions.VectorExpressions.cosineSim
+      val members = spark.read.parquet(s"$semStore/members")
+      val survivors = members.count()
+      assert(survivors < admittedVecs.count(),
+        "semantic gate dropped nothing — lower tau so the check means something")
+      val pairs = members.alias("a").join(members.alias("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .filter(cosineSim(col("a.embedding"), col("b.embedding")) >= semTau)
+        .count()
+      assert(pairs == 0, s"$pairs semantic-dup pairs admitted")
+    }
 
     // ---- bloom width resize: a new eval suite crosses the boundary ------
     // the bitset's staleness axis is its width (sized 16× grams at
@@ -378,6 +412,14 @@ class MaintenanceSoakSpec extends AnyFunSuite {
     assert(semAfter.centroidFp == semFromScratch.centroidFp &&
       semAfter.centroidFp != sem.centroidFp,
       "rebuild did not re-pin the state to the retrained geometry")
+    // and the STREAMING gate refuses the retrained geometry outright —
+    // its store was scored under the frozen centroids, so admitting
+    // against the moved ones must fail loudly, not mix csims
+    val geomErr = intercept[IllegalStateException] {
+      SemanticAdmission.admit(keptDrift, 3L, ivfRetrained.centroids,
+        semStore, semKept, tau = semTau)
+    }
+    assert(geomErr.getMessage.contains("retrained"), geomErr.getMessage)
 
     val svDrift = VectorQueries.pqSubvecs(VectorQueries.pqNormalize(keptDrift))
     val (_, dAlien) = IndexMaintenance.refreshPqCodes(pq, svDrift)
