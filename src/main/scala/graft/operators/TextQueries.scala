@@ -562,6 +562,31 @@ object TextQueries {
     probed.withColumn("hit", when(hit, 1).otherwise(0))
   }
 
+  /** The deterministic per-epoch read order behind q121 — ONE definition
+    * for the manifest query and the resume-contract spec: every doc gets
+    * a reproducible pseudo-random key (md5 over epoch:id — a different
+    * global permutation per epoch, no RNG state), a shard (key-hash mod
+    * world size), and a dense per-(epoch, shard) position in (h, doc_id)
+    * order. A training loader checkpointed at (epoch, shard, pos = k)
+    * resumes by recomputing THIS stream and skipping pos ≤ k: the
+    * permutation depends only on (epoch, doc_id), never on physical
+    * layout or execution order, so the suffix it feeds is identical to
+    * the original run's — the spec proves that against a repartitioned
+    * recomputation.
+    */
+  private[graft] def epochShuffleStream(docs: DataFrame, nShards: Int,
+      epochs: Int): DataFrame = {
+    val keyed = docs
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("ntok"),
+        explode(array((0 until epochs).map(lit): _*)).as("epoch"))
+      .withColumn("h", md5(concat(lit("shuffle:"),
+        col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))))
+      .withColumn("shard", pmod(conv(substring(col("h"), 1, 4), 16, 10)
+        .cast("long"), lit(nShards.toLong)))
+    val w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    keyed.withColumn("pos", row_number().over(w))
+  }
+
   /** DSIR hashed-feature table (doc_id, source, b) as a persisted
     * artifact — the explicit corpus-hashing stage of the DSIR pipeline
     * (Xie et al. 2023 hash the raw corpus once, then score it against
@@ -2177,25 +2202,15 @@ object TextQueries {
     // 8); output is epochs × shards rows. Oracle replays hash → shard →
     // rank → checksum; every compared quantity is integer arithmetic,
     // engine-exact.
-    "q121_epoch_shuffle_manifest" -> ((s, dir) => {
-      val nShards = 8
-      val keyed = Tables.documents(s, dir)
-        .select(col("doc_id"), tokenCount(col("text")).cast("long").as("ntok"),
-          explode(array((0 until 3).map(lit): _*)).as("epoch"))
-        .withColumn("h", md5(concat(lit("shuffle:"),
-          col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))))
-        .withColumn("shard", pmod(conv(substring(col("h"), 1, 4), 16, 10)
-          .cast("long"), lit(nShards.toLong)))
-      val w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
-      keyed.withColumn("pos", row_number().over(w))
+    "q121_epoch_shuffle_manifest" -> ((s, dir) =>
+      epochShuffleStream(Tables.documents(s, dir), nShards = 8, epochs = 3)
         .groupBy(col("epoch"), col("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("ntok")).as("n_tokens"),
           min_by(col("doc_id"), col("pos")).as("first_doc"),
           max_by(col("doc_id"), col("pos")).as("last_doc"),
           sum(col("pos") * (col("doc_id") % 997)).as("order_checksum"))
-        .orderBy("epoch", "shard")
-    }),
+        .orderBy("epoch", "shard")),
 
     // Gopher quality-rule gate (Rae et al. 2021, A1.1) — the canonical
     // NAMED rule suite with per-rule attribution, where q25's composite

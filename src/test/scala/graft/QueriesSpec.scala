@@ -1809,6 +1809,40 @@ class QueriesSpec extends AnyFunSuite {
       "order checksum diverged from the plain-Scala replay")
   }
 
+  test("q121 resume contract: a mid-epoch restart streams the identical suffix") {
+    // a training loop checkpointed at (epoch, shard, pos = k) resumes by
+    // recomputing the read order and skipping pos <= k — sound only if
+    // the permutation depends on (epoch, doc_id) alone, never on
+    // physical layout or execution order. Prove it: the full run and a
+    // 'resumed' recomputation over a REPARTITIONED corpus must agree on
+    // every suffix position, per shard
+    val docs = Tables.documents(spark, dir)
+    def streamOf(input: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Int, Long)]] =
+      TextQueries.epochShuffleStream(input, nShards = 8, epochs = 3)
+        .filter(col("epoch") === 1)
+        .select("shard", "pos", "doc_id").collect()
+        .map(r => (r.getAs[Long]("shard"), r.getAs[Int]("pos"), r.getAs[Long]("doc_id")))
+        .groupBy(_._1)
+        .map { case (s, rs) => s -> rs.sortBy(_._2).map(t => (t._2, t._3)).toSeq }
+    val full = streamOf(docs)
+    val resumed = streamOf(docs.repartition(13)) // a different physical layout
+    val k = 5
+    full.foreach { case (shard, order) =>
+      assert(order.length > k, s"shard $shard too small for the resume point")
+      // positions are dense 1..n and the recomputation reproduces them
+      assert(order.map(_._1) == (1 to order.length), s"shard $shard ranks not dense")
+      val suffix = resumed(shard).filter(_._1 > k)
+      assert(suffix == order.drop(k),
+        s"shard $shard: resumed suffix diverged from the original order")
+      // the manifest's order checksum decomposes at the checkpoint: the
+      // resumed run verifies itself by adding its suffix checksum to the
+      // checkpointed prefix's — no full-run replay needed
+      def ckOf(part: Seq[(Int, Long)]): Long =
+        part.map { case (pos, id) => pos.toLong * (id % 997) }.sum
+      assert(ckOf(order) == ckOf(order.take(k)) + ckOf(suffix))
+    }
+  }
+
   test("q122 gopher rules: full plain-Scala replay, ruleset alive, gate passable") {
     val rows = TextQueries.defs("q122_gopher_rules")(spark, dir).collect()
     val docs = Tables.documents(spark, dir)
