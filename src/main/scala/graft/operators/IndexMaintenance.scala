@@ -39,14 +39,25 @@ import graft.functions.expressions.VectorExpressions.cosineSim
   */
 object IndexMaintenance {
 
-  /** What a refresh did: `mode` is "incremental" or "retrain",
-    * `maxDrift` the largest per-cell 1−cos(centroid, new mean), judged
-    * RELATIVE to the index's build-time `baselineDrift` — Lloyd never
-    * fully converges, so even a freshly built index has nonzero drift
-    * between its centroids and its final cell means (~0.03 here); the
-    * detector must flag what the APPEND changed, not that residual. */
+  /** What a refresh did: `mode` is "incremental", "retrain", or
+    * "retrain_resized" (drift tripped AND the grown corpus sizes more
+    * cells — the retrain re-seeded at `nlistNow`); `maxDrift` the
+    * largest per-cell 1−cos(centroid, new mean), judged RELATIVE to the
+    * index's build-time `baselineDrift` — Lloyd never fully converges,
+    * so even a freshly built index has nonzero drift between its
+    * centroids and its final cell means (~0.03 here); the detector must
+    * flag what the APPEND changed, not that residual. `nlist` is the
+    * index's frozen cell count and `nlistNow` what the post-append
+    * corpus SIZES (ceil(N / IvfTargetCellSize), the trainCells
+    * contract): nlistNow > nlist on an incremental refresh is the
+    * occupancy rebuild signal — candidates stay correct, but cells run
+    * deeper than the design point and q119-style Σ|cell|² work grows —
+    * the exact analogue of the SRP width signal and the PQ distortion
+    * ratio, acted on by the caller (a drift-tripped retrain acts on it
+    * automatically). */
   final case class RefreshReport(mode: String, newVectors: Long,
-      maxDrift: Double, baselineDrift: Double, driftThreshold: Double)
+      maxDrift: Double, baselineDrift: Double, driftThreshold: Double,
+      nlist: Long, nlistNow: Long)
 
   /** Refreshed index artifacts: the inverted file, the centroids, the
     * per-cell stats to persist for the NEXT refresh, and the build-time
@@ -113,28 +124,44 @@ object IndexMaintenance {
     val mergedStats = mergeStats(base.stats, cellStats(assignedDelta))
       .localCheckpoint()
     val drift = maxDrift(mergedStats, base.centroids)
+    // post-append corpus count from the carried stats — no corpus pass;
+    // what the corpus SIZES vs what the index froze (see RefreshReport)
+    val nTotal = {
+      val r = mergedStats.agg(sum(col("n"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val nlist = base.centroids.count()
+    val nlistNow = VectorQueries.ivfNlist(nTotal).toLong
     if (drift - base.baselineDrift <= driftThreshold) {
       val assigned = base.assigned.unionByName(assignedDelta)
       (IvfIndex(assigned, base.centroids, mergedStats, base.baselineDrift),
         RefreshReport("incremental", newVectors, drift, base.baselineDrift,
-          driftThreshold))
+          driftThreshold, nlist, nlistNow))
     } else {
-      // warm-started Lloyd over the combined corpus: the current
-      // centroids are the best available seed (label seeds belong to
-      // the bootstrap build, and the combined corpus may not have
-      // labels at all)
       val full = base.assigned.select(col("vec_id"), col("embedding"))
         .unionByName(assignedDelta.select(col("vec_id"), col("embedding")))
         .localCheckpoint()
-      var cent = base.centroids
-      for (_ <- 0 until lloydIters)
-        cent = VectorQueries.cellMeans(VectorQueries.assignCells(full, cent))
-      val newCent = cent.localCheckpoint()
+      // nlist is a CORPUS-SIZED contract (ceil(N / IvfTargetCellSize),
+      // the trainCells sizing): if the grown corpus still sizes the
+      // frozen cell count, the retrain warm-starts Lloyd from the
+      // current centroids (the best available seed — sample seeds
+      // belong to the bootstrap build); if it sizes MORE cells, a
+      // warm start would freeze the stale nlist forever and q119's
+      // Σ|cell|² would creep back toward quadratic, so the retrain
+      // RE-SEEDS at the new width (the full trainer) and reports it.
+      val resized = nlistNow > nlist
+      val newCent = if (resized) VectorQueries.trainCells(full) else {
+        var cent = base.centroids
+        for (_ <- 0 until lloydIters)
+          cent = VectorQueries.cellMeans(VectorQueries.assignCells(full, cent))
+        cent.localCheckpoint()
+      }
       val assigned = VectorQueries.assignCells(full, newCent).localCheckpoint()
       val stats = cellStats(assigned).localCheckpoint()
       (IvfIndex(assigned, newCent, stats, maxDrift(stats, newCent)),
-        RefreshReport("retrain", newVectors, drift, base.baselineDrift,
-          driftThreshold))
+        RefreshReport(if (resized) "retrain_resized" else "retrain",
+          newVectors, drift, base.baselineDrift, driftThreshold,
+          nlist, nlistNow))
     }
   }
 

@@ -243,11 +243,16 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     // the drifted segment: every vector collapsed toward one new
     // direction the corpus never had (scaled down + constant offset) —
     // whatever cell catches it has its mean dragged off the frozen
-    // centroid
-    val drifted = delta.select((col("vec_id") + 1000000L).as("vec_id"),
-      expr("transform(embedding, x -> cast(x * 0.1 + 0.5 as float))").as("embedding"))
+    // centroid. Kept SMALL enough (40 of ~444) that the grown corpus
+    // still sizes the frozen nlist: this test pins the pure WARM-START
+    // retrain; the resized path has its own test below.
+    val drifted = delta.orderBy("vec_id").limit(40)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> cast(x * 0.1 + 0.5 as float))").as("embedding"))
     val (idx3, report) = IndexMaintenance.refreshIvf(idx, drifted)
     assert(report.mode == "retrain", s"drift not detected: $report")
+    assert(report.nlistNow == report.nlist,
+      s"test premise broken — sizing boundary crossed: $report")
     assert(report.maxDrift - report.baselineDrift > report.driftThreshold)
     assert(idx3.assigned.count() == base.count() + drifted.count())
     // the retrained centroids moved: at least one frozen centroid has no
@@ -315,6 +320,52 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(rebuilt.dropped.collect().map(_.getLong(0)).toSet == dropped)
   }
 
+  test("corpus growth surfaces the nlist occupancy signal; a drifted growth retrains resized") {
+    val e = Tables.embeddings(spark, dir)
+    // a small bootstrap slice: 100 vectors size nlist = 2 cells
+    val base = e.filter(col("vec_id") < 100)
+    val idx = IndexMaintenance.buildIvf(base)
+    assert(idx.centroids.count() == VectorQueries.ivfNlist(100).toLong)
+    // an IN-DISTRIBUTION 4× growth — fresh-id exact copies of the base,
+    // so cell means cannot move and the refresh stays incremental — but
+    // the report must carry the occupancy signal (the grown corpus
+    // sizes 10 cells, the index froze 2), the caller's cue to rebuild
+    // at the new width
+    val grow = (1 to 4)
+      .map(k => base.select((col("vec_id") + lit(5000L * k)).as("vec_id"),
+        col("embedding")))
+      .reduce(_ unionByName _)
+    val (idx2, rep) = IndexMaintenance.refreshIvf(idx, grow)
+    assert(rep.mode == "incremental", rep.toString)
+    assert(rep.nlist == idx.centroids.count() &&
+      rep.nlistNow == VectorQueries.ivfNlist(500).toLong &&
+      rep.nlistNow > rep.nlist,
+      s"occupancy signal missing: $rep")
+    // acting on the signal = a from-scratch build over the grown roster,
+    // which sizes exactly nlistNow
+    val rebuilt = IndexMaintenance.buildIvf(
+      base.unionByName(grow.withColumn("label", lit(0))
+        .select(base.columns.map(col): _*)))
+    // seeded at nlistNow; the trained table may run a cell or two short
+    // (exact-copy growth duplicates seeds and Lloyd empties the loser —
+    // ordinary k-means behavior), but it must clearly outgrow the stale
+    // width
+    val rebuiltCells = rebuilt.centroids.count()
+    assert(rebuiltCells > rep.nlist && rebuiltCells <= rep.nlistNow,
+      s"rebuild did not resize: $rebuiltCells vs $rep")
+    // a DRIFTED 4× growth trips the detector AND the sizing at once: the
+    // retrain must re-seed at the new width, not warm-start 2 stale
+    // centroids over a 5× corpus — and say so
+    val drifted = e.filter(col("vec_id") >= 100)
+      .select((col("vec_id") + 9000L).as("vec_id"),
+        expr("transform(embedding, x -> cast(x * 0.1 + 0.5 as float))").as("embedding"))
+    val (idx3, rep3) = IndexMaintenance.refreshIvf(idx, drifted)
+    assert(rep3.mode == "retrain_resized", rep3.toString)
+    assert(idx3.centroids.count() == rep3.nlistNow,
+      s"retrain kept the stale nlist: ${idx3.centroids.count()} vs ${rep3.nlistNow}")
+    assert(idx3.assigned.count() == 500L)
+  }
+
   test("semantic-dedup refresh detects a retrained index and rebuilds, reported") {
     val (base, delta) = split()
     val idx = IndexMaintenance.buildIvf(base)
@@ -326,7 +377,7 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     val drifted = delta.select((col("vec_id") + 1000000L).as("vec_id"),
       expr("transform(embedding, x -> cast(x * 0.1 + 0.5 as float))").as("embedding"))
     val (idxR, ivfRep) = IndexMaintenance.refreshIvf(idx, drifted)
-    assert(ivfRep.mode == "retrain", s"precondition: $ivfRep")
+    assert(ivfRep.mode.startsWith("retrain"), s"precondition: $ivfRep")
     val (stR, semRep) = IndexMaintenance.refreshSemDedup(st, idxR, drifted)
     assert(semRep.mode == "rebuild",
       s"stale geometry not detected: $semRep")

@@ -395,7 +395,9 @@ class MaintenanceSoakSpec extends AnyFunSuite {
     assert(keptDrift.count() > 0, "drifted segment entirely dropped")
 
     val (ivfRetrained, driftReport) = IndexMaintenance.refreshIvf(ivf, keptDrift)
-    assert(driftReport.mode == "retrain",
+    // this drifted epoch also pushes occupancy past the sizing boundary
+    // (8 → 11 cells), so the retrain both moves geometry AND resizes
+    assert(driftReport.mode.startsWith("retrain"),
       s"drifted segment did not trip the IVF detector: $driftReport")
 
     // the retrain moved the centroid geometry, so the semantic-dedup
