@@ -25,6 +25,10 @@ object Artifacts {
       graft.operators.TextQueries.dsirFeatsShared(spark, sfDir)
       () },
     "nb" -> (() => { graft.operators.TextQueries.nbQualityScored(spark, sfDir); () }),
+    "bloom" -> { () =>
+      graft.operators.TextQueries.benchGramsShared(spark, sfDir)
+      graft.operators.TextQueries.bloomSetShared(spark, sfDir)
+      () },
     "bpe" -> (() => { graft.operators.TextQueries.bpeMergesShared(spark, sfDir, steps = 20); () }),
     "ivf" -> { () =>
       val e = Tables.embeddings(spark, sfDir)

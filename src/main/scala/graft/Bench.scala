@@ -246,7 +246,10 @@ object Bench {
     // whose canary noise was 2.55x — the values carry that margin
     // already, and the gate adds 2x on top; see BENCHPROTOCOL.md).
     val buildEnvelope = Map("dedup" -> 3.0, "lm" -> 2.7, "lex" -> 2.0,
-      "nb" -> 0.9, "bpe" -> 2.2, "ivf" -> 1.5, "pq" -> 2.7, "srp" -> 0.4)
+      "nb" -> 0.9, "bpe" -> 2.2, "ivf" -> 1.5, "pq" -> 2.7, "srp" -> 0.4,
+      // measured r14-b: 1.71 s / 1.62 canary (the benchmark-gram distinct
+      // + lane build; gram5 itself bills to lex)
+      "bloom" -> 1.1)
     // a FAILED build (-1 sentinel) is a violation, not an exemption —
     // filtering it out would let the line report "bgate":"pass" in the
     // very run a family's build crashed

@@ -540,6 +540,39 @@ object TextQueries {
       .agg(bit_or(bloomLane(col("p"))).as("bits"))
   }
 
+  /** The held-out (valid+test) distinct 5-gram set — the BENCHMARK side
+    * of the decontamination family — as a persisted corpus artifact:
+    * derived from the shared shingle table once per corpus snapshot,
+    * read by the bitset build and by q120's exact-audit join. */
+  private[graft] def benchGramsShared(s: SparkSession, dir: String): DataFrame =
+    cachedTextFrame(s, "benchgrams", dir) {
+      gram5Shared(s, dir)
+        .withColumn("split", splitAssign(col("doc_id")))
+        .filter(col("split") =!= "train").select(col("g")).distinct()
+        .localCheckpoint()
+    }
+
+  /** The decontamination bitset as a PERSISTED corpus artifact — at
+    * 100 TB the benchmark set changes when an eval suite ships, not per
+    * query, so the words table is written once per corpus snapshot (the
+    * `CorpusStatsMaintenance.BloomIndex` storage shape; refreshBloom is
+    * its incremental path) and every probe query maps it instead of
+    * re-hashing the benchmark. The frozen width rides along as a
+    * constant column; reading it back is a 1-row driver action on the
+    * bounded (m/32-row) table. */
+  private[graft] def bloomSetShared(s: SparkSession, dir: String)
+      : (DataFrame, Long) = {
+    val f = cachedTextFrame(s, "bloomset", dir) {
+      val bench = benchGramsShared(s, dir)
+      val m = bloomWidthFor(bench.count())
+      bloomWordRows(bench.withColumn("m", lit(m)))
+        .withColumn("m", lit(m)).localCheckpoint()
+    }
+    val mRow = f.select(col("m")).head(1)
+    val m = if (mRow.isEmpty) bloomWidthFor(0L) else mRow.head.getLong(0)
+    (f.select(col("w"), col("bits")), m)
+  }
+
   /** The probe side of the Bloom path, shared by q120 (which rides an
     * exact-audit column alongside) and q123 (the probe-only deployed
     * form): ONE codegen'd md5 per gram sliced into k=4 positions, each
@@ -2116,34 +2149,27 @@ object TextQueries {
     // drops them and keeps only the probe path. Oracle replays the
     // same build + probe bit-for-bit via the strpos hex polynomial.
     "q120_bloom_decontaminate" -> ((s, dir) => {
-      val grams = gram5Shared(s, dir).select(col("doc_id"), col("g"))
-        .withColumn("split", splitAssign(col("doc_id")))
-      val bench = grams.filter(col("split") =!= "train")
-        .select(col("g")).distinct()
-        .localCheckpoint() // 3 consumers: m scalar, lane build, audit join
-      // width from the ONE sizing kernel the maintenance path uses
-      // (bloomWidthFor — a query sized by a second inline formula could
-      // silently desynchronize from buildBloom/refreshBloom), as a
-      // driver-side 1-row count over the already-checkpointed bench.
-      // Also guards the empty-bench edge: bloomWidthFor(0) = 16, where
-      // the old inline log2(0) yielded a null m that poisoned every
-      // probe. The oracle's 2^ceil(log2(16n)) replay is pinned equal to
-      // bloomWidthFor over the width boundaries in SkewAndPropertiesSpec.
-      val m = bloomWidthFor(bench.count())
-      // the k=4 positions slice one md5 digest into its four 8-hex-char
-      // quarters (32 independent bits each) — one hash per gram, not
-      // four; ONE kernel definition (bloomDigest/bloomPos/bloomLane/
-      // bloomWordRows below) shared with the incremental maintenance
-      // (CorpusStatsMaintenance.buildBloom/refreshBloom), so a refreshed
-      // bitset can never hash differently from the built one
-      val words = bloomWordRows(bench.withColumn("m", lit(m)))
-        .localCheckpoint() // m/32 rows, broadcast once per probe
+      // the benchmark gram set and its bitset are persisted corpus
+      // artifacts (benchGramsShared / bloomSetShared — an eval-suite
+      // set changes when a suite ships, not per query, and the k=4
+      // probe positions slice ONE md5 per gram under the kernel
+      // definitions shared with CorpusStatsMaintenance.buildBloom/
+      // refreshBloom, so a refreshed bitset can never hash differently
+      // from the built one); the width comes from the ONE sizing kernel
+      // (bloomWidthFor — guards the empty bench too: width 16, never
+      // the null the old inline log2(0) produced; the oracle's
+      // 2^ceil(log2(16n)) replay is pinned equal to bloomWidthFor over
+      // the width boundaries in SkewAndPropertiesSpec)
+      val bench = benchGramsShared(s, dir)
+      val (words, m) = bloomSetShared(s, dir)
       // probe path (bloomProbeHits — shared with q123, the probe-only
       // deployed form): the exact-audit membership rides ONE broadcast
       // left join alongside (benchmark sets are bounded by nature — they
       // don't grow with the corpus); nothing shuffles until the per-doc
       // partial agg
-      val base = grams.filter(col("split") === "train")
+      val base = gram5Shared(s, dir).select(col("doc_id"), col("g"))
+        .withColumn("split", splitAssign(col("doc_id")))
+        .filter(col("split") === "train")
         .select(col("doc_id"), col("g"))
         .join(broadcast(bench.withColumn("ex", lit(1))), Seq("g"), "left")
       bloomProbeHits(base, words, m)
@@ -2168,15 +2194,10 @@ object TextQueries {
     // chained broadcast lane lookups and a per-doc partial agg — the
     // only shuffle on the probe side is the final doc_id aggregate.
     "q123_bloom_probe" -> ((s, dir) => {
-      val grams = gram5Shared(s, dir).select(col("doc_id"), col("g"))
+      val (words, m) = bloomSetShared(s, dir) // the persisted bitset
+      val train = gram5Shared(s, dir).select(col("doc_id"), col("g"))
         .withColumn("split", splitAssign(col("doc_id")))
-      val bench = grams.filter(col("split") =!= "train")
-        .select(col("g")).distinct()
-        .localCheckpoint() // 2 consumers: the m scalar and the lane build
-      val m = bloomWidthFor(bench.count())
-      val words = bloomWordRows(bench.withColumn("m", lit(m)))
-        .localCheckpoint()
-      val train = grams.filter(col("split") === "train")
+        .filter(col("split") === "train")
         .select(col("doc_id"), col("g"))
       bloomProbeHits(train, words, m)
         .groupBy(col("doc_id"))
