@@ -32,7 +32,14 @@ import graft.functions.TextFunctions._
   *                  q100's q68 contamination gate). Runs AFTER dedup so
   *                  an exact clone is attributed to dedup, a contained
   *                  quote to this gate, matching the batch funnel's
-  *                  first-gate-catches attribution.
+  *                  first-gate-catches attribution;
+  *   5. decon     — OPTIONAL (armed by `benchRefPath`): Bloom
+  *                  hit-fraction overlap with the frozen benchmark
+  *                  bitset (q120/q123's judgment — the q100
+  *                  held-out-contamination stage in its 100 TB form,
+  *                  delegated to [[DecontaminationAdmission]]'s
+  *                  artifacts). Runs last so every upstream gate keeps
+  *                  its attribution.
   *
   * Scale shape: the quality gate is row-local column math; the LM gate
   * is a shuffle join on the bigram key (the LM table is O(V²)-unbounded
@@ -86,11 +93,21 @@ object CurationAdmission {
 
   /** One epoch of the funnel. `batch` = (doc_id, lang, text). Returns the
     * audit row it also persists: (epoch, n_in, drop_quality, drop_lm,
-    * drop_dedup, drop_quote, admitted).
+    * drop_dedup, drop_quote, drop_decon, admitted).
+    *
+    * `benchRefPath`, when set, arms a FIFTH gate — benchmark
+    * decontamination (the batch funnel q100's held-out-overlap stage in
+    * its 100 TB Bloom form, [[DecontaminationAdmission]]'s judgment
+    * verbatim): a doc whose distinct-5-gram Bloom hit fraction against
+    * the frozen eval-suite bitset exceeds `maxHitFrac` drops, attributed
+    * LAST (a clone of a contaminated doc is a dedup drop — first gate
+    * catches). None keeps the four-gate funnel byte-identical.
     */
   def admit(batch: DataFrame, batchId: Long, refPath: String,
             storePath: String, keptPath: String, auditPath: String,
-            qualityFloor: Double = 0.72, quoteSpan: Int = 20): Row = {
+            qualityFloor: Double = 0.72, quoteSpan: Int = 20,
+            benchRefPath: Option[String] = None,
+            maxHitFrac: Double = 0.05): Row = {
     val s = batch.sparkSession
     val scored = batch
       .withColumn("q", qualityScore(col("text")))
@@ -149,13 +166,35 @@ object CurationAdmission {
     val wins = QuoteAdmission.windowsOf(dedupKept)
     val quoteDropIds = QuoteAdmission
       .quoteDrops(wins, batchId, storePath, quoteSpan)
-    val finalKept = dedupKept.join(quoteDropIds, Seq("doc_id"), "left_anti")
+    val afterQuote = dedupKept.join(quoteDropIds, Seq("doc_id"), "left_anti")
       .localCheckpoint() // materialize BEFORE overwriting what it reads
+    val nAfterQuote = afterQuote.count()
+    val dropQuote = afterDedup - nAfterQuote
+
+    // benchmark decontamination gate (armed by benchRefPath): the Bloom
+    // hit-fraction judgment over the quote survivors — same probe chain,
+    // same fraction statistics as DecontaminationAdmission (see its doc
+    // for why a fraction, not any-hit). Runs LAST so upstream gates keep
+    // their attribution; drops before the census publish, so the quote
+    // store only ever covers FINAL survivors.
+    val deconDropIds = benchRefPath match {
+      case None => afterQuote.select(col("doc_id")).limit(0)
+      case Some(rp) =>
+        val ref = DecontaminationAdmission.readReference(s, rp)
+        val grams = afterQuote.select(col("doc_id"),
+          explode(array_distinct(wordNgramsUdf(5)(col("text")))).as("g"))
+        graft.operators.TextQueries.bloomProbeHits(grams, ref.words, ref.m)
+          .groupBy(col("doc_id"))
+          .agg((sum(col("hit")).cast("double") / count(lit(1))).as("frac"))
+          .filter(col("frac") > maxHitFrac).select(col("doc_id"))
+    }
+    val finalKept = afterQuote.join(deconDropIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     finalKept.write.mode("overwrite").parquet(s"$keptPath/epoch=$batchId")
     QuoteAdmission.publishCensus(wins, finalKept.select(col("doc_id")),
       batchId, storePath)
     val admitted = finalKept.count()
-    val dropQuote = afterDedup - admitted
+    val dropDecon = nAfterQuote - admitted
 
     // the epoch value lives ONLY in the partition directory — writing it
     // as a data column too would be shadowed (and silently retyped to
@@ -164,6 +203,7 @@ object CurationAdmission {
       lit(nIn).as("n_in"),
       lit(dropQuality).as("drop_quality"), lit(dropLm).as("drop_lm"),
       lit(dropDedup).as("drop_dedup"), lit(dropQuote).as("drop_quote"),
+      lit(dropDecon).as("drop_decon"),
       lit(admitted).as("admitted"))
     audit.write.mode("overwrite").parquet(s"$auditPath/epoch=$batchId")
     audit.select(lit(batchId).as("epoch"), col("*")).head
@@ -172,13 +212,15 @@ object CurationAdmission {
   /** Wire as a streaming sink over a (doc_id, lang, text) stream. */
   def stream(docs: DataFrame, refPath: String, storePath: String,
              keptPath: String, auditPath: String, checkpoint: String,
-             qualityFloor: Double = 0.72, quoteSpan: Int = 20): DataStreamWriter[Row] =
+             qualityFloor: Double = 0.72, quoteSpan: Int = 20,
+             benchRefPath: Option[String] = None,
+             maxHitFrac: Double = 0.05): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         admit(batch, id, refPath, storePath, keptPath, auditPath,
-          qualityFloor, quoteSpan)
+          qualityFloor, quoteSpan, benchRefPath, maxHitFrac)
         ()
       }
 }

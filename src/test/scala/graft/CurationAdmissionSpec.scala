@@ -197,6 +197,76 @@ class CurationAdmissionSpec extends AnyFunSuite {
       "retry double-admitted a document")
   }
 
+  test("armed decontamination gate drops benchmark-quoting docs, attributed last") {
+    val ref = Files.createTempDirectory("cur5_ref").toString
+    val store = Files.createTempDirectory("cur5_store").toString
+    val kept = Files.createTempDirectory("cur5_kept").toString
+    val audit = Files.createTempDirectory("cur5_audit").toString
+    val deconRef = Files.createTempDirectory("cur5_decon").toString
+    CurationAdmission.buildReference(spark, corpus, ref)
+    val (lm, cuts, punk) = loadRef(ref)
+    val score = scoreWith(lm, punk) _
+
+    // two corpus docs that pass quality, sit below their lang's LM
+    // cutoff, and are mutually shingle-distinct (so only the decon gate
+    // can separate them)
+    import graft.functions.TextFunctions._
+    val candidates = Tables.documents(spark, corpus)
+      .filter(qualityScore(col("text")) >= 0.72)
+      .select("doc_id", "lang", "text").collect()
+    val picks = candidates.foldLeft(Vector.empty[org.apache.spark.sql.Row]) {
+      (acc, r) =>
+        val ok = acc.length < 2 &&
+          score(r.getAs[String]("text")).exists(s =>
+            s < cuts(r.getAs[String]("lang")) - 0.05) &&
+          acc.forall(p => shingleDistinct(p.getAs[String]("text"),
+            r.getAs[String]("text")))
+        if (ok) acc :+ r else acc
+    }
+    assert(picks.length == 2, "corpus no longer yields 2 clean fixtures")
+    val e = picks(0); val g = picks(1)
+
+    // the frozen eval suite IS doc e's text: every one of e's 5-grams is
+    // a benchmark gram (hit fraction 1.0 — the maximal contamination),
+    // while g's fraction is only the Bloom FP floor
+    import spark.implicits._
+    val suiteGrams = Seq(e.getAs[String]("text")).toDF("text")
+      .select(explode(array_distinct(wordNgramsUdf(5)(col("text")))).as("g"))
+      .distinct()
+    graft.streaming.DecontaminationAdmission.buildReference(suiteGrams, deconRef)
+
+    val batch = Seq(
+      (9100L, e.getAs[String]("lang"), e.getAs[String]("text")),
+      (9101L, g.getAs[String]("lang"), g.getAs[String]("text")))
+      .toDF("doc_id", "lang", "text")
+    val row = CurationAdmission.admit(batch, 0L, ref, store, kept, audit,
+      benchRefPath = Some(deconRef))
+    assert(row.getAs[Long]("n_in") == 2 &&
+      row.getAs[Long]("drop_quality") == 0 &&
+      row.getAs[Long]("drop_lm") == 0 &&
+      row.getAs[Long]("drop_dedup") == 0 &&
+      row.getAs[Long]("drop_quote") == 0, row.toString)
+    assert(row.getAs[Long]("drop_decon") == 1, row.toString)
+    assert(row.getAs[Long]("admitted") == 1, row.toString)
+    assert(spark.read.parquet(s"$kept/epoch=0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(9101L))
+
+    // retried epoch reproduces the verdicts
+    val rowR = CurationAdmission.admit(batch, 0L, ref, store, kept, audit,
+      benchRefPath = Some(deconRef))
+    assert(rowR.getAs[Long]("drop_decon") == 1 &&
+      rowR.getAs[Long]("admitted") == 1, rowR.toString)
+
+    // unarmed control: the same batch through a four-gate funnel admits
+    // BOTH docs — the fifth gate is the only thing separating them
+    val store2 = Files.createTempDirectory("cur5_store2").toString
+    val kept2 = Files.createTempDirectory("cur5_kept2").toString
+    val audit2 = Files.createTempDirectory("cur5_audit2").toString
+    val row2 = CurationAdmission.admit(batch, 0L, ref, store2, kept2, audit2)
+    assert(row2.getAs[Long]("drop_decon") == 0 &&
+      row2.getAs[Long]("admitted") == 2, row2.toString)
+  }
+
   test("multi-epoch drive: conservation holds, clones stay blocked across compaction") {
     import spark.implicits._
     import graft.functions.TextFunctions._
