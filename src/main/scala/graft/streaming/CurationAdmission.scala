@@ -171,30 +171,28 @@ object CurationAdmission {
     val nAfterQuote = afterQuote.count()
     val dropQuote = afterDedup - nAfterQuote
 
-    // benchmark decontamination gate (armed by benchRefPath): the Bloom
-    // hit-fraction judgment over the quote survivors — same probe chain,
-    // same fraction statistics as DecontaminationAdmission (see its doc
-    // for why a fraction, not any-hit). Runs LAST so upstream gates keep
-    // their attribution; drops before the census publish, so the quote
-    // store only ever covers FINAL survivors.
-    val deconDropIds = benchRefPath match {
-      case None => afterQuote.select(col("doc_id")).limit(0)
+    // benchmark decontamination gate (armed by benchRefPath): the SAME
+    // per-doc judgment DecontaminationAdmission runs (ONE definition —
+    // hitFractions; see its doc for why a fraction, not any-hit), over
+    // the quote survivors. Runs LAST so upstream gates keep their
+    // attribution; drops before the census publish, so the quote store
+    // only ever covers FINAL survivors. Unarmed, the four-gate funnel
+    // is byte-identical AND cost-identical: no extra join, checkpoint,
+    // or count.
+    val (finalKept, dropDecon) = benchRefPath match {
+      case None => (afterQuote, 0L)
       case Some(rp) =>
-        val ref = DecontaminationAdmission.readReference(s, rp)
-        val grams = afterQuote.select(col("doc_id"),
-          explode(array_distinct(wordNgramsUdf(5)(col("text")))).as("g"))
-        graft.operators.TextQueries.bloomProbeHits(grams, ref.words, ref.m)
-          .groupBy(col("doc_id"))
-          .agg((sum(col("hit")).cast("double") / count(lit(1))).as("frac"))
+        val dropIds = DecontaminationAdmission
+          .hitFractions(afterQuote, DecontaminationAdmission.readReference(s, rp))
           .filter(col("frac") > maxHitFrac).select(col("doc_id"))
+        val fk = afterQuote.join(dropIds, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        (fk, nAfterQuote - fk.count())
     }
-    val finalKept = afterQuote.join(deconDropIds, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
     finalKept.write.mode("overwrite").parquet(s"$keptPath/epoch=$batchId")
     QuoteAdmission.publishCensus(wins, finalKept.select(col("doc_id")),
       batchId, storePath)
-    val admitted = finalKept.count()
-    val dropDecon = nAfterQuote - admitted
+    val admitted = nAfterQuote - dropDecon
 
     // the epoch value lives ONLY in the partition directory — writing it
     // as a data column too would be shadowed (and silently retyped to

@@ -65,20 +65,27 @@ object DecontaminationAdmission {
       meta.getAs[Long]("m"), meta.getAs[Long]("grams"))
   }
 
+  /** The per-doc judgment, ONE definition for this gate and the curation
+    * funnel's armed fifth gate: (doc_id, n_grams, n_hits, frac) over a
+    * (doc_id, text) frame — distinct 5-grams probed against the bitset,
+    * hit fraction per doc. Gramless docs (< 5 tokens) emit no row. */
+  private[streaming] def hitFractions(docs: DataFrame,
+      ref: CorpusStatsMaintenance.BloomIndex): DataFrame =
+    TextQueries.bloomProbeHits(
+        docs.select(col("doc_id"),
+          explode(array_distinct(wordNgramsUdf(5)(col("text")))).as("g")),
+        ref.words, ref.m)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("hit")).cast("long").as("n_hits"))
+      .withColumn("frac", col("n_hits").cast("double") / col("n_grams"))
+
   def admit(batch: DataFrame, batchId: Long, refPath: String,
             keptPath: String, auditPath: String,
             maxHitFrac: Double = 0.05): Unit = {
     val s = batch.sparkSession
     val docs = batch.select(col("doc_id"), col("text")).localCheckpoint()
-    val ref = readReference(s, refPath)
-    val grams = docs
-      .select(col("doc_id"),
-        explode(array_distinct(wordNgramsUdf(5)(col("text")))).as("g"))
-    val fracs = TextQueries.bloomProbeHits(grams, ref.words, ref.m)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(col("hit")).cast("long").as("n_hits"))
-      .withColumn("frac", col("n_hits").cast("double") / col("n_grams"))
+    val fracs = hitFractions(docs, readReference(s, refPath))
     // gramless docs (< 5 tokens) have nothing a benchmark gram could
     // match: left join → null frac → kept
     val judged = docs.join(fracs, Seq("doc_id"), "left")

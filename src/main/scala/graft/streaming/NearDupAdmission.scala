@@ -92,14 +92,20 @@ object NearDupAdmission {
     val kept = docs
       .join(dupVsStore.unionByName(dupInBatch).distinct(), Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    // deterministic epoch dirs: a retried batch overwrites its own output
+    // deterministic epoch dirs: a retried batch overwrites its own
+    // output. An EMPTY epoch appends nothing to the store: Spark writes
+    // a file-less dir for an empty frame, and the next batch's store
+    // read would then die on schema inference — the one way a batch
+    // could poison the gate.
     kept.select("doc_id", "text")
       .unionByName(trivial.select("doc_id", "text"))
       .write.mode("overwrite").parquet(s"$keptPath/epoch=$batchId")
-    kept.select("doc_id", "shingles")
-      .write.mode("overwrite").parquet(s"$storePath/docs/epoch=$batchId")
-    banded.join(kept.select("doc_id"), "doc_id")
-      .write.mode("overwrite").parquet(s"$storePath/bands/epoch=$batchId")
+    if (!kept.isEmpty) {
+      kept.select("doc_id", "shingles")
+        .write.mode("overwrite").parquet(s"$storePath/docs/epoch=$batchId")
+      banded.join(kept.select("doc_id"), "doc_id")
+        .write.mode("overwrite").parquet(s"$storePath/bands/epoch=$batchId")
+    }
   }
 
   /** Compact the store's accumulated epoch partitions into a single base
@@ -109,21 +115,9 @@ object NearDupAdmission {
     * pattern as BucketedUpsert, with rename results checked so a failure
     * cannot silently empty the store.
     */
-  def compact(s: SparkSession, storePath: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-    Seq("docs", "bands").foreach { sub =>
-      val live = s"$storePath/$sub"
-      val tmp = s"$storePath/${sub}_compact_tmp"
-      val df = try s.read.parquet(live) catch { case _: Throwable => return }
-      df.drop("epoch").write.mode("overwrite").parquet(s"$tmp/epoch=0")
-      val livePath = new org.apache.hadoop.fs.Path(live)
-      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-      if (!fs.delete(livePath, true) && fs.exists(livePath))
-        throw new java.io.IOException(s"compact: cannot remove $live")
-      if (!fs.rename(tmpPath, livePath))
-        throw new java.io.IOException(s"compact: rename $tmp -> $live failed")
-    }
-  }
+  def compact(s: SparkSession, storePath: String): Unit =
+    Seq("docs", "bands")
+      .foreach(AdmissionStore.compactEpochs(s, storePath, _))
 
   /** Wire as a streaming sink over a (doc_id, text) stream. */
   def stream(docs: DataFrame, storePath: String, keptPath: String,

@@ -113,8 +113,12 @@ object SemanticAdmission {
     kept.select(col("vec_id"), col("embedding"))
       .write.mode("overwrite").parquet(s"$keptPath/epoch=$batchId")
     // the store keeps (cell, csim) alongside so no future batch ever
-    // re-scores admitted vectors against the centroids
-    kept.write.mode("overwrite").parquet(s"$storePath/members/epoch=$batchId")
+    // re-scores admitted vectors against the centroids. An EMPTY epoch
+    // appends nothing: Spark writes a file-less dir for an empty frame,
+    // and the store read above would then die on schema inference
+    // forever after — the one way a batch could poison the gate.
+    if (!kept.isEmpty)
+      kept.write.mode("overwrite").parquet(s"$storePath/members/epoch=$batchId")
   }
 
   /** Fold accumulated epoch partitions into a single base epoch (offline
@@ -122,19 +126,8 @@ object SemanticAdmission {
     * results checked so a failure cannot silently empty the store). The
     * geometry pin survives untouched.
     */
-  def compact(s: SparkSession, storePath: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-    val live = s"$storePath/members"
-    val tmp = s"$storePath/members_compact_tmp"
-    val df = try s.read.parquet(live) catch { case _: Throwable => return }
-    df.drop("epoch").write.mode("overwrite").parquet(s"$tmp/epoch=0")
-    val livePath = new org.apache.hadoop.fs.Path(live)
-    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    if (!fs.delete(livePath, true) && fs.exists(livePath))
-      throw new java.io.IOException(s"compact: cannot remove $live")
-    if (!fs.rename(tmpPath, livePath))
-      throw new java.io.IOException(s"compact: rename $tmp -> $live failed")
-  }
+  def compact(s: SparkSession, storePath: String): Unit =
+    AdmissionStore.compactEpochs(s, storePath, "members")
 
   /** Wire as a streaming sink over a (vec_id, embedding) stream against
     * a frozen trained geometry. */

@@ -91,6 +91,18 @@ class SemanticAdmissionSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("retrained"), e.getMessage)
 
+    // an EMPTY epoch (or one admitting nothing) must not poison the
+    // store: Spark writes file-less dirs for empty frames, and a later
+    // store read would die on schema inference — the gate skips the
+    // append instead, and keeps working
+    SemanticAdmission.admit(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"),
+      5L, centroids, store, kept)
+    SemanticAdmission.admit(
+      Seq((7L, vADup)).toDF("vec_id", "embedding"), 6L, centroids, store, kept)
+    assert(spark.read.parquet(s"$kept/epoch=6").count() == 0,
+      "store dup admitted after an empty epoch — the store read broke")
+
     // compaction folds epochs; dedup behavior and the geometry pin survive
     SemanticAdmission.compact(spark, store)
     val epochDirs = new java.io.File(store + "/members").listFiles()
