@@ -148,7 +148,14 @@ object CurationAdmission {
     // dedup gate: the near-dup admission component, store shared as-is
     NearDupAdmission.admit(lmOk.select(col("doc_id"), col("text")),
       batchId, storePath, keptPath)
-    val dedupKept = s.read.parquet(s"$keptPath/epoch=$batchId")
+    val dedupKept = (try s.read.parquet(s"$keptPath/epoch=$batchId")
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        // a batch dropped WHOLESALE at dedup (pure re-sends — routine in
+        // a deployed stream) leaves a file-less kept dir that schema
+        // inference can't read: the funnel must account it and carry on,
+        // not die — only this specific read-an-empty-epoch failure is
+        // absorbed; store I/O errors elsewhere still abort the epoch
+        lmOk.select(col("doc_id"), col("text")).limit(0) })
       .localCheckpoint() // re-read and OVERWRITTEN by the quote gate below
     val afterDedup = dedupKept.count()
     val dropDedup = (nIn - dropQuality - dropLm) - afterDedup

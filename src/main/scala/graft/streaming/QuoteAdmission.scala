@@ -118,10 +118,17 @@ object QuoteAdmission {
     * one).
     */
   def publishCensus(wins: DataFrame, keptIds: DataFrame, batchId: Long,
-                    storePath: String): Unit =
-    wins.join(keptIds.select(col("doc_id")), "doc_id")
+                    storePath: String): Unit = {
+    val rows = wins.join(keptIds.select(col("doc_id")), "doc_id")
       .select(col("h")).distinct()
-      .write.mode("overwrite").parquet(s"$storePath/census/epoch=$batchId")
+    // an epoch with no surviving windows publishes nothing: an empty
+    // frame writes a FILE-LESS dir, and the census read would die on
+    // schema inference ever after (the admission gates' empty-epoch
+    // guard). Safe under retries: the kept set is deterministic, so a
+    // retried epoch republishes the same (non)emptiness.
+    if (!rows.isEmpty)
+      rows.write.mode("overwrite").parquet(s"$storePath/census/epoch=$batchId")
+  }
 
   def admit(batch: DataFrame, batchId: Long, storePath: String,
             keptPath: String, spanTokens: Int = 20, window: Int = 10): Unit = {

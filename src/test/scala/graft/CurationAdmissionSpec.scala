@@ -267,6 +267,44 @@ class CurationAdmissionSpec extends AnyFunSuite {
       row2.getAs[Long]("admitted") == 2, row2.toString)
   }
 
+  test("a batch dropped wholesale at dedup does not kill the funnel") {
+    val ref = Files.createTempDirectory("curw_ref").toString
+    val store = Files.createTempDirectory("curw_store").toString
+    val kept = Files.createTempDirectory("curw_kept").toString
+    val audit = Files.createTempDirectory("curw_audit").toString
+    CurationAdmission.buildReference(spark, corpus, ref)
+    val (lm, cuts, punk) = loadRef(ref)
+    val score = scoreWith(lm, punk) _
+    import graft.functions.TextFunctions._
+    val pick = Tables.documents(spark, corpus)
+      .filter(qualityScore(col("text")) >= 0.72)
+      .select("doc_id", "lang", "text").collect()
+      .find(r => score(r.getAs[String]("text")).exists(s =>
+        s < cuts(r.getAs[String]("lang")) - 0.05)).get
+    import spark.implicits._
+    val doc = (pick.getAs[Long]("doc_id"), pick.getAs[String]("lang"),
+      pick.getAs[String]("text"))
+    val row0 = CurationAdmission.admit(Seq(doc).toDF("doc_id", "lang", "text"),
+      0L, ref, store, kept, audit)
+    assert(row0.getAs[Long]("admitted") == 1, row0.toString)
+    // epoch 1: NOTHING but exact clones of the admitted doc (pure
+    // re-sends — routine in a deployed stream). Every doc drops at
+    // dedup, the kept epoch dir is file-less, and the funnel must
+    // account the epoch and carry on — not die reading it back
+    val clones = Seq((8001L, doc._2, doc._3), (8002L, doc._2, doc._3))
+    val row1 = CurationAdmission.admit(
+      clones.toDF("doc_id", "lang", "text"), 1L, ref, store, kept, audit)
+    assert(row1.getAs[Long]("n_in") == 2 &&
+      row1.getAs[Long]("drop_dedup") == 2 &&
+      row1.getAs[Long]("admitted") == 0, row1.toString)
+    // and epoch 2 still works end-to-end after the empty epoch
+    val row2 = CurationAdmission.admit(
+      Seq((8003L, doc._2, doc._3)).toDF("doc_id", "lang", "text"),
+      2L, ref, store, kept, audit)
+    assert(row2.getAs[Long]("drop_dedup") == 1 &&
+      row2.getAs[Long]("admitted") == 0, row2.toString)
+  }
+
   test("multi-epoch drive: conservation holds, clones stay blocked across compaction") {
     import spark.implicits._
     import graft.functions.TextFunctions._
