@@ -343,6 +343,75 @@ object Dev {
         ltime("full lm rebuild")(
           CorpusStatsMaintenance.buildLm(lAll).c2.count())
 
+      case Some("ivfprof") =>
+        // stage-by-stage timing of the IVF build (train / super / corpus
+        // assignment) — the r15 build-law tuning loop
+        val dir2 = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        def tt[T](label: String)(f: => T): T = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"[dev] ivfprof $label: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
+        }
+        val ivfE = Tables.embeddings(spark, dir2).localCheckpoint()
+        println(s"[dev] ivfprof n=${ivfE.count()}")
+        val ivfCent = tt("trainCells")(
+          graft.operators.VectorQueries.trainCells(ivfE))
+        val (ivfSup, ivfMap) = tt("superQuantizer")(
+          graft.operators.VectorQueries.superQuantizer(ivfCent))
+        println(s"[dev] ivfprof cells=${ivfCent.count()} supers=${ivfSup.count()} mapped=${ivfMap.count()}")
+        tt("assignCells (warm super cache)")(
+          graft.operators.VectorQueries.assignCells(ivfE, ivfCent)
+            .localCheckpoint().count())
+
+      case Some("ivfprof2") =>
+        // trainCells internals, stage-timed (scratch)
+        import org.apache.spark.sql.functions._
+        val dir2 = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        def tt[T](label: String)(f: => T): T = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"[dev] ivfprof2 $label: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
+        }
+        val vq = graft.operators.VectorQueries
+        val e = Tables.embeddings(spark, dir2).localCheckpoint()
+        val n = tt("count")(e.count())
+        val nlist = vq.ivfNlist(n)
+        val sampleN = math.min(n, vq.IvfTrainPerCell * nlist).toInt
+        val seedKey = md5(concat(lit("ivf:"), col("vec_id").cast("string")))
+        val ordered = e.select(seedKey.as("sk"), col("vec_id"), col("embedding"))
+          .orderBy(col("sk"), col("vec_id"))
+        val sample = tt("sample")(ordered.limit(sampleN)
+          .select(col("vec_id"), col("embedding"))
+          .repartition(col("vec_id")).localCheckpoint())
+        val seedRdd = ordered.limit(nlist).select(col("embedding")).rdd
+          .zipWithIndex().map { case (r, i) =>
+            org.apache.spark.sql.Row(i.toInt, r.get(0)) }
+        var cent: org.apache.spark.sql.DataFrame = tt("seeds")(
+          spark.createDataFrame(seedRdd,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("cell",
+                org.apache.spark.sql.types.IntegerType, nullable = false),
+              org.apache.spark.sql.types.StructField("centroid",
+                e.schema("embedding").dataType)))).localCheckpoint())
+        for (i <- 0 until 2) {
+          val asg = tt(s"lloyd$i assign")(
+            vq.assignCellsExact(sample, cent).localCheckpoint())
+          val means = tt(s"lloyd$i means")(vq.cellMeans(asg).localCheckpoint())
+          cent = tt(s"lloyd$i retain")(
+            vq.retainEmpty(means, cent).localCheckpoint())
+        }
+        println(s"[dev] cells=${cent.count()}")
+        // variant: score-only crossJoin (no embedding through the buffer)
+        tt("assign cell-only")(sample.crossJoin(broadcast(cent))
+          .withColumn("csim", graft.functions.expressions.VectorExpressions
+            .cosineSim(col("embedding"), col("centroid")))
+          .groupBy(col("vec_id"))
+          .agg(min_by(col("cell"),
+            struct(negate(col("csim")), col("cell"))).as("cell"))
+          .localCheckpoint())
+        tt("crossjoin+cos only")(sample.crossJoin(broadcast(cent))
+          .select(graft.functions.expressions.VectorExpressions
+            .cosineSim(col("embedding"), col("centroid")).as("csim"))
+          .agg(sum(col("csim"))).collect())
+
       case Some("ivfrefresh") =>
         // price incremental index refresh vs full rebuild (SCALING §5):
         // 80/20 base/delta split, one timed refresh (frozen centroids,

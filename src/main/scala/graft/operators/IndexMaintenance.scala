@@ -151,9 +151,13 @@ object IndexMaintenance {
       // RE-SEEDS at the new width (the full trainer) and reports it.
       val resized = nlistNow > nlist
       val newCent = if (resized) VectorQueries.trainCells(full) else {
+        // warm-start Lloyd over the merged corpus: two-level assignment
+        // (the build's bounded N·√nlist law), empty cells retaining
+        // their previous centroid so the frozen nlist stays invariant
         var cent = base.centroids
         for (_ <- 0 until lloydIters)
-          cent = VectorQueries.cellMeans(VectorQueries.assignCells(full, cent))
+          cent = VectorQueries.retainEmpty(
+            VectorQueries.cellMeans(VectorQueries.assignCells(full, cent)), cent)
         cent.localCheckpoint()
       }
       val assigned = VectorQueries.assignCells(full, newCent).localCheckpoint()

@@ -52,9 +52,15 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       }
     }
     // the built index's residual drift (Lloyd never converges) is the
-    // baseline the refresh judges against — small, and carried on the index
+    // baseline the refresh judges against — small, and carried on the
+    // index. The bound moved 0.2 → 0.25 with the r15 sample-bounded
+    // trainer (16 training vectors per cell at this 404-vector corpus):
+    // a slightly larger residual is the declared price of the bounded
+    // build law, and the detector judges appends RELATIVE to this
+    // carried baseline, so its sensitivity is unchanged (measured
+    // 0.2014 here, vs ~0.19 under full-corpus training).
     assert(idx.baselineDrift == IndexMaintenance.maxDrift(idx.stats, idx.centroids))
-    assert(idx.baselineDrift < 0.2, s"baseline residual too large: ${idx.baselineDrift}")
+    assert(idx.baselineDrift < 0.25, s"baseline residual too large: ${idx.baselineDrift}")
   }
 
   test("in-distribution append refreshes incrementally and preserves recall") {
