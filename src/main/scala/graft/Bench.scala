@@ -176,7 +176,16 @@ object Bench {
     // "prod", while "value" stays the full-inventory total for
     // comparability with earlier rounds.
     val baselineNames = Set("q28_jaccard_pairs", "q44_cosine_neardup",
-      "q56_embedding_leakage")
+      "q56_embedding_leakage",
+      // r15: q30 joins the quarantined bucket — its pair-list output is
+      // quadratic under exact copies (641× pair growth at the 10×
+      // replica, the same output-law as the three exact twins); its
+      // production sibling is q124's keep-decision form (bounded output)
+      "q30_simhash_pairs",
+      // r15: q120 is the AUDIT twin of the q123 production probe (it
+      // carries the exact-join verification columns a deployed pipeline
+      // never computes) — "prod" tracks q123 and quarantines q120
+      "q120_bloom_decontaminate")
     val baselines = results
       .collect { case (n, v) if baselineNames(n) && v >= 0 => v }.sum
     val sfName = sfDir.split('/').last // basename: keeps the line short
@@ -232,11 +241,17 @@ object Bench {
       .mkString(""","build":{""", ",", """},"bstat":"min2"""")
     // canary summary: min = the host's steady-state speed this run (the
     // denominator for cross-round ratios), noise = max/min across the 4
-    // in-run samples (what same-host drift can explain WITHIN this run)
+    // in-run samples (what same-host drift can explain WITHIN this run),
+    // norm = total/canary — the RECORDED drift-discounted statistic
+    // (r14's +8.3% driver window was explainable only by BENCHPROTOCOL
+    // prose; cross-round reads should compare norm, not raw totals)
     val canaryMin = canaries.min
     val canaryNoise = canaries.max / canaries.min
+    val normJson =
+      if (failed.isEmpty) s""","norm":${fmtQ(total / canaryMin, 2, 2)}"""
+      else ""
     val canaryJson = f""","canary":${fmtQ(canaryMin, 2, 2)}%s,"noise":${
-      fmtQ(canaryNoise, 2, 2)}%s"""
+      fmtQ(canaryNoise, 2, 2)}%s$normJson%s"""
     // per-family build regression gate (sf0.1 only — the envelope is a
     // measured sf0.1 profile): each family's COLD build, as a ratio to
     // the in-run canary, must stay within 2× its recorded envelope.

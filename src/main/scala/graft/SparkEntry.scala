@@ -8,7 +8,7 @@ import graft.operators._
   * `queries` is the full operator inventory (SURVEY.md §2) re-expressed
   * Spark-first; `oracleSql` holds the DuckDB-equivalent ANSI SQL for every
   * SQL-expressible query (same column names/rounding on both sides) —
-  * 121 of 122 entries, including the elections (vincenty replayed as a
+  * 122 of 123 entries, including the elections (vincenty replayed as a
   * recursive CTE — q40 plus its 1-in-50 sampled twin q118, which keeps
   * the chain hash-checkable at organic sf1), every LSH/trained-index
   * pipeline (through q119's SemDeDup over the trained IVF cells and

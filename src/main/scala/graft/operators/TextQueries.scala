@@ -877,6 +877,38 @@ object TextQueries {
         .orderBy("d1", "d2")
     }),
 
+    // SimHash KEEP-decision — q30's production sibling (the q29-to-q28
+    // pattern, r15): same 4×16-band blocking and hamming ≤ 3 verify, but
+    // the output is the dedup DECISION (per-lang kept counts + id
+    // checksum), never the pair list. q30's pair-list output is
+    // quadratic under exact copies (641× pair growth at the 10× replica
+    // — the measured shape that moved it into the bench's quarantined
+    // "baselines" bucket); a deployed pipeline consumes the keep set,
+    // whose output is bounded by languages regardless of copy floods.
+    // The candidate JOIN cost (Σ bucket²) is inherent to pair-based
+    // dedup and shared with q38's accepted production form. kept =
+    // documents minus q30's d2 side, so q30 remains this query's
+    // verification twin pair-for-pair.
+    "q124_simhash_keep" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), simhashNonEmptyUdf(tokens(col("text"))).as("sim"))
+        .filter(col("sim").isNotNull)
+        .localCheckpoint()
+      val banded = sh.select(col("doc_id"), col("sim"),
+        explode(array((0 until 4).map(b =>
+          concat_ws(":", lit(b),
+            shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).cast("string"))): _*)).as("bucket"))
+      val dupIds = banded.as("a").join(banded.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .filter(bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= 3)
+        .select(col("b.doc_id").as("doc_id")).distinct()
+      Tables.documents(s, dir)
+        .join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_checksum"))
+        .orderBy("lang")
+    }),
+
     // End-to-end dedup selection: drop the higher-id doc of every near-dup
     // pair (greedy by id), report the kept corpus per language. The
     // candidate→verify→anti-join shape is exactly how a 100 TB dedup pass
@@ -3197,6 +3229,38 @@ object TextQueries {
         |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
         |ORDER BY 1, 2""".stripMargin,
+
+    // q124: the q30 chain verbatim, ending in the keep decision instead
+    // of the pair list — kept = documents minus the d2 side of every
+    // qualifying pair
+    "q124_simhash_keep" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\\s+'), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, tok, ${fnvU("tok")} AS hu FROM toks),
+        |bits AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (hu // power(2::HUGEINT, b)::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, LATERAL (SELECT unnest(generate_series(0, 63)) AS b) g
+        |  GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN power(2::HUGEINT, b)::HUGEINT ELSE 0::HUGEINT END) AS HUGEINT) AS su
+        |  FROM bits GROUP BY 1),
+        |ss AS (SELECT doc_id, (CASE WHEN su < $Half THEN CAST(su AS BIGINT) ELSE CAST(su - $U64 AS BIGINT) END) AS sim FROM sig),
+        |banded AS (
+        |  SELECT doc_id, sim, b,
+        |    CAST(b AS VARCHAR) || ':' || CAST(((CASE WHEN sim < 0 THEN CAST(sim AS HUGEINT) + $U64 ELSE CAST(sim AS HUGEINT) END) // power(2::HUGEINT, b*16)::HUGEINT) % 65536 AS VARCHAR) AS bucket
+        |  FROM ss, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) g),
+        |drops AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sim, b.sim)) <= 3)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // the lang-ID heuristic restated relationally: Han-script share via
     // \p{Han} (same script class in Java and RE2), char-3-gram hits
