@@ -148,14 +148,21 @@ object CurationAdmission {
     // dedup gate: the near-dup admission component, store shared as-is
     NearDupAdmission.admit(lmOk.select(col("doc_id"), col("text")),
       batchId, storePath, keptPath)
-    val dedupKept = (try s.read.parquet(s"$keptPath/epoch=$batchId")
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        // a batch dropped WHOLESALE at dedup (pure re-sends — routine in
-        // a deployed stream) leaves a file-less kept dir that schema
-        // inference can't read: the funnel must account it and carry on,
-        // not die — only this specific read-an-empty-epoch failure is
-        // absorbed; store I/O errors elsewhere still abort the epoch
-        lmOk.select(col("doc_id"), col("text")).limit(0) })
+    // a batch dropped WHOLESALE at dedup (pure re-sends — routine in a
+    // deployed stream) leaves a FILE-LESS kept dir that schema inference
+    // can't read: the funnel must account it and carry on, not die. The
+    // empty case is judged by LISTING the epoch dir for data files — not
+    // by absorbing AnalysisException, which would also swallow a
+    // misconfigured keptPath or a corrupt parquet footer as
+    // "drop_dedup = everything"; a genuinely unreadable epoch still
+    // aborts (the read below propagates its real error)
+    val keptEpochDir = new org.apache.hadoop.fs.Path(s"$keptPath/epoch=$batchId")
+    val keptFs = keptEpochDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val keptHasData = keptFs.exists(keptEpochDir) &&
+      keptFs.listStatus(keptEpochDir).exists(st =>
+        st.isFile && st.getPath.getName.startsWith("part-"))
+    val dedupKept = (if (keptHasData) s.read.parquet(keptEpochDir.toString)
+      else lmOk.select(col("doc_id"), col("text")).limit(0))
       .localCheckpoint() // re-read and OVERWRITTEN by the quote gate below
     val afterDedup = dedupKept.count()
     val dropDedup = (nIn - dropQuality - dropLm) - afterDedup
