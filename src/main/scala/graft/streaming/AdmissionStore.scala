@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 
 /** Shared store plumbing for the admission gates' epoch-partitioned
   * tables. ONE copy of the delete/rename compaction protocol (its
@@ -9,20 +10,69 @@ import org.apache.spark.sql.SparkSession
   * QuoteAdmission's census compaction deliberately does NOT delegate
   * here: it carries the hardened aside-path crash protocol, because its
   * consumers (quoteDrops) fail loudly on the aside marker mid-recovery.
+  *
+  * BLOCKING-KEY LAYOUT (r15): every stateful gate's store table is
+  * additionally partitioned by `pb = pmod(hash(blocking key), NumBuckets)`
+  * inside each epoch dir (`.../epoch=N/pb=K/part-*.parquet`). The r14
+  * verdict's admission-family 100× blocker was the per-batch store SCAN:
+  * the JOIN cost was bounded (band/bucket/cell-equi) but every batch
+  * re-read the whole accumulated store. With the key-hash layout a batch
+  * first computes its own touched pb set (bounded by NumBuckets — a
+  * collect of ≤NumBuckets ints, never data-sized) and the store read
+  * prunes to those partition dirs at FILE level (Spark partition
+  * pruning; AdmissionPruningSpec asserts the scanned file count). A
+  * small batch touching b of K buckets reads ~b/K of the store; the
+  * worst case (batch touches every bucket) degrades to the old full
+  * scan, never below it. Compaction preserves the layout.
   */
-private[streaming] object AdmissionStore {
+private[graft] object AdmissionStore {
+
+  /** Partition-dir fan-out per epoch. Test-scale knob: big enough that
+    * a one-doc batch provably prunes, small enough that tiny soak
+    * batches don't scatter one-row files. A 100 TB deployment raises it
+    * (store/K should be a few HDFS blocks); the layout is self-describing
+    * (pb is a discovered partition column), so K is frozen per store at
+    * first write — mixing widths in one store would route reads wrong,
+    * hence ONE constant, not a parameter.
+    */
+  val NumBuckets = 16
+
+  /** The blocking-key partition bucket: pmod(hash(key), NumBuckets). */
+  def pb(key: Column): Column = pmod(hash(key), lit(NumBuckets))
+
+  /** The batch's touched pb set for a blocking-key column — ≤NumBuckets
+    * ints, the one driver-side collect in the pruned-read path. */
+  def touchedBuckets(df: DataFrame, key: Column): Seq[Int] =
+    df.select(pb(key).as("pb")).distinct().collect().map(_.getInt(0)).toSeq
+
+  /** Read a store table pruned to the touched pb partition dirs. The
+    * filter is on a partition column, so untouched dirs are never
+    * listed into the scan (file-level pruning, not row filtering). */
+  def readTouched(s: SparkSession, path: String, touched: Seq[Int]): DataFrame =
+    s.read.parquet(path).filter(col("pb").isin(touched: _*))
 
   /** Fold `storePath/sub`'s accumulated epoch partitions into a single
-    * base epoch. A missing/unreadable live table is a no-op (nothing to
-    * compact); delete/rename failures throw rather than silently
-    * leaving an empty store. */
+    * base epoch. Only a genuinely-ABSENT live table is a no-op (nothing
+    * to compact — the exists check plus AnalysisException for the
+    * file-less-dir schema-inference case); any other read failure (IO
+    * error, corrupt footer, permissions) propagates, matching the
+    * object's fail-loud contract — the old catch-everything silently
+    * skipped compaction over an unreadable store. Delete/rename
+    * failures throw rather than silently leaving an empty store. */
   def compactEpochs(s: SparkSession, storePath: String, sub: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem
       .get(s.sparkContext.hadoopConfiguration)
     val live = s"$storePath/$sub"
     val tmp = s"$storePath/${sub}_compact_tmp"
-    val df = try s.read.parquet(live) catch { case _: Throwable => return }
-    df.drop("epoch").write.mode("overwrite").parquet(s"$tmp/epoch=0")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(live))) return
+    val df =
+      try s.read.parquet(live)
+      catch { case _: org.apache.spark.sql.AnalysisException => return }
+    // preserve the blocking-key layout: pb is a discovered partition
+    // column of the accumulated epochs — the compacted base keeps it
+    val parts = df.columns.filter(_ == "pb")
+    df.drop("epoch").write.partitionBy(parts: _*)
+      .mode("overwrite").parquet(s"$tmp/epoch=0")
     val livePath = new org.apache.hadoop.fs.Path(live)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     if (!fs.delete(livePath, true) && fs.exists(livePath))

@@ -48,13 +48,19 @@ object EmbeddingAdmission {
 
     // only a genuinely-missing store reads as empty; any other failure
     // aborts the epoch — swallowing it would admit duplicates of
-    // everything previously admitted (same contract as NearDupAdmission)
+    // everything previously admitted (same contract as NearDupAdmission).
+    // Store reads prune to the batch's touched key-hash partitions
+    // (AdmissionStore layout): buckets by the batch's own (t, b) bands,
+    // vecs by the surviving candidates' vec_ids — per-batch store IO is
+    // O(touched partitions), not O(store).
     val storeFs = org.apache.hadoop.fs.FileSystem
       .get(s.sparkContext.hadoopConfiguration)
-    def readStore(sub: String): Option[DataFrame] = {
-      val p = new org.apache.hadoop.fs.Path(s"$storePath/$sub")
-      if (storeFs.exists(p)) Some(s.read.parquet(p.toString)) else None
-    }
+    def storeExists(sub: String): Boolean =
+      storeFs.exists(new org.apache.hadoop.fs.Path(s"$storePath/$sub"))
+    def readStore(sub: String, touched: => Seq[Int]): Option[DataFrame] =
+      if (storeExists(sub))
+        Some(AdmissionStore.readTouched(s, s"$storePath/$sub", touched))
+      else None
 
     // skew guard judged on the combined store+batch bucket population —
     // a template bucket just under the cap on each side alone must not
@@ -71,19 +77,25 @@ object EmbeddingAdmission {
         (banded.join(broadcast(hot), Seq("tb"), "left_anti"),
           storeBuckets.map(_.join(broadcast(hot), Seq("tb"), "left_anti")))
       }
-    val (batchBuckets, storeBuckets) = decap(readStore("buckets"))
+    val (batchBuckets, storeBuckets) = decap(readStore("buckets",
+      AdmissionStore.touchedBuckets(banded, col("tb"))))
 
     // dups vs the already-admitted store (bipartite bucket join)
     val dupVsStore = storeBuckets match {
       case None => vecs.select(col("vec_id")).limit(0)
       case Some(sb) =>
-        batchBuckets
+        val cand = batchBuckets
           .join(sb.select(col("tb"), col("vec_id").as("sd")), "tb")
           // a vector never duplicates its own stored copy — retry safety
           .filter(col("vec_id") =!= col("sd"))
           .select(col("vec_id"), col("sd")).distinct()
+          // materialized: read twice (touched-pb collect + verify join),
+          // candidate-pair-sized by construction
+          .localCheckpoint()
+        cand
           .join(vecs.select(col("vec_id"), col("embedding").as("v_a")), "vec_id")
-          .join(readStore("vecs").get
+          .join(readStore("vecs",
+              AdmissionStore.touchedBuckets(cand, col("sd"))).get
             .select(col("vec_id").as("sd"), col("embedding").as("v_b")), "sd")
           .filter(cosineSim(col("v_a"), col("v_b")) >= threshold)
           .select(col("vec_id")).distinct()
@@ -110,9 +122,15 @@ object EmbeddingAdmission {
     // could poison the gate.
     kept.write.mode("overwrite").parquet(s"$keptPath/epoch=$batchId")
     if (!kept.isEmpty) {
-      kept.write.mode("overwrite").parquet(s"$storePath/vecs/epoch=$batchId")
+      // key-hash partition dirs inside the epoch (AdmissionStore layout):
+      // vecs by vec_id (the verify join's key), buckets by the band key
+      kept.withColumn("pb", AdmissionStore.pb(col("vec_id")))
+        .write.partitionBy("pb")
+        .mode("overwrite").parquet(s"$storePath/vecs/epoch=$batchId")
       banded.join(kept.select("vec_id"), "vec_id")
-        .write.mode("overwrite").parquet(s"$storePath/buckets/epoch=$batchId")
+        .withColumn("pb", AdmissionStore.pb(col("tb")))
+        .write.partitionBy("pb")
+        .mode("overwrite").parquet(s"$storePath/buckets/epoch=$batchId")
     }
   }
 

@@ -42,15 +42,23 @@ object NearDupAdmission {
     // admit duplicates of everything previously admitted
     val storeFs = org.apache.hadoop.fs.FileSystem
       .get(s.sparkContext.hadoopConfiguration)
-    def readStore(sub: String): Option[DataFrame] = {
-      val p = new org.apache.hadoop.fs.Path(s"$storePath/$sub")
-      if (storeFs.exists(p)) Some(s.read.parquet(p.toString)) else None
-    }
+    def storeExists(sub: String): Boolean =
+      storeFs.exists(new org.apache.hadoop.fs.Path(s"$storePath/$sub"))
 
-    // dups vs the already-admitted store (bipartite band join)
-    val dupVsStore = readStore("bands") match {
-      case None => docs.select(col("doc_id")).limit(0)
-      case Some(storeBandsRaw) =>
+    // dups vs the already-admitted store (bipartite band join). The
+    // store is key-hash partitioned (AdmissionStore layout): the bands
+    // read prunes to the batch's own band buckets — complete for the
+    // join (every row of a touched BUCKET shares its pb dir) and for the
+    // hotness judgment (a bucket outside the batch's pb set can produce
+    // no candidate, and every batch bucket is touched by definition) —
+    // and the shingle-payload read prunes to the surviving candidates'
+    // doc-id buckets. Per-batch store IO is now O(touched partitions),
+    // not O(store) — the r14 verdict's admission-family 100× blocker.
+    val dupVsStore =
+      if (!storeExists("bands")) docs.select(col("doc_id")).limit(0)
+      else {
+        val storeBandsRaw = AdmissionStore.readTouched(s, s"$storePath/bands",
+          AdmissionStore.touchedBuckets(banded, col("bucket")))
         // the hot-bucket cap must also gate this bipartite join: a hot
         // template bucket ACCUMULATED in the store would otherwise still
         // produce batch×store quadratic candidates even with the in-batch
@@ -74,9 +82,13 @@ object NearDupAdmission {
           // already in the store under the same ids)
           .filter(col("doc_id") =!= col("sd"))
           .select(col("doc_id"), col("sd")).distinct()
+          // materialized: read twice below (the touched-pb collect and
+          // the verify join) — and candidate-pair-sized by construction
+          .localCheckpoint()
         cand
           .join(docs.select(col("doc_id"), col("shingles").as("sh_a")), "doc_id")
-          .join(readStore("docs").get
+          .join(AdmissionStore.readTouched(s, s"$storePath/docs",
+              AdmissionStore.touchedBuckets(cand, col("sd")))
             .select(col("doc_id").as("sd"), col("shingles").as("sh_b")), "sd")
           .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
           .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
@@ -101,10 +113,17 @@ object NearDupAdmission {
       .unionByName(trivial.select("doc_id", "text"))
       .write.mode("overwrite").parquet(s"$keptPath/epoch=$batchId")
     if (!kept.isEmpty) {
+      // key-hash partition dirs inside the epoch (AdmissionStore layout):
+      // docs by doc_id (the verify join's key), bands by bucket (the
+      // blocking join's key)
       kept.select("doc_id", "shingles")
-        .write.mode("overwrite").parquet(s"$storePath/docs/epoch=$batchId")
+        .withColumn("pb", AdmissionStore.pb(col("doc_id")))
+        .write.partitionBy("pb")
+        .mode("overwrite").parquet(s"$storePath/docs/epoch=$batchId")
       banded.join(kept.select("doc_id"), "doc_id")
-        .write.mode("overwrite").parquet(s"$storePath/bands/epoch=$batchId")
+        .withColumn("pb", AdmissionStore.pb(col("bucket")))
+        .write.partitionBy("pb")
+        .mode("overwrite").parquet(s"$storePath/bands/epoch=$batchId")
     }
   }
 

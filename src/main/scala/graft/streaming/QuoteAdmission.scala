@@ -74,7 +74,11 @@ object QuoteAdmission {
     // previously admitted, so fail loudly and point at the recovery.
     val stored: Option[DataFrame] =
       if (storeFs.exists(censusPath))
-        Some(s.read.parquet(censusPath.toString)
+        // pruned to the batch's own window-hash key buckets
+        // (AdmissionStore layout) — coverage only ever tests hashes the
+        // batch holds, and every row of a touched hash shares its pb dir
+        Some(AdmissionStore.readTouched(s, censusPath.toString,
+            AdmissionStore.touchedBuckets(wins, col("h")))
           .filter(col("epoch") =!= batchId)) // retries skip their own output
       else if (storeFs.exists(
           new org.apache.hadoop.fs.Path(s"$storePath/census_compact_aside")))
@@ -127,7 +131,9 @@ object QuoteAdmission {
     // guard). Safe under retries: the kept set is deterministic, so a
     // retried epoch republishes the same (non)emptiness.
     if (!rows.isEmpty)
-      rows.write.mode("overwrite").parquet(s"$storePath/census/epoch=$batchId")
+      rows.withColumn("pb", AdmissionStore.pb(col("h")))
+        .write.partitionBy("pb")
+        .mode("overwrite").parquet(s"$storePath/census/epoch=$batchId")
   }
 
   def admit(batch: DataFrame, batchId: Long, storePath: String,
@@ -179,8 +185,12 @@ object QuoteAdmission {
     // compaction over an unreadable store)
     if (!fs.exists(livePath)) return
     fs.delete(tmpPath, true) // debris from a run that crashed pre-aside
+    // pb is a pure function of h — recomputing it preserves the
+    // blocking-key layout through the distinct
     s.read.parquet(live).select(col("h")).distinct()
-      .write.mode("overwrite").parquet(s"$tmp/epoch=-1")
+      .withColumn("pb", AdmissionStore.pb(col("h")))
+      .write.partitionBy("pb")
+      .mode("overwrite").parquet(s"$tmp/epoch=-1")
     // crash-safe publish: live -> aside, tmp -> live, drop aside. At no
     // point is the census both absent and unrecoverable, and quoteDrops
     // treats {no live, aside present} as an error, not an empty store.

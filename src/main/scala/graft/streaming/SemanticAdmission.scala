@@ -83,11 +83,15 @@ object SemanticAdmission {
       .localCheckpoint()
 
     // vs the admitted store: cell-equi bipartite join; the batch member
-    // loses (see keep-rule doc above); own stored copy exempt (retry)
+    // loses (see keep-rule doc above); own stored copy exempt (retry).
+    // The members read prunes to the batch's own cells' key-hash
+    // partitions (AdmissionStore layout) — per-batch store IO is
+    // O(touched partitions), not O(store)
     val dupVsStore =
       if (!exists("members")) m.select(col("vec_id")).limit(0)
       else m.alias("a")
-        .join(s.read.parquet(s"$storePath/members").alias("b"),
+        .join(AdmissionStore.readTouched(s, s"$storePath/members",
+            AdmissionStore.touchedBuckets(m, col("cell"))).alias("b"),
           col("a.cell") === col("b.cell") &&
             col("a.vec_id") =!= col("b.vec_id"))
         .filter(cosineSim(col("a.embedding"), col("b.embedding")) >= tau)
@@ -118,7 +122,9 @@ object SemanticAdmission {
     // and the store read above would then die on schema inference
     // forever after — the one way a batch could poison the gate.
     if (!kept.isEmpty)
-      kept.write.mode("overwrite").parquet(s"$storePath/members/epoch=$batchId")
+      kept.withColumn("pb", AdmissionStore.pb(col("cell")))
+        .write.partitionBy("pb")
+        .mode("overwrite").parquet(s"$storePath/members/epoch=$batchId")
   }
 
   /** Fold accumulated epoch partitions into a single base epoch (offline
