@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.{LedgerMaintenance, LedgerSource}
-import graft.streaming.{CurationAdmission, NearDupAdmission}
+import graft.streaming.{CurationAdmission, DecontaminationAdmission, NearDupAdmission}
 
 /** End-to-end soak of the COMPOSED curation path: the graft-ledger DSv2
   * source (rate-limited, json-decoded) feeding the full streaming
-  * curation funnel (quality → frozen-LM → near-dup gates) across ~48
+  * curation funnel (quality → frozen-LM → near-dup → quote → ARMED
+  * benchmark-decontamination gates — all five, r15) across ~48
   * rate-limited micro-batches in three run cycles, with the source aged
   * by LedgerMaintenance retention after every cycle, the dedup band
   * store compacted mid-stream, one HARD mid-flight kill (q.stop()
@@ -85,6 +86,54 @@ class CurationSoakSpec extends AnyFunSuite {
         r.getAs[String]("text")))
     assert(pool.length >= 220, s"pool too small: ${pool.length}")
 
+    // ---- the ARMED fifth gate's fixture (r15): the frozen benchmark is
+    // one tail-pool doc's 5-gram set. The doc is chosen to pass quality,
+    // sit under its lang's LM cutoff, and overlap no FED doc in either
+    // the dedup gate's 3-gram-jaccard metric or the decon gate's own
+    // 5-gram hit fraction — so when its verbatim text is planted
+    // mid-soak it must reach, and drop at, the decon gate and nowhere
+    // else; and no honest doc can graze the 0.05 hit-fraction cut
+    // (their overlap vs the suite is <= 2% + the Bloom FP floor).
+    val fedCount = 3 * 6 * 5 // cycles × segs × fresh per segment
+    val qualityOk = Tables.documents(spark, corpus)
+      .filter(graft.functions.TextFunctions.qualityScore(col("text")) >= 0.72)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val lmRef = spark.read.parquet(s"$ref/lm").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val cutsRef = spark.read.parquet(s"$ref/cutoffs").collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("cut")).toMap
+    val punkRef = spark.read.parquet(s"$ref/params").head.getDouble(0)
+    def lmScore(text: String): Option[Double] = {
+      val t = text.toLowerCase.replaceAll("[^a-z ]", " ").trim
+        .split("\\s+").filter(_.nonEmpty)
+      if (t.length < 2) None
+      else Some(t.sliding(2).map(w => -math.log(
+        lmRef.getOrElse(w.mkString(" "), punkRef))).sum / (t.length - 1))
+    }
+    def grams(t: String, n: Int) =
+      graft.functions.TextFunctions.wordNgramsScala(t, n).toSet
+    val contam = pool.drop(fedCount + 30).find { case (id, lang, text) =>
+      qualityOk(id) && grams(text, 5).nonEmpty &&
+        lmScore(text).exists(s =>
+          cutsRef.get(lang).exists(c => s < c - 0.05)) &&
+        pool.take(fedCount).forall { case (_, _, ft) =>
+          val f3 = grams(ft, 3); val e3 = grams(text, 3)
+          val f5 = grams(ft, 5); val e5 = grams(text, 5)
+          (f3.isEmpty || e3.isEmpty ||
+            (f3 & e3).size.toDouble / (f3 | e3).size < 0.35) &&
+          (f5.isEmpty || (f5 & e5).size.toDouble / f5.size <= 0.02)
+        }
+    }.getOrElse(fail("corpus tail no longer yields a decon fixture"))
+    val deconRef = Files.createTempDirectory("soak_decon").toString
+    locally {
+      import spark.implicits._
+      import graft.functions.TextFunctions.wordNgramsUdf
+      val suiteGrams = Seq(contam._3).toDF("text")
+        .select(explode(array_distinct(wordNgramsUdf(5)(col("text")))).as("g"))
+        .distinct()
+      DecontaminationAdmission.buildReference(suiteGrams, deconRef)
+    }
+
     // 3 cycles × 6 segments × 8 lines (5 fresh + 2 clones + 1 junk)
     // = 144 entries; maxRatePerPartition=3 & batchIntervalMs=1000 →
     // ≤ 3 entries per micro-batch → ≥ 48 micro-batches end-to-end
@@ -99,8 +148,15 @@ class CurationSoakSpec extends AnyFunSuite {
         sentinel += 1; jsonLine(sentinel, src._2, src._3)
       }
       sentinel += 1
-      fed += 8
-      f ++ cl :+ jsonLine(10000L + sentinel, "en", junk)
+      // the planted benchmark-quoting doc: fed ONCE, in the last cycle's
+      // first segment (after the kill/resume churn), under a sentinel id
+      // — it must drop at the armed decon gate and nowhere else
+      val planted =
+        if (c == 2 && s == 0) Seq(jsonLine(90000L, contam._2, contam._3))
+        else Seq.empty
+      val lines = f ++ cl ++ planted :+ jsonLine(10000L + sentinel, "en", junk)
+      fed += lines.length
+      lines
     }
 
     def startStream(trigger: Trigger) = {
@@ -112,7 +168,8 @@ class CurationSoakSpec extends AnyFunSuite {
         .option("batchIntervalMs", "1000")
         .load()
         .select(col("doc_id"), col("lang"), col("text"))
-      CurationAdmission.stream(docs, ref, store, kept, audit, ckpt)
+      CurationAdmission.stream(docs, ref, store, kept, audit, ckpt,
+          benchRefPath = Some(deconRef))
         .trigger(trigger).start()
     }
 
@@ -165,9 +222,14 @@ class CurationSoakSpec extends AnyFunSuite {
     rows.foreach { r =>
       assert(r.getAs[Long]("n_in") == r.getAs[Long]("drop_quality") +
         r.getAs[Long]("drop_lm") + r.getAs[Long]("drop_dedup") +
-        r.getAs[Long]("drop_quote") +
+        r.getAs[Long]("drop_quote") + r.getAs[Long]("drop_decon") +
         r.getAs[Long]("admitted"), s"audit row does not conserve: $r")
     }
+    // the armed fifth gate: exactly the ONE planted benchmark-quoting
+    // doc dropped at decon — it survived quality/LM/dedup/quote by
+    // fixture construction, and no honest doc grazed the 0.05 cut
+    assert(rows.map(_.getAs[Long]("drop_decon")).sum == 1,
+      s"decon gate dropped ${rows.map(_.getAs[Long]("drop_decon")).sum} docs, wanted the 1 planted")
     val nIn = rows.map(_.getAs[Long]("n_in")).sum
     assert(nIn == fed,
       s"exactly-once broken: fed $fed entries, audited $nIn")
