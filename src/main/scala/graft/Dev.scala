@@ -362,6 +362,82 @@ object Dev {
           graft.operators.VectorQueries.assignCells(ivfE, ivfCent)
             .localCheckpoint().count())
 
+      case Some("skew") =>
+        // Zipf-stress variant of the 10× replica (r15): SAME documents
+        // row count as /tmp/graft_sf1 (run `scale` first — ratios below
+        // are skew/uniform at equal size, isolating key-skew cost from
+        // data growth), but (a) a hot 40-token template is prefixed onto
+        // ~5% of every shifted copy — ONE hot key family in every
+        // census shuffle (bigrams for q67, 5-gram chunks for q89/q104,
+        // stride-1 windows for q117) — and (b) a 300-doc near-dup
+        // family (shared template + one unique token each) stresses
+        // q52's component fixpoint with a giant component. The
+        // unbounded-key shuffles had only ever been measured under
+        // uniform replicas.
+        import org.apache.spark.sql.functions._
+        val src = "/root/testdata/sf0.1"
+        val uni = "/tmp/graft_sf1"
+        require(new java.io.File(s"$uni/documents.parquet").exists(),
+          "run `Dev scale` first: the uniform replica is the denominator")
+        val dst = "/tmp/graft_sfskew"
+        def alphaTok(n: Int): String =
+          s"${(97 + n % 26).toChar}${(97 + (n / 26) % 26).toChar}${(97 + (n / 676) % 26).toChar}"
+        val hotTpl = (0 until 40).map(k => "skewhot" + alphaTok(k)).mkString(" ")
+        val famTpl = (0 until 30).map(k => "skewfam" + alphaTok(k)).mkString(" ")
+        val out = s"$dst/documents.parquet"
+        val fp = s"${Tables.parquetFingerprint(spark, src, "documents")}:skew2"
+        val marker = java.nio.file.Paths.get(s"$out.fingerprint")
+        if (!(java.nio.file.Files.exists(java.nio.file.Paths.get(out)) &&
+            java.nio.file.Files.exists(marker) &&
+            new String(java.nio.file.Files.readAllBytes(marker)) == fp)) {
+          val base = Tables.documents(spark, src)
+          val copies = (0 until 10).map { i =>
+            val shifted = base.withColumn("doc_id",
+              col("doc_id") + lit(i * 1000000L))
+            if (i == 0) shifted
+            else shifted.withColumn("text",
+              when(col("doc_id") % 20 === (i % 20),
+                concat(lit(hotTpl + " "), col("text")))
+                .otherwise(col("text")))
+          }
+          // the near-dup family REPLACES 300 uniform-replica rows (keeps
+          // row counts identical): shared 30-token template + one unique
+          // token → pairwise shingle jaccard ~0.9, one 300-node component
+          val famIds = (0 until 300).map(i => 9000000L + i)
+          val fam = spark.createDataFrame(famIds.map(id =>
+              (id, s"$famTpl ztail${alphaTok((id % 300).toInt)}", "en",
+                "skewfam", (famTpl.length + 9).toLong)))
+            .toDF("doc_id", "text", "lang", "source", "n_chars")
+          copies.reduce(_ unionByName _)
+            .limit(base.count().toInt * 10 - 300)
+            .unionByName(fam)
+            // GlobalLimit funnels to one partition → one giant row group
+            // → a single-task scan for every consumer; re-spread so the
+            // comparison measures keys, not a degenerate layout
+            .repartition(10, col("doc_id"))
+            .write.mode("overwrite").parquet(out)
+          java.nio.file.Files.write(marker, fp.getBytes)
+        }
+        val names = if (args.drop(1).nonEmpty) args.drop(1).toSeq
+          else Seq("q67_bigram_surprisal", "q89_passage_dedup",
+            "q104_boilerplate_chunks", "q117_dup_spans", "q52_dedup_components")
+        Seq(uni, dst).foreach { d =>
+          Artifacts.prewarm(spark, d).foreach { case (fam2, secs) =>
+            println(f"[dev] skew build $fam2 @ $d: $secs%.2f s") }
+        }
+        names.foreach { n =>
+          val fn = SparkEntry.queries(n)
+          def run(dir: String): Double = {
+            val t0 = System.nanoTime()
+            fn(spark, dir).write.format("noop").mode("overwrite").save()
+            val secs = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache(); secs
+          }
+          run(uni); run(dst) // cold pass: plan+codegen, absorbed
+          val u = run(uni); val k = run(dst)
+          println(f"[dev] skew $n%-28s uniform=$u%6.2f s  skewed=$k%6.2f s  ratio=${k / u}%5.1f")
+        }
+
       case Some("ivfprof2") =>
         // trainCells internals, stage-timed (scratch)
         import org.apache.spark.sql.functions._

@@ -1016,7 +1016,7 @@ object VectorQueries {
     // checkpoint each iteration: the retention join references the
     // previous centroids TWICE (assignment broadcast + fallback side) —
     // left lazy, iteration 2 re-executes iteration 1's whole subtree
-    // per reference (measured 11.9 s → 4.7 s at the 10× replica)
+    // per reference (measured 11.9 → 8.9 s at the 10× replica)
     for (_ <- 0 until 2)
       cent = retainEmpty(cellMeans(assignCellsExact(sample, cent)), cent)
         .localCheckpoint()
