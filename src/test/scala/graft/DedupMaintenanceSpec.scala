@@ -111,4 +111,32 @@ class DedupMaintenanceSpec extends AnyFunSuite {
     assert(pairsOf(g2) == pairsOf(g))
     assert(labelsOf(g2) == labelsOf(g))
   }
+
+  test("adaptive maintain: segment deltas refresh, bulk loads rebuild, both equal the rebuild") {
+    val all = Tables.documents(spark, dir).select("doc_id", "text")
+    // segment-sized append (~4% of base) → refresh arm
+    val base = all.filter(col("doc_id") % 25 =!= 7)
+    val small = all.filter(col("doc_id") % 25 === 7)
+    val g0 = DedupMaintenance.build(base)
+    val (gS, repS) = DedupMaintenance.maintain(g0, small)
+    assert(repS.mode == "refresh", s"4% delta should refresh: $repS")
+    assert(repS.fraction < DedupMaintenance.RebuildFraction &&
+      repS.deltaDocs > 0 && repS.baseDocs > 0, repS.toString)
+
+    // bulk load (~33% of base) → rebuild arm
+    val base2 = all.filter(col("doc_id") % 4 =!= 1)
+    val bulk = all.filter(col("doc_id") % 4 === 1)
+    val g1 = DedupMaintenance.build(base2)
+    val (gB, repB) = DedupMaintenance.maintain(g1, bulk)
+    assert(repB.mode == "rebuild", s"33% delta should rebuild: $repB")
+
+    // both arms land on the from-scratch answer — the policy is a pure
+    // cost choice, never a semantics choice
+    val expS = DedupMaintenance.build(base.unionByName(small))
+    val expB = DedupMaintenance.build(all)
+    assert(pairsOf(gS) == pairsOf(expS) && labelsOf(gS) == labelsOf(expS),
+      "refresh arm diverged from the rebuild answer")
+    assert(pairsOf(gB) == pairsOf(expB) && labelsOf(gB) == labelsOf(expB),
+      "rebuild arm diverged from the from-scratch answer")
+  }
 }
