@@ -908,6 +908,15 @@ object VectorQueries {
     * verbatim by the oracle, so it is part of the checked contract.
     * Supers with no member cells are excluded from hop 1 (a vector
     * routed there would have no hop-2 candidates).
+    *
+    * Broadcast sizing at 100 TB: hop 1 broadcasts nsuper = √nlist rows
+    * (always tiny); hop 2 broadcasts the nlist-row routed centroid
+    * table — ~25 MB at the deployment sizing (nlist ≈ 10⁵ under the
+    * raised IvfTargetCellSize), comfortably broadcastable. If a
+    * deployment drives nlist toward 10⁶ the hop-2 join flips to a
+    * shuffle join on `super` (the output volume N·√nlist is identical
+    * either way — only the routing table's distribution changes), a
+    * conf-level choice, not a semantics change.
     */
   private[graft] def assignCells(e: DataFrame, cent: DataFrame): DataFrame = {
     val (supers, cellmap) = superQuantizerCached(cent)
