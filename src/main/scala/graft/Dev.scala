@@ -385,7 +385,7 @@ object Dev {
         val hotTpl = (0 until 40).map(k => "skewhot" + alphaTok(k)).mkString(" ")
         val famTpl = (0 until 30).map(k => "skewfam" + alphaTok(k)).mkString(" ")
         val out = s"$dst/documents.parquet"
-        val fp = s"${Tables.parquetFingerprint(spark, src, "documents")}:skew2"
+        val fp = s"${Tables.parquetFingerprint(spark, src, "documents")}:skew3"
         val marker = java.nio.file.Paths.get(s"$out.fingerprint")
         if (!(java.nio.file.Files.exists(java.nio.file.Paths.get(out)) &&
             java.nio.file.Files.exists(marker) &&
@@ -403,7 +403,7 @@ object Dev {
           // the near-dup family REPLACES 300 uniform-replica rows (keeps
           // row counts identical): shared 30-token template + one unique
           // token → pairwise shingle jaccard ~0.9, one 300-node component
-          val famIds = (0 until 300).map(i => 9000000L + i)
+          val famIds = (0 until 300).map(i => 100000000L + i) // outside every copy range
           val fam = spark.createDataFrame(famIds.map(id =>
               (id, s"$famTpl ztail${alphaTok((id % 300).toInt)}", "en",
                 "skewfam", (famTpl.length + 9).toLong)))
@@ -437,56 +437,6 @@ object Dev {
           val u = run(uni); val k = run(dst)
           println(f"[dev] skew $n%-28s uniform=$u%6.2f s  skewed=$k%6.2f s  ratio=${k / u}%5.1f")
         }
-
-      case Some("ivfprof2") =>
-        // trainCells internals, stage-timed (scratch)
-        import org.apache.spark.sql.functions._
-        val dir2 = args.lift(1).getOrElse("/root/testdata/sf0.1")
-        def tt[T](label: String)(f: => T): T = {
-          val t0 = System.nanoTime(); val r = f
-          println(f"[dev] ivfprof2 $label: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
-        }
-        val vq = graft.operators.VectorQueries
-        val e = Tables.embeddings(spark, dir2).localCheckpoint()
-        val n = tt("count")(e.count())
-        val nlist = vq.ivfNlist(n)
-        val sampleN = math.min(n, vq.IvfTrainPerCell * nlist).toInt
-        val seedKey = md5(concat(lit("ivf:"), col("vec_id").cast("string")))
-        val ordered = e.select(seedKey.as("sk"), col("vec_id"), col("embedding"))
-          .orderBy(col("sk"), col("vec_id"))
-        val sample = tt("sample")(ordered.limit(sampleN)
-          .select(col("vec_id"), col("embedding"))
-          .repartition(col("vec_id")).localCheckpoint())
-        val seedRdd = ordered.limit(nlist).select(col("embedding")).rdd
-          .zipWithIndex().map { case (r, i) =>
-            org.apache.spark.sql.Row(i.toInt, r.get(0)) }
-        var cent: org.apache.spark.sql.DataFrame = tt("seeds")(
-          spark.createDataFrame(seedRdd,
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("cell",
-                org.apache.spark.sql.types.IntegerType, nullable = false),
-              org.apache.spark.sql.types.StructField("centroid",
-                e.schema("embedding").dataType)))).localCheckpoint())
-        for (i <- 0 until 2) {
-          val asg = tt(s"lloyd$i assign")(
-            vq.assignCellsExact(sample, cent).localCheckpoint())
-          val means = tt(s"lloyd$i means")(vq.cellMeans(asg).localCheckpoint())
-          cent = tt(s"lloyd$i retain")(
-            vq.retainEmpty(means, cent).localCheckpoint())
-        }
-        println(s"[dev] cells=${cent.count()}")
-        // variant: score-only crossJoin (no embedding through the buffer)
-        tt("assign cell-only")(sample.crossJoin(broadcast(cent))
-          .withColumn("csim", graft.functions.expressions.VectorExpressions
-            .cosineSim(col("embedding"), col("centroid")))
-          .groupBy(col("vec_id"))
-          .agg(min_by(col("cell"),
-            struct(negate(col("csim")), col("cell"))).as("cell"))
-          .localCheckpoint())
-        tt("crossjoin+cos only")(sample.crossJoin(broadcast(cent))
-          .select(graft.functions.expressions.VectorExpressions
-            .cosineSim(col("embedding"), col("centroid")).as("csim"))
-          .agg(sum(col("csim"))).collect())
 
       case Some("ivfrefresh") =>
         // price incremental index refresh vs full rebuild (SCALING §5):

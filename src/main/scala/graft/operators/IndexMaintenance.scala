@@ -153,12 +153,17 @@ object IndexMaintenance {
       val newCent = if (resized) VectorQueries.trainCells(full) else {
         // warm-start Lloyd over the merged corpus: two-level assignment
         // (the build's bounded N·√nlist law), empty cells retaining
-        // their previous centroid so the frozen nlist stays invariant
+        // their previous centroid so the frozen nlist stays invariant.
+        // Checkpoint PER iteration (the trainCells lesson): left lazy,
+        // iteration 2's assignment, fingerprint, super derivation and
+        // retention fallback would each re-execute iteration 1's
+        // corpus-sized subtree
         var cent = base.centroids
         for (_ <- 0 until lloydIters)
           cent = VectorQueries.retainEmpty(
             VectorQueries.cellMeans(VectorQueries.assignCells(full, cent)), cent)
-        cent.localCheckpoint()
+            .localCheckpoint()
+        cent
       }
       val assigned = VectorQueries.assignCells(full, newCent).localCheckpoint()
       val stats = cellStats(assigned).localCheckpoint()

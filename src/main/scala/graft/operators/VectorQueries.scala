@@ -887,11 +887,18 @@ object VectorQueries {
   // still a handful of Spark jobs; streaming admission derives it every
   // micro-batch against the SAME pinned geometry, so cache per
   // (context, centroid fingerprint) — the annFrames keying rationale.
+  // BOUNDED: every retrain/warm-start iteration mints a new fingerprint,
+  // and the cached frames hold localCheckpoint blocks — an unbounded map
+  // would pin executor storage for every geometry a long-lived stream
+  // ever derived. Re-derivation is centroid-sized, so on overflow the
+  // whole map simply drops (no LRU bookkeeping worth its weight here).
+  private val SuperCacheMax = 16
   private val superCache = scala.collection.concurrent.TrieMap
     .empty[String, (DataFrame, DataFrame)]
   private def superQuantizerCached(cent: DataFrame): (DataFrame, DataFrame) = {
     val key = System.identityHashCode(cent.sparkSession.sparkContext) + ":" +
       IndexMaintenance.centroidFingerprint(cent)
+    if (superCache.size > SuperCacheMax) superCache.clear()
     superCache.getOrElseUpdate(key, superQuantizer(cent))
   }
 
@@ -1000,20 +1007,24 @@ object VectorQueries {
     val nlist = ivfNlist(n)
     val sampleN = math.min(n, IvfTrainPerCell * nlist).toInt
     val seedKey = md5(concat(lit("ivf:"), col("vec_id").cast("string")))
-    val ordered = e
+    // ONE corpus-wide md5-ordered TakeOrdered serves both the sample and
+    // the seeds (seeds == the sample's first nlist rows by construction;
+    // sampleN >= nlist always since nlist <= N): checkpoint the ordered
+    // single-partition result, rank it once, and derive both from it
+    val sampleOrdered = e
       .select(seedKey.as("sk"), col("vec_id"), col("embedding"))
-      .orderBy(col("sk"), col("vec_id"))
+      .orderBy(col("sk"), col("vec_id")).limit(sampleN)
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
     // the limit's physical result is a SINGLE partition (TakeOrdered's
     // merged output) — re-spread it by key or every training crossJoin
     // (sample × nlist) runs on one task; hash repartition keeps row
     // placement deterministic
-    val sample = ordered.limit(sampleN)
-      .select(col("vec_id"), col("embedding"))
-      .repartition(col("vec_id")).localCheckpoint()
-    // rank-from-TakeOrdered: the limit's physical plan is a
-    // single-partition ordered result, so zipWithIndex IS the seed rank
-    val seedRdd = ordered.limit(nlist).select(col("embedding")).rdd
-      .zipWithIndex().map { case (r, i) =>
+    val sample = sampleOrdered.repartition(col("vec_id")).localCheckpoint()
+    // rank-from-TakeOrdered: the checkpointed limit output is a
+    // single-partition ordered RDD, so zipWithIndex IS the seed rank
+    val seedRdd = sampleOrdered.select(col("embedding")).rdd
+      .zipWithIndex().filter(_._2 < nlist).map { case (r, i) =>
         org.apache.spark.sql.Row(i.toInt, r.get(0)) }
     var cent: DataFrame = s.createDataFrame(seedRdd,
       org.apache.spark.sql.types.StructType(Seq(
@@ -1120,6 +1131,10 @@ object VectorQueries {
   private[graft] def dropSessionCaches(): Unit = {
     annFrames.clear()
     annArtifacts.clear()
+    // the super quantizer is derived work too: a warm entry would let a
+    // "cold" ivf build repetition skip the nlist^1.5 derivation and the
+    // bench's build gate would under-measure exactly this round's code
+    superCache.clear()
   }
 
   /** The PQ-encoded corpus, (vec_id, sub, subvec): shared by the code
@@ -1691,7 +1706,7 @@ object VectorQueries {
        |    FROM ivsamp e, $prev c, ${cosLateral("e.embedding", "c.centroid")}) t
        |  WHERE rk = 1),
        |${ivfMeansOver(asg, "cell", "embedding", asg + "_m")},
-       |$next AS (
+       |$next AS MATERIALIZED (
        |  SELECT p.cell, COALESCE(m.centroid, p.centroid) AS centroid
        |  FROM $prev p LEFT JOIN ${asg}_m m ON m.cell = p.cell)""".stripMargin
 
@@ -1707,10 +1722,16 @@ object VectorQueries {
        |    FROM c2 c, $prev s, ${cosLateral("c.centroid", "s.scentroid")}) t
        |  WHERE rk = 1),
        |${ivfMeansOver(asg, "super", "centroid", asg + "_m")},
-       |$next AS (
+       |$next AS MATERIALIZED (
        |  SELECT p.super, COALESCE(m.centroid, p.scentroid) AS scentroid
        |  FROM $prev p LEFT JOIN ${asg}_m m ON m.super = p.super)""".stripMargin
 
+  // The chain's checkpoint CTEs are AS MATERIALIZED: DuckDB inlines
+  // plain CTEs per reference, and the retention LEFT JOIN makes every
+  // Lloyd step reference its predecessor TWICE — inlined, the replay
+  // cost is 2^depth times the Lloyd work (measured: the sf1 oracles
+  // exhausted an 80 GB spill budget). Materialized, each stage runs
+  // once, like the Spark side's per-iteration localCheckpoint.
   /** The whole IVF build replayed in SQL, mirroring [[trainCells]] +
     * [[superQuantizer]] + the two-level [[assignCells]]:
     *   - sizing: nlist = ceil(N / IvfTargetCellSize) (integer
@@ -1729,32 +1750,32 @@ object VectorQueries {
     *     vectors only) — what probeCells computes.
     */
   private lazy val ivfChain: String =
-    s"""nl AS (
+    s"""nl AS MATERIALIZED (
        |  SELECT CAST((count(*) + ${IvfTargetCellSize - 1}) // $IvfTargetCellSize AS INT) AS nlist,
        |    CAST(ceil(sqrt(CAST((count(*) + ${IvfTargetCellSize - 1}) // $IvfTargetCellSize AS INT))) AS INT) AS nsuper,
        |    LEAST(count(*), $IvfTrainPerCell * CAST((count(*) + ${IvfTargetCellSize - 1}) // $IvfTargetCellSize AS INT)) AS nsamp
        |  FROM embeddings),
-       |ivord AS (
+       |ivord AS MATERIALIZED (
        |  SELECT vec_id, embedding,
        |    row_number() OVER (ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
        |  FROM embeddings),
-       |ivsamp AS (SELECT vec_id, embedding FROM ivord, nl WHERE rk <= nl.nsamp),
-       |c0 AS (SELECT rk - 1 AS cell, embedding AS centroid
+       |ivsamp AS MATERIALIZED (SELECT vec_id, embedding FROM ivord, nl WHERE rk <= nl.nsamp),
+       |c0 AS MATERIALIZED (SELECT rk - 1 AS cell, embedding AS centroid
        |       FROM ivord, nl WHERE rk <= nl.nlist),
        |${ivfLloydStep("c0", "ivl1", "c1")},
        |${ivfLloydStep("c1", "ivl2", "c2")},
-       |s0 AS (SELECT cell AS super, centroid AS scentroid
+       |s0 AS MATERIALIZED (SELECT cell AS super, centroid AS scentroid
        |       FROM c2, nl WHERE cell < nl.nsuper),
        |${ivfSuperStep("s0", "ivt1", "s1")},
        |${ivfSuperStep("s1", "ivt2", "s2")},
-       |smap AS (
+       |smap AS MATERIALIZED (
        |  SELECT cell, super FROM (
        |    SELECT c.cell, s.super,
        |      row_number() OVER (PARTITION BY c.cell
        |        ORDER BY $duckCos DESC, s.super ASC) AS rk
        |    FROM c2 c, s2 s, ${cosLateral("c.centroid", "s.scentroid")}) t
        |  WHERE rk = 1),
-       |vsup AS (
+       |vsup AS MATERIALIZED (
        |  SELECT vec_id, super, embedding FROM (
        |    SELECT e.vec_id, s.super, e.embedding,
        |      row_number() OVER (PARTITION BY e.vec_id
@@ -1764,7 +1785,7 @@ object VectorQueries {
        |       WHERE s2.super IN (SELECT DISTINCT super FROM smap)) s,
        |      ${cosLateral("e.embedding", "s.scentroid")}) t
        |  WHERE rk = 1),
-       |a3 AS (
+       |a3 AS MATERIALIZED (
        |  SELECT vec_id, cell, embedding, cos FROM (
        |    SELECT v.vec_id, m.cell, v.embedding, $duckCos AS cos,
        |      row_number() OVER (PARTITION BY v.vec_id
@@ -1773,7 +1794,7 @@ object VectorQueries {
        |    JOIN c2 c ON c.cell = m.cell,
        |    ${cosLateral("v.embedding", "c.centroid")}) t
        |  WHERE rk = 1),
-       |a3_s AS (
+       |a3_s AS MATERIALIZED (
        |  SELECT e.vec_id, c.cell, e.embedding, $duckCos AS cos
        |  FROM embeddings e, c2 c, ${cosLateral("e.embedding", "c.centroid")}
        |  WHERE e.vec_id < $NQueries)""".stripMargin

@@ -45,11 +45,66 @@ private[graft] object AdmissionStore {
   def touchedBuckets(df: DataFrame, key: Column): Seq[Int] =
     df.select(pb(key).as("pb")).distinct().collect().map(_.getInt(0)).toSeq
 
+  private def fsOf(s: SparkSession) = org.apache.hadoop.fs.FileSystem
+    .get(s.sparkContext.hadoopConfiguration)
+  private def pbkPath(table: String) =
+    new org.apache.hadoop.fs.Path(s"$table/_PBK")
+
+  /** Stamp the fan-out K a table was written with. The layout is only
+    * self-describing for the dirs a store HAPPENS to contain — the
+    * reader's pb = hash % K must equal the writer's or pruned reads
+    * route to the wrong dirs and every gate fails OPEN (an empty store
+    * view admits duplicates of everything), so K is persisted at
+    * `<table>/_PBK` and validated on every pruned read. A mismatch here
+    * (someone rebuilt with a different NumBuckets against a live store)
+    * is as fatal as a corrupt store: fail loudly. */
+  def stampLayout(s: SparkSession, table: String): Unit = {
+    val fs = fsOf(s); val p = pbkPath(table)
+    if (!fs.exists(p)) {
+      // create-no-overwrite: two racing first writers both stamp the
+      // same constant, so losing the race is benign
+      try {
+        val out = fs.create(p, false)
+        try out.write(NumBuckets.toString.getBytes("UTF-8"))
+        finally out.close()
+      } catch { case _: java.io.IOException if fs.exists(p) => () }
+    }
+    checkLayout(s, table)
+  }
+
+  private def checkLayout(s: SparkSession, table: String): Unit = {
+    val fs = fsOf(s); val p = pbkPath(table)
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"admission store $table has no _PBK layout marker — it predates " +
+        "the keyed layout (or the marker was deleted); rebuild the store")
+    val k = new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+      fs.open(p)), "UTF-8").trim
+    if (k != NumBuckets.toString) throw new IllegalStateException(
+      s"admission store $table was written with pb fan-out K=$k but this " +
+        s"build routes with K=$NumBuckets — pruned reads would silently " +
+        "miss the stored rows; rebuild the store under one K")
+  }
+
+  /** Write one epoch of a store table under the blocking-key layout:
+    * pb partition dirs inside the deterministic epoch dir (idempotent
+    * retries), plus the layout stamp. ONE definition for every gate so
+    * the written layout can never drift from the pruned-read routing. */
+  def writeEpoch(df: DataFrame, key: Column, table: String,
+      epoch: Long): Unit = {
+    df.withColumn("pb", pb(key))
+      .write.partitionBy("pb")
+      .mode("overwrite").parquet(s"$table/epoch=$epoch")
+    stampLayout(df.sparkSession, table)
+  }
+
   /** Read a store table pruned to the touched pb partition dirs. The
     * filter is on a partition column, so untouched dirs are never
-    * listed into the scan (file-level pruning, not row filtering). */
-  def readTouched(s: SparkSession, path: String, touched: Seq[Int]): DataFrame =
+    * listed into the scan (file-level pruning, not row filtering);
+    * the layout stamp is validated first (see [[stampLayout]]). */
+  def readTouched(s: SparkSession, path: String, touched: Seq[Int]): DataFrame = {
+    checkLayout(s, path)
     s.read.parquet(path).filter(col("pb").isin(touched: _*))
+  }
 
   /** Fold `storePath/sub`'s accumulated epoch partitions into a single
     * base epoch. Only a genuinely-ABSENT live table is a no-op (nothing
@@ -79,5 +134,7 @@ private[graft] object AdmissionStore {
       throw new java.io.IOException(s"compact: cannot remove $live")
     if (!fs.rename(tmpPath, livePath))
       throw new java.io.IOException(s"compact: rename $tmp -> $live failed")
+    // the delete took the layout marker with it — re-stamp the folded base
+    if (parts.nonEmpty) stampLayout(s, live)
   }
 }

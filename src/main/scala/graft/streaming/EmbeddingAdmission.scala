@@ -124,13 +124,10 @@ object EmbeddingAdmission {
     if (!kept.isEmpty) {
       // key-hash partition dirs inside the epoch (AdmissionStore layout):
       // vecs by vec_id (the verify join's key), buckets by the band key
-      kept.withColumn("pb", AdmissionStore.pb(col("vec_id")))
-        .write.partitionBy("pb")
-        .mode("overwrite").parquet(s"$storePath/vecs/epoch=$batchId")
-      banded.join(kept.select("vec_id"), "vec_id")
-        .withColumn("pb", AdmissionStore.pb(col("tb")))
-        .write.partitionBy("pb")
-        .mode("overwrite").parquet(s"$storePath/buckets/epoch=$batchId")
+      AdmissionStore.writeEpoch(kept, col("vec_id"),
+        s"$storePath/vecs", batchId)
+      AdmissionStore.writeEpoch(banded.join(kept.select("vec_id"), "vec_id"),
+        col("tb"), s"$storePath/buckets", batchId)
     }
   }
 

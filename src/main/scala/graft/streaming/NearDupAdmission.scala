@@ -116,14 +116,10 @@ object NearDupAdmission {
       // key-hash partition dirs inside the epoch (AdmissionStore layout):
       // docs by doc_id (the verify join's key), bands by bucket (the
       // blocking join's key)
-      kept.select("doc_id", "shingles")
-        .withColumn("pb", AdmissionStore.pb(col("doc_id")))
-        .write.partitionBy("pb")
-        .mode("overwrite").parquet(s"$storePath/docs/epoch=$batchId")
-      banded.join(kept.select("doc_id"), "doc_id")
-        .withColumn("pb", AdmissionStore.pb(col("bucket")))
-        .write.partitionBy("pb")
-        .mode("overwrite").parquet(s"$storePath/bands/epoch=$batchId")
+      AdmissionStore.writeEpoch(kept.select("doc_id", "shingles"),
+        col("doc_id"), s"$storePath/docs", batchId)
+      AdmissionStore.writeEpoch(banded.join(kept.select("doc_id"), "doc_id"),
+        col("bucket"), s"$storePath/bands", batchId)
     }
   }
 

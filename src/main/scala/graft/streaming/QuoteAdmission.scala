@@ -131,9 +131,7 @@ object QuoteAdmission {
     // guard). Safe under retries: the kept set is deterministic, so a
     // retried epoch republishes the same (non)emptiness.
     if (!rows.isEmpty)
-      rows.withColumn("pb", AdmissionStore.pb(col("h")))
-        .write.partitionBy("pb")
-        .mode("overwrite").parquet(s"$storePath/census/epoch=$batchId")
+      AdmissionStore.writeEpoch(rows, col("h"), s"$storePath/census", batchId)
   }
 
   def admit(batch: DataFrame, batchId: Long, storePath: String,
@@ -202,6 +200,8 @@ object QuoteAdmission {
     }
     if (!fs.delete(asidePath, true))
       throw new java.io.IOException(s"compact: cannot drop aside $asidePath")
+    // the tmp that became live has no layout marker — re-stamp it
+    AdmissionStore.stampLayout(s, live)
   }
 
   /** Wire as a streaming sink over a (doc_id, text) stream. */

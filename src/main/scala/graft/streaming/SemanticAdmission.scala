@@ -122,9 +122,8 @@ object SemanticAdmission {
     // and the store read above would then die on schema inference
     // forever after — the one way a batch could poison the gate.
     if (!kept.isEmpty)
-      kept.withColumn("pb", AdmissionStore.pb(col("cell")))
-        .write.partitionBy("pb")
-        .mode("overwrite").parquet(s"$storePath/members/epoch=$batchId")
+      AdmissionStore.writeEpoch(kept, col("cell"),
+        s"$storePath/members", batchId)
   }
 
   /** Fold accumulated epoch partitions into a single base epoch (offline

@@ -120,6 +120,47 @@ class AdmissionPruningSpec extends AnyFunSuite {
       "clone admitted after compaction")
   }
 
+  test("layout stamp: a store under a different pb fan-out fails loudly, never open") {
+    import spark.implicits._
+    val store = tmp("prunek_store"); val kept = tmp("prunek_kept")
+    val b0 = Seq((1L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (2L, "india juliet kilo lima alpha mike november oscar"))
+      .toDF("doc_id", "text")
+    NearDupAdmission.admit(b0, 0L, store, kept)
+    val marker = java.nio.file.Paths.get(s"$store/bands/_PBK")
+    assert(java.nio.file.Files.exists(marker), "first write did not stamp K")
+    // hadoop's local fs keeps a .crc sidecar — tampering via java.nio
+    // must drop it or the read fails on checksum instead of the check
+    def dropCrc(): Unit = java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$store/bands/._PBK.crc"))
+
+    // a reader compiled with a different K must ABORT: silently routing
+    // pb = hash % K' to the wrong dirs would read an empty store view
+    // and admit duplicates of everything (fail-open)
+    java.nio.file.Files.write(marker, "8".getBytes); dropCrc()
+    val b1 = Seq((3L, "papa quebec romeo sierra tango uniform victor whiskey"))
+      .toDF("doc_id", "text")
+    val e1 = intercept[IllegalStateException] {
+      NearDupAdmission.admit(b1, 1L, store, kept)
+    }
+    assert(e1.getMessage.contains("fan-out"), e1.getMessage)
+
+    // a MISSING marker (pre-layout store, or a deleted stamp) is equally
+    // loud — there is no silent legacy-read path
+    java.nio.file.Files.delete(marker)
+    val e2 = intercept[IllegalStateException] {
+      NearDupAdmission.admit(b1, 1L, store, kept)
+    }
+    assert(e2.getMessage.contains("_PBK"), e2.getMessage)
+
+    // restored to the real K, the gate carries on
+    java.nio.file.Files.write(marker,
+      AdmissionStore.NumBuckets.toString.getBytes)
+    dropCrc()
+    NearDupAdmission.admit(b1, 1L, store, kept)
+    assert(spark.read.parquet(s"$kept/epoch=1").count() == 1)
+  }
+
   test("quote census: pb layout and pruned coverage reads") {
     import spark.implicits._
     val store = tmp("pruneq_store"); val kept = tmp("pruneq_kept")
