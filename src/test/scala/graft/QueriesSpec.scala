@@ -37,6 +37,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(!row.isNullAt(row.fieldIndex("best_lat")))
   }
 
+  test("q124 simhash keep is q30's exact complement, replayed driver-side") {
+    // the twin contract (r15): kept = documents minus the d2 side of
+    // every q30 pair — q30 stays the declared verification twin of the
+    // production keep-decision, pair-for-pair
+    val drops = SparkEntry.queries("q30_simhash_pairs")(spark, dir)
+      .select("d2").collect().map(_.getLong(0)).toSet
+    assert(drops.nonEmpty, "no simhash near-dups at sf0.001 — twin inert")
+    val expected = Tables.documents(spark, dir)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filterNot { case (id, _) => drops(id) }
+      .groupBy(_._2)
+      .map { case (lang, rows) =>
+        lang -> (rows.size.toLong, rows.map(_._1).sum) }
+    val got = SparkEntry.queries("q124_simhash_keep")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("id_checksum"))).toMap
+    assert(got == expected, s"q124 diverged from documents - q30.d2:\n$got\nvs\n$expected")
+  }
+
   test("native minhash_band_keys equals the UDF chain bucket-for-bucket") {
     import graft.functions.TextFunctions.{wordNgramsUdf, minhashUdf, lshBandsUdf}
     val docs = Tables.documents(spark, dir)
