@@ -361,6 +361,81 @@ object Dev {
         tt("assignCells (warm super cache)")(
           graft.operators.VectorQueries.assignCells(ivfE, ivfCent)
             .localCheckpoint().count())
+        // the small-nlist floor question (r15 task 7): is the two-hop
+        // job overhead worth dodging below some nlist? exact is one
+        // broadcast join at N·nlist pairs
+        tt("assignCellsExact (reference)")(
+          graft.operators.VectorQueries.assignCellsExact(ivfE, ivfCent)
+            .localCheckpoint().count())
+
+      case Some("prunebench") =>
+        // Admission-store pruning at REALISTIC batch shapes (r15 verdict
+        // task 2): the AdmissionPruningSpec proves a one-doc batch
+        // prunes; this measures what a {1,10,100}-doc batch actually
+        // scans against an 8-epoch store at fan-outs K ∈ {16,256,2048}.
+        // The store key is the minhash band bucket (~32 distinct keys
+        // per doc), so a B-doc batch carries ≈ 32·B keys and touches
+        // min(32·B, K) buckets — the measured scanned/store file ratio
+        // is the number behind the sizing rule's 100× story: per-batch
+        // IO ≈ min(batchKeys, K) · (store bytes / K), which the
+        // lifecycle pins at batchKeys · TargetBucketBytes by growing K
+        // with the store.
+        import org.apache.spark.sql.functions._
+        import graft.streaming.{AdmissionStore, NearDupAdmission}
+        import spark.implicits._
+        def pbAlpha(n: Int): String =
+          s"${(97 + n % 26).toChar}${(97 + (n / 26) % 26).toChar}${(97 + (n / 676) % 26).toChar}${(97 + (n / 17576) % 26).toChar}"
+        val pbWords = Seq("alpha", "bravo", "charlie", "delta", "echo",
+          "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
+        def pbDoc(i: Int): String =
+          (0 until 8).map(k =>
+            pbWords((i * 7 + k * 3) % pbWords.size) + pbAlpha(i * 8 + k))
+            .mkString(" ")
+        def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+          df.write.format("noop").mode("overwrite").save()
+          df.queryExecution.executedPlan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+          }.map(_.metrics("numFiles").value).sum
+        }
+        def allFiles(root: String): Long = {
+          val st = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+          try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala.count(p =>
+              java.nio.file.Files.isRegularFile(p) &&
+                p.getFileName.toString.startsWith("part-"))
+          } finally st.close()
+        }
+        for (k <- Seq(16, 256, 2048)) {
+          val store = java.nio.file.Files
+            .createTempDirectory(s"prunebench_k$k").toString
+          val keptD = java.nio.file.Files
+            .createTempDirectory(s"prunebench_kept$k").toString
+          val hint = AdmissionStore.TargetBucketBytes * k
+          for (ep <- 0 until 8) {
+            val batch = (ep * 1000 until ep * 1000 + 200)
+              .map(i => (i.toLong, pbDoc(i))).toDF("doc_id", "text")
+            NearDupAdmission.admit(batch, ep.toLong, store, keptD,
+              expectedStoreBytes = hint)
+          }
+          val bands = s"$store/bands"
+          require(AdmissionStore.layoutK(spark, bands).contains(k),
+            s"hint did not yield K=$k")
+          val total = allFiles(bands)
+          for (b <- Seq(1, 10, 100)) {
+            val probe = (900000 until 900000 + b)
+              .map(i => (i.toLong, pbDoc(i))).toDF("doc_id", "text")
+            val banded = graft.operators.TextQueries.bandedOf(
+              probe.select(col("doc_id"),
+                graft.functions.TextFunctions.wordNgramsUdf(3)(col("text"))
+                  .as("shingles")))
+            val touched = AdmissionStore
+              .touchedBuckets(banded, col("bucket"), k)
+            val scanned = scanFiles(
+              AdmissionStore.readTouched(spark, bands, touched))
+            println(f"[dev] prunebench K=$k%-5d batch=$b%-4d touched=${touched.size}%-5d files=$scanned/$total ratio=${scanned.toDouble / total}%.3f")
+          }
+        }
 
       case Some("skew") =>
         // Zipf-stress variant of the 10× replica (r15): SAME documents

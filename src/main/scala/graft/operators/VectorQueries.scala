@@ -886,19 +886,31 @@ object VectorQueries {
   // The super quantizer is cheap (centroid-sized) but per-call it is
   // still a handful of Spark jobs; streaming admission derives it every
   // micro-batch against the SAME pinned geometry, so cache per
-  // (context, centroid fingerprint) — the annFrames keying rationale.
-  // BOUNDED: every retrain/warm-start iteration mints a new fingerprint,
-  // and the cached frames hold localCheckpoint blocks — an unbounded map
-  // would pin executor storage for every geometry a long-lived stream
-  // ever derived. Re-derivation is centroid-sized, so on overflow the
-  // whole map simply drops (no LRU bookkeeping worth its weight here).
+  // (SESSION, centroid fingerprint) — keyed by the owning SparkSession,
+  // not the context: the cached frames are resolved against a session's
+  // state, and a second session sharing the context must re-derive
+  // rather than receive another session's frames (ADVICE r15). BOUNDED:
+  // every retrain/warm-start iteration mints a new fingerprint, and the
+  // cached frames hold localCheckpoint blocks — an unbounded map would
+  // pin executor storage for every geometry a long-lived stream ever
+  // derived. On overflow the whole map drops AND the evicted frames'
+  // checkpoint blocks are unpersisted (re-derivation is centroid-sized;
+  // an evicted fingerprint is a retired geometry — the retrain minted a
+  // new one — so no live plan still leans on its blocks).
   private val SuperCacheMax = 16
   private val superCache = scala.collection.concurrent.TrieMap
     .empty[String, (DataFrame, DataFrame)]
   private def superQuantizerCached(cent: DataFrame): (DataFrame, DataFrame) = {
-    val key = System.identityHashCode(cent.sparkSession.sparkContext) + ":" +
+    val key = System.identityHashCode(cent.sparkSession) + ":" +
       IndexMaintenance.centroidFingerprint(cent)
-    if (superCache.size > SuperCacheMax) superCache.clear()
+    if (superCache.size > SuperCacheMax) {
+      superCache.values.foreach { case (a, b) =>
+        Seq(a, b).foreach(_.queryExecution.logical.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }.foreach(_.unpersist(blocking = false)))
+      }
+      superCache.clear()
+    }
     superCache.getOrElseUpdate(key, superQuantizer(cent))
   }
 
@@ -919,16 +931,26 @@ object VectorQueries {
     * Broadcast sizing at 100 TB: hop 1 broadcasts nsuper = √nlist rows
     * (always tiny); hop 2 broadcasts the nlist-row routed centroid
     * table — ~25 MB at the deployment sizing (nlist ≈ 10⁵ under the
-    * raised IvfTargetCellSize), comfortably broadcastable. If a
-    * deployment drives nlist toward 10⁶ the hop-2 join flips to a
-    * shuffle join on `super` (the output volume N·√nlist is identical
-    * either way — only the routing table's distribution changes), a
-    * conf-level choice, not a semantics change.
+    * raised IvfTargetCellSize), comfortably broadcastable. Past
+    * [[IvfBroadcastCellsConf]] (default 2·10⁵ rows — where the
+    * broadcast would cross the tens-of-MB line at 64-dim centroids)
+    * the hint is DROPPED and the hop-2 join plans from stats — at
+    * nlist ≈ 10⁶ the routing table is ~250 MB and Spark shuffles on
+    * `super` (the output volume N·√nlist is identical either way; only
+    * the routing table's distribution changes). A real conf, not prose:
+    * both plan shapes are pinned in ArtifactsSpec.
     */
+  private[graft] val IvfBroadcastCellsConf = "spark.graft.ivf.maxBroadcastCells"
+  private[graft] val IvfBroadcastCellsDefault = 200000L
+
   private[graft] def assignCells(e: DataFrame, cent: DataFrame): DataFrame = {
     val (supers, cellmap) = superQuantizerCached(cent)
+    // the live-super filter's right side is ≤ nsuper = √nlist rows —
+    // always broadcastable (the checkpointed frames carry no stats, so
+    // without the hint Spark would sort-merge two tiny tables)
     val liveSupers = supers.join(
-      cellmap.select(col("super")).distinct(), Seq("super"), "left_semi")
+      broadcast(cellmap.select(col("super")).distinct()),
+      Seq("super"), "left_semi")
     val hop1 = e.crossJoin(broadcast(liveSupers))
       .withColumn("ssim", cosineSim(col("embedding"), col("scentroid")))
       .groupBy(col("vec_id"))
@@ -936,7 +958,12 @@ object VectorQueries {
         struct(negate(col("ssim")), col("super"))).as("best"))
       .select(col("vec_id"), col("best.super").as("super"),
         col("best.embedding").as("embedding"))
-    hop1.join(broadcast(cellmap), "super")
+    val maxBroadcast = e.sparkSession.conf
+      .get(IvfBroadcastCellsConf, IvfBroadcastCellsDefault.toString).toLong
+    // cellmap is localCheckpoint'ed — counting it is metadata-cheap
+    val routed =
+      if (cellmap.count() <= maxBroadcast) broadcast(cellmap) else cellmap
+    hop1.join(routed, "super")
       .withColumn("csim", cosineSim(col("embedding"), col("centroid")))
       .groupBy(col("vec_id"))
       .agg(min_by(struct(col("cell"), col("embedding")),
@@ -1005,7 +1032,15 @@ object VectorQueries {
     val s = e.sparkSession
     val n = e.count()
     val nlist = ivfNlist(n)
-    val sampleN = math.min(n, IvfTrainPerCell * nlist).toInt
+    // Long math end-to-end: 16·nlist alone can pass Int.MaxValue if a
+    // deployment scales N without raising IvfTargetCellSize, and a
+    // wrapped negative limit() would throw far from the cause
+    val sampleN64 = math.min(n, IvfTrainPerCell * nlist.toLong)
+    require(sampleN64 <= Int.MaxValue.toLong,
+      s"IVF training sample $sampleN64 exceeds a single TakeOrdered's " +
+        s"Int range — raise IvfTargetCellSize (nlist=$nlist) so the " +
+        "sample budget stays index-sized")
+    val sampleN = sampleN64.toInt
     val seedKey = md5(concat(lit("ivf:"), col("vec_id").cast("string")))
     // ONE corpus-wide md5-ordered TakeOrdered serves both the sample and
     // the seeds (seeds == the sample's first nlist rows by construction;
@@ -1016,6 +1051,15 @@ object VectorQueries {
       .orderBy(col("sk"), col("vec_id")).limit(sampleN)
       .select(col("vec_id"), col("embedding"))
       .localCheckpoint()
+    // the seed-rank derivation below REQUIRES the limit's physical plan
+    // to be TakeOrdered's single merged partition; a conf-lowered
+    // topKSortFallbackThreshold would otherwise silently scramble seed
+    // ranks away from the oracle's row_number definition — fail loudly
+    require(sampleOrdered.rdd.getNumPartitions == 1,
+      "IVF seed ranking expects the ordered sample as ONE TakeOrdered " +
+        "partition; the planner produced " +
+        s"${sampleOrdered.rdd.getNumPartitions} (is " +
+        "spark.sql.execution.topKSortFallbackThreshold lowered?)")
     // the limit's physical result is a SINGLE partition (TakeOrdered's
     // merged output) — re-spread it by key or every training crossJoin
     // (sample × nlist) runs on one task; hash repartition keeps row
@@ -1072,6 +1116,17 @@ object VectorQueries {
       // TextQueries.checkpointTracked — only THIS plan's blocks).
       val df = graft.ArtifactStore.readThrough(s, tag, fp)(build)
       val out = (df.collect().toSeq, df.schema)
+      // the driver-row materialization is only sound while the artifact
+      // stays index-sized (nlist×64 floats ≈ 25 MB at the documented
+      // deployment nlist ≈ 10⁵). The bound is the sizing the scaladoc
+      // already declares unsupported (nlist ≈ 10⁶ ≈ 250 MB of driver
+      // rows): past it this cache must become a partitioned side table
+      // (the annFrames shape), so fail loudly instead of OOMing the
+      // driver quietly.
+      require(out._1.length <= 1000000,
+        s"index artifact '$tag' has ${out._1.length} rows — past the " +
+          "driver-row cache's supported sizing; store it as a " +
+          "partitioned side table (cachedIndexFrame) instead")
       df.queryExecution.logical.collect {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       }.foreach(_.unpersist(blocking = false))

@@ -41,26 +41,24 @@ object EmbeddingAdmission {
 
   def admit(batch: DataFrame, batchId: Long, storePath: String,
             keptPath: String, threshold: Double = 0.95, bits: Int = 8,
-            maxBucket: Int = 0): Unit = {
+            maxBucket: Int = 0, expectedStoreBytes: Long = 0L)
+      : Seq[AdmissionStore.WidthSignal] = {
     val s = batch.sparkSession
     val vecs = batch.select(col("vec_id"), col("embedding")).localCheckpoint()
     val banded = bandedOf(vecs, bits).localCheckpoint()
 
     // only a genuinely-missing store reads as empty; any other failure
-    // aborts the epoch — swallowing it would admit duplicates of
-    // everything previously admitted (same contract as NearDupAdmission).
-    // Store reads prune to the batch's touched key-hash partitions
-    // (AdmissionStore layout): buckets by the batch's own (t, b) bands,
-    // vecs by the surviving candidates' vec_ids — per-batch store IO is
-    // O(touched partitions), not O(store).
-    val storeFs = org.apache.hadoop.fs.FileSystem
-      .get(s.sparkContext.hadoopConfiguration)
-    def storeExists(sub: String): Boolean =
-      storeFs.exists(new org.apache.hadoop.fs.Path(s"$storePath/$sub"))
-    def readStore(sub: String, touched: => Seq[Int]): Option[DataFrame] =
-      if (storeExists(sub))
-        Some(AdmissionStore.readTouched(s, s"$storePath/$sub", touched))
-      else None
+    // (incl. an interrupted maintenance publish) aborts the epoch —
+    // swallowing it would admit duplicates of everything previously
+    // admitted (same contract as NearDupAdmission). Store reads prune
+    // to the batch's touched key-hash partitions (AdmissionStore
+    // layout, routing K from each table's own stamp): buckets by the
+    // batch's own (t, b) bands, vecs by the surviving candidates'
+    // vec_ids — per-batch store IO is O(touched partitions), not
+    // O(store).
+    def readStore(sub: String, batchKeys: DataFrame,
+        key: org.apache.spark.sql.Column): Option[DataFrame] =
+      AdmissionStore.readPrunedIfExists(s, s"$storePath/$sub", batchKeys, key)
 
     // skew guard judged on the combined store+batch bucket population —
     // a template bucket just under the cap on each side alone must not
@@ -77,8 +75,8 @@ object EmbeddingAdmission {
         (banded.join(broadcast(hot), Seq("tb"), "left_anti"),
           storeBuckets.map(_.join(broadcast(hot), Seq("tb"), "left_anti")))
       }
-    val (batchBuckets, storeBuckets) = decap(readStore("buckets",
-      AdmissionStore.touchedBuckets(banded, col("tb"))))
+    val (batchBuckets, storeBuckets) =
+      decap(readStore("buckets", banded, col("tb")))
 
     // dups vs the already-admitted store (bipartite bucket join)
     val dupVsStore = storeBuckets match {
@@ -94,8 +92,8 @@ object EmbeddingAdmission {
           .localCheckpoint()
         cand
           .join(vecs.select(col("vec_id"), col("embedding").as("v_a")), "vec_id")
-          .join(readStore("vecs",
-              AdmissionStore.touchedBuckets(cand, col("sd"))).get
+          .join(AdmissionStore.readPruned(s, s"$storePath/vecs",
+              cand, col("sd"))
             .select(col("vec_id").as("sd"), col("embedding").as("v_b")), "sd")
           .filter(cosineSim(col("v_a"), col("v_b")) >= threshold)
           .select(col("vec_id")).distinct()
@@ -121,13 +119,17 @@ object EmbeddingAdmission {
     // read would then die on schema inference — the one way a batch
     // could poison the gate.
     kept.write.mode("overwrite").parquet(s"$keptPath/epoch=$batchId")
-    if (!kept.isEmpty) {
+    if (kept.isEmpty) Seq.empty
+    else {
       // key-hash partition dirs inside the epoch (AdmissionStore layout):
-      // vecs by vec_id (the verify join's key), buckets by the band key
-      AdmissionStore.writeEpoch(kept, col("vec_id"),
-        s"$storePath/vecs", batchId)
-      AdmissionStore.writeEpoch(banded.join(kept.select("vec_id"), "vec_id"),
-        col("tb"), s"$storePath/buckets", batchId)
+      // vecs by vec_id (the verify join's key), buckets by the band key.
+      // First epoch sizes each table's fan-out from the expected-scale
+      // hint; width signals ride back per epoch (the lifecycle report).
+      Seq(
+        AdmissionStore.writeEpoch(kept, col("vec_id"),
+          s"$storePath/vecs", batchId, expectedStoreBytes),
+        AdmissionStore.writeEpoch(banded.join(kept.select("vec_id"), "vec_id"),
+          col("tb"), s"$storePath/buckets", batchId, expectedStoreBytes))
     }
   }
 
@@ -139,14 +141,29 @@ object EmbeddingAdmission {
     Seq("vecs", "buckets")
       .foreach(AdmissionStore.compactEpochs(s, storePath, _))
 
+  /** Full offline maintenance: fold epochs, then re-bucket any table
+    * whose width signal fired (the AdmissionStore lifecycle), each on
+    * its own blocking key. */
+  def maintain(s: SparkSession, storePath: String,
+      targetBucketBytes: Long = AdmissionStore.TargetBucketBytes)
+      : Seq[AdmissionStore.LayoutReport] = {
+    compact(s, storePath)
+    Seq("vecs" -> col("vec_id"), "buckets" -> col("tb")).flatMap {
+      case (sub, key) =>
+        AdmissionStore.maintain(s, s"$storePath/$sub", key, targetBucketBytes)
+    }
+  }
+
   /** Wire as a streaming sink over a (vec_id, embedding) stream. */
   def stream(vecs: DataFrame, storePath: String, keptPath: String,
              checkpoint: String, threshold: Double = 0.95, bits: Int = 8,
-             maxBucket: Int = 0): DataStreamWriter[Row] =
+             maxBucket: Int = 0, expectedStoreBytes: Long = 0L): DataStreamWriter[Row] =
     vecs.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        admit(batch, id, storePath, keptPath, threshold, bits, maxBucket)
+        admit(batch, id, storePath, keptPath, threshold, bits, maxBucket,
+          expectedStoreBytes)
+        ()
       }
 }

@@ -24,7 +24,9 @@ object NearDupAdmission {
 
   def admit(batch: DataFrame, batchId: Long, storePath: String,
             keptPath: String, threshold: Double = 0.5, numHashes: Int = 64,
-            bands: Int = 32, rows: Int = 2, maxBucket: Int = 0): Unit = {
+            bands: Int = 32, rows: Int = 2, maxBucket: Int = 0,
+            expectedStoreBytes: Long = 0L)
+      : Seq[AdmissionStore.WidthSignal] = {
     val s = batch.sparkSession
     val all = batch
       .select(col("doc_id"), col("text"),
@@ -38,27 +40,25 @@ object NearDupAdmission {
       .bandedOf(docs, numHashes, bands, rows).localCheckpoint()
 
     // only a genuinely-missing store reads as empty; any other failure
-    // (corrupt file, IO error) aborts the epoch — swallowing it would
-    // admit duplicates of everything previously admitted
-    val storeFs = org.apache.hadoop.fs.FileSystem
-      .get(s.sparkContext.hadoopConfiguration)
-    def storeExists(sub: String): Boolean =
-      storeFs.exists(new org.apache.hadoop.fs.Path(s"$storePath/$sub"))
-
+    // (corrupt file, IO error, an interrupted maintenance publish)
+    // aborts the epoch — swallowing it would admit duplicates of
+    // everything previously admitted.
+    //
     // dups vs the already-admitted store (bipartite band join). The
-    // store is key-hash partitioned (AdmissionStore layout): the bands
-    // read prunes to the batch's own band buckets — complete for the
-    // join (every row of a touched BUCKET shares its pb dir) and for the
-    // hotness judgment (a bucket outside the batch's pb set can produce
-    // no candidate, and every batch bucket is touched by definition) —
-    // and the shingle-payload read prunes to the surviving candidates'
-    // doc-id buckets. Per-batch store IO is now O(touched partitions),
-    // not O(store) — the r14 verdict's admission-family 100× blocker.
-    val dupVsStore =
-      if (!storeExists("bands")) docs.select(col("doc_id")).limit(0)
-      else {
-        val storeBandsRaw = AdmissionStore.readTouched(s, s"$storePath/bands",
-          AdmissionStore.touchedBuckets(banded, col("bucket")))
+    // store is key-hash partitioned (AdmissionStore layout, routing K
+    // from the store's own stamp): the bands read prunes to the batch's
+    // own band buckets — complete for the join (every row of a touched
+    // BUCKET shares its pb dir) and for the hotness judgment (a bucket
+    // outside the batch's pb set can produce no candidate, and every
+    // batch bucket is touched by definition) — and the shingle-payload
+    // read prunes to the surviving candidates' doc-id buckets. Per-batch
+    // store IO is O(touched partitions), not O(store) — the r14
+    // verdict's admission-family 100× blocker.
+    val dupVsStore = AdmissionStore.readPrunedIfExists(s,
+        s"$storePath/bands", banded, col("bucket")) match {
+      case None => docs.select(col("doc_id")).limit(0)
+      case Some(storeBandsRaw) =>
+        {
         // the hot-bucket cap must also gate this bipartite join: a hot
         // template bucket ACCUMULATED in the store would otherwise still
         // produce batch×store quadratic candidates even with the in-batch
@@ -87,13 +87,14 @@ object NearDupAdmission {
           .localCheckpoint()
         cand
           .join(docs.select(col("doc_id"), col("shingles").as("sh_a")), "doc_id")
-          .join(AdmissionStore.readTouched(s, s"$storePath/docs",
-              AdmissionStore.touchedBuckets(cand, col("sd")))
+          .join(AdmissionStore.readPruned(s, s"$storePath/docs",
+              cand, col("sd"))
             .select(col("doc_id").as("sd"), col("shingles").as("sh_b")), "sd")
           .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
           .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
           .filter(col("inter") / col("uni") >= threshold)
           .select(col("doc_id")).distinct()
+        }
     }
     // dups within the batch: the shared LSH pair core; greedy pair-drop,
     // higher id loses (q38 semantics)
@@ -112,14 +113,19 @@ object NearDupAdmission {
     kept.select("doc_id", "text")
       .unionByName(trivial.select("doc_id", "text"))
       .write.mode("overwrite").parquet(s"$keptPath/epoch=$batchId")
-    if (!kept.isEmpty) {
+    if (kept.isEmpty) Seq.empty
+    else {
       // key-hash partition dirs inside the epoch (AdmissionStore layout):
       // docs by doc_id (the verify join's key), bands by bucket (the
-      // blocking join's key)
-      AdmissionStore.writeEpoch(kept.select("doc_id", "shingles"),
-        col("doc_id"), s"$storePath/docs", batchId)
-      AdmissionStore.writeEpoch(banded.join(kept.select("doc_id"), "doc_id"),
-        col("bucket"), s"$storePath/bands", batchId)
+      // blocking join's key). The first epoch sizes each table's fan-out
+      // from the caller's expected-scale hint; every epoch's width
+      // signal rides back in the return so the stream's reports carry
+      // the layout's growth story (AdmissionStore lifecycle).
+      Seq(
+        AdmissionStore.writeEpoch(kept.select("doc_id", "shingles"),
+          col("doc_id"), s"$storePath/docs", batchId, expectedStoreBytes),
+        AdmissionStore.writeEpoch(banded.join(kept.select("doc_id"), "doc_id"),
+          col("bucket"), s"$storePath/bands", batchId, expectedStoreBytes))
     }
   }
 
@@ -134,14 +140,31 @@ object NearDupAdmission {
     Seq("docs", "bands")
       .foreach(AdmissionStore.compactEpochs(s, storePath, _))
 
+  /** Full offline maintenance: fold epochs, then re-bucket any table
+    * whose width signal says the store has outgrown its fan-out
+    * (store bytes / K past `targetBucketBytes` — the AdmissionStore
+    * lifecycle). Each table re-buckets on its own blocking key, the
+    * same key its pruned reads route on. */
+  def maintain(s: SparkSession, storePath: String,
+      targetBucketBytes: Long = AdmissionStore.TargetBucketBytes)
+      : Seq[AdmissionStore.LayoutReport] = {
+    compact(s, storePath)
+    Seq("docs" -> col("doc_id"), "bands" -> col("bucket")).flatMap {
+      case (sub, key) =>
+        AdmissionStore.maintain(s, s"$storePath/$sub", key, targetBucketBytes)
+    }
+  }
+
   /** Wire as a streaming sink over a (doc_id, text) stream. */
   def stream(docs: DataFrame, storePath: String, keptPath: String,
              checkpoint: String, threshold: Double = 0.5,
-             maxBucket: Int = 0): DataStreamWriter[Row] =
+             maxBucket: Int = 0, expectedStoreBytes: Long = 0L): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        admit(batch, id, storePath, keptPath, threshold, maxBucket = maxBucket)
+        admit(batch, id, storePath, keptPath, threshold, maxBucket = maxBucket,
+          expectedStoreBytes = expectedStoreBytes)
+        ()
       }
 }

@@ -72,21 +72,21 @@ object QuoteAdmission {
     // INTERRUPTED compact() (crash between the aside-move and the
     // tmp-move): failing open here would admit long quotes of everything
     // previously admitted, so fail loudly and point at the recovery.
+    if (!storeFs.exists(censusPath) && storeFs.exists(
+        new org.apache.hadoop.fs.Path(s"$storePath/census_compact_aside")))
+      throw new IllegalStateException(
+        s"quote store $storePath: census missing but a compaction aside " +
+          "exists — an interrupted compact(); re-run compact() to recover " +
+          "before admitting")
+    // pruned to the batch's own window-hash key buckets (AdmissionStore
+    // layout, routing K from the store's stamp) — coverage only ever
+    // tests hashes the batch holds, and every row of a touched hash
+    // shares its pb dir. An interrupted AdmissionStore maintenance
+    // publish (rebucket aside) is detected inside readPrunedIfExists.
     val stored: Option[DataFrame] =
-      if (storeFs.exists(censusPath))
-        // pruned to the batch's own window-hash key buckets
-        // (AdmissionStore layout) — coverage only ever tests hashes the
-        // batch holds, and every row of a touched hash shares its pb dir
-        Some(AdmissionStore.readTouched(s, censusPath.toString,
-            AdmissionStore.touchedBuckets(wins, col("h")))
-          .filter(col("epoch") =!= batchId)) // retries skip their own output
-      else if (storeFs.exists(
-          new org.apache.hadoop.fs.Path(s"$storePath/census_compact_aside")))
-        throw new IllegalStateException(
-          s"quote store $storePath: census missing but a compaction aside " +
-            "exists — an interrupted compact(); re-run compact() to recover " +
-            "before admitting")
-      else None
+      AdmissionStore.readPrunedIfExists(s, censusPath.toString,
+          wins, col("h"))
+        .map(_.filter(col("epoch") =!= batchId)) // retries skip their own output
 
     // covered-by-store: the window's hash has at least one admitted owner
     // (any owner — epochs have fresh ids, so ownership can't be this doc)
@@ -122,7 +122,8 @@ object QuoteAdmission {
     * one).
     */
   def publishCensus(wins: DataFrame, keptIds: DataFrame, batchId: Long,
-                    storePath: String): Unit = {
+                    storePath: String, expectedStoreBytes: Long = 0L)
+      : Seq[AdmissionStore.WidthSignal] = {
     val rows = wins.join(keptIds.select(col("doc_id")), "doc_id")
       .select(col("h")).distinct()
     // an epoch with no surviving windows publishes nothing: an empty
@@ -130,19 +131,23 @@ object QuoteAdmission {
     // schema inference ever after (the admission gates' empty-epoch
     // guard). Safe under retries: the kept set is deterministic, so a
     // retried epoch republishes the same (non)emptiness.
-    if (!rows.isEmpty)
-      AdmissionStore.writeEpoch(rows, col("h"), s"$storePath/census", batchId)
+    if (rows.isEmpty) Seq.empty
+    else Seq(AdmissionStore.writeEpoch(rows, col("h"),
+      s"$storePath/census", batchId, expectedStoreBytes))
   }
 
   def admit(batch: DataFrame, batchId: Long, storePath: String,
-            keptPath: String, spanTokens: Int = 20, window: Int = 10): Unit = {
+            keptPath: String, spanTokens: Int = 20, window: Int = 10,
+            expectedStoreBytes: Long = 0L)
+      : Seq[AdmissionStore.WidthSignal] = {
     val all = batch.select(col("doc_id"), col("text")).localCheckpoint()
     val wins = windowsOf(all, window)
     val dropped = quoteDrops(wins, batchId, storePath, spanTokens, window)
     val kept = all.join(dropped, Seq("doc_id"), "left_anti").localCheckpoint()
     // deterministic epoch dirs: a retried batch overwrites its own output
     kept.write.mode("overwrite").parquet(s"$keptPath/epoch=$batchId")
-    publishCensus(wins, kept.select(col("doc_id")), batchId, storePath)
+    publishCensus(wins, kept.select(col("doc_id")), batchId, storePath,
+      expectedStoreBytes)
   }
 
   /** Fold accumulated epoch partitions into a single base epoch (the
@@ -183,12 +188,20 @@ object QuoteAdmission {
     // compaction over an unreadable store)
     if (!fs.exists(livePath)) return
     fs.delete(tmpPath, true) // debris from a run that crashed pre-aside
-    // pb is a pure function of h — recomputing it preserves the
-    // blocking-key layout through the distinct
+    // pb is a pure function of h under the store's own stamped fan-out
+    // — recomputing it preserves the blocking-key layout through the
+    // distinct, at whatever K the store has grown to
+    val k = AdmissionStore.layoutK(s, live).getOrElse(
+      throw new IllegalStateException(
+        s"quote store $live has no _PBK layout marker — rebuild the store"))
     s.read.parquet(live).select(col("h")).distinct()
-      .withColumn("pb", AdmissionStore.pb(col("h")))
+      .withColumn("pb", AdmissionStore.pb(col("h"), k))
       .write.partitionBy("pb")
       .mode("overwrite").parquet(s"$tmp/epoch=-1")
+    // the layout marker travels WITH the publish (staged into the tmp
+    // tree before any rename): no crash window can leave an intact
+    // keyed census whose reads then claim it predates the layout
+    AdmissionStore.stageMarker(s, tmp, k)
     // crash-safe publish: live -> aside, tmp -> live, drop aside. At no
     // point is the census both absent and unrecoverable, and quoteDrops
     // treats {no live, aside present} as an error, not an empty store.
@@ -200,8 +213,18 @@ object QuoteAdmission {
     }
     if (!fs.delete(asidePath, true))
       throw new java.io.IOException(s"compact: cannot drop aside $asidePath")
-    // the tmp that became live has no layout marker — re-stamp it
-    AdmissionStore.stampLayout(s, live)
+  }
+
+  /** Full offline maintenance: fold epochs (the aside-protocol compact
+    * above), then re-bucket the census when its width signal fired (the
+    * AdmissionStore lifecycle). Epoch structure survives the re-bucket,
+    * so the same-epoch retry exclusion keeps working. */
+  def maintain(s: SparkSession, storePath: String,
+      targetBucketBytes: Long = AdmissionStore.TargetBucketBytes)
+      : Seq[AdmissionStore.LayoutReport] = {
+    compact(s, storePath)
+    AdmissionStore.maintain(s, s"$storePath/census", col("h"),
+      targetBucketBytes).toSeq
   }
 
   /** Wire as a streaming sink over a (doc_id, text) stream. */
@@ -212,5 +235,6 @@ object QuoteAdmission {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         admit(batch, id, storePath, keptPath, spanTokens)
+        ()
       }
 }

@@ -54,7 +54,8 @@ object SemanticAdmission {
 
   def admit(batch: DataFrame, batchId: Long, cent: DataFrame,
             storePath: String, keptPath: String,
-            tau: Double = 0.95): Unit = {
+            tau: Double = 0.95, expectedStoreBytes: Long = 0L)
+      : Seq[AdmissionStore.WidthSignal] = {
     val s = batch.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem
       .get(s.sparkContext.hadoopConfiguration)
@@ -87,15 +88,16 @@ object SemanticAdmission {
     // The members read prunes to the batch's own cells' key-hash
     // partitions (AdmissionStore layout) — per-batch store IO is
     // O(touched partitions), not O(store)
-    val dupVsStore =
-      if (!exists("members")) m.select(col("vec_id")).limit(0)
-      else m.alias("a")
-        .join(AdmissionStore.readTouched(s, s"$storePath/members",
-            AdmissionStore.touchedBuckets(m, col("cell"))).alias("b"),
+    val dupVsStore = AdmissionStore.readPrunedIfExists(s,
+        s"$storePath/members", m, col("cell")) match {
+      case None => m.select(col("vec_id")).limit(0)
+      case Some(members) => m.alias("a")
+        .join(members.alias("b"),
           col("a.cell") === col("b.cell") &&
             col("a.vec_id") =!= col("b.vec_id"))
         .filter(cosineSim(col("a.embedding"), col("b.embedding")) >= tau)
         .select(col("a.vec_id")).distinct()
+    }
 
     // within the batch: the SemDeDup keep rule — higher csim (more
     // prototypical) drops, ties drop the larger id (q119's exact rule)
@@ -121,9 +123,9 @@ object SemanticAdmission {
     // appends nothing: Spark writes a file-less dir for an empty frame,
     // and the store read above would then die on schema inference
     // forever after — the one way a batch could poison the gate.
-    if (!kept.isEmpty)
-      AdmissionStore.writeEpoch(kept, col("cell"),
-        s"$storePath/members", batchId)
+    if (kept.isEmpty) Seq.empty
+    else Seq(AdmissionStore.writeEpoch(kept, col("cell"),
+      s"$storePath/members", batchId, expectedStoreBytes))
   }
 
   /** Fold accumulated epoch partitions into a single base epoch (offline
@@ -133,6 +135,17 @@ object SemanticAdmission {
     */
   def compact(s: SparkSession, storePath: String): Unit =
     AdmissionStore.compactEpochs(s, storePath, "members")
+
+  /** Full offline maintenance: fold epochs, then re-bucket when the
+    * width signal fired (the AdmissionStore lifecycle); the geometry
+    * pin survives untouched. */
+  def maintain(s: SparkSession, storePath: String,
+      targetBucketBytes: Long = AdmissionStore.TargetBucketBytes)
+      : Seq[AdmissionStore.LayoutReport] = {
+    compact(s, storePath)
+    AdmissionStore.maintain(s, s"$storePath/members", col("cell"),
+      targetBucketBytes).toSeq
+  }
 
   /** Wire as a streaming sink over a (vec_id, embedding) stream against
     * a frozen trained geometry. */
@@ -144,5 +157,6 @@ object SemanticAdmission {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         admit(batch, id, cent, storePath, keptPath, tau)
+        ()
       }
 }

@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.{AdmissionStore, EmbeddingAdmission, NearDupAdmission, QuoteAdmission, SemanticAdmission}
 
-/** The admission stores' blocking-key partition layout (r15): every
-  * stateful gate writes `pb = hash(blocking key) % NumBuckets` partition
-  * dirs inside each epoch, per-batch reads prune to the batch's touched
-  * pb set at FILE level (the r14 verdict's admission-family 100×
-  * blocker was the per-batch O(store) scan), and compaction preserves
-  * the layout. The file-level claim is asserted on the scan's own
-  * `numFiles` metric, not inferred from row provenance.
+/** The admission stores' blocking-key partition layout (r15, per-store
+  * fan-out since r16): every stateful gate writes `pb = hash(blocking
+  * key) % K` partition dirs inside each epoch, with K read from the
+  * store's own `_PBK` stamp; per-batch reads prune to the batch's
+  * touched pb set at FILE level (the r14 verdict's admission-family
+  * 100× blocker was the per-batch O(store) scan), and compaction
+  * preserves the layout. The file-level claim is asserted on the scan's
+  * own `numFiles` metric, not inferred from row provenance. The growth
+  * lifecycle (sizing at first write, width signal, re-bucket) is
+  * AdmissionLifecycleSpec's subject.
   */
 class AdmissionPruningSpec extends AnyFunSuite {
 
@@ -134,10 +137,17 @@ class AdmissionPruningSpec extends AnyFunSuite {
     def dropCrc(): Unit = java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$store/bands/._PBK.crc"))
 
-    // a reader compiled with a different K must ABORT: silently routing
-    // pb = hash % K' to the wrong dirs would read an empty store view
-    // and admit duplicates of everything (fail-open)
-    java.nio.file.Files.write(marker, "8".getBytes); dropCrc()
+    // readers route with the STAMPED K, so "a build compiled with a
+    // different default" can no longer mis-route by construction; the
+    // remaining hazard is a marker that LIES about the written layout
+    // (restored from the wrong backup, hand-edited). That is detected
+    // structurally: any observed pb dir >= stamped K proves the lie,
+    // and the gate must ABORT — silently routing pb = hash % K' would
+    // read a partial store view and admit duplicates (fail-open).
+    val maxPb = pbDirs(s"$store/bands/epoch=0")
+      .map(_.stripPrefix("pb=").toInt).max
+    assert(maxPb >= 1, "fixture produced a single pb dir — widen it")
+    java.nio.file.Files.write(marker, maxPb.toString.getBytes); dropCrc()
     val b1 = Seq((3L, "papa quebec romeo sierra tango uniform victor whiskey"))
       .toDF("doc_id", "text")
     val e1 = intercept[IllegalStateException] {
@@ -155,7 +165,7 @@ class AdmissionPruningSpec extends AnyFunSuite {
 
     // restored to the real K, the gate carries on
     java.nio.file.Files.write(marker,
-      AdmissionStore.NumBuckets.toString.getBytes)
+      AdmissionStore.DefaultBuckets.toString.getBytes)
     dropCrc()
     NearDupAdmission.admit(b1, 1L, store, kept)
     assert(spark.read.parquet(s"$kept/epoch=1").count() == 1)

@@ -62,4 +62,38 @@ class ArtifactsSpec extends AnyFunSuite {
       case None => spark.conf.unset("spark.graft.artifacts.path")
     }
   }
+
+  test("ivf hop-2 routing join: broadcast under the conf ceiling, shuffle past it, same assignment") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 300).localCheckpoint()
+    val cent = graft.operators.VectorQueries.trainCells(e)
+    def planOf(): (String, Seq[org.apache.spark.sql.Row]) = {
+      val df = graft.operators.VectorQueries.assignCells(e, cent)
+      val rows = df.orderBy("vec_id").collect().toSeq
+      (df.queryExecution.executedPlan.toString, rows)
+    }
+    // default: the nlist-row routing table rides a broadcast hint
+    val (bPlan, bRows) = planOf()
+    assert(bPlan.contains("BroadcastHashJoin"), bPlan.take(2000))
+    assert(!bPlan.contains("SortMergeJoin") && !bPlan.contains("ShuffledHashJoin"),
+      "hop-2 shuffled under the default conf:\n" + bPlan.take(2000))
+    // past the ceiling the hint is dropped and the join plans from
+    // stats — with auto-broadcast off (a 10⁶-row table would be past it
+    // anyway) the hop-2 join shuffles on `super`
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set(
+        graft.operators.VectorQueries.IvfBroadcastCellsConf, "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (sPlan, sRows) = planOf()
+      assert(sPlan.contains("SortMergeJoin") || sPlan.contains("ShuffledHashJoin"),
+        "hop-2 did not shuffle past the conf ceiling:\n" + sPlan.take(2000))
+      // only the routing table's distribution changes — never the result
+      assert(sRows == bRows, "join strategy changed the cell assignment")
+    } finally {
+      spark.conf.unset(graft.operators.VectorQueries.IvfBroadcastCellsConf)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
 }

@@ -91,11 +91,13 @@ class QuoteAdmissionSpec extends AnyFunSuite {
     val store2 = Files.createTempDirectory("graft_quote_store_fresh").toString
     val kept2 = Files.createTempDirectory("graft_quote_kept_fresh").toString
     // copy the compacted census as a pre-existing store for a new stream
-    // — under the r15 keyed layout a hand-built store must carry the pb
-    // partition dirs AND the _PBK stamp, like any real store would
+    // — under the keyed layout a hand-built store must carry the pb
+    // partition dirs AND the _PBK stamp (at the SAME fan-out the copied
+    // pb values were computed under), like any real store would
     spark.read.parquet(s"$store/census").drop("epoch").write
       .partitionBy("pb").parquet(s"$store2/census/epoch=-1")
-    graft.streaming.AdmissionStore.stampLayout(spark, s"$store2/census")
+    graft.streaming.AdmissionStore.stageMarker(spark, s"$store2/census",
+      graft.streaming.AdmissionStore.layoutK(spark, s"$store/census").get)
     QuoteAdmission.admit(Seq(
       doc(40L, fill('t', 8) ++ baseWords.slice(10, 35) ++ fill('u', 8)),
       doc(41L, fill('v', 40))
