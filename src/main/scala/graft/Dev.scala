@@ -368,6 +368,34 @@ object Dev {
           graft.operators.VectorQueries.assignCellsExact(ivfE, ivfCent)
             .localCheckpoint().count())
 
+      case Some("q119prof") =>
+        // attribute q119's replica-ratio creep (2.0× r14 → 2.3× r15):
+        // is it the cell-size distribution under the sampled training
+        // (Σ|cell|² is q119's pair work), the two-level assignment, or
+        // window noise? Prints the census at both dirs + repeated
+        // timings.
+        import org.apache.spark.sql.functions._
+        for (d <- Seq("/root/testdata/sf0.1", args.lift(1).getOrElse("/tmp/graft_sf1"))) {
+          Artifacts.prewarm(spark, d)
+          val e119 = Tables.embeddings(spark, d)
+          val cent119 = graft.operators.VectorQueries.trainCellsShared(spark, d, e119)
+          val asg = graft.operators.VectorQueries
+            .assignCellsShared(spark, d, e119, cent119)
+          val cen = asg.groupBy("cell").agg(count(lit(1)).as("n"))
+            .agg(count(lit(1)).as("cells"), max("n").as("maxc"),
+              sum(col("n") * col("n")).as("sumsq"), sum("n").as("n"))
+            .head()
+          println(s"[dev] q119prof $d cells=${cen.getLong(0)} max|cell|=" +
+            s"${cen.getLong(1)} sum|cell|^2=${cen.getLong(2)} n=${cen.getLong(3)}")
+          val fn = SparkEntry.queries("q119_semdedup")
+          for (i <- 1 to 3) {
+            val t0 = System.nanoTime()
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            println(f"[dev] q119prof $d run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+            spark.catalog.clearCache()
+          }
+        }
+
       case Some("prunebench") =>
         // Admission-store pruning at REALISTIC batch shapes (r15 verdict
         // task 2): the AdmissionPruningSpec proves a one-doc batch
@@ -392,7 +420,9 @@ object Dev {
             pbWords((i * 7 + k * 3) % pbWords.size) + pbAlpha(i * 8 + k))
             .mkString(" ")
         def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
-          df.write.format("noop").mode("overwrite").save()
+          // collect(), not a noop write: the write path builds its OWN
+          // QueryExecution, leaving this df's scan metrics at zero
+          df.collect()
           df.queryExecution.executedPlan.collect {
             case f: org.apache.spark.sql.execution.FileSourceScanExec => f
           }.map(_.metrics("numFiles").value).sum
@@ -406,7 +436,10 @@ object Dev {
                 p.getFileName.toString.startsWith("part-"))
           } finally st.close()
         }
-        for (k <- Seq(16, 256, 2048)) {
+        // K=2048 was tried once: the 8-epoch store scattered 42k files
+        // (~26 rows each) — the small-files cost that makes chooseK size
+        // from BYTES instead of maximizing K; not a useful steady point
+        for (k <- Seq(16, 256)) {
           val store = java.nio.file.Files
             .createTempDirectory(s"prunebench_k$k").toString
           val keptD = java.nio.file.Files

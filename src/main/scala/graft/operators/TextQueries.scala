@@ -886,9 +886,14 @@ object TextQueries {
     // "baselines" bucket); a deployed pipeline consumes the keep set,
     // whose output is bounded by languages regardless of copy floods.
     // The candidate JOIN cost (Σ bucket²) is inherent to pair-based
-    // dedup and shared with q38's accepted production form. kept =
-    // documents minus q30's d2 side, so q30 remains this query's
-    // verification twin pair-for-pair.
+    // dedup and shared with q38's accepted production form — with one
+    // law difference worth naming (SCALING §6c-r16): simhash bands hash
+    // into a FIXED 2¹⁶ bucket space per band, so expected candidates
+    // grow ~n²/2¹⁶ per band (measured 2.3× wall for 10× organic data —
+    // trivial constants at these corpora); where n²/2¹⁶ bites, widen
+    // the band keys (more simhash bits per band), the standard banding
+    // trade. kept = documents minus q30's d2 side, so q30 remains this
+    // query's verification twin pair-for-pair.
     "q124_simhash_keep" -> ((s, dir) => {
       val sh = Tables.documents(s, dir)
         .select(col("doc_id"), simhashNonEmptyUdf(tokens(col("text"))).as("sim"))

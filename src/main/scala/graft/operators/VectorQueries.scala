@@ -857,8 +857,97 @@ object VectorQueries {
     * super, centroid)) — `cellmap` is every cell routed to its final
     * nearest super, the routing table [[assignCells]] restricts its
     * second hop to.
+    *
+    * EXECUTION, not semantics (r16): below [[SuperDriverMaxCells]] the
+    * derivation runs ON THE DRIVER ([[superQuantizerLocal]] — the same
+    * argmax/mean/retention math over the collected centroid table,
+    * parity-spec'd against this distributed form), because at small
+    * nlist the ~10 tiny Spark jobs here cost more wall-clock than the
+    * nlist^1.5 arithmetic (measured ~1.9 s fixed at every test scale,
+    * the bulk of the r15-b cold ivf-build regression). Past the floor
+    * the distributed form below runs unchanged — at deployment
+    * nlist ≈ 10⁵ the driver would be doing 2G flops and holding the
+    * centroid table, exactly what executors are for.
     */
   private[graft] def superQuantizer(cent: DataFrame): (DataFrame, DataFrame) = {
+    val nlist = cent.count()
+    if (nlist <= SuperDriverMaxCells) superQuantizerLocal(cent)
+    else superQuantizerDistributed(cent)
+  }
+
+  /** Driver-path ceiling: 4096 cells × 64 floats ≈ 1 MB collected and
+    * ~2.6×10⁵ kernel cosines per Lloyd step — trivial driver work; the
+    * first deployment sizing past it (nlist ≈ 10⁵) is where the
+    * distributed form earns its jobs. */
+  private[graft] val SuperDriverMaxCells = 4096L
+
+  /** The [[superQuantizer]] math on the driver: identical cosine kernel
+    * (in-order double dot/norm — [[graft.functions.expressions.VectorKernels.cosineFloat]]'s
+    * exact loop), identical argmax tie-break (sim DESC, id ASC),
+    * per-dim double mean cast to FLOAT with members in cell-ASC order,
+    * and empty-super retention. The one representational difference is
+    * mean SUMMATION ORDER (Spark's partial aggregates merge in shuffle
+    * order) — absorbed by the float cast exactly as the DuckDB-oracle
+    * contract already absorbs it (double avg ~1e-14 relative vs a 6e-8
+    * float ulp); the parity spec compares routing exactly and
+    * scentroids to an ulp. */
+  private[graft] def superQuantizerLocal(cent: DataFrame): (DataFrame, DataFrame) = {
+    val s = cent.sparkSession
+    val cells: Array[(Int, Array[Float])] = cent
+      .select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(cells.nonEmpty, "superQuantizer on an empty centroid table")
+    val dims = cells.head._2.length
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; aa += x * x; bb += y * y; i += 1
+      }
+      val na = math.sqrt(aa); val nb = math.sqrt(bb)
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (na * nb)
+    }
+    // sim DESC, id ASC: ascending-id scan with a strict improvement test
+    def nearest(v: Array[Float], cands: Array[(Int, Array[Float])]): Int = {
+      var bi = cands(0)._1; var bs = cos(v, cands(0)._2); var i = 1
+      while (i < cands.length) {
+        val sc = cos(v, cands(i)._2)
+        if (sc > bs) { bs = sc; bi = cands(i)._1 }
+        i += 1
+      }
+      bi
+    }
+    val nsuper = math.ceil(math.sqrt(cells.length.toDouble)).toInt
+    def step(prev: Array[(Int, Array[Float])]): Array[(Int, Array[Float])] = {
+      val members = cells.groupBy { case (_, v) => nearest(v, prev) }
+      prev.map { case (sid, prevC) =>
+        members.get(sid) match {
+          case None => (sid, prevC) // retention: empty supers keep theirs
+          case Some(ms) =>
+            val out = new Array[Float](dims)
+            var d = 0
+            while (d < dims) {
+              var sum = 0.0; var i = 0
+              while (i < ms.length) { sum += ms(i)._2(d).toDouble; i += 1 }
+              out(d) = (sum / ms.length).toFloat
+              d += 1
+            }
+            (sid, out)
+        }
+      }
+    }
+    var sup = cells.filter(_._1 < nsuper)
+    for (_ <- 0 until 2) sup = step(sup)
+    val routed = cells.map { case (cid, v) => (cid, nearest(v, sup), v) }
+    import s.implicits._
+    val supDf = sup.toSeq.toDF("super", "scentroid")
+    val mapDf = routed.toSeq.toDF("cell", "super", "centroid")
+    (supDf, mapDf)
+  }
+
+  private[graft] def superQuantizerDistributed(cent: DataFrame): (DataFrame, DataFrame) = {
     val nsuper = math.ceil(math.sqrt(cent.count().toDouble)).toInt
     val asVecs = cent.select(col("cell").as("vec_id"),
       col("centroid").as("embedding"))

@@ -63,6 +63,29 @@ class ArtifactsSpec extends AnyFunSuite {
     }
   }
 
+  test("super quantizer: the driver path matches the distributed path it replaces below the floor") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.1").localCheckpoint()
+    val cent = graft.operators.VectorQueries.trainCells(e) // nlist=40, nsuper=7
+    val (ls, lm) = graft.operators.VectorQueries.superQuantizerLocal(cent)
+    val (ds, dm) = graft.operators.VectorQueries.superQuantizerDistributed(cent)
+    // the routing table — what assignCells actually consumes — is exact
+    def routing(df: org.apache.spark.sql.DataFrame): Set[(Int, Int)] =
+      df.select(col("cell"), col("super")).collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(routing(lm) == routing(dm), "driver path routed cells differently")
+    // scentroids agree to a float ulp: the two paths sum the per-dim
+    // double means in different orders, and the float cast absorbs it
+    // (the same argument the DuckDB-oracle comparison already rests on)
+    def sups(df: org.apache.spark.sql.DataFrame): Map[Int, Seq[Float]] =
+      df.collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    val (a, b) = (sups(ls), sups(ds))
+    assert(a.keySet == b.keySet)
+    for (k <- a.keySet; (x, y) <- a(k).zip(b(k)))
+      assert(math.abs(x - y) <= math.max(1e-6f, math.abs(y) * 1e-6f),
+        s"super $k scentroid drifted: $x vs $y")
+  }
+
   test("ivf hop-2 routing join: broadcast under the conf ceiling, shuffle past it, same assignment") {
     import org.apache.spark.sql.functions.col
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
