@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.{LedgerMaintenance, LedgerSource}
-import graft.streaming.{CurationAdmission, DecontaminationAdmission, NearDupAdmission}
+import graft.streaming.{AdmissionStore, CurationAdmission, DecontaminationAdmission, NearDupAdmission, QuoteAdmission}
 
 /** End-to-end soak of the COMPOSED curation path: the graft-ledger DSv2
   * source (rate-limited, json-decoded) feeding the full streaming
@@ -208,7 +208,29 @@ class CurationSoakSpec extends AnyFunSuite {
         Map(0 -> LedgerSource.Cursor(lastLedgers.last.ledgerId, 0L)))
       assert(deleted.nonEmpty, s"cycle $c retention deleted nothing")
       deletedTotal += deleted.size
-      NearDupAdmission.compact(spark, store)
+      // r16 lifecycle: full maintenance (compact + width check) every
+      // cycle, for BOTH the near-dup tables and the quote census this
+      // funnel shares the store with. On the post-kill cycle, judge the
+      // stores against a target they have outgrown so a LIVE RE-BUCKET
+      // runs mid-soak — the remaining cycles then prove the funnel
+      // keeps admitting, blocking and conserving across the fan-out
+      // change (the r15 verdict's "done" bar for the lifecycle).
+      val target =
+        if (c == 1) math.max(1L, AdmissionStore
+          .widthSignal(spark, s"$store/bands").storeBytes / 64 + 1)
+        else AdmissionStore.TargetBucketBytes
+      val reports = NearDupAdmission.maintain(spark, store, target) ++
+        QuoteAdmission.maintain(spark, store, target)
+      if (c == 1) {
+        assert(reports.exists(_.rebucketed),
+          s"mid-soak maintain did not re-bucket: $reports")
+        val k2 = AdmissionStore.layoutK(spark, s"$store/bands").get
+        assert(k2 > AdmissionStore.DefaultBuckets,
+          s"bands store still at the default fan-out ($k2)")
+      } else if (c > 1)
+        // later epochs must have been written under the grown fan-out
+        assert(AdmissionStore.layoutK(spark, s"$store/bands").get >
+          AdmissionStore.DefaultBuckets)
       val bandEpochs = new java.io.File(s"$store/bands").list()
         .count(_.startsWith("epoch="))
       assert(bandEpochs == 1,
