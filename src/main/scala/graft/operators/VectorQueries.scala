@@ -872,7 +872,8 @@ object VectorQueries {
   private[graft] def superQuantizer(cent: DataFrame): (DataFrame, DataFrame) = {
     val nlist = cent.count()
     if (nlist <= SuperDriverMaxCells) superQuantizerLocal(cent)
-    else superQuantizerDistributed(cent)
+    else superQuantizerDistributed(cent,
+      math.ceil(math.sqrt(nlist.toDouble)).toInt)
   }
 
   /** Driver-path ceiling: 4096 cells × 64 floats ≈ 1 MB collected and
@@ -947,8 +948,12 @@ object VectorQueries {
     (supDf, mapDf)
   }
 
-  private[graft] def superQuantizerDistributed(cent: DataFrame): (DataFrame, DataFrame) = {
-    val nsuper = math.ceil(math.sqrt(cent.count().toDouble)).toInt
+  private[graft] def superQuantizerDistributed(cent: DataFrame,
+      nsuper0: Int = -1): (DataFrame, DataFrame) = {
+    // nsuper passed in by the dispatch (which already counted the
+    // table); -1 = standalone call, count here
+    val nsuper = if (nsuper0 > 0) nsuper0
+      else math.ceil(math.sqrt(cent.count().toDouble)).toInt
     val asVecs = cent.select(col("cell").as("vec_id"),
       col("centroid").as("embedding"))
     def toSup(df: DataFrame) = df
@@ -973,34 +978,54 @@ object VectorQueries {
   }
 
   // The super quantizer is cheap (centroid-sized) but per-call it is
-  // still a handful of Spark jobs; streaming admission derives it every
-  // micro-batch against the SAME pinned geometry, so cache per
-  // (SESSION, centroid fingerprint) — keyed by the owning SparkSession,
-  // not the context: the cached frames are resolved against a session's
-  // state, and a second session sharing the context must re-derive
-  // rather than receive another session's frames (ADVICE r15). BOUNDED:
-  // every retrain/warm-start iteration mints a new fingerprint, and the
-  // cached frames hold localCheckpoint blocks — an unbounded map would
-  // pin executor storage for every geometry a long-lived stream ever
-  // derived. On overflow the whole map drops AND the evicted frames'
-  // checkpoint blocks are unpersisted (re-derivation is centroid-sized;
-  // an evicted fingerprint is a retired geometry — the retrain minted a
-  // new one — so no live plan still leans on its blocks).
+  // still work; streaming admission derives it every micro-batch
+  // against the SAME pinned geometry, so cache per (SESSION, centroid
+  // fingerprint) — keyed by the owning SparkSession, not the context:
+  // the cached frames are resolved against a session's state, and a
+  // second session sharing the context must re-derive rather than
+  // receive another session's frames (ADVICE r15). BOUNDED as a
+  // true LRU: on overflow the LEAST-RECENTLY-USED entry alone is
+  // evicted and its checkpoint blocks unpersisted — never a
+  // clear-the-world that would also unpersist geometries other live
+  // streams are mid-batch on (localCheckpoint truncates lineage, so an
+  // unpersisted live frame is unrecoverable, not just slow). Residual
+  // risk, stated: an entry untouched for [[SuperCacheMax]] distinct
+  // geometry derivations can in principle still be referenced by a
+  // long-suspended job; the bound is the accepted trade against
+  // unbounded executor-storage pinning.
   private val SuperCacheMax = 16
-  private val superCache = scala.collection.concurrent.TrieMap
-    .empty[String, (DataFrame, DataFrame)]
+  private val superCache =
+    new java.util.LinkedHashMap[String, (DataFrame, DataFrame)](
+      32, 0.75f, /*accessOrder=*/ true)
+  private def unpersistFrames(v: (DataFrame, DataFrame)): Unit =
+    Seq(v._1, v._2).foreach(_.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false)))
   private def superQuantizerCached(cent: DataFrame): (DataFrame, DataFrame) = {
     val key = System.identityHashCode(cent.sparkSession) + ":" +
       IndexMaintenance.centroidFingerprint(cent)
-    if (superCache.size > SuperCacheMax) {
-      superCache.values.foreach { case (a, b) =>
-        Seq(a, b).foreach(_.queryExecution.logical.collect {
-          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-        }.foreach(_.unpersist(blocking = false)))
-      }
-      superCache.clear()
+    superCache.synchronized(Option(superCache.get(key))) match {
+      case Some(v) => v
+      case None =>
+        val fresh = superQuantizer(cent) // derived OUTSIDE the lock —
+        // the distributed path runs Spark jobs and must not block other
+        // streams' cache hits
+        superCache.synchronized {
+          Option(superCache.get(key)) match {
+            case Some(winner) => // lost a derivation race: drop ours
+              unpersistFrames(fresh); winner
+            case None =>
+              superCache.put(key, fresh)
+              if (superCache.size > SuperCacheMax) {
+                val it = superCache.entrySet().iterator()
+                val eldest = it.next() // access-ordered: the LRU entry
+                unpersistFrames(eldest.getValue)
+                it.remove()
+              }
+              fresh
+          }
+        }
     }
-    superCache.getOrElseUpdate(key, superQuantizer(cent))
   }
 
   /** TWO-LEVEL nearest-cell assignment — the corpus-sized path: each
@@ -1204,18 +1229,21 @@ object VectorQueries {
       // blocks (same LogicalRDD-id derivation as
       // TextQueries.checkpointTracked — only THIS plan's blocks).
       val df = graft.ArtifactStore.readThrough(s, tag, fp)(build)
-      val out = (df.collect().toSeq, df.schema)
       // the driver-row materialization is only sound while the artifact
       // stays index-sized (nlist×64 floats ≈ 25 MB at the documented
       // deployment nlist ≈ 10⁵). The bound is the sizing the scaladoc
       // already declares unsupported (nlist ≈ 10⁶ ≈ 250 MB of driver
       // rows): past it this cache must become a partitioned side table
-      // (the annFrames shape), so fail loudly instead of OOMing the
-      // driver quietly.
-      require(out._1.length <= 1000000,
-        s"index artifact '$tag' has ${out._1.length} rows — past the " +
+      // (the annFrames shape) — and the check runs BEFORE collect(),
+      // because an OOM inside collect is exactly the quiet death this
+      // guard exists to replace (count on the built/read frame is
+      // metadata-cheap: parquet footers or checkpointed blocks).
+      val nRows = df.count()
+      require(nRows <= 1000000,
+        s"index artifact '$tag' has $nRows rows — past the " +
           "driver-row cache's supported sizing; store it as a " +
           "partitioned side table (cachedIndexFrame) instead")
+      val out = (df.collect().toSeq, df.schema)
       df.queryExecution.logical.collect {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       }.foreach(_.unpersist(blocking = false))
@@ -1276,9 +1304,10 @@ object VectorQueries {
     annFrames.clear()
     annArtifacts.clear()
     // the super quantizer is derived work too: a warm entry would let a
-    // "cold" ivf build repetition skip the nlist^1.5 derivation and the
-    // bench's build gate would under-measure exactly this round's code
-    superCache.clear()
+    // "cold" ivf build repetition skip the derivation and the bench's
+    // build gate would under-measure exactly this round's code (blocks
+    // are left for GC — callers may still hold the frames)
+    superCache.synchronized(superCache.clear())
   }
 
   /** The PQ-encoded corpus, (vec_id, sub, subvec): shared by the code

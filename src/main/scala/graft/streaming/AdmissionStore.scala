@@ -119,42 +119,54 @@ private[graft] object AdmissionStore {
       st.isDirectory && st.getPath.getName.startsWith("epoch="))
   }
 
-  /** The fan-out a store was written with, from its `_PBK` stamp; None
-    * for an absent stamp. An unreadable stamp fails loudly — with the
-    * stamp written via temp-file + rename ([[writeMarker]]) a torn
-    * marker cannot arise from a crash, so garbage here means tampering
-    * or corruption, never a retryable race. */
-  def layoutK(s: SparkSession, table: String): Option[Int] = {
-    val fs = fsOf(s); val p = pbkPath(table)
+  /** Read a `_PBK` marker file; None if absent. An unreadable marker
+    * fails loudly — markers are written via temp-file + rename
+    * ([[writeMarker]]), so a torn marker cannot arise from a crash, and
+    * garbage here means tampering or corruption, never a retryable
+    * race. */
+  private def readMarker(s: SparkSession,
+      p: org.apache.hadoop.fs.Path): Option[Int] = {
+    val fs = fsOf(s)
     if (!fs.exists(p)) None
     else {
       val raw = new String(org.apache.hadoop.io.IOUtils
         .readFullyToByteArray(fs.open(p)), "UTF-8").trim
       val k = try raw.toInt catch {
         case _: NumberFormatException => throw new IllegalStateException(
-          s"admission store $table has an unreadable _PBK marker ('$raw') " +
-            "— restore the marker or rebuild the store")
+          s"admission-store marker $p is unreadable ('$raw') — restore " +
+            "the marker or rebuild the store")
       }
       if (k <= 0) throw new IllegalStateException(
-        s"admission store $table has a nonsensical _PBK fan-out K=$k")
+        s"admission-store marker $p carries a nonsensical fan-out K=$k")
       Some(k)
     }
   }
 
+  /** The fan-out a store was written with, from its table-level `_PBK`
+    * stamp; None for an absent stamp. */
+  def layoutK(s: SparkSession, table: String): Option[Int] =
+    readMarker(s, pbkPath(table))
+
   /** Atomic marker write: temp name, then rename into place (rename is
     * atomic on HDFS/local) — a concurrent reader can never observe a
-    * created-but-empty marker and abort on a spurious K="" mismatch. */
+    * created-but-empty marker and abort on a spurious K="" mismatch.
+    * The SURVIVING content decides success: HDFS rename fails onto an
+    * existing dest (a lost race), a local fs overwrites it — either
+    * way the marker is re-read and anything but `k` THROWS, so a
+    * failed stamp can never publish silently (the caller's staged tree
+    * never swaps in marker-less, and a racing first writer with a
+    * different sizing hint aborts before writing data). */
   private def writeMarker(s: SparkSession, path: String, k: Int): Unit = {
     val fs = fsOf(s)
     val tmp = hPath(s"$path.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(k.toString.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, hPath(path))) {
-      fs.delete(tmp, false)
-      // lost a race with another first writer — benign iff they stamped
-      // the same K; validated by the caller's post-check
-      ()
-    }
+    if (!fs.rename(tmp, hPath(path))) fs.delete(tmp, false)
+    val survived = readMarker(s, hPath(path))
+    if (!survived.contains(k)) throw new java.io.IOException(
+      s"cannot stamp $path with fan-out K=$k — the marker now reads " +
+        s"${survived.map(_.toString).getOrElse("<absent>")} (lost a race " +
+        "to a different K, or the marker write failed)")
   }
 
   /** Stamp fan-out `k` on a table with no stamp yet, then validate the
@@ -172,13 +184,18 @@ private[graft] object AdmissionStore {
         "pass one sizing hint per store")
   }
 
-  /** The stamped K, validated against the layout it claims to describe:
-    * any observed `pb=` partition dir ≥ K means the marker lies (a
-    * restored/corrupted stamp over a wider layout) and a pruned read
-    * would silently miss stored rows — the fail-open this object
-    * exists to prevent, so fail loudly instead. The two-level dir-name
-    * listing is metadata the parquet read's own file index walks anyway.
-    */
+  /** The stamped K, validated against per-EPOCH markers: every epoch
+    * write and every maintenance publish stamps a `_PBK` inside the
+    * epoch dir it wrote, so each epoch carries ground truth for the
+    * fan-out its pb values were computed under. A table stamp that
+    * disagrees with ANY epoch's marker — in either direction: a
+    * too-small stamp routes reads at the wrong modulus, a too-LARGE
+    * stamp (restored from a post-rebucket backup over pre-rebucket
+    * data) silently routes keys to dirs that don't exist — would make
+    * pruned reads miss stored rows (fail OPEN), so both fail loudly
+    * here instead. Cost: one dir listing plus one tiny-file read per
+    * epoch — bounded by compaction, and metadata the parquet file
+    * index walks anyway. */
   private def requireLayout(s: SparkSession, table: String): Int = {
     val k = layoutK(s, table).getOrElse(throw new IllegalStateException(
       s"admission store $table has no _PBK layout marker — it predates " +
@@ -186,16 +203,19 @@ private[graft] object AdmissionStore {
         "maintenance publish; re-run the gate's compact()/maintain() " +
         "(they recover an interrupted publish) or rebuild the store"))
     val fs = fsOf(s)
-    val pbs = fs.listStatus(hPath(table))
+    fs.listStatus(hPath(table))
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
-      .flatMap(e => fs.listStatus(e.getPath))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("pb="))
-      .map(_.getPath.getName.stripPrefix("pb=").toInt)
-    if (pbs.nonEmpty && pbs.max >= k) throw new IllegalStateException(
-      s"admission store $table is stamped with pb fan-out K=$k but holds " +
-        s"a partition dir pb=${pbs.max} — the marker disagrees with the " +
-        "written layout, and pruned reads would silently miss stored rows " +
-        "(fail OPEN); restore the correct _PBK or rebuild the store")
+      .foreach { e =>
+        val ek = readMarker(s, new org.apache.hadoop.fs.Path(e.getPath, "_PBK"))
+        if (!ek.contains(k)) throw new IllegalStateException(
+          s"admission store $table is stamped with pb fan-out K=$k but " +
+            s"epoch dir ${e.getPath.getName} was written under " +
+            s"K=${ek.map(_.toString).getOrElse("<unstamped — an " +
+              "interrupted epoch write (retry the batch) or a " +
+              "pre-lifecycle store>")} — routing with the table stamp " +
+            "would silently miss stored rows (fail OPEN); restore the " +
+            "correct _PBK or rebuild the store")
+      }
     k
   }
 
@@ -219,7 +239,16 @@ private[graft] object AdmissionStore {
     df.withColumn("pb", pb(key, k))
       .write.partitionBy("pb")
       .mode("overwrite").parquet(s"$table/epoch=$epoch")
-    widthSignal(s, table, targetBucketBytes)
+    // the epoch carries its own fan-out ground truth (requireLayout
+    // validates the table stamp against it, BOTH directions); overwrite
+    // mode deleted any previous marker with the dir, so retries re-stamp
+    writeMarker(s, s"$table/epoch=$epoch/_PBK", k)
+    // signal built directly — K was just routed with, and the byte count
+    // is ONE getContentSummary RPC (the recursion is server-side on
+    // HDFS), not a client walk; the full layout audit stays on the read
+    // and maintenance paths
+    WidthSignal(table, k,
+      fsOf(s).getContentSummary(hPath(table)).getLength, targetBucketBytes)
   }
 
   /** The store's current width signal (stamped K vs measured bytes). */
@@ -236,8 +265,9 @@ private[graft] object AdmissionStore {
     * (file-level pruning, not row filtering). */
   def readPruned(s: SparkSession, table: String, batchKeys: DataFrame,
       key: Column): DataFrame = {
-    val k = requireLayout(s, table)
-    readTouched(s, table, touchedBuckets(batchKeys, key, k))
+    val k = requireLayout(s, table) // audited ONCE per read
+    s.read.parquet(table)
+      .filter(col("pb").isin(touchedBuckets(batchKeys, key, k): _*))
   }
 
   /** [[readPruned]] for a store that may not exist yet: an absent store
@@ -273,8 +303,16 @@ private[graft] object AdmissionStore {
     * travels with an aside-protocol publish (QuoteAdmission's census
     * compact stages its own distinct-fold). */
   private[graft] def stageMarker(s: SparkSession, stagedDir: String,
-      k: Int): Unit =
+      k: Int): Unit = {
+    val fs = fsOf(s)
     writeMarker(s, s"$stagedDir/_PBK", k)
+    // every epoch dir inside the staged tree carries its own marker —
+    // the per-epoch ground truth requireLayout audits against
+    fs.listStatus(hPath(stagedDir))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+      .foreach(e => writeMarker(s,
+        new org.apache.hadoop.fs.Path(e.getPath, "_PBK").toString, k))
+  }
 
   /** Recover an interrupted aside-protocol publish, if any: live
     * present + aside present = crash AFTER the new tree landed (the
@@ -340,7 +378,8 @@ private[graft] object AdmissionStore {
     df.drop("epoch").write.partitionBy(parts: _*)
       .mode("overwrite").parquet(s"$tmp/epoch=0")
     // the marker travels with the publish: stamp the staged tree FIRST
-    if (parts.nonEmpty) writeMarker(s, s"$tmp/_PBK", requireLayout(s, live))
+    // (table stamp + the folded epoch dir's own marker)
+    if (parts.nonEmpty) stageMarker(s, tmp, requireLayout(s, live))
     publishSwap(s, live, tmp)
   }
 
@@ -366,7 +405,7 @@ private[graft] object AdmissionStore {
       .withColumn("pb", pb(key, k2))
       .write.partitionBy("epoch", "pb")
       .mode("overwrite").parquet(tmp)
-    writeMarker(s, s"$tmp/_PBK", k2)
+    stageMarker(s, tmp, k2)
     publishSwap(s, table, tmp)
   }
 

@@ -93,7 +93,12 @@ object CurationAdmission {
 
   /** One epoch of the funnel. `batch` = (doc_id, lang, text). Returns the
     * audit row it also persists: (epoch, n_in, drop_quality, drop_lm,
-    * drop_dedup, drop_quote, drop_decon, admitted).
+    * drop_dedup, drop_quote, drop_decon, admitted, store_k) — store_k
+    * is the dedup store's stamped fan-out (0 when the epoch appended
+    * nothing); the byte-level width signal is returned by the gates
+    * themselves, not persisted (the audit row must stay
+    * retry-deterministic and store bytes grow between a write and a
+    * late retry).
     *
     * `benchRefPath`, when set, arms a FIFTH gate — benchmark
     * decontamination (the batch funnel q100's held-out-overlap stage in
@@ -145,8 +150,14 @@ object CurationAdmission {
       .localCheckpoint() // counted AND handed to the dedup gate
     val dropLm = (nIn - dropQuality) - lmOk.count()
 
-    // dedup gate: the near-dup admission component, store shared as-is
-    NearDupAdmission.admit(lmOk.select(col("doc_id"), col("text")),
+    // dedup gate: the near-dup admission component, store shared as-is.
+    // The width signals ride into this epoch's audit row (max bucket
+    // bytes across the gate's tables vs the layout target — the
+    // SRP/Bloom width-report pattern, r16 lifecycle): the stream's own
+    // accounting says when the store has outgrown its fan-out, instead
+    // of an operator discovering it from degraded pruning.
+    val dedupSignals = NearDupAdmission.admit(
+      lmOk.select(col("doc_id"), col("text")),
       batchId, storePath, keptPath)
     // a batch dropped WHOLESALE at dedup (pure re-sends — routine in a
     // deployed stream) leaves a FILE-LESS kept dir that schema inference
@@ -211,12 +222,20 @@ object CurationAdmission {
     // the epoch value lives ONLY in the partition directory — writing it
     // as a data column too would be shadowed (and silently retyped to
     // int) by partition discovery on any root read of the audit table
+    // the audit row stays RETRY-DETERMINISTIC (a replayed epoch must
+    // reproduce it bit-for-bit — the spec's idempotence contract), so
+    // it carries only the stamped fan-out K; the byte-level width
+    // figure is time-varying (the store keeps growing between a write
+    // and its retry) and lives in the gates' RETURNED signals and
+    // maintain() reports instead
+    val storeK = if (dedupSignals.isEmpty) 0 else dedupSignals.map(_.k).max
     val audit = s.range(1).select(
       lit(nIn).as("n_in"),
       lit(dropQuality).as("drop_quality"), lit(dropLm).as("drop_lm"),
       lit(dropDedup).as("drop_dedup"), lit(dropQuote).as("drop_quote"),
       lit(dropDecon).as("drop_decon"),
-      lit(admitted).as("admitted"))
+      lit(admitted).as("admitted"),
+      lit(storeK).as("store_k"))
     audit.write.mode("overwrite").parquet(s"$auditPath/epoch=$batchId")
     audit.select(lit(batchId).as("epoch"), col("*")).head
   }

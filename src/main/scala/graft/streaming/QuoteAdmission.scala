@@ -229,12 +229,14 @@ object QuoteAdmission {
 
   /** Wire as a streaming sink over a (doc_id, text) stream. */
   def stream(docs: DataFrame, storePath: String, keptPath: String,
-             checkpoint: String, spanTokens: Int = 20): DataStreamWriter[Row] =
+             checkpoint: String, spanTokens: Int = 20,
+             expectedStoreBytes: Long = 0L): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        admit(batch, id, storePath, keptPath, spanTokens)
+        admit(batch, id, storePath, keptPath, spanTokens,
+          expectedStoreBytes = expectedStoreBytes)
         ()
       }
 }

@@ -151,12 +151,13 @@ object SemanticAdmission {
     * a frozen trained geometry. */
   def stream(vecs: DataFrame, cent: DataFrame, storePath: String,
              keptPath: String, checkpoint: String,
-             tau: Double = 0.95): DataStreamWriter[Row] =
+             tau: Double = 0.95,
+             expectedStoreBytes: Long = 0L): DataStreamWriter[Row] =
     vecs.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        admit(batch, id, cent, storePath, keptPath, tau)
+        admit(batch, id, cent, storePath, keptPath, tau, expectedStoreBytes)
         ()
       }
 }

@@ -155,6 +155,18 @@ class AdmissionPruningSpec extends AnyFunSuite {
     }
     assert(e1.getMessage.contains("fan-out"), e1.getMessage)
 
+    // the OTHER direction — a stamp LARGER than the written layout
+    // (restored from a post-rebucket backup over pre-rebucket data) —
+    // must be equally loud: hash % K' would route keys to dirs that
+    // don't exist and read an empty store view (fail-open). Detected
+    // against the per-epoch markers, which travel with every write.
+    java.nio.file.Files.write(marker,
+      (AdmissionStore.DefaultBuckets * 4).toString.getBytes); dropCrc()
+    val e1b = intercept[IllegalStateException] {
+      NearDupAdmission.admit(b1, 1L, store, kept)
+    }
+    assert(e1b.getMessage.contains("fan-out"), e1b.getMessage)
+
     // a MISSING marker (pre-layout store, or a deleted stamp) is equally
     // loud — there is no silent legacy-read path
     java.nio.file.Files.delete(marker)

@@ -112,6 +112,12 @@ class CurationAdmissionSpec extends AnyFunSuite {
     assert(row0.getAs[Long]("drop_dedup") == 0, row0.toString)
     assert(row0.getAs[Long]("drop_quote") == 0, row0.toString)
     assert(row0.getAs[Long]("admitted") == 3, row0.toString)
+    // the audit row carries the dedup store's stamped fan-out (r16
+    // lifecycle) — and ONLY the fan-out: byte-level width is
+    // time-varying across retries, so it lives in the gates' returned
+    // signals, keeping this row retry-deterministic
+    assert(row0.getAs[Int]("store_k") ==
+      graft.streaming.AdmissionStore.DefaultBuckets, row0.toString)
     val kept0 = spark.read.parquet(s"$kept/epoch=0").select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(kept0 == good.map(_.getAs[Long]("doc_id")).toSet)
