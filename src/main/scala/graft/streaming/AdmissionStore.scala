@@ -196,6 +196,17 @@ private[graft] object AdmissionStore {
     * here instead. Cost: one dir listing plus one tiny-file read per
     * epoch — bounded by compaction, and metadata the parquet file
     * index walks anyway. */
+  // Validated (table → (k, epoch dir names already audited)): an epoch
+  // marker is immutable once validated under a given K — a retry
+  // overwrites the whole epoch dir (and re-stamps the same K), and
+  // every maintenance publish re-stamps the tree — so re-reading it on
+  // every batch would make the audit O(epochs) small-file opens per
+  // read on a long-uncompacted stream. JVM-local and advisory only:
+  // a cache miss (fresh JVM, rebucketed K, new epoch) falls back to
+  // reading the marker; a hit never skips the table-stamp read.
+  private val auditCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Int, Set[String])]
+
   private def requireLayout(s: SparkSession, table: String): Int = {
     val k = layoutK(s, table).getOrElse(throw new IllegalStateException(
       s"admission store $table has no _PBK layout marker — it predates " +
@@ -203,19 +214,31 @@ private[graft] object AdmissionStore {
         "maintenance publish; re-run the gate's compact()/maintain() " +
         "(they recover an interrupted publish) or rebuild the store"))
     val fs = fsOf(s)
+    val seen = auditCache.get(table) match {
+      case Some((ck, eps)) if ck == k => eps
+      case _ => Set.empty[String] // K changed (rebucket) → re-audit all
+    }
+    val names = scala.collection.mutable.Set.empty[String]
     fs.listStatus(hPath(table))
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
       .foreach { e =>
-        val ek = readMarker(s, new org.apache.hadoop.fs.Path(e.getPath, "_PBK"))
-        if (!ek.contains(k)) throw new IllegalStateException(
-          s"admission store $table is stamped with pb fan-out K=$k but " +
-            s"epoch dir ${e.getPath.getName} was written under " +
-            s"K=${ek.map(_.toString).getOrElse("<unstamped — an " +
-              "interrupted epoch write (retry the batch) or a " +
-              "pre-lifecycle store>")} — routing with the table stamp " +
-            "would silently miss stored rows (fail OPEN); restore the " +
-            "correct _PBK or rebuild the store")
+        names += e.getPath.getName
+        if (!seen.contains(e.getPath.getName)) {
+          val ek = readMarker(s,
+            new org.apache.hadoop.fs.Path(e.getPath, "_PBK"))
+          if (!ek.contains(k)) throw new IllegalStateException(
+            s"admission store $table is stamped with pb fan-out K=$k but " +
+              s"epoch dir ${e.getPath.getName} was written under " +
+              s"K=${ek.map(_.toString).getOrElse("<unstamped — an " +
+                "interrupted epoch write (retry the batch) or a " +
+                "pre-lifecycle store>")} — routing with the table stamp " +
+              "would silently miss stored rows (fail OPEN); restore the " +
+              "correct _PBK or rebuild the store")
+        }
       }
+    // keep only LIVE epochs (compaction folds dirs away — unbounded
+    // accumulation of dead names would leak across a long stream)
+    auditCache.put(table, (k, names.toSet))
     k
   }
 
