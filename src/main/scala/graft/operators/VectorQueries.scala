@@ -995,21 +995,31 @@ object VectorQueries {
   // unbounded executor-storage pinning.
   private val SuperCacheMax = 16
   private val superCache =
-    new java.util.LinkedHashMap[String, (DataFrame, DataFrame)](
+    new java.util.LinkedHashMap[String, (DataFrame, DataFrame, Long)](
       32, 0.75f, /*accessOrder=*/ true)
-  private def unpersistFrames(v: (DataFrame, DataFrame)): Unit =
+  private def unpersistFrames(v: (DataFrame, DataFrame, Long)): Unit =
     Seq(v._1, v._2).foreach(_.queryExecution.logical.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.foreach(_.unpersist(blocking = false)))
-  private def superQuantizerCached(cent: DataFrame): (DataFrame, DataFrame) = {
+  // cached value carries nlist too: the hop-2 broadcast decision needs
+  // the routing-table row count on EVERY assignCells call, and a
+  // per-call cellmap.count() would be a Spark job per micro-batch on
+  // the distributed path just to pick a join hint
+  private def superQuantizerCached(cent: DataFrame)
+      : (DataFrame, DataFrame, Long) = {
     val key = System.identityHashCode(cent.sparkSession) + ":" +
       IndexMaintenance.centroidFingerprint(cent)
     superCache.synchronized(Option(superCache.get(key))) match {
       case Some(v) => v
       case None =>
-        val fresh = superQuantizer(cent) // derived OUTSIDE the lock —
-        // the distributed path runs Spark jobs and must not block other
-        // streams' cache hits
+        // derived OUTSIDE the lock — the distributed path runs Spark
+        // jobs and must not block other streams' cache hits
+        val nlist = cent.count()
+        val (sup, cm) =
+          if (nlist <= SuperDriverMaxCells) superQuantizerLocal(cent)
+          else superQuantizerDistributed(cent,
+            math.ceil(math.sqrt(nlist.toDouble)).toInt)
+        val fresh = (sup, cm, nlist)
         superCache.synchronized {
           Option(superCache.get(key)) match {
             case Some(winner) => // lost a derivation race: drop ours
@@ -1058,7 +1068,7 @@ object VectorQueries {
   private[graft] val IvfBroadcastCellsDefault = 200000L
 
   private[graft] def assignCells(e: DataFrame, cent: DataFrame): DataFrame = {
-    val (supers, cellmap) = superQuantizerCached(cent)
+    val (supers, cellmap, nlist) = superQuantizerCached(cent)
     // the live-super filter's right side is ≤ nsuper = √nlist rows —
     // always broadcastable (the checkpointed frames carry no stats, so
     // without the hint Spark would sort-merge two tiny tables)
@@ -1074,9 +1084,10 @@ object VectorQueries {
         col("best.embedding").as("embedding"))
     val maxBroadcast = e.sparkSession.conf
       .get(IvfBroadcastCellsConf, IvfBroadcastCellsDefault.toString).toLong
-    // cellmap is localCheckpoint'ed — counting it is metadata-cheap
+    // nlist rides the super cache — no per-call count job just to pick
+    // the join hint
     val routed =
-      if (cellmap.count() <= maxBroadcast) broadcast(cellmap) else cellmap
+      if (nlist <= maxBroadcast) broadcast(cellmap) else cellmap
     hop1.join(routed, "super")
       .withColumn("csim", cosineSim(col("embedding"), col("centroid")))
       .groupBy(col("vec_id"))

@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions.{col, hash, lit, pmod}
   * store) instead of a per-gate clone drifting apart.
   * QuoteAdmission's census compaction deliberately does NOT delegate
   * to [[compactEpochs]]: it folds into `epoch=-1` with a distinct-fold
-  * (see its doc), but it shares this object's stamp, pb routing, and
-  * marker-travels-with-the-publish convention.
+  * (see its doc), but it runs through this object's stamp, pb routing,
+  * [[recoverAside]]/[[publishSwap]] protocol and
+  * marker-travels-with-the-publish convention — ONE aside name per
+  * table, whoever published.
   *
   * BLOCKING-KEY LAYOUT (r15): every stateful gate's store table is
   * additionally partitioned by `pb = pmod(hash(blocking key), K)`
@@ -129,8 +131,12 @@ private[graft] object AdmissionStore {
     val fs = fsOf(s)
     if (!fs.exists(p)) None
     else {
-      val raw = new String(org.apache.hadoop.io.IOUtils
-        .readFullyToByteArray(fs.open(p)), "UTF-8").trim
+      val in = fs.open(p)
+      val raw = try new String(org.apache.hadoop.io.IOUtils
+        .readFullyToByteArray(in), "UTF-8").trim
+      finally in.close() // readFullyToByteArray does NOT close — a
+      // leaked handle per marker read would accumulate across a
+      // long-lived stream's per-batch audits
       val k = try raw.toInt catch {
         case _: NumberFormatException => throw new IllegalStateException(
           s"admission-store marker $p is unreadable ('$raw') — restore " +
@@ -259,13 +265,26 @@ private[graft] object AdmissionStore {
       stampK(s, table, k0) // stamp BEFORE data: a crash here leaves a
       k0                   // stamped, epoch-less store — reads see empty,
     }                      // the retried batch rewrites its epoch
+    // ATOMIC epoch publish: parquet AND the epoch's own _PBK marker are
+    // staged into a dot-prefixed dir (hidden from Spark's file index
+    // and partition discovery) and renamed into place in one move. A
+    // crash anywhere mid-write leaves only invisible debris — never a
+    // committed-looking epoch dir without its marker, which would make
+    // requireLayout throw on every read INCLUDING the retrying batch's
+    // own pre-write store read, wedging the store with no recovery.
+    val fs = fsOf(s)
+    val epochDir = s"$table/epoch=$epoch"
+    val staged = s"$table/.epoch_stage_$epoch"
+    fs.delete(hPath(staged), true)
     df.withColumn("pb", pb(key, k))
       .write.partitionBy("pb")
-      .mode("overwrite").parquet(s"$table/epoch=$epoch")
-    // the epoch carries its own fan-out ground truth (requireLayout
-    // validates the table stamp against it, BOTH directions); overwrite
-    // mode deleted any previous marker with the dir, so retries re-stamp
-    writeMarker(s, s"$table/epoch=$epoch/_PBK", k)
+      .mode("overwrite").parquet(staged)
+    writeMarker(s, s"$staged/_PBK", k)
+    if (!fs.delete(hPath(epochDir), true) && fs.exists(hPath(epochDir)))
+      throw new java.io.IOException(s"writeEpoch: cannot replace $epochDir")
+    if (!fs.rename(hPath(staged), hPath(epochDir)))
+      throw new java.io.IOException(
+        s"writeEpoch: rename $staged -> $epochDir failed")
     // signal built directly — K was just routed with, and the byte count
     // is ONE getContentSummary RPC (the recursion is server-side on
     // HDFS), not a client walk; the full layout audit stays on the read
@@ -344,7 +363,7 @@ private[graft] object AdmissionStore {
     * restore it). Reads refuse to run in the second state
     * ([[readPrunedIfExists]]), so the window is fail-loud, never
     * fail-open. */
-  private def recoverAside(s: SparkSession, live: String): Unit = {
+  private[graft] def recoverAside(s: SparkSession, live: String): Unit = {
     val fs = fsOf(s)
     val aside = hPath(asideOf(live)); val livePath = hPath(live)
     if (fs.exists(aside)) {
@@ -362,7 +381,7 @@ private[graft] object AdmissionStore {
     * already carries its own `_PBK`, so the marker travels WITH the
     * publish — no crash window leaves an intact keyed store whose
     * reads then claim it predates the layout. */
-  private def publishSwap(s: SparkSession, live: String, staged: String): Unit = {
+  private[graft] def publishSwap(s: SparkSession, live: String, staged: String): Unit = {
     val fs = fsOf(s)
     val livePath = hPath(live); val stagedPath = hPath(staged)
     val aside = hPath(asideOf(live))
@@ -419,6 +438,11 @@ private[graft] object AdmissionStore {
     val k = requireLayout(s, table)
     if (k2 == k) return
     if (!hasEpochs(s, table)) { // stamp-only store: re-stamp is the rewrite
+      // the old stamp must be REPLACED — rename onto an existing file
+      // fails on HDFS (and writeMarker would then throw on the surviving
+      // old K). Offline single-maintainer context, so delete-then-stamp
+      // has no racing first writer to protect against.
+      fs.delete(pbkPath(table), false)
       writeMarker(s, pbkPath(table).toString, k2)
       return
     }

@@ -227,7 +227,11 @@ object CurationAdmission {
     // it carries only the stamped fan-out K; the byte-level width
     // figure is time-varying (the store keeps growing between a write
     // and its retry) and lives in the gates' RETURNED signals and
-    // maintain() reports instead
+    // maintain() reports instead. Scope, stated: K itself only moves
+    // under an offline re-bucket, which is documented as
+    // not-concurrent-with-the-stream — a retry AFTER a mid-outage
+    // re-bucket legitimately reports the new K (the store it actually
+    // wrote into), the one sanctioned divergence
     val storeK = if (dedupSignals.isEmpty) 0 else dedupSignals.map(_.k).max
     val audit = s.range(1).select(
       lit(nIn).as("n_in"),

@@ -63,28 +63,20 @@ object QuoteAdmission {
       s"spanTokens ($spanTokens) must be >= window ($window)")
     val s = wins.sparkSession
     val runThreshold = spanTokens - window + 1
-    val storeFs = org.apache.hadoop.fs.FileSystem
-      .get(s.sparkContext.hadoopConfiguration)
-    val censusPath = new org.apache.hadoop.fs.Path(s"$storePath/census")
+    val censusPath = s"$storePath/census"
     // a genuinely-missing store reads empty; any other failure aborts the
     // epoch (swallowing it would admit quotes of everything admitted).
-    // A missing census WITH a compaction aside is not "empty" — it is an
-    // INTERRUPTED compact() (crash between the aside-move and the
-    // tmp-move): failing open here would admit long quotes of everything
-    // previously admitted, so fail loudly and point at the recovery.
-    if (!storeFs.exists(censusPath) && storeFs.exists(
-        new org.apache.hadoop.fs.Path(s"$storePath/census_compact_aside")))
-      throw new IllegalStateException(
-        s"quote store $storePath: census missing but a compaction aside " +
-          "exists — an interrupted compact(); re-run compact() to recover " +
-          "before admitting")
-    // pruned to the batch's own window-hash key buckets (AdmissionStore
+    // A missing census WITH a maintenance aside is not "empty" — it is
+    // an INTERRUPTED compact()/maintain() publish: failing open would
+    // admit long quotes of everything previously admitted, so
+    // readPrunedIfExists fails loudly and points at the recovery (one
+    // shared aside convention — see compact()).
+    // Pruned to the batch's own window-hash key buckets (AdmissionStore
     // layout, routing K from the store's stamp) — coverage only ever
     // tests hashes the batch holds, and every row of a touched hash
-    // shares its pb dir. An interrupted AdmissionStore maintenance
-    // publish (rebucket aside) is detected inside readPrunedIfExists.
+    // shares its pb dir.
     val stored: Option[DataFrame] =
-      AdmissionStore.readPrunedIfExists(s, censusPath.toString,
+      AdmissionStore.readPrunedIfExists(s, censusPath,
           wins, col("h"))
         .map(_.filter(col("epoch") =!= batchId)) // retries skip their own output
 
@@ -165,29 +157,18 @@ object QuoteAdmission {
     val tmp = s"$storePath/census_compact_tmp"
     val livePath = new org.apache.hadoop.fs.Path(live)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    val asidePath = new org.apache.hadoop.fs.Path(s"$storePath/census_compact_aside")
-    // recover an interrupted previous compact(): the crash windows are
-    //   (a) live present + aside present  — crashed after the tmp-move
-    //       landed the NEW census but before the aside delete: the aside
-    //       is superseded debris, drop it;
-    //   (b) live missing + aside present  — crashed between the
-    //       aside-move and the tmp-move: the aside IS the census (intact
-    //       by construction; the tmp may or may not be complete — the
-    //       aside is always safe), restore it and re-compact.
-    // quoteDrops refuses to run while (b) stands, so the window is
-    // fail-loud, never fail-open.
-    if (fs.exists(asidePath)) {
-      if (fs.exists(livePath)) {
-        if (!fs.delete(asidePath, true))
-          throw new java.io.IOException(s"compact: cannot drop stale aside $asidePath")
-      } else if (!fs.rename(asidePath, livePath))
-        throw new java.io.IOException(s"compact: cannot restore $asidePath -> $live")
-    }
+    // ONE aside convention per table (AdmissionStore's): an interrupted
+    // publish — this compact's OR a maintain() re-bucket's — recovers
+    // here, and quoteDrops' reads refuse to run while {no live, aside
+    // present} stands (fail-loud, never fail-open). A second hand-rolled
+    // aside name would leave half the crash states unrecoverable by
+    // whichever tool checked the other.
+    AdmissionStore.recoverAside(s, live)
     // a genuinely-missing census is a no-op; any OTHER read failure
     // propagates (the old catch-everything would silently skip a
     // compaction over an unreadable store)
     if (!fs.exists(livePath)) return
-    fs.delete(tmpPath, true) // debris from a run that crashed pre-aside
+    fs.delete(tmpPath, true) // debris from a run that crashed pre-publish
     // pb is a pure function of h under the store's own stamped fan-out
     // — recomputing it preserves the blocking-key layout through the
     // distinct, at whatever K the store has grown to
@@ -199,20 +180,14 @@ object QuoteAdmission {
       .write.partitionBy("pb")
       .mode("overwrite").parquet(s"$tmp/epoch=-1")
     // the layout marker travels WITH the publish (staged into the tmp
-    // tree before any rename): no crash window can leave an intact
-    // keyed census whose reads then claim it predates the layout
+    // tree — table stamp and the folded epoch's own marker — before any
+    // rename): no crash window can leave an intact keyed census whose
+    // reads then claim it predates the layout
     AdmissionStore.stageMarker(s, tmp, k)
-    // crash-safe publish: live -> aside, tmp -> live, drop aside. At no
-    // point is the census both absent and unrecoverable, and quoteDrops
-    // treats {no live, aside present} as an error, not an empty store.
-    if (!fs.rename(livePath, asidePath))
-      throw new java.io.IOException(s"compact: rename $live -> $asidePath failed")
-    if (!fs.rename(tmpPath, livePath)) {
-      fs.rename(asidePath, livePath) // restore; best-effort before the throw
-      throw new java.io.IOException(s"compact: rename $tmp -> $live failed")
-    }
-    if (!fs.delete(asidePath, true))
-      throw new java.io.IOException(s"compact: cannot drop aside $asidePath")
+    // crash-safe publish: live -> aside, tmp -> live, drop aside — the
+    // shared AdmissionStore dance; at no point is the census both
+    // absent and unrecoverable
+    AdmissionStore.publishSwap(s, live, tmp)
   }
 
   /** Full offline maintenance: fold epochs (the aside-protocol compact

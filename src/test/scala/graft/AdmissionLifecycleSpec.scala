@@ -165,6 +165,38 @@ class AdmissionLifecycleSpec extends AnyFunSuite {
     assert(AdmissionStore.layoutK(spark, bands).contains(k2))
   }
 
+  test("a crashed epoch write leaves only invisible staged debris, and the retry completes") {
+    import spark.implicits._
+    val store = tmp("lc_stage_store"); val kept = tmp("lc_stage_kept")
+    NearDupAdmission.admit(
+      (0 until 20).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"),
+      0L, store, kept)
+    // simulate a crash mid-epoch-write: a dot-prefixed staged dir with
+    // partial contents and NO marker (the exact state a kill during the
+    // parquet job leaves). It must be invisible to every reader — a
+    // committed-looking unmarked epoch dir would make the layout audit
+    // throw on the retrying batch's own pre-write store read, wedging
+    // the store with no recovery path.
+    val debris = Paths.get(s"$store/bands/.epoch_stage_5/pb=0")
+    Files.createDirectories(debris)
+    Files.write(debris.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+    // reads carry on: a clone is still blocked, a fresh doc admitted
+    NearDupAdmission.admit(
+      Seq((100L, doc(3)), (101L, doc(850))).toDF("doc_id", "text"),
+      1L, store, kept)
+    val kept1 = spark.read.parquet(s"$kept/epoch=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept1 == Set(101L), s"staged debris disturbed the gate: $kept1")
+    // the "retry" of the crashed epoch replaces the debris and publishes
+    // the epoch dir atomically, marker inside
+    NearDupAdmission.admit(
+      Seq((200L, doc(860))).toDF("doc_id", "text"), 5L, store, kept)
+    assert(!Files.exists(Paths.get(s"$store/bands/.epoch_stage_5")),
+      "retry left staged debris behind")
+    assert(Files.exists(Paths.get(s"$store/bands/epoch=5/_PBK")),
+      "published epoch is missing its own marker")
+  }
+
   test("mid-swap crash window is fail-loud, and maintenance recovers it") {
     import spark.implicits._
     val store = tmp("lc_crash_store"); val kept = tmp("lc_crash_kept")

@@ -127,7 +127,7 @@ class QuoteAdmissionSpec extends AnyFunSuite {
     // crash window (b): live was renamed aside, tmp never landed — the
     // most dangerous state, since a missing census otherwise reads as an
     // EMPTY store and the gate would admit quotes of everything admitted
-    assert(fs.rename(p(s"$store/census"), p(s"$store/census_compact_aside")))
+    assert(fs.rename(p(s"$store/census"), p(s"$store/census_aside")))
     val quoting = Seq(
       doc(10L, fill('c', 8) ++ baseWords.slice(5, 30) ++ fill('d', 8)),
       doc(11L, fill('e', 40))).toDF("doc_id", "text")
@@ -139,7 +139,7 @@ class QuoteAdmissionSpec extends AnyFunSuite {
     // recovery: compact() restores the aside, completes, and the
     // recovered base still rejects the long quote
     QuoteAdmission.compact(spark, store)
-    assert(!fs.exists(p(s"$store/census_compact_aside")))
+    assert(!fs.exists(p(s"$store/census_aside")))
     assert(!fs.exists(p(s"$store/census_compact_tmp")))
     val epochs = spark.read.parquet(s"$store/census")
       .select("epoch").distinct().collect()
@@ -151,9 +151,9 @@ class QuoteAdmissionSpec extends AnyFunSuite {
     // crash window (a): the new census landed but the aside delete did
     // not — superseded debris; the next compact() must drop it quietly
     // and still produce a correct base
-    assert(fs.mkdirs(p(s"$store/census_compact_aside/epoch=-1")))
+    assert(fs.mkdirs(p(s"$store/census_aside/epoch=-1")))
     QuoteAdmission.compact(spark, store)
-    assert(!fs.exists(p(s"$store/census_compact_aside")))
+    assert(!fs.exists(p(s"$store/census_aside")))
     QuoteAdmission.admit(Seq(
       doc(20L, fill('f', 8) ++ baseWords.slice(0, 25) ++ fill('g', 8)),
       doc(21L, fill('h', 40))).toDF("doc_id", "text"), 2L, store, keptP)
