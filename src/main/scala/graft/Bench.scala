@@ -247,8 +247,25 @@ object Bench {
     // prose; cross-round reads should compare norm, not raw totals)
     val canaryMin = canaries.min
     val canaryNoise = canaries.max / canaries.min
+    // qnorm = MEDIAN per-query (time / canary) ratio: norm (= Σq/canary)
+    // is dominated by the handful of multi-second queries, so a
+    // driver-vs-builder window discrepancy in norm alone can't say
+    // whether the fleet drifted or three heavies did (the r16 read:
+    // driver norm +7.7% against flat builder windows, attributed only
+    // by prose). The median moves only when the BULK of the inventory
+    // moves; each individual query's own norm is already derivable from
+    // the line (queries[q] / canary), so a qnorm shift is attributable
+    // per query from the same JSON (BENCHPROTOCOL "qnorm").
+    val qnormJson =
+      if (failed.isEmpty && results.nonEmpty) {
+        val ratios = results.map(_._2 / canaryMin).sorted
+        val mid = ratios.length / 2
+        val med = if (ratios.length % 2 == 1) ratios(mid)
+          else (ratios(mid - 1) + ratios(mid)) / 2
+        s""","qnorm":${fmtQ(med, 3, 3)}"""
+      } else ""
     val normJson =
-      if (failed.isEmpty) s""","norm":${fmtQ(total / canaryMin, 2, 2)}"""
+      if (failed.isEmpty) s""","norm":${fmtQ(total / canaryMin, 2, 2)}$qnormJson"""
       else ""
     val canaryJson = f""","canary":${fmtQ(canaryMin, 2, 2)}%s,"noise":${
       fmtQ(canaryNoise, 2, 2)}%s$normJson%s"""

@@ -255,6 +255,13 @@ object Dev {
       case Some("gensf1") =>
         genOrganicSf1(spark, args.lift(1).getOrElse("/tmp/graft_sf1n"))
 
+      case Some("gensf10") =>
+        // the next organic decade (r16 verdict task 7): same generator,
+        // fact counts ×10 past sf1 — ~500k docs, 200k vectors, 15M
+        // lineitems. Pair with `timevs /tmp/graft_sf10n <queries>` for
+        // the two-decade pair-family table (SCALING §6c-r17).
+        genOrganic(spark, args.lift(1).getOrElse("/tmp/graft_sf10n"), 10L)
+
       case Some("verifysf1") =>
         // weekly-style ORGANIC-sf1 correctness surface (first-class, not a
         // SCALING appendix): ensure the FK-valid organic tree exists, then
@@ -468,6 +475,138 @@ object Dev {
               AdmissionStore.readTouched(spark, bands, touched))
             println(f"[dev] prunebench K=$k%-5d batch=$b%-4d touched=${touched.size}%-5d files=$scanned/$total ratio=${scanned.toDouble / total}%.3f")
           }
+        }
+
+      case Some("rebucketbench") =>
+        // Re-bucket rewrite cost at two store sizes (r16 verdict task 4):
+        // rebucket is a full-store rewrite, so its per-step cost must
+        // scale ~linearly with store bytes, and the LIFECYCLE amortizes
+        // it geometrically — maintain() fires when bytes/K crosses the
+        // target, i.e. roughly when the store has DOUBLED since its last
+        // re-bucket, so the total rewrite volume over a store's life is
+        // S + S/2 + S/4 + … ≈ 2× its final size (and strictly less when
+        // maintenance is rarer: chooseK jumps straight to the final K′,
+        // one rewrite covering several doublings). Numbers → SCALING
+        // §2f-r17.
+        import org.apache.spark.sql.functions._
+        import graft.streaming.AdmissionStore
+        def buildStore(rows: Long): String = {
+          val store = java.nio.file.Files
+            .createTempDirectory(s"rebucketbench_$rows").toString + "/bands"
+          for (ep <- 0 until 8) {
+            val df = spark.range(rows / 8)
+              .select(concat(lit("b"), pmod(col("id") * 31 + ep, lit(50000)))
+                .as("bucket"), (col("id") + ep * rows).as("doc_id"))
+            AdmissionStore.writeEpoch(df, col("bucket"), store, ep.toLong)
+          }
+          store
+        }
+        def bytesOf(store: String): Long = {
+          val st = java.nio.file.Files.walk(java.nio.file.Paths.get(store))
+          try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala.filter(p =>
+              java.nio.file.Files.isRegularFile(p) &&
+                !p.getFileName.toString.startsWith(".")).map(
+              java.nio.file.Files.size(_)).sum
+          } finally st.close()
+        }
+        for (rows <- Seq(400000L, 1600000L)) {
+          val store = buildStore(rows)
+          val bytes = bytesOf(store)
+          val t0 = System.nanoTime()
+          AdmissionStore.rebucket(spark, store, col("bucket"), 64)
+          val secs = (System.nanoTime() - t0) / 1e9
+          require(AdmissionStore.layoutK(spark, store).contains(64))
+          val rowsBack = spark.read.parquet(store).count()
+          println(f"[dev] rebucketbench rows=$rows%-9d bytes=${bytes / 1048576.0}%.1f MiB 16->64 in $secs%.2f s (${bytes / 1048576.0 / secs}%.1f MiB/s) rowsBack=$rowsBack")
+        }
+
+      case Some("admissionhandoff") =>
+        // Cross-JVM lifecycle handoff (r16 verdict task 5): one JVM
+        // writes + re-buckets (phase "write"), a FRESH JVM (phase
+        // "read") routes purely from the persisted _PBK stamp and must
+        // (a) prune to a fraction of the store's files and (b) still
+        // gate a clone. Run as two separate `sbt runMain` invocations so
+        // the second genuinely starts with cold caches (the
+        // ArtifactStore measured-handoff pattern).
+        import org.apache.spark.sql.functions._
+        import graft.streaming.{AdmissionStore, NearDupAdmission}
+        import spark.implicits._
+        val phase = args.lift(1).getOrElse("write")
+        val root = args.lift(2).getOrElse("/tmp/graft_admission_handoff")
+        val store = s"$root/store"; val kept = s"$root/kept"
+        def hAlpha(n: Int): String =
+          s"${(97 + n % 26).toChar}${(97 + (n / 26) % 26).toChar}${(97 + (n / 676) % 26).toChar}"
+        def hDoc(i: Int): String = (0 until 8).map(k =>
+          s"word${hAlpha((i * 7 + k) % 13)} tok${hAlpha(i * 8 + k)}").mkString(" ")
+        phase match {
+          case "write" =>
+            val r = java.nio.file.Paths.get(root)
+            if (java.nio.file.Files.exists(r)) {
+              val st = java.nio.file.Files.walk(r)
+              try {
+                import scala.jdk.CollectionConverters._
+                st.sorted(java.util.Comparator.reverseOrder())
+                  .iterator().asScala.foreach(java.nio.file.Files.delete(_))
+              } finally st.close()
+            }
+            for (ep <- 0 until 3)
+              NearDupAdmission.admit((ep * 100 until ep * 100 + 60)
+                .map(i => (i.toLong, hDoc(i))).toDF("doc_id", "text"),
+                ep.toLong, store, kept)
+            val bands = s"$store/bands"
+            val bytes = AdmissionStore
+              .widthSignal(spark, bands, AdmissionStore.TargetBucketBytes)
+              .storeBytes
+            // force the lifecycle across the boundary: target sized so
+            // the suggested K lands at 64
+            val reports = NearDupAdmission.maintain(spark, store,
+              math.max(1L, bytes / 64 + 1))
+            require(reports.exists(r2 => r2.rebucketed && r2.k == 64),
+              s"write phase did not re-bucket to 64: $reports")
+            println(s"[dev] admissionhandoff write: store=$store " +
+              s"K=${AdmissionStore.layoutK(spark, bands)} " +
+              "— now run: runMain graft.Dev admissionhandoff read")
+          case "read" =>
+            val bands = s"$store/bands"
+            val k = AdmissionStore.layoutK(spark, bands).getOrElse(
+              sys.error("no _PBK — run the write phase first"))
+            require(k == 64, s"fresh JVM read a wrong stamp: K=$k")
+            // pruned probe: one doc touches ≤32 of the 64 buckets
+            val probe = Seq((9999L, hDoc(1))).toDF("doc_id", "text")
+            val banded = graft.operators.TextQueries.bandedOf(
+              probe.select(col("doc_id"),
+                graft.functions.TextFunctions.wordNgramsUdf(3)(col("text"))
+                  .as("shingles")))
+            val touched = AdmissionStore.touchedBuckets(banded, col("bucket"), k)
+            val pruned = AdmissionStore.readTouched(spark, bands, touched)
+            pruned.collect()
+            val scanned = pruned.queryExecution.executedPlan.collect {
+              case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+            }.map(_.metrics("numFiles").value).sum
+            val st = java.nio.file.Files.walk(java.nio.file.Paths.get(bands))
+            val total = try {
+              import scala.jdk.CollectionConverters._
+              st.iterator().asScala.count(p =>
+                java.nio.file.Files.isRegularFile(p) &&
+                  p.getFileName.toString.startsWith("part-"))
+            } finally st.close()
+            require(scanned < total,
+              s"fresh JVM did not prune: $scanned of $total files")
+            // and the re-bucketed store still GATES from this JVM: the
+            // clone of an admitted doc drops, the fresh doc lands
+            NearDupAdmission.admit(
+              Seq((5000L, hDoc(17)), (5001L, hDoc(7000)))
+                .toDF("doc_id", "text"), 9L, store, kept)
+            val kept9 = spark.read.parquet(s"$kept/epoch=9")
+              .select("doc_id").collect().map(_.getLong(0)).toSet
+            require(kept9 == Set(5001L),
+              s"fresh JVM misjudged the handoff store: $kept9")
+            println(f"[dev] admissionhandoff read: OK — fresh JVM routed " +
+              f"with stamped K=$k, scanned $scanned/$total files " +
+              f"(${scanned.toDouble / total}%.3f), clone blocked, fresh admitted")
+          case other => sys.error(s"unknown handoff phase $other")
         }
 
       case Some("skew") =>
@@ -959,8 +1098,11 @@ object Dev {
     * to guarantee the tree before a full correctness dump). Idempotent:
     * a completed tree (marker `_DONE`) is never regenerated.
     */
-  private def genOrganicSf1(spark: SparkSession, dst: String): Unit = {
-        // ORGANIC sf1 tree (~10× sf0.1 rows AND ~10× key space, freshly
+  private def genOrganicSf1(spark: SparkSession, dst: String): Unit =
+    genOrganic(spark, dst, 1L)
+
+  private def genOrganic(spark: SparkSession, dst: String, mult: Long): Unit = {
+        // ORGANIC sf tree (~10·mult× sf0.1 rows AND key space, freshly
         // drawn — not replicas): scaling ratios measured on it reflect
         // organic key-cardinality growth, where the 10× replica's exact
         // text/vector copies inflate the exact-pair baselines (q28/q44
@@ -968,11 +1110,15 @@ object Dev {
         // deterministic (hash-seeded column math, no Math.random), same
         // schemas as TESTDATA.md, written once and fingerprint-free (the
         // generator IS the fingerprint: delete the dir to regenerate).
-        // Distributions mirror the sf0.1 profile: 31-word vocab, doc len
-        // 10..100, lang {en 41%, zh/es/fr/de ~15%}, 20 sources, ~0.16%
-        // planted exact dups; embeddings unit-norm around 10 hash-seeded
-        // label centroids with ~0.5% planted near-dups; TPC-H-ish facts
-        // with fixed dims and 10× fact key spaces.
+        // `mult` scales every FACT row count (and user/customer key
+        // spaces) past the sf1 profile — mult=10 is the r17 sf10 decade;
+        // planted dup/near-dup RATES stay fixed (every 625th doc, every
+        // 200th vector), so pair-family laws are measured under constant
+        // density, not a density artifact. Distributions mirror the
+        // sf0.1 profile: 31-word vocab, doc len 10..100, lang {en 41%,
+        // zh/es/fr/de ~15%}, 20 sources, ~0.16% planted exact dups;
+        // embeddings unit-norm around 10 hash-seeded label centroids
+        // with ~0.5% planted near-dups; TPC-H-ish facts with fixed dims.
         import org.apache.spark.sql.functions._
         import org.apache.spark.sql.{Column, DataFrame}
         val src = "/root/testdata/sf0.1"
@@ -992,7 +1138,8 @@ object Dev {
         // dimension tables stay FIXED as the fact side grows
         Seq("region", "nation", "part", "supplier").foreach(t =>
           save(Tables(spark, src, t), t))
-        val nCust = 150000L; val nOrd = 1500000L; val nUsers = 15000L
+        val nCust = 150000L * mult; val nOrd = 1500000L * mult
+        val nUsers = 15000L * mult
         save(spark.range(nCust).select(col("id").as("c_custkey"),
           format_string("Customer#%09d", col("id")).as("c_name"),
           pmod(hash(lit("cn"), col("id")), lit(25)).cast("int").as("c_nationkey"),
@@ -1036,7 +1183,7 @@ object Dev {
             timestamp_micros(lit(789004800000000L) +
               (u("lsd", col("rid")) * 2498).cast("long") * 86400000000L)
               .as("l_shipdate")), "lineitem")
-        save(spark.range(1000000L).select(col("id").as("event_id"),
+        save(spark.range(1000000L * mult).select(col("id").as("event_id"),
           timestamp_micros(lit(1704067200000000L) +
             (u("ets", col("id")) * (30.0 * 86400 - 60) * 1e6).cast("long"))
             .as("ts"),
@@ -1053,7 +1200,7 @@ object Dev {
           .collect().map(_.getString(0)).sorted
         println(s"[dev] vocab=${vocab.length}")
         val vocabArr = array(vocab.map(lit): _*)
-        val nDocs = 50000L
+        val nDocs = 50000L * mult
         val docs0 = spark.range(nDocs).select(col("id").as("doc_id"),
           when(u("dl", col("id")) < 0.41, "en")
             .otherwise(pick("dl2", col("id"), Seq("zh", "es", "fr", "de")))
@@ -1078,7 +1225,7 @@ object Dev {
           .withColumn("n_chars", length(col("text"))), "documents")
         // embeddings: unit-norm around 10 hash-seeded centroids; every
         // 200th vector is a tiny perturbation of its predecessor
-        val nVec = 20000L
+        val nVec = 20000L * mult
         val dims = 64
         def rawVec(tag: String, id: Column): Column = transform(
           sequence(lit(0), lit(dims - 1)),
@@ -1101,7 +1248,7 @@ object Dev {
               .as("embedding"),
             col("label")), "embeddings")
         java.nio.file.Files.write(java.nio.file.Paths.get(s"$dst/_DONE"),
-          "organic sf1".getBytes)
-        println(s"[dev] organic sf1 tree complete at $dst")
+          s"organic sf${mult}x0.1x10".getBytes)
+        println(s"[dev] organic tree (mult=$mult) complete at $dst")
   }
 }

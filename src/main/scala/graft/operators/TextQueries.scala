@@ -54,6 +54,42 @@ object TextQueries {
       explode(graft.functions.expressions.TextExpressions
         .minhashBandKeysExpr(col("shingles"), numHashes, bands, rows)).as("bucket"))
 
+  /** SimHash banding width for the production keep-decision (q124):
+    * bits per band over the 64-bit signature, bands = 64/bits. A REAL
+    * session conf (the hop-2-broadcast pattern — the r16 verdict's
+    * "prose knob" item), not a doc comment: the candidate law is
+    * bands·n²/2^bits per corpus, so a template-heavy deployment where
+    * n²/2¹⁶ bites raises bits (fewer, wider bands — each band key
+    * drawn from a bigger space) at the cost of banding slack. Any
+    * VALID width preserves the verified pair set bit-for-bit: with
+    * bands > [[SimhashHammingMax]], at most hammingMax differing bits
+    * spread over bands leaves ≥1 band exactly equal (pigeonhole), so
+    * banding is candidate-COMPLETE for every pair the hamming verify
+    * accepts and the extra/fewer candidates differ only in rejected
+    * work — the keep decision (and the q30 twin contract) is invariant
+    * (SimhashBandBitsSpec pins it at 8 vs 16). Widths that would break
+    * completeness (64/bits ≤ hammingMax) are rejected loudly. */
+  private[graft] val SimhashBandBitsConf = "spark.graft.simhash.bandBits"
+  private[graft] val SimhashBandBitsDefault = 16
+  private[graft] val SimhashHammingMax = 3
+
+  /** The band-key array for a 64-bit simhash at `bandBits` bits per
+    * band — `bands` keys "b:chunk", each chunk a disjoint bit slice. */
+  private[graft] def simhashBandKeys(sim: Column, bandBits: Int): Column = {
+    require(bandBits > 0 && 64 % bandBits == 0,
+      s"simhash bandBits must divide 64, got $bandBits")
+    val bands = 64 / bandBits
+    require(bands > SimhashHammingMax,
+      s"simhash banding at $bandBits bits/band yields $bands bands — " +
+        s"candidate completeness for hamming <= $SimhashHammingMax needs " +
+        s"more than $SimhashHammingMax bands (pigeonhole); lower bandBits")
+    val mask = (1L << bandBits) - 1L // bandBits ≤ 16 < 64: no overflow
+    array((0 until bands).map(b =>
+      concat_ws(":", lit(b),
+        shiftright(sim, b * bandBits).bitwiseAND(lit(mask))
+          .cast("string"))): _*)
+  }
+
   /** DataFrame-level LSH pair core shared by the batch queries (q29/q38/
     * q52) and the streaming admission filter: band self-join candidates,
     * exact set-jaccard verify. `docs` = (doc_id, shingles), `banded` =
@@ -856,14 +892,15 @@ object TextQueries {
       // single hash projection, and the checkpoint materializes the tiny
       // (doc_id, sim) table so the banded SELF-join doesn't scan+rehash
       // the corpus twice (the q29 staged-intermediate pattern).
+      // Banding PINNED at 4×16 bits: the DuckDB oracle recomputes this
+      // exact derivation (q124, the production sibling, carries the
+      // deployment knob).
       val sh = Tables.documents(s, dir)
         .select(col("doc_id"), simhashNonEmptyUdf(tokens(col("text"))).as("sim"))
         .filter(col("sim").isNotNull)
         .localCheckpoint()
       val banded = sh.select(col("doc_id"), col("sim"),
-        explode(array((0 until 4).map(b =>
-          concat_ws(":", lit(b),
-            shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).cast("string"))): _*)).as("bucket"))
+        explode(simhashBandKeys(col("sim"), 16)).as("bucket"))
       banded.as("a").join(banded.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
@@ -878,7 +915,7 @@ object TextQueries {
     }),
 
     // SimHash KEEP-decision — q30's production sibling (the q29-to-q28
-    // pattern, r15): same 4×16-band blocking and hamming ≤ 3 verify, but
+    // pattern, r15): same band blocking and hamming ≤ 3 verify, but
     // the output is the dedup DECISION (per-lang kept counts + id
     // checksum), never the pair list. q30's pair-list output is
     // quadratic under exact copies (641× pair growth at the 10× replica
@@ -888,21 +925,26 @@ object TextQueries {
     // The candidate JOIN cost (Σ bucket²) is inherent to pair-based
     // dedup and shared with q38's accepted production form — with one
     // law difference worth naming (SCALING §6c-r16): simhash bands hash
-    // into a FIXED 2¹⁶ bucket space per band, so expected candidates
-    // grow ~n²/2¹⁶ per band (measured 2.3× wall for 10× organic data —
-    // trivial constants at these corpora); where n²/2¹⁶ bites, widen
-    // the band keys (more simhash bits per band), the standard banding
-    // trade. kept = documents minus q30's d2 side, so q30 remains this
-    // query's verification twin pair-for-pair.
+    // into a FIXED 2^bits bucket space per band, so expected candidates
+    // grow ~bands·n²/2^bits (measured 2.3× wall for 10× organic data at
+    // the 4×16 default — trivial constants at these corpora). The
+    // banding width is a REAL session conf (r17, the hop-2-conf
+    // pattern): `spark.graft.simhash.bandBits`, default 16 — any valid
+    // setting preserves the keep set bit-for-bit (bands > hamming
+    // pigeonhole: banding stays candidate-complete, the hamming verify
+    // fixes the pair set), so the knob trades candidate volume against
+    // bucket-key cardinality without forking the oracle. kept =
+    // documents minus q30's d2 side, so q30 (pinned at the 4×16
+    // default) remains this query's verification twin pair-for-pair.
     "q124_simhash_keep" -> ((s, dir) => {
+      val bandBits = s.conf.get(SimhashBandBitsConf,
+        SimhashBandBitsDefault.toString).toInt
       val sh = Tables.documents(s, dir)
         .select(col("doc_id"), simhashNonEmptyUdf(tokens(col("text"))).as("sim"))
         .filter(col("sim").isNotNull)
         .localCheckpoint()
       val banded = sh.select(col("doc_id"), col("sim"),
-        explode(array((0 until 4).map(b =>
-          concat_ws(":", lit(b),
-            shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).cast("string"))): _*)).as("bucket"))
+        explode(simhashBandKeys(col("sim"), bandBits)).as("bucket"))
       val dupIds = banded.as("a").join(banded.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
         .filter(bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= 3)

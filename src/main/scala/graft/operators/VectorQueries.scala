@@ -985,14 +985,20 @@ object VectorQueries {
   // second session sharing the context must re-derive rather than
   // receive another session's frames (ADVICE r15). BOUNDED as a
   // true LRU: on overflow the LEAST-RECENTLY-USED entry alone is
-  // evicted and its checkpoint blocks unpersisted — never a
-  // clear-the-world that would also unpersist geometries other live
-  // streams are mid-batch on (localCheckpoint truncates lineage, so an
-  // unpersisted live frame is unrecoverable, not just slow). Residual
-  // risk, stated: an entry untouched for [[SuperCacheMax]] distinct
-  // geometry derivations can in principle still be referenced by a
-  // long-suspended job; the bound is the accepted trade against
-  // unbounded executor-storage pinning.
+  // dropped from the map — its checkpoint blocks are NOT eagerly
+  // unpersisted, because an in-flight query from another live stream
+  // may still hold the evicted frames in its plan, and localCheckpoint
+  // truncates lineage, so an unpersisted live frame fails
+  // irrecoverably, not just slowly (the r16 ADVICE medium: cache
+  // PRESSURE must never break a running query). Reclamation is the
+  // ContextCleaner's: once the last plan referencing the evicted
+  // frames is GC'd, the checkpoint RDD is unreachable and its blocks
+  // are removed — the same deferred path a session's clearCache relies
+  // on. Eager unpersist remains only for the derivation-race LOSER,
+  // whose frames were never published and have no other referent.
+  // Bounded either way: the map pins at most [[SuperCacheMax]]
+  // geometries; evicted-but-unreclaimed blocks are transient, sized by
+  // live queries, not by churn.
   private val SuperCacheMax = 16
   private val superCache =
     new java.util.LinkedHashMap[String, (DataFrame, DataFrame, Long)](
@@ -1028,9 +1034,8 @@ object VectorQueries {
               superCache.put(key, fresh)
               if (superCache.size > SuperCacheMax) {
                 val it = superCache.entrySet().iterator()
-                val eldest = it.next() // access-ordered: the LRU entry
-                unpersistFrames(eldest.getValue)
-                it.remove()
+                it.next() // access-ordered: the LRU entry — dropped,
+                it.remove() // not unpersisted (see the cache doc above)
               }
               fresh
           }

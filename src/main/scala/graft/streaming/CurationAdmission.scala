@@ -244,6 +244,25 @@ object CurationAdmission {
     audit.select(lit(batchId).as("epoch"), col("*")).head
   }
 
+  /** Read an audit table under the PINNED schema — the one safe way to
+    * read audits that span the r16 `store_k` addition: parquet root
+    * reads don't merge schemas by default, so a mixed table would
+    * surface store_k as null-or-absent depending on which file supplied
+    * the inferred schema (NPE-on-getAs at worst). The explicit schema
+    * makes pre-store_k epochs read as null, coalesced to 0 — "0 = the
+    * epoch appended nothing" already means "no fan-out observed", which
+    * is exactly true of an epoch written before the stamp existed. */
+  def readAudits(s: SparkSession, auditPath: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("n_in", LongType), StructField("drop_quality", LongType),
+      StructField("drop_lm", LongType), StructField("drop_dedup", LongType),
+      StructField("drop_quote", LongType), StructField("drop_decon", LongType),
+      StructField("admitted", LongType), StructField("store_k", IntegerType),
+      StructField("epoch", LongType))) // the partition column, by name
+    s.read.schema(schema).parquet(auditPath).na.fill(0, Seq("store_k"))
+  }
+
   /** Wire as a streaming sink over a (doc_id, lang, text) stream. */
   def stream(docs: DataFrame, refPath: String, storePath: String,
              keptPath: String, auditPath: String, checkpoint: String,

@@ -134,8 +134,10 @@ object EmbeddingAdmission {
   }
 
   /** Fold accumulated epoch partitions into a single base epoch (offline
-    * maintenance; the NearDupAdmission.compact pattern — rename results
-    * checked so a failure cannot silently empty the store).
+    * maintenance, ENFORCED since r17 by AdmissionStore's per-table lock +
+    * epoch-drift guard — a racing writeEpoch fails loudly or aborts the
+    * publish; rename results checked so a failure cannot silently empty
+    * the store).
     */
   def compact(s: SparkSession, storePath: String): Unit =
     Seq("vecs", "buckets")

@@ -131,10 +131,12 @@ object NearDupAdmission {
 
   /** Compact the store's accumulated epoch partitions into a single base
     * epoch — unbounded epoch-dir growth is the one O(epochs) listing cost
-    * in the admission design. Offline maintenance (not concurrent with an
-    * active stream); the delete+rename swap is the same atomic-ish fixture
-    * pattern as BucketedUpsert, with rename results checked so a failure
-    * cannot silently empty the store.
+    * in the admission design. Offline maintenance, and since r17 that
+    * contract is ENFORCED, not prose: the compaction runs as the table's
+    * elected single maintainer (AdmissionStore's lock), a concurrent
+    * writeEpoch fails loudly against the held lock, and the publish
+    * aborts on epoch-set drift — a raced epoch can no longer be silently
+    * swapped away with the superseded tree.
     */
   def compact(s: SparkSession, storePath: String): Unit =
     Seq("docs", "bands")

@@ -157,37 +157,53 @@ object QuoteAdmission {
     val tmp = s"$storePath/census_compact_tmp"
     val livePath = new org.apache.hadoop.fs.Path(live)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    // ONE aside convention per table (AdmissionStore's): an interrupted
-    // publish — this compact's OR a maintain() re-bucket's — recovers
-    // here, and quoteDrops' reads refuse to run while {no live, aside
-    // present} stands (fail-loud, never fail-open). A second hand-rolled
-    // aside name would leave half the crash states unrecoverable by
-    // whichever tool checked the other.
-    AdmissionStore.recoverAside(s, live)
-    // a genuinely-missing census is a no-op; any OTHER read failure
-    // propagates (the old catch-everything would silently skip a
-    // compaction over an unreadable store)
-    if (!fs.exists(livePath)) return
-    fs.delete(tmpPath, true) // debris from a run that crashed pre-publish
-    // pb is a pure function of h under the store's own stamped fan-out
-    // — recomputing it preserves the blocking-key layout through the
-    // distinct, at whatever K the store has grown to
-    val k = AdmissionStore.layoutK(s, live).getOrElse(
-      throw new IllegalStateException(
-        s"quote store $live has no _PBK layout marker — rebuild the store"))
-    s.read.parquet(live).select(col("h")).distinct()
-      .withColumn("pb", AdmissionStore.pb(col("h"), k))
-      .write.partitionBy("pb")
-      .mode("overwrite").parquet(s"$tmp/epoch=-1")
-    // the layout marker travels WITH the publish (staged into the tmp
-    // tree — table stamp and the folded epoch's own marker — before any
-    // rename): no crash window can leave an intact keyed census whose
-    // reads then claim it predates the layout
-    AdmissionStore.stageMarker(s, tmp, k)
-    // crash-safe publish: live -> aside, tmp -> live, drop aside — the
-    // shared AdmissionStore dance; at no point is the census both
-    // absent and unrecoverable
-    AdmissionStore.publishSwap(s, live, tmp)
+    // the census fold runs as the table's elected single maintainer
+    // (AdmissionStore's lock + epoch-drift guard — one enforcement for
+    // every maintenance flow, this hand-rolled fold included): a
+    // concurrent writeEpoch either fails loudly against the fresh lock
+    // or aborts this publish via the drift re-list; neither can lose
+    // an epoch with the swapped-out tree.
+    AdmissionStore.withMaintenance(s, live) {
+      // ONE aside convention per table (AdmissionStore's): an interrupted
+      // publish — this compact's OR a maintain() re-bucket's — recovers
+      // here, and quoteDrops' reads refuse to run while {no live, aside
+      // present} stands (fail-loud, never fail-open). A second hand-rolled
+      // aside name would leave half the crash states unrecoverable by
+      // whichever tool checked the other. The prologue also sweeps
+      // never-retried staged debris and re-derives a deleted table
+      // stamp from agreeing epoch markers.
+      AdmissionStore.maintenancePrologue(s, live)
+      // a genuinely-missing census is a no-op; any OTHER read failure
+      // propagates (the old catch-everything would silently skip a
+      // compaction over an unreadable store)
+      if (fs.exists(livePath)) {
+        val snapshot = AdmissionStore.epochSet(s, live)
+        fs.delete(tmpPath, true) // debris from a run that crashed pre-publish
+        // pb is a pure function of h under the store's own stamped fan-out
+        // — recomputing it preserves the blocking-key layout through the
+        // distinct, at whatever K the store has grown to
+        val k = AdmissionStore.layoutK(s, live).getOrElse(
+          throw new IllegalStateException(
+            s"quote store $live has no _PBK layout marker — rebuild the store"))
+        s.read.parquet(live).select(col("h")).distinct()
+          .withColumn("pb", AdmissionStore.pb(col("h"), k))
+          .write.partitionBy("pb")
+          .mode("overwrite").parquet(s"$tmp/epoch=-1")
+        // the layout marker travels WITH the publish (staged into the tmp
+        // tree — table stamp and the folded epoch's own marker — before any
+        // rename): no crash window can leave an intact keyed census whose
+        // reads then claim it predates the layout
+        AdmissionStore.stageMarker(s, tmp, k)
+        // a writeEpoch that slipped past a stale lock lands here: abort
+        // the publish rather than swap its epoch away
+        AdmissionStore.guardEpochDrift(s, live, snapshot, tmp)
+        // crash-safe publish: live -> aside, tmp -> live, drop aside — the
+        // shared AdmissionStore dance; at no point is the census both
+        // absent and unrecoverable
+        AdmissionStore.publishSwap(s, live, tmp)
+        AdmissionStore.rebaseBytes(s, live) // re-base the width carry
+      }
+    }
   }
 
   /** Full offline maintenance: fold epochs (the aside-protocol compact

@@ -129,9 +129,9 @@ object SemanticAdmission {
   }
 
   /** Fold accumulated epoch partitions into a single base epoch (offline
-    * maintenance; the EmbeddingAdmission.compact pattern — rename
-    * results checked so a failure cannot silently empty the store). The
-    * geometry pin survives untouched.
+    * maintenance, ENFORCED since r17 by AdmissionStore's per-table lock +
+    * epoch-drift guard; rename results checked so a failure cannot
+    * silently empty the store). The geometry pin survives untouched.
     */
   def compact(s: SparkSession, storePath: String): Unit =
     AdmissionStore.compactEpochs(s, storePath, "members")

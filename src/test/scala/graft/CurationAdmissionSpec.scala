@@ -397,4 +397,28 @@ class CurationAdmissionSpec extends AnyFunSuite {
     assert(a.getAs[Long]("n_in") == 3 && a.getAs[Long]("admitted") == 0 &&
       a.getAs[Long]("drop_lm") == 2, a.toString)
   }
+
+  test("readAudits reads mixed pre-/post-store_k audit tables under the pinned schema") {
+    // pre-r16 audit epochs have no store_k column; a root read's
+    // inferred schema then depends on which file wins — readAudits pins
+    // the schema and defaults the missing column to 0 (r16 ADVICE)
+    val audit = Files.createTempDirectory("cur_audit3").toString
+    def row(storeK: Option[Int]) = {
+      val base = spark.range(1).select(
+        lit(10L).as("n_in"), lit(1L).as("drop_quality"),
+        lit(2L).as("drop_lm"), lit(3L).as("drop_dedup"),
+        lit(0L).as("drop_quote"), lit(0L).as("drop_decon"),
+        lit(4L).as("admitted"))
+      storeK.map(k => base.withColumn("store_k", lit(k))).getOrElse(base)
+    }
+    row(None).write.parquet(s"$audit/epoch=0") // pre-r16 epoch
+    row(Some(64)).write.parquet(s"$audit/epoch=1")
+    val rows = CurationAdmission.readAudits(spark, audit)
+      .orderBy("epoch").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Int]("store_k") == 0, rows(0).toString)
+    assert(rows(1).getAs[Int]("store_k") == 64, rows(1).toString)
+    assert(rows.forall(r => r.getAs[Long]("n_in") == 10L &&
+      r.getAs[Long]("admitted") == 4L))
+  }
 }

@@ -58,6 +58,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expected, s"q124 diverged from documents - q30.d2:\n$got\nvs\n$expected")
   }
 
+  test("q124 keep decision is invariant across valid simhash band widths, and invalid widths fail loudly") {
+    // the r17 bandBits conf: with bands > hammingMax, banding is
+    // candidate-complete for every hamming<=3 pair (pigeonhole), so the
+    // conf trades candidate volume, never the answer — the property that
+    // lets the knob exist without forking the oracle
+    def run(): Seq[Seq[Any]] = SparkEntry.queries("q124_simhash_keep")(
+      spark, dir).collect().toSeq.map(_.toSeq)
+    val at16 = run()
+    spark.conf.set("spark.graft.simhash.bandBits", "8")
+    try assert(run() == at16,
+      "keep decision moved under bandBits=8 — banding is not complete")
+    finally spark.conf.unset("spark.graft.simhash.bandBits")
+    // 32 bits/band = 2 bands: 3 differing bits can dirty both bands, so
+    // completeness would silently break — rejected instead
+    spark.conf.set("spark.graft.simhash.bandBits", "32")
+    try {
+      val e = intercept[IllegalArgumentException](run())
+      assert(e.getMessage.contains("pigeonhole"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.simhash.bandBits")
+  }
+
   test("native minhash_band_keys equals the UDF chain bucket-for-bucket") {
     import graft.functions.TextFunctions.{wordNgramsUdf, minhashUdf, lshBandsUdf}
     val docs = Tables.documents(spark, dir)
