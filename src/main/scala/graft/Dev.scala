@@ -477,6 +477,28 @@ object Dev {
           }
         }
 
+      case Some("lshcand") =>
+        // LSH candidate-volume census for a corpus dir: Σ bucket² is the
+        // band self-join's candidate count — the quantity behind the
+        // dedup BUILD's scaling (q29's query cost reads the persisted
+        // graph; the build pays the join). Attributes the organic-sf10
+        // build ratio (§6c-r17).
+        import org.apache.spark.sql.functions._
+        val dirL = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val docsL = Tables.documents(spark, dirL)
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.wordNgramsUdf(3)(col("text"))
+              .as("shingles"))
+          .filter(size(col("shingles")) > 0)
+        val bandedL = graft.operators.TextQueries.bandedOf(docsL)
+        val stats = bandedL.groupBy("bucket").agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("buckets"), sum(col("n") * col("n")).as("cand"),
+            max(col("n")).as("maxb"), sum(col("n")).as("rows"))
+          .head()
+        println(s"[dev] lshcand $dirL: bandRows=${stats.getAs[Long]("rows")} " +
+          s"buckets=${stats.getAs[Long]("buckets")} maxBucket=${stats.getAs[Long]("maxb")} " +
+          s"sumB2=${stats.getAs[Long]("cand")}")
+
       case Some("rebucketbench") =>
         // Re-bucket rewrite cost at two store sizes (r16 verdict task 4):
         // rebucket is a full-store rewrite, so its per-step cost must
@@ -511,15 +533,32 @@ object Dev {
               java.nio.file.Files.size(_)).sum
           } finally st.close()
         }
-        for (rows <- Seq(400000L, 1600000L)) {
+        // unprinted warmup: the first rewrite of a session absorbs
+        // plan/codegen/shuffle-machinery init that would otherwise make
+        // the SMALL store look slower than the big one
+        AdmissionStore.rebucket(spark, buildStore(100000L), col("bucket"), 64)
+        // both orders in one run: at test scale the rewrite is task/
+        // file-count bound (equal file counts at both sizes), so the
+        // size effect must be read against the order/noise effect
+        for (rows <- Seq(1600000L, 400000L, 1600000L, 400000L)) {
           val store = buildStore(rows)
           val bytes = bytesOf(store)
+          def nFiles(root: String): Long = {
+            val st = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+            try {
+              import scala.jdk.CollectionConverters._
+              st.iterator().asScala.count(p =>
+                java.nio.file.Files.isRegularFile(p) &&
+                  p.getFileName.toString.startsWith("part-")).toLong
+            } finally st.close()
+          }
+          val filesIn = nFiles(store)
           val t0 = System.nanoTime()
           AdmissionStore.rebucket(spark, store, col("bucket"), 64)
           val secs = (System.nanoTime() - t0) / 1e9
           require(AdmissionStore.layoutK(spark, store).contains(64))
           val rowsBack = spark.read.parquet(store).count()
-          println(f"[dev] rebucketbench rows=$rows%-9d bytes=${bytes / 1048576.0}%.1f MiB 16->64 in $secs%.2f s (${bytes / 1048576.0 / secs}%.1f MiB/s) rowsBack=$rowsBack")
+          println(f"[dev] rebucketbench rows=$rows%-9d bytes=${bytes / 1048576.0}%.1f MiB filesIn=$filesIn filesOut=${nFiles(store)} 16->64 in $secs%.2f s (${bytes / 1048576.0 / secs}%.1f MiB/s) rowsBack=$rowsBack")
         }
 
       case Some("admissionhandoff") =>
