@@ -1072,7 +1072,9 @@ object VectorQueries {
   private[graft] val IvfBroadcastCellsConf = "spark.graft.ivf.maxBroadcastCells"
   private[graft] val IvfBroadcastCellsDefault = 200000L
 
-  private[graft] def assignCells(e: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def assignCells(e: DataFrame, cent: DataFrame,
+      probes: Int = 1): DataFrame = {
+    require(probes >= 1, s"hop-1 probes must be >= 1, got $probes")
     val (supers, cellmap, nlist) = superQuantizerCached(cent)
     // the live-super filter's right side is ≤ nsuper = √nlist rows —
     // always broadcastable (the checkpointed frames carry no stats, so
@@ -1080,13 +1082,27 @@ object VectorQueries {
     val liveSupers = supers.join(
       broadcast(cellmap.select(col("super")).distinct()),
       Seq("super"), "left_semi")
-    val hop1 = e.crossJoin(broadcast(liveSupers))
+    val hop1Cand = e.crossJoin(broadcast(liveSupers))
       .withColumn("ssim", cosineSim(col("embedding"), col("scentroid")))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("super"), col("embedding")),
-        struct(negate(col("ssim")), col("super"))).as("best"))
-      .select(col("vec_id"), col("best.super").as("super"),
-        col("best.embedding").as("embedding"))
+    // probes = 1 (the corpus path) stays the map-side min_by aggregation
+    // — one buffer per vec_id crosses the shuffle, never a corpus-sized
+    // window sort. probes > 1 is the TRAINING path ([[IvfTrainProbes]]):
+    // its input is the bounded Lloyd sample, so the top-probes window
+    // (sample × nsuper rows, partitioned by vec_id) is sample-sized by
+    // construction; each surviving (vec, super) row fans into hop 2.
+    val hop1 =
+      if (probes == 1)
+        hop1Cand.groupBy(col("vec_id"))
+          .agg(min_by(struct(col("super"), col("embedding")),
+            struct(negate(col("ssim")), col("super"))).as("best"))
+          .select(col("vec_id"), col("best.super").as("super"),
+            col("best.embedding").as("embedding"))
+      else
+        hop1Cand.withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+              .orderBy(col("ssim").desc, col("super"))))
+          .filter(col("rk") <= probes)
+          .select(col("vec_id"), col("super"), col("embedding"))
     val maxBroadcast = e.sparkSession.conf
       .get(IvfBroadcastCellsConf, IvfBroadcastCellsDefault.toString).toLong
     // nlist rides the super cache — no per-call count job just to pick
@@ -1151,12 +1167,16 @@ object VectorQueries {
     * blocks are released with the RDD instead of pinning the session's
     * catalog cache for its lifetime.
     *
-    * Build law, priced end-to-end: train = 2 iterations ×
-    * sample·nlist = 32·nlist² (bounded by the index size, not the
-    * corpus); super-quantizer = nlist^1.5 ([[superQuantizer]]); corpus
-    * assignment = 2·N·√nlist ([[assignCells]]). The r14 shape —
-    * N·nlist = N²/cellSize per iteration plus a full-corpus exact
-    * assignment — was quadratic in the corpus.
+    * Build law, priced end-to-end (r17): train = 2 iterations ×
+    * (super derivation nlist^1.5 + two-level sample assignment
+    * 16·nlist·2√nlist) = O(nlist^1.5) — the r16 exact-sample form's
+    * 32·nlist² was still quadratic in N under nlist = N/50 sizing and
+    * measurably dominated the build one organic decade up (49.6 of
+    * 70 s at sf10, SCALING §6c-r17); super-quantizer over the final
+    * centroids = nlist^1.5 ([[superQuantizer]]); corpus assignment =
+    * 2·N·√nlist ([[assignCells]]). Every stage is now ≤ N^1.5. The r14
+    * shape — N·nlist = N²/cellSize per iteration plus a full-corpus
+    * exact assignment — was quadratic in the corpus.
     */
   private[graft] def trainCells(e: DataFrame): DataFrame = {
     val s = e.sparkSession
@@ -1210,12 +1230,40 @@ object VectorQueries {
     // checkpoint each iteration: the retention join references the
     // previous centroids TWICE (assignment broadcast + fallback side) —
     // left lazy, iteration 2 re-executes iteration 1's whole subtree
-    // per reference (measured 11.9 → 8.9 s at the 10× replica)
+    // per reference (measured 11.9 → 8.9 s at the 10× replica).
+    // Each Lloyd step routes the sample through the SAME two-level
+    // assignment the corpus uses (r17): the exact form's sample·nlist =
+    // 16·nlist² was quadratic in N under the fixed-cell-size sizing —
+    // measured emerging at the organic sf10 decade (train 49.6 s of the
+    // 70 s build, SCALING §6c-r17) — while the two-level form is
+    // 16·nlist·2√nlist ∝ N^1.5, ONE assignment law at every stage
+    // (no conditional fork; the oracle replays the hop inside each
+    // training iteration exactly as it replays the corpus assignment).
     for (_ <- 0 until 2)
-      cent = retainEmpty(cellMeans(assignCellsExact(sample, cent)), cent)
+      cent = retainEmpty(
+        cellMeans(assignCells(sample, cent, probes = IvfTrainProbes)), cent)
         .localCheckpoint()
     cent
   }
+
+  /** Hop-1 probes for the TRAINING Lloyd's two-level assignment: the
+    * corpus assignment stays top-1 (each vector lands in ONE inverted-
+    * file cell — a hop miss there just picks a near-tie neighbor cell,
+    * the accepted IMI trade), but during training a hop miss compounds
+    * across iterations into genuinely worse centroids. Measured at
+    * sf0.1 (`Dev annquality`, q46 nprobe=3 / q63 recall@5, 100-query
+    * sample, ±~0.02 binomial noise per point): exact-assignment
+    * training 0.33/0.38, two-level top-1 0.20/0.30, two-level top-2
+    * 0.29/0.35, top-3 0.27/0.29 — top-2 recovers the exact form's
+    * index quality to within ~1-2σ of the sample noise at
+    * 2·sample·2√nlist ∝ N^1.5 cost, where the exact form's 16·nlist²
+    * ∝ N² made training the build's dominant term one organic decade
+    * up (49.6 of 70 s at sf10, → 12.3 s two-level; at N = 10⁹ the
+    * exact form is 6·10¹⁵ distance rows — not runnable at all). A
+    * deployment that wants the last recall epsilon raises this at
+    * linear cost. Part of the oracle-checked contract: the oracle
+    * replays hop-1 rank ≤ probes inside each training iteration. */
+  private[graft] val IvfTrainProbes = 2
 
   // ---- trained-index artifact store (q46, q57, q63) ----------------------
   //
@@ -1882,38 +1930,79 @@ object VectorQueries {
        |    GROUP BY $key, d) g
        |  GROUP BY $key)""".stripMargin
 
-  /** One training-Lloyd step replay: exact argmax assignment of the
-    * bounded sample to `prev` (csim DESC, cell ASC ties), float-cast
-    * means, empty cells retaining their previous centroid
-    * (retainEmpty's LEFT JOIN + COALESCE). */
-  private def ivfLloydStep(prev: String, asg: String, next: String): String =
-    s"""$asg AS (
-       |  SELECT vec_id, cell, embedding FROM (
-       |    SELECT e.vec_id, c.cell, e.embedding,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY $duckCos DESC, c.cell ASC) AS rk
-       |    FROM ivsamp e, $prev c, ${cosLateral("e.embedding", "c.centroid")}) t
-       |  WHERE rk = 1),
-       |${ivfMeansOver(asg, "cell", "embedding", asg + "_m")},
-       |$next AS MATERIALIZED (
-       |  SELECT p.cell, COALESCE(m.centroid, p.centroid) AS centroid
-       |  FROM $prev p LEFT JOIN ${asg}_m m ON m.cell = p.cell)""".stripMargin
-
-  /** One super-quantizer Lloyd step replay over the trained centroids
+  /** One super-quantizer Lloyd step replay over centroid table `cells`
     * (cells play the vector role; ssim DESC, super ASC ties; retention
-    * as in the training Lloyd). */
-  private def ivfSuperStep(prev: String, asg: String, next: String): String =
+    * as in the training Lloyd). Parameterized by the cell source (r17):
+    * the super derivation now runs once per TRAINING iteration too, on
+    * that iteration's centroids, not only once on the final c2. */
+  private def ivfSuperStep(cells: String, prev: String, asg: String,
+      next: String): String =
     s"""$asg AS (
        |  SELECT cell, super, centroid FROM (
        |    SELECT c.cell, s.super, c.centroid,
        |      row_number() OVER (PARTITION BY c.cell
        |        ORDER BY $duckCos DESC, s.super ASC) AS rk
-       |    FROM c2 c, $prev s, ${cosLateral("c.centroid", "s.scentroid")}) t
+       |    FROM $cells c, $prev s, ${cosLateral("c.centroid", "s.scentroid")}) t
        |  WHERE rk = 1),
        |${ivfMeansOver(asg, "super", "centroid", asg + "_m")},
        |$next AS MATERIALIZED (
        |  SELECT p.super, COALESCE(m.centroid, p.scentroid) AS scentroid
        |  FROM $prev p LEFT JOIN ${asg}_m m ON m.super = p.super)""".stripMargin
+
+  /** The full two-level assignment of `srcRel` (vec_id, embedding rows)
+    * against centroid table `cent`, replayed under prefix `p`: super
+    * seeds = cells 0..nsuper−1 of `cent`, two retention Lloyd steps
+    * over the centroids, each cell routed to its nearest super, hop 1 =
+    * nearest LIVE super per vector (ssim DESC / super ASC — a super
+    * with no member cells is excluded, exactly assignCells' left_semi),
+    * hop 2 = nearest cell among that super's members (csim DESC / cell
+    * ASC). Final assignment lands in `${p}a` (vec_id, cell, embedding,
+    * cos). ONE assignment replay for every stage that assigns vectors —
+    * the training iterations (r17) and the corpus tail both call this,
+    * so the oracle cannot drift between them. */
+  private def ivfTwoLevel(cent: String, srcRel: String, p: String,
+      probes: Int = 1): String =
+    s"""${p}s0 AS MATERIALIZED (SELECT cell AS super, centroid AS scentroid
+       |       FROM $cent, nl WHERE cell < nl.nsuper),
+       |${ivfSuperStep(cent, s"${p}s0", s"${p}t1", s"${p}s1")},
+       |${ivfSuperStep(cent, s"${p}s1", s"${p}t2", s"${p}s2")},
+       |${p}smap AS MATERIALIZED (
+       |  SELECT cell, super FROM (
+       |    SELECT c.cell, s.super,
+       |      row_number() OVER (PARTITION BY c.cell
+       |        ORDER BY $duckCos DESC, s.super ASC) AS rk
+       |    FROM $cent c, ${p}s2 s, ${cosLateral("c.centroid", "s.scentroid")}) t
+       |  WHERE rk = 1),
+       |${p}vsup AS MATERIALIZED (
+       |  SELECT vec_id, super, embedding FROM (
+       |    SELECT e.vec_id, s.super, e.embedding,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $duckCos DESC, s.super ASC) AS rk
+       |    FROM $srcRel e,
+       |      (SELECT t2.super, t2.scentroid FROM ${p}s2 t2
+       |       WHERE t2.super IN (SELECT DISTINCT super FROM ${p}smap)) s,
+       |      ${cosLateral("e.embedding", "s.scentroid")}) t
+       |  WHERE rk <= $probes),
+       |${p}a AS MATERIALIZED (
+       |  SELECT vec_id, cell, embedding, cos FROM (
+       |    SELECT v.vec_id, m.cell, v.embedding, $duckCos AS cos,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY $duckCos DESC, m.cell ASC) AS rk
+       |    FROM ${p}vsup v JOIN ${p}smap m ON m.super = v.super
+       |    JOIN $cent c ON c.cell = m.cell,
+       |    ${cosLateral("v.embedding", "c.centroid")}) t
+       |  WHERE rk = 1)""".stripMargin
+
+  /** One training-Lloyd step replay (r17, two-level): the bounded
+    * sample routes through [[ivfTwoLevel]] against `prev` — the SAME
+    * hop the corpus assignment replays — then float-cast means and
+    * empty-cell retention (retainEmpty's LEFT JOIN + COALESCE). */
+  private def ivfLloydStep(prev: String, asg: String, next: String): String =
+    s"""${ivfTwoLevel(prev, "ivsamp", asg, probes = IvfTrainProbes)},
+       |${ivfMeansOver(asg + "a", "cell", "embedding", asg + "_m")},
+       |$next AS MATERIALIZED (
+       |  SELECT p.cell, COALESCE(m.centroid, p.centroid) AS centroid
+       |  FROM $prev p LEFT JOIN ${asg}_m m ON m.cell = p.cell)""".stripMargin
 
   // The chain's checkpoint CTEs are AS MATERIALIZED: DuckDB inlines
   // plain CTEs per reference, and the retention LEFT JOIN makes every
@@ -1930,11 +2019,13 @@ object VectorQueries {
     *     vec_id) order — the sizing and the sample definition are part
     *     of the oracle-checked contract;
     *   - c0 = first-nlist Forgy seeds, two retention Lloyd steps over
-    *     the sample → c2 (the trained centroid table);
-    *   - s0 = cells 0..nsuper−1 of c2, two retention Lloyd steps over
-    *     the centroids → s2; smap = each cell's final nearest super;
-    *   - a3 = the two-level corpus assignment (nearest LIVE super, then
-    *     nearest cell within it), carrying the winning csim as `cos`;
+    *     the sample → c2 (the trained centroid table) — each step
+    *     routing the sample through the SAME two-level hop the corpus
+    *     uses (r17: super derivation from that iteration's centroids,
+    *     live-super hop 1, within-super hop 2 — [[ivfTwoLevel]]), so
+    *     training replays at O(nlist^1.5) like the Spark side;
+    *   - the corpus tail = [[ivfTwoLevel]] over c2 → a3 (vec_id, cell,
+    *     embedding, winning csim as `cos`);
     *   - a3_s = exact query-side probe scores (every centroid, query
     *     vectors only) — what probeCells computes.
     */
@@ -1953,36 +2044,8 @@ object VectorQueries {
        |       FROM ivord, nl WHERE rk <= nl.nlist),
        |${ivfLloydStep("c0", "ivl1", "c1")},
        |${ivfLloydStep("c1", "ivl2", "c2")},
-       |s0 AS MATERIALIZED (SELECT cell AS super, centroid AS scentroid
-       |       FROM c2, nl WHERE cell < nl.nsuper),
-       |${ivfSuperStep("s0", "ivt1", "s1")},
-       |${ivfSuperStep("s1", "ivt2", "s2")},
-       |smap AS MATERIALIZED (
-       |  SELECT cell, super FROM (
-       |    SELECT c.cell, s.super,
-       |      row_number() OVER (PARTITION BY c.cell
-       |        ORDER BY $duckCos DESC, s.super ASC) AS rk
-       |    FROM c2 c, s2 s, ${cosLateral("c.centroid", "s.scentroid")}) t
-       |  WHERE rk = 1),
-       |vsup AS MATERIALIZED (
-       |  SELECT vec_id, super, embedding FROM (
-       |    SELECT e.vec_id, s.super, e.embedding,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY $duckCos DESC, s.super ASC) AS rk
-       |    FROM embeddings e,
-       |      (SELECT s2.super, s2.scentroid FROM s2
-       |       WHERE s2.super IN (SELECT DISTINCT super FROM smap)) s,
-       |      ${cosLateral("e.embedding", "s.scentroid")}) t
-       |  WHERE rk = 1),
-       |a3 AS MATERIALIZED (
-       |  SELECT vec_id, cell, embedding, cos FROM (
-       |    SELECT v.vec_id, m.cell, v.embedding, $duckCos AS cos,
-       |      row_number() OVER (PARTITION BY v.vec_id
-       |        ORDER BY $duckCos DESC, m.cell ASC) AS rk
-       |    FROM vsup v JOIN smap m ON m.super = v.super
-       |    JOIN c2 c ON c.cell = m.cell,
-       |    ${cosLateral("v.embedding", "c.centroid")}) t
-       |  WHERE rk = 1),
+       |${ivfTwoLevel("c2", "embeddings", "fin")},
+       |a3 AS (SELECT vec_id, cell, embedding, cos FROM fina),
        |a3_s AS MATERIALIZED (
        |  SELECT e.vec_id, c.cell, e.embedding, $duckCos AS cos
        |  FROM embeddings e, c2 c, ${cosLateral("e.embedding", "c.centroid")}
