@@ -909,7 +909,7 @@ object TextQueries {
         // builtin bit_count(xor) — codegen'd, no UDF; same value as
         // TextFunctions.hamming64
         .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
-        .filter(col("hamming") <= 3)
+        .filter(col("hamming") <= SimhashHammingMax)
         .select("d1", "d2", "hamming")
         .orderBy("d1", "d2")
     }),
@@ -947,7 +947,7 @@ object TextQueries {
         explode(simhashBandKeys(col("sim"), bandBits)).as("bucket"))
       val dupIds = banded.as("a").join(banded.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-        .filter(bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= 3)
+        .filter(bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= SimhashHammingMax)
         .select(col("b.doc_id").as("doc_id")).distinct()
       Tables.documents(s, dir)
         .join(broadcast(dupIds), Seq("doc_id"), "left_anti")
@@ -3274,7 +3274,7 @@ object TextQueries {
         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sim AS s1, b.sim AS s2
         |  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
         |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
-        |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+        |FROM cand WHERE bit_count(xor(s1, s2)) <= $SimhashHammingMax
         |ORDER BY 1, 2""".stripMargin,
 
     // q124: the q30 chain verbatim, ending in the keep decision instead
@@ -3302,7 +3302,7 @@ object TextQueries {
         |drops AS (
         |  SELECT DISTINCT b.doc_id
         |  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.sim, b.sim)) <= 3)
+        |  WHERE bit_count(xor(a.sim, b.sim)) <= $SimhashHammingMax)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
         |FROM documents d

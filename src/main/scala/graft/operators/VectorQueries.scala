@@ -1073,9 +1073,16 @@ object VectorQueries {
   private[graft] val IvfBroadcastCellsDefault = 200000L
 
   private[graft] def assignCells(e: DataFrame, cent: DataFrame,
-      probes: Int = 1): DataFrame = {
+      probes: Int = 1, cacheGeometry: Boolean = true): DataFrame = {
     require(probes >= 1, s"hop-1 probes must be >= 1, got $probes")
-    val (supers, cellmap, nlist) = superQuantizerCached(cent)
+    // cacheGeometry=false is the TRAINING path: each Lloyd iteration's
+    // centroids are throwaway (two per build), and caching them would
+    // churn the 16-slot LRU out from under live streams' pinned
+    // geometries (the r17 review) — derive directly and let the
+    // iteration's checkpoint release them with the plan instead
+    val (supers, cellmap, nlist) =
+      if (cacheGeometry) superQuantizerCached(cent)
+      else { val (sup, cm) = superQuantizer(cent); (sup, cm, cent.count()) }
     // the live-super filter's right side is ≤ nsuper = √nlist rows —
     // always broadcastable (the checkpointed frames carry no stats, so
     // without the hint Spark would sort-merge two tiny tables)
@@ -1241,7 +1248,8 @@ object VectorQueries {
     // training iteration exactly as it replays the corpus assignment).
     for (_ <- 0 until 2)
       cent = retainEmpty(
-        cellMeans(assignCells(sample, cent, probes = IvfTrainProbes)), cent)
+        cellMeans(assignCells(sample, cent, probes = IvfTrainProbes,
+          cacheGeometry = false)), cent)
         .localCheckpoint()
     cent
   }

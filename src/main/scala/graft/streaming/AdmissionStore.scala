@@ -192,45 +192,118 @@ private[graft] object AdmissionStore {
         "retry the batch after maintenance completes, or remove a stale " +
         "lock left by a crashed maintainer")
 
-  /** Run `body` as the table's single elected maintainer: atomic lock
-    * create (a fresh lock held by another maintainer throws — two
-    * concurrent maintainers are the same contract violation as a
-    * concurrent writer), stale locks stolen, released on every exit.
-    * Exposed to QuoteAdmission's census fold — the one maintenance
-    * flow outside this object. */
+  /** The read side of lock OWNERSHIP: the lock file carries the owning
+    * maintainer's election token (the writeMarker surviving-content
+    * convention), so a stolen/replaced lock is distinguishable from
+    * one's own. None for absent or unreadable. */
+  private def readLockToken(s: SparkSession,
+      p: org.apache.hadoop.fs.Path): Option[String] = {
+    val fs = fsOf(s)
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(org.apache.hadoop.io.IOUtils
+          .readFullyToByteArray(in), "UTF-8").trim)
+        finally in.close()
+      }
+    } catch { case _: java.io.IOException => None } // absent, torn or
+    // checksum-corrupt: simply NOT this run's token — ownership checks
+    // fail closed (abort before publish, leave the lock on release) and
+    // writers judge staleness by mtime, so an unreadable lock never
+    // crashes a batch or a guard
+  }
+
+  // This call chain's held election tokens (table → token): guard and
+  // release must verify the lock still carries THIS maintenance run's
+  // token — a per-table map would let a same-JVM thief's token shadow
+  // the loser's and wave its publish through. Thread-local is sound:
+  // every guard/release runs on the thread that elected.
+  private val heldTokens = new ThreadLocal[Map[String, String]] {
+    override def initialValue(): Map[String, String] = Map.empty
+  }
+
+  /** Run `body` as the table's single elected maintainer. Election is
+    * token-based, never blind: a FRESH lock throws (two concurrent
+    * maintainers are the same contract violation as a concurrent
+    * writer); a STALE lock is stolen via atomic rename-aside — the
+    * loser of a double steal fails its rename and aborts, so a fresh
+    * lock can never be deleted out from under its owner (the r17
+    * review's delete-then-create hole). The new lock carries a random
+    * election token and is read back: whichever maintainer's token
+    * SURVIVES owns the table (exactly one — a clobbered write reads
+    * back the winner's token and the loser throws), and ownership is
+    * re-verified at every publish ([[guardEpochDrift]]) and at release
+    * (never delete a thief's fresh lock). Exposed to QuoteAdmission's
+    * census fold — the one maintenance flow outside this object. */
   private[graft] def withMaintenance[T](s: SparkSession, table: String)
       (body: => T): T = {
     val fs = fsOf(s); val p = maintLockOf(table)
+    val token = java.util.UUID.randomUUID().toString
     if (lockFresh(s, table)) throw new IllegalStateException(
       s"admission store $table already has an active maintainer " +
         s"($p is held fresh) — the single-maintainer contract allows one")
-    fs.delete(p, false) // a stale lock (crashed maintainer) is stolen
+    if (fs.exists(p)) { // stale: steal atomically — rename-aside, so a
+      // concurrent stealer's rename FAILS instead of both proceeding
+      val tomb = hPath(s"$p.stale-$token")
+      if (!fs.rename(p, tomb)) throw new IllegalStateException(
+        s"admission store $table: lost the stale-lock steal race on $p " +
+          "— another maintainer is electing; retry later")
+      fs.delete(tomb, false)
+    }
     val out = try fs.create(p, false)
     catch { case _: java.io.IOException => throw new IllegalStateException(
       s"admission store $table: lost the maintenance-lock election on $p " +
         "— another maintainer acquired it first") }
-    try out.write(Array.emptyByteArray) finally out.close()
-    try body finally fs.delete(p, false)
+    try out.write(token.getBytes("UTF-8")) finally out.close()
+    // surviving-content election (local fs create(false) is not atomic:
+    // two near-simultaneous creators can both land — the token that
+    // survives picks exactly one winner, the other aborts here)
+    if (!readLockToken(s, p).contains(token)) throw new IllegalStateException(
+      s"admission store $table: lost the maintenance-lock election on $p " +
+        "— another maintainer's token survived")
+    heldTokens.set(heldTokens.get() + (table -> token))
+    try body finally {
+      heldTokens.set(heldTokens.get() - table)
+      // release ONLY our own lock: a thief that legally stole it after
+      // it went stale owns it now — deleting would expose the thief's
+      // publish window to writers
+      if (readLockToken(s, p).contains(token)) fs.delete(p, false)
+    }
   }
 
-  /** Re-assert liveness on the held lock (mtime refresh) — called right
-    * before a publish so a writer's pre-rename lock check sees a FRESH
-    * lock even when the staging job outran [[MaintLockStaleMs]]. */
-  private def touchMaintLock(s: SparkSession, table: String): Unit = {
+  /** Re-assert ownership + liveness on the held lock: refresh its mtime
+    * (so a writer's pre-rename check sees a FRESH lock even when the
+    * staging job outran [[MaintLockStaleMs]]) and return whether the
+    * lock still carries this run's token. */
+  private def touchMaintLock(s: SparkSession, table: String): Boolean = {
     val fs = fsOf(s); val p = maintLockOf(table)
-    if (fs.exists(p)) fs.setTimes(p, System.currentTimeMillis(), -1)
+    val mine = heldTokens.get().get(table)
+    val owned = mine.nonEmpty && readLockToken(s, p) == mine
+    if (owned) fs.setTimes(p, System.currentTimeMillis(), -1)
+    owned
   }
 
-  /** The maintenance side of the race: refresh the lock, then compare
-    * the table's CURRENT epoch set against the snapshot the staged tree
-    * was derived from, and ABORT the publish on drift — an epoch that
-    * landed mid-rewrite (a writer that slipped past a stale lock) is
-    * never silently swapped away; the maintenance is simply re-run.
-    * Drops the staged tree before throwing so the abort leaves no
-    * debris for the next run to misread. */
+  /** The maintenance side of the race, checked right before a publish:
+    * (a) OWNERSHIP — if the lock no longer carries this run's token
+    * (it went stale mid-staging and another maintainer stole it), this
+    * run must abort: its staged tree may already be superseded, and
+    * publishing would race the thief's rewrite; (b) DRIFT — compare
+    * the table's CURRENT epoch set against the snapshot the staged
+    * tree was derived from, and abort on drift — an epoch that landed
+    * mid-rewrite (a writer that slipped past a stale lock) is never
+    * silently swapped away; the maintenance is simply re-run. Both
+    * aborts drop the staged tree first so they leave no debris for the
+    * next run to misread. */
   private[graft] def guardEpochDrift(s: SparkSession, table: String,
       snapshot: Set[String], staged: String): Unit = {
-    touchMaintLock(s, table)
+    if (!touchMaintLock(s, table)) {
+      fsOf(s).delete(hPath(staged), true)
+      throw new IllegalStateException(
+        s"admission store $table: maintenance lock lost mid-rewrite " +
+          "(it went stale and another maintainer stole it) — aborting " +
+          "this publish; the new maintainer owns the table, re-run later")
+    }
     val now = epochSet(s, table)
     if (now != snapshot) {
       fsOf(s).delete(hPath(staged), true)
@@ -551,8 +624,17 @@ private[graft] object AdmissionStore {
     val staged = s"$table/.epoch_stage_$epoch"
     val oldAside = s"$table/.epoch_old_$epoch"
     fs.delete(hPath(staged), true)
-    fs.delete(hPath(oldAside), true) // a crashed PREVIOUS retry's debris:
-    // its content is superseded by this attempt's deterministic rewrite
+    // a crashed PREVIOUS retry's old-aside: if its epoch dir is MISSING,
+    // the aside is the epoch's only committed copy — RESTORE it before
+    // spending a Spark job staging (a crash during THIS staging must
+    // not leave the epoch unrecoverable anywhere; deleting here was the
+    // r17 review's fail-open window). With the epoch dir present, the
+    // aside is superseded debris.
+    if (!fs.exists(hPath(epochDir)) && fs.exists(hPath(oldAside))) {
+      if (!fs.rename(hPath(oldAside), hPath(epochDir)))
+        throw new java.io.IOException(
+          s"writeEpoch: cannot restore $oldAside -> $epochDir")
+    } else fs.delete(hPath(oldAside), true)
     df.withColumn("pb", pb(key, k))
       .write.partitionBy("pb")
       .mode("overwrite").parquet(staged)
@@ -695,13 +777,28 @@ private[graft] object AdmissionStore {
   }
 
   /** Shared entry ritual for every locked maintenance flow: settle
-    * publish + epoch asides, sweep never-retried staged debris, and
-    * re-derive a deleted table stamp from agreeing epoch markers.
-    * Exposed to QuoteAdmission's census fold. */
+    * publish + epoch asides, sweep never-retried staged debris (inside
+    * the table AND the sibling staging trees/lock tombs abandoned by
+    * crashed or superseded maintainers — staging dirs are uuid-unique
+    * per run, so under the held lock anything matching the prefix is
+    * dead or doomed-to-abort), and re-derive a deleted table stamp from
+    * agreeing epoch markers. Exposed to QuoteAdmission's census fold. */
   private[graft] def maintenancePrologue(s: SparkSession, table: String): Unit = {
     recoverAside(s, table)
     sweepEpochDebris(s, table)
     recoverTableStamp(s, table)
+    val fs = fsOf(s)
+    val tablePath = hPath(table)
+    val parent = tablePath.getParent
+    val name = tablePath.getName
+    if (parent != null && fs.exists(parent))
+      fs.listStatus(parent).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(s"${name}_compact_tmp") ||
+            n.startsWith(s"${name}_rebucket_tmp") ||
+            n.startsWith(s"${name}_maint.lock.stale-"))
+          fs.delete(st.getPath, true)
+      }
   }
 
   /** Fold `storePath/sub`'s accumulated epoch partitions into a single
@@ -718,15 +815,21 @@ private[graft] object AdmissionStore {
     val live = s"$storePath/$sub"
     withMaintenance(s, live) {
       val fs = fsOf(s)
-      val tmp = s"$storePath/${sub}_compact_tmp"
+      // uuid-unique staging tree: a superseded slow maintainer can never
+      // write into the tree THIS run publishes (its own guard aborts it;
+      // the prologue sweeps its abandoned tree next pass)
+      val tmp = s"$storePath/${sub}_compact_tmp-${java.util.UUID.randomUUID()}"
       maintenancePrologue(s, live)
+      // snapshot BEFORE the read pins its file listing: an epoch landing
+      // in the gap is then in the fold-but-not-snapshot direction, which
+      // the drift guard ABORTS on — the other order would pass the guard
+      // while the staged fold silently lacked the raced epoch's rows
+      val snapshot = epochSet(s, live)
       val df: Option[DataFrame] =
         if (!fs.exists(hPath(live))) None
         else try Some(s.read.parquet(live))
         catch { case _: org.apache.spark.sql.AnalysisException => None }
       df.foreach { frame =>
-        val snapshot = epochSet(s, live)
-        fs.delete(hPath(tmp), true) // debris from a run that crashed pre-publish
         // preserve the blocking-key layout: pb is a discovered partition
         // column of the accumulated epochs — the compacted base keeps it
         val parts = frame.columns.filter(_ == "pb")
@@ -751,10 +854,10 @@ private[graft] object AdmissionStore {
     withMaintenance(s, table)(rebucketLocked(s, table, key, k2))
 
   private def rebucketLocked(s: SparkSession, table: String, key: Column,
-      k2: Int): Unit = {
+      k2: Int, prologue: Boolean = true): Unit = {
     require(k2 > 0 && k2 <= MaxBuckets, s"fan-out $k2 out of range")
     val fs = fsOf(s)
-    maintenancePrologue(s, table)
+    if (prologue) maintenancePrologue(s, table)
     if (!fs.exists(hPath(table))) return
     val k = requireLayout(s, table)
     if (k2 == k) return
@@ -767,9 +870,10 @@ private[graft] object AdmissionStore {
       writeMarker(s, pbkPath(table).toString, k2)
       return
     }
+    // snapshot BEFORE the read pins its listing (see compactEpochs)
     val snapshot = epochSet(s, table)
-    val tmp = s"${table}_rebucket_tmp"
-    fs.delete(hPath(tmp), true)
+    // uuid-unique staging tree (see compactEpochs)
+    val tmp = s"${table}_rebucket_tmp-${java.util.UUID.randomUUID()}"
     s.read.parquet(table).drop("pb")
       .withColumn("pb", pb(key, k2))
       .write.partitionBy("epoch", "pb")
@@ -797,7 +901,8 @@ private[graft] object AdmissionStore {
         writeBytesCell(s, table, epochWalkBytes(s, table))
         val sig = widthSignal(s, table, targetBucketBytes)
         if (sig.needsRebucket) {
-          rebucketLocked(s, table, key, sig.suggestedK)
+          // prologue already ran above — don't repeat its listings
+          rebucketLocked(s, table, key, sig.suggestedK, prologue = false)
           Some(LayoutReport(sig, rebucketed = true, k = sig.suggestedK))
         } else Some(LayoutReport(sig, rebucketed = false, k = sig.k))
       }

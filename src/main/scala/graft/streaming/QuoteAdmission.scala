@@ -154,9 +154,11 @@ object QuoteAdmission {
   def compact(s: SparkSession, storePath: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     val live = s"$storePath/census"
-    val tmp = s"$storePath/census_compact_tmp"
+    // uuid-unique staging tree (the AdmissionStore convention): a
+    // superseded slow maintainer can never write into the tree this run
+    // publishes; abandoned trees are swept by the prologue
+    val tmp = s"$storePath/census_compact_tmp-${java.util.UUID.randomUUID()}"
     val livePath = new org.apache.hadoop.fs.Path(live)
-    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     // the census fold runs as the table's elected single maintainer
     // (AdmissionStore's lock + epoch-drift guard — one enforcement for
     // every maintenance flow, this hand-rolled fold included): a
@@ -178,7 +180,8 @@ object QuoteAdmission {
       // compaction over an unreadable store)
       if (fs.exists(livePath)) {
         val snapshot = AdmissionStore.epochSet(s, live)
-        fs.delete(tmpPath, true) // debris from a run that crashed pre-publish
+        // (no pre-delete: the staging tree is uuid-unique per run, and
+        // the prologue swept any abandoned census_compact_tmp-* trees)
         // pb is a pure function of h under the store's own stamped fan-out
         // — recomputing it preserves the blocking-key layout through the
         // distinct, at whatever K the store has grown to

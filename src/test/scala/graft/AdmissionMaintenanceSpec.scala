@@ -105,15 +105,49 @@ class AdmissionMaintenanceSpec extends AnyFunSuite {
     val snapshot = AdmissionStore.epochSet(spark, table)
     // a writer slips past a stale lock while the maintainer is staging
     AdmissionStore.writeEpoch(bandRow("b2", 2L), col("bucket"), table, 2L)
-    val staged = s"${table}_rebucket_tmp"
-    Files.createDirectories(Paths.get(staged))
-    val e = intercept[IllegalStateException] {
-      AdmissionStore.guardEpochDrift(spark, table, snapshot, staged)
+    val staged = s"${table}_rebucket_tmp-test"
+    AdmissionStore.withMaintenance(spark, table) {
+      Files.createDirectories(Paths.get(staged))
+      val e = intercept[IllegalStateException] {
+        AdmissionStore.guardEpochDrift(spark, table, snapshot, staged)
+      }
+      assert(e.getMessage.contains("drifted"), e.getMessage)
     }
-    assert(e.getMessage.contains("drifted"), e.getMessage)
     assert(!Files.exists(Paths.get(staged)), "staged tree not dropped")
     // nothing lost: all three epochs' rows still read back
     assert(storedPairs(table) == Set(("b0", 0L), ("b1", 1L), ("b2", 2L)))
+  }
+
+  test("a maintainer that lost its lock to a stale-steal aborts before publishing, and never deletes the thief's lock") {
+    val table = tmp("maint_theft") + "/bands"
+    AdmissionStore.writeEpoch(bandRow("b0", 0L), col("bucket"), table, 0L)
+    val snapshot = AdmissionStore.epochSet(spark, table)
+    val staged = s"${table}_rebucket_tmp-test"
+    AdmissionStore.withMaintenance(spark, table) {
+      // simulate the steal: the slow maintainer's lock went stale and a
+      // second maintainer re-elected with its own token (drop the
+      // Hadoop checksum sidecar — this nio write bypasses it, and a
+      // stale crc would make the lock read as corrupt instead)
+      Files.deleteIfExists(lockOf(table).getParent
+        .resolve("." + lockOf(table).getFileName + ".crc"))
+      Files.write(lockOf(table), "thief-token".getBytes("UTF-8"))
+      Files.createDirectories(Paths.get(staged))
+      val e = intercept[IllegalStateException] {
+        AdmissionStore.guardEpochDrift(spark, table, snapshot, staged)
+      }
+      assert(e.getMessage.contains("lock lost") ||
+        e.getMessage.contains("stole"), e.getMessage)
+      assert(!Files.exists(Paths.get(staged)),
+        "superseded maintainer's staged tree not dropped")
+    }
+    // release must NOT delete the thief's lock: the thief owns the
+    // table now, and deleting would expose its publish window to writers
+    assert(Files.exists(lockOf(table)), "thief's lock deleted on release")
+    assert(new String(Files.readAllBytes(lockOf(table)), "UTF-8")
+      == "thief-token")
+    Files.delete(lockOf(table))
+    // the store is untouched throughout
+    assert(storedPairs(table) == Set(("b0", 0L)))
   }
 
   test("a live writer raced against repeated maintenance: every reported success survives, every failure is loud") {
