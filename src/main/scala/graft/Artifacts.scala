@@ -25,6 +25,7 @@ object Artifacts {
       graft.operators.TextQueries.dsirFeatsShared(spark, sfDir)
       () },
     "nb" -> (() => { graft.operators.TextQueries.nbQualityScored(spark, sfDir); () }),
+    "spans" -> (() => { graft.operators.TextQueries.spanRunsShared(spark, sfDir); () }),
     "bloom" -> { () =>
       graft.operators.TextQueries.benchGramsShared(spark, sfDir)
       graft.operators.TextQueries.bloomSetShared(spark, sfDir)

@@ -277,8 +277,17 @@ object Bench {
     // Envelope recorded round 12 (measured build/canary ratios on a run
     // whose canary noise was 2.55x — the values carry that margin
     // already, and the gate adds 2x on top; see BENCHPROTOCOL.md).
+    // ivf RE-PROFILED r18 (r17 verdict task 2): the r12 value (1.5)
+    // predated the deliberate N^1.5 two-level Lloyd trainer, which costs
+    // ~+20% at sf0.1 (nlist=40, tiny-job-overhead bound) to win 70→16 s
+    // at organic sf10 — post-change builder windows measured 1.95/2.15
+    // (r17) and 1.58/2.21 (r18, canary noise 1.43/1.62), so 2.2 = the
+    // measured band's ceiling; the r17 driver trip (4.43 under record
+    // 2.78x noise) sits at the new gate's edge by design. "spans" added
+    // r18 (q117's persisted run-table; measured 1.29/1.38 same windows).
     val buildEnvelope = Map("dedup" -> 3.0, "lm" -> 2.7, "lex" -> 2.0,
-      "nb" -> 0.9, "bpe" -> 2.2, "ivf" -> 1.5, "pq" -> 2.7, "srp" -> 0.4,
+      "nb" -> 0.9, "bpe" -> 2.2, "ivf" -> 2.2, "pq" -> 2.7, "srp" -> 0.4,
+      "spans" -> 1.4,
       // measured r14-b: 1.71 s / 1.62 canary (the benchmark-gram distinct
       // + lane build; gram5 itself bills to lex)
       "bloom" -> 1.1)

@@ -362,7 +362,7 @@ object Dev {
         println(s"[dev] ivfprof n=${ivfE.count()}")
         val ivfCent = tt("trainCells")(
           graft.operators.VectorQueries.trainCells(ivfE))
-        val (ivfSup, ivfMap) = tt("superQuantizer")(
+        val (ivfSup, ivfMap, _) = tt("superQuantizer")(
           graft.operators.VectorQueries.superQuantizer(ivfCent))
         println(s"[dev] ivfprof cells=${ivfCent.count()} supers=${ivfSup.count()} mapped=${ivfMap.count()}")
         tt("assignCells (warm super cache)")(
@@ -482,14 +482,19 @@ object Dev {
         // band self-join's candidate count — the quantity behind the
         // dedup BUILD's scaling (q29's query cost reads the persisted
         // graph; the build pays the join). Attributes the organic-sf10
-        // build ratio (§6c-r17).
+        // build ratio (§6c-r17). With a second CAP argument, also
+        // censuses the capped batch mode's candidate stage (r17 task 1):
+        // exact-collapse to representatives, then ΣB² with over-cap
+        // buckets dropped — the measured ΣB² cut SCALING §6c records.
         import org.apache.spark.sql.functions._
         val dirL = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val capL = args.lift(2).map(_.toInt).getOrElse(0)
         val docsL = Tables.documents(spark, dirL)
           .select(col("doc_id"),
             graft.functions.TextFunctions.wordNgramsUdf(3)(col("text"))
               .as("shingles"))
           .filter(size(col("shingles")) > 0)
+          .localCheckpoint()
         val bandedL = graft.operators.TextQueries.bandedOf(docsL)
         val stats = bandedL.groupBy("bucket").agg(count(lit(1)).as("n"))
           .agg(count(lit(1)).as("buckets"), sum(col("n") * col("n")).as("cand"),
@@ -498,6 +503,134 @@ object Dev {
         println(s"[dev] lshcand $dirL: bandRows=${stats.getAs[Long]("rows")} " +
           s"buckets=${stats.getAs[Long]("buckets")} maxBucket=${stats.getAs[Long]("maxb")} " +
           s"sumB2=${stats.getAs[Long]("cand")}")
+        if (capL > 0) {
+          val keyedL = docsL.withColumn("gh", md5(to_json(col("shingles"))))
+          val repsL = docsL.join(
+            keyedL.groupBy(col("gh")).agg(min(col("doc_id")).as("doc_id"))
+              .select(col("doc_id")), "doc_id")
+          val nDocs = docsL.count(); val nReps = repsL.count()
+          val perB = graft.operators.TextQueries.bandedOf(repsL)
+            .groupBy("bucket").agg(count(lit(1)).as("n"))
+          val capped = perB.filter(col("n") <= capL)
+            .agg(count(lit(1)).as("buckets"), sum(col("n") * col("n")).as("cand"),
+              max(col("n")).as("maxb"))
+            .head()
+          val dropped = perB.filter(col("n") > capL)
+            .agg(coalesce(count(lit(1)), lit(0L)).as("hot"),
+              coalesce(sum(col("n") * col("n")), lit(0L)).as("cand"))
+            .head()
+          println(s"[dev] lshcand $dirL cap=$capL: docs=$nDocs reps=$nReps " +
+            s"cappedSumB2=${capped.getAs[Long]("cand")} " +
+            s"cappedMaxBucket=${capped.getAs[Long]("maxb")} " +
+            s"hotBuckets=${dropped.getAs[Long]("hot")} " +
+            s"droppedSumB2=${dropped.getAs[Long]("cand")}")
+        }
+
+      case Some("simhashcand") =>
+        // r17 verdict task 4: the simhash bandBits law MEASURED at scale.
+        // For each width: Σ bucket² over the band table (the candidate
+        // join's volume — the bands·n²/2^bits law) and the full q124
+        // wall under that conf. Any valid width keeps the keep set
+        // bit-for-bit (pigeonhole completeness, spec-pinned); what the
+        // knob trades is candidate volume vs banding slack. → SCALING §6c.
+        import org.apache.spark.sql.functions._
+        val dirS = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val bitsL = { val l = args.drop(2).map(_.toInt)
+          if (l.isEmpty) Seq(16, 32) else l.toSeq }
+        val shS = Tables.documents(spark, dirS)
+          .select(col("doc_id"), graft.functions.TextFunctions
+            .simhashNonEmptyUdf(graft.functions.TextFunctions.tokens(col("text")))
+            .as("sim"))
+          .filter(col("sim").isNotNull)
+          .localCheckpoint()
+        for (bits <- bitsL) {
+          val bandedS = shS.select(col("doc_id"),
+            explode(graft.operators.TextQueries
+              .simhashBandKeys(col("sim"), bits)).as("bucket"))
+          val st = bandedS.groupBy("bucket").agg(count(lit(1)).as("n"))
+            .agg(count(lit(1)).as("buckets"),
+              sum(col("n") * col("n")).as("cand"), max(col("n")).as("maxb"))
+            .head()
+          spark.conf.set(
+            graft.operators.TextQueries.SimhashBandBitsConf, bits.toString)
+          val t0 = System.nanoTime()
+          val rows = graft.operators.TextQueries
+            .defs("q124_simhash_keep")(spark, dirS)
+            .collect()
+          val secs = (System.nanoTime() - t0) / 1e9
+          val keptN = rows.map(_.getAs[Long]("n_kept")).sum
+          val keptSum = rows.map(_.getAs[Long]("id_checksum")).sum
+          spark.conf.unset(graft.operators.TextQueries.SimhashBandBitsConf)
+          println(f"[dev] simhashcand $dirS bits=$bits bands=${64 / bits} " +
+            f"buckets=${st.getAs[Long]("buckets")} maxBucket=${st.getAs[Long]("maxb")} " +
+            f"sumB2=${st.getAs[Long]("cand")} q124wall=$secs%.1f s " +
+            f"kept=$keptN idsum=$keptSum")
+        }
+
+      case Some("dedupbuild") =>
+        // Wall-clock of the batch dedup pair-graph BUILD, uncapped vs the
+        // saturation pre-pass (r17 verdict task 1): runs the direct build
+        // (no artifact store — genuinely cold within this JVM) under the
+        // given spark.graft.dedup.maxBucket and reports pairs + wall, so
+        // the capped mode's ΣB² cut and its recall cost (pairs dropped)
+        // are measured on the same tree in the same session.
+        import org.apache.spark.sql.functions._
+        val dirD = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        for (capD <- args.drop(2).map(_.toInt)) {
+          if (capD > 0) spark.conf.set(
+            graft.operators.TextQueries.DedupMaxBucketConf, capD.toString)
+          else spark.conf.unset(graft.operators.TextQueries.DedupMaxBucketConf)
+          val t0 = System.nanoTime()
+          val n = graft.operators.TextQueries
+            .lshNeardupPairs(spark, dirD, 0.5).count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          println(f"[dev] dedupbuild dir=$dirD cap=$capD pairs=$n wall=$secs%.1f s")
+        }
+        spark.conf.unset(graft.operators.TextQueries.DedupMaxBucketConf)
+
+      case Some("lockbench") =>
+        // r17 verdict task 6: price the maintenance election's per-batch
+        // overhead. writeEpoch performs TWO lock-freshness checks (entry
+        // + rename-ε), each an exists() and — only when a lock file is
+        // present — one getFileStatus mtime read. Measured here: the
+        // shipped per-batch wall (checks included) and the raw per-check
+        // cost in both the absent (steady-state) and present (the 15-min
+        // staleness window) cases. Numbers → SCALING §2f-r18.
+        import org.apache.spark.sql.functions._
+        import graft.streaming.AdmissionStore
+        val rootLb = java.nio.file.Files.createTempDirectory("lockbench")
+          .toString
+        val tableLb = s"$rootLb/bands"
+        val nEp = 40
+        val t0Lb = System.nanoTime()
+        for (ep <- 0 until nEp)
+          AdmissionStore.writeEpoch(
+            spark.range(1000).select(
+              concat(lit("b"), pmod(col("id"), lit(50))).as("bucket"),
+              col("id").as("doc_id")),
+            col("bucket"), tableLb, ep.toLong)
+        val perBatchMs = (System.nanoTime() - t0Lb) / 1e6 / nEp
+        val fsLb = new org.apache.hadoop.fs.Path(tableLb).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val lockLb = new org.apache.hadoop.fs.Path(s"${tableLb}_maint.lock")
+        def checkUs(n: Int): Double = {
+          var acc = 0
+          val t1 = System.nanoTime()
+          for (_ <- 0 until n)
+            if (fsLb.exists(lockLb) && System.currentTimeMillis() -
+              fsLb.getFileStatus(lockLb).getModificationTime <=
+              AdmissionStore.MaintLockStaleMs) acc += 1
+          ((System.nanoTime() - t1) / 1e3 / n) + 0 * acc
+        }
+        val absentUs = checkUs(20000)
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(
+          s"${tableLb}_maint.lock"))
+        val presentUs = checkUs(20000)
+        java.nio.file.Files.delete(java.nio.file.Paths.get(
+          s"${tableLb}_maint.lock"))
+        println(f"[dev] lockbench perBatch=$perBatchMs%.1f ms " +
+          f"check(absent)=$absentUs%.2f us check(present)=$presentUs%.2f us " +
+          f"=> 2 checks = ${200 * absentUs / 1e3 / perBatchMs}%.5f%% of a batch")
 
       case Some("rebucketbench") =>
         // Re-bucket rewrite cost at two store sizes (r16 verdict task 4):
@@ -553,12 +686,17 @@ object Dev {
             } finally st.close()
           }
           val filesIn = nFiles(store)
+          // the store's ACTUAL pre-rebucket K (stamped by chooseK(0) at
+          // first write) — printed rather than assumed, so the label
+          // stays honest if DefaultBuckets ever changes
+          val kIn = AdmissionStore.layoutK(spark, store)
+            .getOrElse(sys.error(s"rebucketbench: no _PBK stamp in $store"))
           val t0 = System.nanoTime()
           AdmissionStore.rebucket(spark, store, col("bucket"), 64)
           val secs = (System.nanoTime() - t0) / 1e9
           require(AdmissionStore.layoutK(spark, store).contains(64))
           val rowsBack = spark.read.parquet(store).count()
-          println(f"[dev] rebucketbench rows=$rows%-9d bytes=${bytes / 1048576.0}%.1f MiB filesIn=$filesIn filesOut=${nFiles(store)} 16->64 in $secs%.2f s (${bytes / 1048576.0 / secs}%.1f MiB/s) rowsBack=$rowsBack")
+          println(f"[dev] rebucketbench rows=$rows%-9d bytes=${bytes / 1048576.0}%.1f MiB filesIn=$filesIn filesOut=${nFiles(store)} $kIn->64 in $secs%.2f s (${bytes / 1048576.0 / secs}%.1f MiB/s) rowsBack=$rowsBack")
         }
 
       case Some("admissionhandoff") =>

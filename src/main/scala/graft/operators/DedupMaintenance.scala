@@ -63,8 +63,18 @@ object DedupMaintenance {
     * legitimately reuses the persisted shingle table instead of
     * re-tokenizing the base corpus). */
   private def buildFromShingled(sh: DataFrame): DedupGraph = {
+    // the full band table persists either way — it is LINEAR-sized and
+    // the refresh path's join index; what the saturation cap changes is
+    // the PAIR derivation (the quadratic candidate join), which under
+    // spark.graft.dedup.maxBucket > 0 routes through the exact-collapse
+    // + capped-candidate chain ([[TextQueries.lshPairsCappedFromShingled]]
+    // — the declared-lossy template pre-pass; 0 keeps the bit-equal-to-
+    // exact-join contract unchanged)
     val banded = TextQueries.bandedOf(sh).localCheckpoint()
-    val pairs = TextQueries.lshPairsFromDocs(sh, banded, Threshold)
+    val cap = TextQueries.dedupMaxBucket(sh.sparkSession)
+    val pairs = (if (cap > 0)
+        TextQueries.lshPairsCappedFromShingled(sh, cap, Threshold)
+      else TextQueries.lshPairsFromDocs(sh, banded, Threshold))
       .localCheckpoint()
     val init = pairs.select(col("d1").as("doc_id"))
       .unionByName(pairs.select(col("d2").as("doc_id")))
@@ -82,8 +92,33 @@ object DedupMaintenance {
     // candidates touching the delta: delta bands vs stored+delta bands.
     // d1 < d2 dedups the delta×delta double-match; base×base pairs never
     // re-derive because the left side is delta-only.
-    val cand = bandedD.as("a")
-      .join(allBands.as("b"),
+    //
+    // Saturation cap on the REFRESH arm: under the declared-lossy mode
+    // (spark.graft.dedup.maxBucket > 0) hot buckets are dropped from
+    // BOTH join sides, with hotness judged on the combined store+delta
+    // population — byte-for-byte the streaming gate's semantics
+    // (NearDupAdmission: a bucket just under the cap on each side alone
+    // must not slip through at 2× combined). Persisted pairs are NEVER
+    // dropped (the union below is monotone); what the cap loses is
+    // delta-touching candidates whose every shared bucket is hot at
+    // arrival time. NOTE the honest asymmetry vs the capped BUILD: a
+    // refresh judges hotness when the delta arrives and does not
+    // exact-collapse, so under cap > 0 refresh and rebuild are BOTH
+    // declared-lossy but may drop different template pairs — the
+    // refresh==rebuild bit-equality contract is pinned at cap = 0 (the
+    // default), and DedupCapSpec pins each arm's own drop semantics.
+    val cap = TextQueries.dedupMaxBucket(shD.sparkSession)
+    val (deltaSide, storeSide) =
+      if (cap <= 0) (bandedD, allBands)
+      else {
+        val hot = allBands.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("bn"))
+          .filter(col("bn") > cap).select(col("bucket"))
+        (bandedD.join(broadcast(hot), Seq("bucket"), "left_anti"),
+          allBands.join(broadcast(hot), Seq("bucket"), "left_anti"))
+      }
+    val cand = deltaSide.as("a")
+      .join(storeSide.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),

@@ -67,7 +67,8 @@ object TextQueries {
     * banding is candidate-COMPLETE for every pair the hamming verify
     * accepts and the extra/fewer candidates differ only in rejected
     * work — the keep decision (and the q30 twin contract) is invariant
-    * (SimhashBandBitsSpec pins it at 8 vs 16). Widths that would break
+    * (QueriesSpec's band-width invariance test pins both directions:
+    * 8 rejected as incomplete, 32 accepted). Widths that would break
     * completeness (64/bits ≤ hammingMax) are rejected loudly. */
   private[graft] val SimhashBandBitsConf = "spark.graft.simhash.bandBits"
   private[graft] val SimhashBandBitsDefault = 16
@@ -325,6 +326,82 @@ object TextQueries {
       .getOrElse(bpeTrain(s, dir, steps))
       .map(m => (m._2, m._3))
 
+  /** Batch dedup-build saturation mode (r17 verdict task 1): cap for
+    * the BATCH pair-graph build's band buckets, promoted from the
+    * streaming gate's `maxBucket` knob. 0 (default) = off — the build
+    * stays bit-equal to the exact jaccard join (the oracle-checked
+    * contract). > 0 = the declared-lossy template pre-pass for
+    * band-SATURATED corpora (heavy boilerplate/template concentration
+    * — SCALING §6c-r17 measured ΣB² going ~n²/K_eff, build wall 31×
+    * for 10× organic data): exact-duplicate docs collapse to one
+    * representative FIRST (the q27 composition — identical shingle
+    * arrays band identically and pair at jac=1.0, recoverable without
+    * any candidate join), representatives band as usual, buckets
+    * holding more than `cap` representatives are dropped from the
+    * candidate join, and surviving rep-level pairs expand back through
+    * the exact groups. What the cap drops — EXACTLY the pairs whose
+    * every shared band bucket is over-cap among representatives, and
+    * never a pair inside an exact-duplicate group ([[graft.DedupCapSpec]]
+    * pins the drop set plant-by-plant, plus cap-high ≡ uncapped). */
+  private[graft] val DedupMaxBucketConf = "spark.graft.dedup.maxBucket"
+
+  private[graft] def dedupMaxBucket(s: SparkSession): Int = {
+    val v = s.conf.get(DedupMaxBucketConf, "0").toInt
+    require(v >= 0, s"$DedupMaxBucketConf must be >= 0, got $v")
+    v
+  }
+
+  /** The capped batch build from an already-shingled (doc_id, shingles)
+    * table — see [[DedupMaxBucketConf]]. Exact-collapse → capped band
+    * join among representatives → group expansion. Output is exactly
+    * the uncapped pair set minus pairs whose every shared rep-level
+    * bucket is over-cap: jac values are bit-identical (identical
+    * shingle arrays give identical set-jaccard against any third doc,
+    * and within-group pairs are exactly 1.0 in the exact join too).
+    * Scale shape: the collapse is one hash shuffle (the q27 census),
+    * the candidate join's ΣB² is judged on REPRESENTATIVES with hot
+    * buckets dropped, and the expansion is output-sized. */
+  private[graft] def lshPairsCappedFromShingled(sh: DataFrame, cap: Int,
+      threshold: Double, numHashes: Int = 64, bands: Int = 32,
+      rows: Int = 2): DataFrame = {
+    require(cap > 0, s"capped build needs cap > 0, got $cap")
+    // 1. exact-collapse: identical shingle ARRAYS → one representative
+    //    (min doc_id). Array identity is conservative (identical text ⇒
+    //    identical array) and safe: banding and set-jaccard are both
+    //    determined by the shingle multiset, so every member is
+    //    exchangeable with its rep in any pair.
+    val keyed = sh
+      .withColumn("gh", md5(to_json(col("shingles"))))
+      .select(col("doc_id"), col("gh"))
+    val members = keyed
+      .join(keyed.groupBy(col("gh")).agg(min(col("doc_id")).as("rep")), "gh")
+      .select(col("doc_id"), col("rep"))
+      .localCheckpoint()
+    val repSh = sh
+      .join(members.filter(col("doc_id") === col("rep"))
+        .select(col("rep").as("doc_id")), "doc_id")
+      .localCheckpoint()
+    // 2. band the representatives; candidates run under the hot-bucket
+    //    cap — the streaming gate's knob (lshPairsFromDocs maxBucket),
+    //    now judging hotness on the collapsed population
+    val bandedReps = bandedOf(repSh, numHashes, bands, rows).localCheckpoint()
+    val repPairs = lshPairsFromDocs(repSh, bandedReps, threshold, cap)
+    // 3. expand: rep-level pairs fan out to all member pairs (same jac);
+    //    within-group pairs are exact duplicates — jac 1.0, immune to
+    //    the cap by construction (no candidate join involved)
+    val cross = repPairs
+      .join(members.select(col("rep").as("d1"), col("doc_id").as("m1")), "d1")
+      .join(members.select(col("rep").as("d2"), col("doc_id").as("m2")), "d2")
+      .select(least(col("m1"), col("m2")).as("d1"),
+        greatest(col("m1"), col("m2")).as("d2"), col("jac"))
+    val within = members.as("a")
+      .join(members.as("b"), col("a.rep") === col("b.rep") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        lit(1.0).as("jac"))
+    cross.unionByName(within)
+  }
+
   private[graft] def lshNeardupPairs(s: SparkSession, dir: String,
       threshold: Double, numHashes: Int = 64, bands: Int = 32,
       rows: Int = 2): DataFrame = {
@@ -337,8 +414,13 @@ object TextQueries {
       .select(col("doc_id"), wordNgramsUdf(3)(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .localCheckpoint()
-    val banded = bandedOf(docs, numHashes, bands, rows).localCheckpoint()
-    lshPairsFromDocs(docs, banded, threshold)
+    val cap = dedupMaxBucket(s)
+    if (cap > 0)
+      lshPairsCappedFromShingled(docs, cap, threshold, numHashes, bands, rows)
+    else {
+      val banded = bandedOf(docs, numHashes, bands, rows).localCheckpoint()
+      lshPairsFromDocs(docs, banded, threshold)
+    }
   }
 
   // ---- dedup-graph artifact store (q29, q38, q52, q55, q61, q72) ---------
@@ -450,8 +532,13 @@ object TextQueries {
     * once the pair table is pinned (their LogicalRDD blocks, nothing
     * else's — the cachedIndexTable pattern).
     */
-  private[graft] def lshNeardupPairsShared(s: SparkSession, dir: String): DataFrame =
-    cachedTextFrame(s, "lshpairs05", dir) {
+  private[graft] def lshNeardupPairsShared(s: SparkSession, dir: String): DataFrame = {
+    // the artifact is keyed by the active cap: a capped pair graph is a
+    // DIFFERENT (declared-lossy) artifact, and a session flipping the
+    // conf must never read one mode's graph as the other's
+    val cap = dedupMaxBucket(s)
+    val tag = if (cap > 0) s"lshpairs05c$cap" else "lshpairs05"
+    cachedTextFrame(s, tag, dir) {
       val built = lshNeardupPairs(s, dir, 0.5)
       val out = built.localCheckpoint()
       built.queryExecution.logical.collect {
@@ -459,6 +546,7 @@ object TextQueries {
       }.foreach(_.unpersist(blocking = false))
       out
     }
+  }
 
   /** Component labels of the shared pair graph, as a persisted artifact —
     * the dedup pipeline's cluster table, computed once per corpus.
@@ -683,6 +771,33 @@ object TextQueries {
       bg.queryExecution.logical.collect {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       }.foreach(_.unpersist(blocking = false))
+      out
+    }
+
+  /** Per-doc longest duplicated stride-1 window run (doc_id, maxrun) as
+    * a persisted corpus artifact — q117's expensive core (r17 verdict
+    * task 3: the worst decade-2 query ratio, 5.3×, was recomputing a
+    * census the engine already maintains incrementally). The build runs
+    * the ONE shared window-hash/census/islands definition
+    * ([[CorpusStatsMaintenance.buildSpans]]/`spanRuns` — the same code
+    * the streaming quote gate and the incremental span maintenance
+    * use), and what persists is only the doc-count-bounded run table —
+    * never the xW window stream (census bytes ∝ corpus × window width;
+    * the run table is the ~n_docs-row result a deployed pipeline would
+    * publish). q117 then re-reads lang/roster row-locally from the
+    * corpus scan and joins on doc_id: scan + broadcast-scale join + tiny
+    * agg, no xW shuffle per query. Parity with the inline form is
+    * spec-pinned (QueriesSpec) and the oracle is unchanged. */
+  private[graft] def spanRunsShared(s: SparkSession, dir: String): DataFrame =
+    cachedTextFrame(s, "spanruns10", dir) {
+      val idx = CorpusStatsMaintenance.buildSpans(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      val out = CorpusStatsMaintenance.spanRuns(idx).localCheckpoint()
+      // release the builder's window/census checkpoints once the run
+      // table is pinned (the lshNeardupPairsShared pattern)
+      Seq(idx.wins, idx.census).foreach(_.queryExecution.logical.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(blocking = false)))
       out
     }
 
@@ -2170,38 +2285,27 @@ object TextQueries {
     // multiplies the census key stream by the window width — the known,
     // declared cost of substring- over chunk-granularity (a suffix array
     // avoids it on one machine; sharded corpora pay the xW keys to stay
-    // hash-partitioned) — but every stage is still the q89/q104 shape:
-    // row-local explode, hash-keyed partial-agg census, join back on the
-    // window hash (NOT broadcast — unbounded key space), and the run
-    // detection is a gaps-and-islands window PARTITIONED BY doc_id
-    // (bounded by doc length, never corpus-sized). All-integer spans →
-    // engine-exact membership at the >= 20 boundary.
+    // hash-partitioned) — and since r18 that cost is paid ONCE per
+    // corpus by the spanRunsShared BUILD (row-local explode, hash-keyed
+    // partial-agg census, join back on the window hash — NOT broadcast,
+    // unbounded key space — and a gaps-and-islands window PARTITIONED
+    // BY doc_id, bounded by doc length, never corpus-sized), with the
+    // query reading the persisted doc-count-bounded run table.
+    // All-integer spans → engine-exact membership at the >= 20 boundary.
     "q117_dup_spans" -> ((s, dir) => {
-      val w = Tables.documents(s, dir)
+      // the xW window census + islands kernel now lives in the persisted
+      // spanRunsShared artifact (built once per corpus snapshot by the
+      // ONE shared CorpusStatsMaintenance definition; refreshed
+      // incrementally on append) — this query is a corpus scan with
+      // row-local tokenization for the roster, a doc_id join against the
+      // doc-count-bounded run table, and the per-lang report. The xW
+      // key shuffle is paid by the BUILD, not per consumer (the r17
+      // verdict's q29-reads-the-persisted-graph pattern).
+      Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 10)
-        .select(col("doc_id"), col("lang"),
-          explode(sequence(lit(1), size(col("t")) - 9)).as("i"),
-          col("t"))
-        .select(col("doc_id"), col("lang"), col("i"),
-          md5(array_join(slice(col("t"), col("i"), lit(10)), " ")).as("h"))
-        .localCheckpoint() // feeds the census and the join back
-      val nd = w.groupBy(col("h"))
-        .agg(count_distinct(col("doc_id")).as("ndocs"))
-      val dupRuns = w.join(nd, "h").filter(col("ndocs") >= 2)
-        .select(col("doc_id"), col("lang"), col("i"))
-        .withColumn("grp", col("i") -
-          row_number().over(Window.partitionBy("doc_id").orderBy("i")))
-        .groupBy(col("doc_id"), col("lang"), col("grp"))
-        .agg(count(lit(1)).as("run"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("run")).as("maxrun"))
-      // every >= 10-token doc owns >= 1 window, so the audited-doc roster
-      // falls out of the checkpointed window relation — no second corpus
-      // scan / tokenization pass (map-side partial distinct collapses the
-      // xW window stream to ~doc-count rows before the shuffle)
-      w.select(col("doc_id"), col("lang")).distinct()
-        .join(dupRuns, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"))
+        .join(spanRunsShared(s, dir), Seq("doc_id"), "left")
         .withColumn("span",
           when(col("maxrun").isNull, lit(0L)).otherwise(col("maxrun") + lit(9L)))
         .groupBy(col("lang"))

@@ -869,11 +869,18 @@ object VectorQueries {
     * nlist ≈ 10⁵ the driver would be doing 2G flops and holding the
     * centroid table, exactly what executors are for.
     */
-  private[graft] def superQuantizer(cent: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def superQuantizer(cent: DataFrame)
+      : (DataFrame, DataFrame, Long) = {
+    // nlist rides the return value: every caller needs it (broadcast
+    // sizing, √nlist derivations) and counting here is the one count
+    // job per derivation — the uncached training path must not pay a
+    // second one just to re-learn what this dispatch already measured
     val nlist = cent.count()
-    if (nlist <= SuperDriverMaxCells) superQuantizerLocal(cent)
-    else superQuantizerDistributed(cent,
-      math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    val (sup, cm) =
+      if (nlist <= SuperDriverMaxCells) superQuantizerLocal(cent)
+      else superQuantizerDistributed(cent,
+        math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    (sup, cm, nlist)
   }
 
   /** Driver-path ceiling: 4096 cells × 64 floats ≈ 1 MB collected and
@@ -1020,12 +1027,7 @@ object VectorQueries {
       case None =>
         // derived OUTSIDE the lock — the distributed path runs Spark
         // jobs and must not block other streams' cache hits
-        val nlist = cent.count()
-        val (sup, cm) =
-          if (nlist <= SuperDriverMaxCells) superQuantizerLocal(cent)
-          else superQuantizerDistributed(cent,
-            math.ceil(math.sqrt(nlist.toDouble)).toInt)
-        val fresh = (sup, cm, nlist)
+        val fresh = superQuantizer(cent)
         superCache.synchronized {
           Option(superCache.get(key)) match {
             case Some(winner) => // lost a derivation race: drop ours
@@ -1082,7 +1084,7 @@ object VectorQueries {
     // iteration's checkpoint release them with the plan instead
     val (supers, cellmap, nlist) =
       if (cacheGeometry) superQuantizerCached(cent)
-      else { val (sup, cm) = superQuantizer(cent); (sup, cm, cent.count()) }
+      else superQuantizer(cent)
     // the live-super filter's right side is ≤ nsuper = √nlist rows —
     // always broadcastable (the checkpointed frames carry no stats, so
     // without the hint Spark would sort-merge two tiny tables)

@@ -155,13 +155,26 @@ private[graft] object AdmissionStore {
       st.isDirectory && st.getPath.getName.startsWith("epoch="))
   }
 
-  /** The table's live epoch dir names — the drift guard's snapshot. */
+  /** The table's live epoch dirs, each FINGERPRINTED
+    * (`name|fileCount|bytes|dirMtime`) — the drift guard's snapshot.
+    * Name-only comparison had a hole (the r17 review): a writeEpoch
+    * that OVERWRITES an existing epoch (a batch retry slipping past a
+    * stale lock) leaves the name set unchanged, and the maintenance
+    * publish would silently revert that epoch to its pre-retry rows.
+    * File count + bytes catch any content change; the dir mtime (a
+    * fresh inode per publish — the staged dir is renamed in, and
+    * rename preserves its times afterwards) catches even a
+    * byte-identical rewrite. Cost: one per-EPOCH-dir listing per
+    * snapshot/guard on the rare maintenance path — never the per-batch
+    * store walk the r16 `_BYTES` carry removed. */
   private[graft] def epochSet(s: SparkSession, table: String): Set[String] = {
     val fs = fsOf(s)
     if (!fs.exists(hPath(table))) Set.empty
     else fs.listStatus(hPath(table)).collect {
       case st if st.isDirectory && st.getPath.getName.startsWith("epoch=") =>
-        st.getPath.getName
+        val cs = fs.getContentSummary(st.getPath)
+        s"${st.getPath.getName}|${cs.getFileCount}|${cs.getLength}|" +
+          st.getModificationTime
     }.toSet
   }
 
@@ -223,6 +236,12 @@ private[graft] object AdmissionStore {
     override def initialValue(): Map[String, String] = Map.empty
   }
 
+  /** Test seam for the steal race (see its call site in
+    * [[withMaintenance]]): AdmissionMaintenanceSpec installs a probe
+    * that refreshes the lock mid-steal — the exact interleaving the
+    * r17 review flagged — and restores the no-op afterwards. */
+  private[graft] var stealRaceProbe: () => Unit = () => ()
+
   /** Run `body` as the table's single elected maintainer. Election is
     * token-based, never blind: a FRESH lock throws (two concurrent
     * maintainers are the same contract violation as a concurrent
@@ -246,9 +265,33 @@ private[graft] object AdmissionStore {
     if (fs.exists(p)) { // stale: steal atomically — rename-aside, so a
       // concurrent stealer's rename FAILS instead of both proceeding
       val tomb = hPath(s"$p.stale-$token")
+      stealRaceProbe() // test seam: the window where a live owner's
+      // touchMaintLock can land between the staleness judgment above
+      // and the rename below (AdmissionMaintenanceSpec forces it);
+      // production leaves it a no-op
       if (!fs.rename(p, tomb)) throw new IllegalStateException(
         s"admission store $table: lost the stale-lock steal race on $p " +
           "— another maintainer is electing; retry later")
+      // the steal was check-THEN-rename: between our staleness read and
+      // the rename, the live owner's touchMaintLock may have refreshed
+      // the lock (the r17 review's transient two-maintainer window).
+      // The rename preserved the file's mtime, so re-judge staleness on
+      // the TOMB: a fresh tomb is a live maintainer's lock — hand it
+      // back (rename restores it untouched for the owner's next token
+      // check) and abort the steal instead of electing over them.
+      val tombFresh =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(tomb).getModificationTime <= MaintLockStaleMs
+        catch { case _: java.io.FileNotFoundException => false }
+      if (tombFresh) {
+        if (!fs.rename(tomb, p)) fs.delete(tomb, false) // p re-created by
+        // a third electing maintainer first: the displaced owner's next
+        // touch fails its token check and aborts loudly either way
+        throw new IllegalStateException(
+          s"admission store $table: aborting stale-lock steal on $p — " +
+            "the owner refreshed it between the staleness check and the " +
+            "steal; it is a LIVE maintainer's lock, retry later")
+      }
       fs.delete(tomb, false)
     }
     val out = try fs.create(p, false)

@@ -284,4 +284,77 @@ class AdmissionMaintenanceSpec extends AnyFunSuite {
       .contains(AdmissionStore.DefaultBuckets))
     assert(storedPairs(table) == Set(("b0", 0L), ("b1", 1L)))
   }
+
+  test("a paused maintainer that resumes AFTER a genuine stale-steal aborts " +
+    "loudly and never publishes over the thief (end-to-end, real steal path)") {
+    val table = tmp("maint_paused") + "/bands"
+    AdmissionStore.writeEpoch(bandRow("b0", 0L), col("bucket"), table, 0L)
+    AdmissionStore.writeEpoch(bandRow("b1", 1L), col("bucket"), table, 1L)
+    val staged = s"${table}_rebucket_tmp-paused"
+    AdmissionStore.withMaintenance(spark, table) {
+      val snapshot = AdmissionStore.epochSet(spark, table)
+      // the maintainer legally pauses past MaintLockStaleMs (GC, host
+      // stall — the r16/r17 bench windows saw 2.8× swings): age the lock
+      Files.setLastModifiedTime(lockOf(table),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - AdmissionStore.MaintLockStaleMs - 1000))
+      // a SECOND maintainer elects through the PRODUCTION steal path and
+      // completes a real staged publish (compact folds both epochs)
+      AdmissionStore.compactEpochs(spark,
+        Paths.get(table).getParent.toString, "bands")
+      val afterThief = storedPairs(table)
+      assert(afterThief == Set(("b0", 0L), ("b1", 1L)))
+      // the paused maintainer RESUMES: its guard must abort — its token
+      // is gone (the thief owned and released) — and drop its staged tree
+      Files.createDirectories(Paths.get(staged))
+      val e = intercept[IllegalStateException] {
+        AdmissionStore.guardEpochDrift(spark, table, snapshot, staged)
+      }
+      assert(e.getMessage.contains("lock lost"), e.getMessage)
+      assert(!Files.exists(Paths.get(staged)),
+        "paused maintainer's staged tree not dropped")
+      // the thief's published tree is untouched by the aborted publish
+      assert(storedPairs(table) == afterThief)
+    }
+    // release never deletes what isn't ours: after the thief released,
+    // there is no lock left to delete — a fresh election must succeed
+    assert(!Files.exists(lockOf(table)))
+    assert(AdmissionStore.maintain(spark, table, col("bucket")).isDefined)
+  }
+
+  test("a stale-steal that races the live owner's lock refresh hands the " +
+    "lock back and aborts — never two elected maintainers") {
+    val table = tmp("maint_stealrace") + "/bands"
+    AdmissionStore.writeEpoch(bandRow("b0", 0L), col("bucket"), table, 0L)
+    // the owner: a maintainer whose lock went stale but who is still alive
+    Files.createFile(lockOf(table))
+    Files.write(lockOf(table), "owner-token".getBytes("UTF-8"))
+    Files.deleteIfExists(lockOf(table).getParent
+      .resolve("." + lockOf(table).getFileName + ".crc"))
+    Files.setLastModifiedTime(lockOf(table),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - AdmissionStore.MaintLockStaleMs - 1000))
+    // force the r17-review interleaving: the owner's touchMaintLock lands
+    // BETWEEN the thief's staleness judgment and its rename-aside
+    AdmissionStore.stealRaceProbe = () =>
+      Files.setLastModifiedTime(lockOf(table),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    try {
+      val e = intercept[IllegalStateException] {
+        AdmissionStore.withMaintenance(spark, table) {
+          fail("the thief must not elect over a lock refreshed mid-steal")
+        }
+      }
+      assert(e.getMessage.contains("refreshed"), e.getMessage)
+    } finally AdmissionStore.stealRaceProbe = () => ()
+    // the lock was handed BACK: still present, still the owner's token,
+    // still fresh — the owner's next guard/touch passes untouched
+    assert(Files.exists(lockOf(table)), "owner's refreshed lock not handed back")
+    assert(new String(Files.readAllBytes(lockOf(table)), "UTF-8").trim
+      == "owner-token")
+    assert(System.currentTimeMillis() -
+      Files.getLastModifiedTime(lockOf(table)).toMillis
+      < AdmissionStore.MaintLockStaleMs, "handed-back lock must be fresh")
+    Files.delete(lockOf(table))
+  }
 }

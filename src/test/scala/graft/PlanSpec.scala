@@ -550,21 +550,33 @@ class PlanSpec extends AnyFunSuite {
       s"novelty grew a window it doesn't need:\n$plan")
   }
 
-  test("q117 dup spans: hash-keyed census join, islands window per doc only") {
+  test("q117 dup spans: consumer reads the run-table artifact; the BUILD " +
+    "keeps the hash-keyed census + per-doc islands window") {
+    // r18: the xW window census moved into the spanRunsShared artifact.
+    // The CONSUMER plan must be artifact-shaped — no window function and
+    // no xW explode left in the per-query path
     val plan = physical(TextQueries.defs("q117_dup_spans")(spark, dir))
       .split("== Initial Plan ==")(0)
     assert(!plan.contains("CartesianProduct"), s"grew a cartesian:\n$plan")
-    // the window census must partial-agg map-side — the join back rides
-    // the same hash keys
-    assert(plan.contains("partial_count"),
-      s"window census lost its map-side partial:\n$plan")
-    // the only window is the gaps-and-islands run detector, PARTITIONED
-    // BY doc_id (bounded by doc length) — a lang- or corpus-level window
-    // here would single-task-sort the corpus
+    assert(!plan.contains("windowspecdefinition"),
+      s"q117 consumer recomputes the islands window it should read:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"q117 consumer re-explodes the xW window stream:\n$plan")
+    // the BUILD (the once-per-corpus artifact derivation) retains the
+    // audited shape: map-side census partial, and the only window is the
+    // gaps-and-islands run detector PARTITIONED BY doc_id (bounded by
+    // doc length) — a lang- or corpus-level window would single-task-
+    // sort the corpus
+    val build = physical(graft.operators.CorpusStatsMaintenance.spanRuns(
+        graft.operators.CorpusStatsMaintenance.buildSpans(
+          Tables.documents(spark, dir).select(col("doc_id"), col("text")))))
+      .split("== Initial Plan ==")(0)
+    assert(build.contains("partial_count"),
+      s"span build's census lost its map-side partial:\n$build")
     val winSpecs = """windowspecdefinition\(([a-z_]+)#""".r
-      .findAllMatchIn(plan).map(_.group(1)).toSet
+      .findAllMatchIn(build).map(_.group(1)).toSet
     assert(winSpecs == Set("doc_id"),
-      s"islands window not doc_id-partitioned: $winSpecs\n$plan")
+      s"islands window not doc_id-partitioned: $winSpecs\n$build")
   }
 
   test("q108 Zipf: rank window sits above the vocab census, means broadcast") {

@@ -1702,6 +1702,46 @@ class QueriesSpec extends AnyFunSuite {
       "no flagged docs at sf0.001 — the >= 20 threshold is inert")
   }
 
+  test("q117 artifact path is row-identical to the direct inline census " +
+    "(r18: the consumer reads spanRunsShared instead of recomputing)") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.tokens
+    // the pre-r18 inline form, verbatim: stride-1 window census + islands
+    // run detector + per-lang report, all in the query
+    val w = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 10)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1), size(col("t")) - 9)).as("i"), col("t"))
+      .select(col("doc_id"), col("lang"), col("i"),
+        md5(array_join(slice(col("t"), col("i"), lit(10)), " ")).as("h"))
+      .localCheckpoint()
+    val nd = w.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+    val dupRuns = w.join(nd, "h").filter(col("ndocs") >= 2)
+      .select(col("doc_id"), col("lang"), col("i"))
+      .withColumn("grp", col("i") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("i")))
+      .groupBy(col("doc_id"), col("lang"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id")).agg(max(col("run")).as("maxrun"))
+    val inline = w.select(col("doc_id"), col("lang")).distinct()
+      .join(dupRuns, Seq("doc_id"), "left")
+      .withColumn("span",
+        when(col("maxrun").isNull, lit(0L)).otherwise(col("maxrun") + lit(9L)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("span") >= 20, 1L).otherwise(0L)).as("n_flagged"),
+        round(avg(col("span")), 4).as("avg_span"),
+        max(col("span")).as("max_span"))
+      .orderBy("lang").collect().toSeq
+    val artifact = TextQueries.defs("q117_dup_spans")(spark, dir)
+      .collect().toSeq
+    assert(artifact == inline,
+      s"artifact-backed q117 diverged from the inline census:\n" +
+        s"artifact=$artifact\ninline=$inline")
+  }
+
   test("q119 semdedup: keep rule replays driver-side, margins clear both cuts") {
     val rows = VectorQueries.defs("q119_semdedup")(spark, dir).collect()
     val e = Tables.embeddings(spark, dir)
