@@ -262,6 +262,27 @@ object Dev {
         // the two-decade pair-family table (SCALING §6c-r17).
         genOrganic(spark, args.lift(1).getOrElse("/tmp/graft_sf10n"), 10L)
 
+      case Some("gensf100text") =>
+        // the THIRD organic decade, text/vector side only (r17 verdict
+        // task 7 stretch): ~5M docs + 2M embeddings (~2 GB). The two
+        // builds and the worst decade-2 families (dedup/spans/q119/
+        // q123/q124) read only documents/embeddings; the relational
+        // facts' laws are already measured on the replica sweeps, so the
+        // 100×-scaled fact tables (~600M lineitems, ~13 GB, most of the
+        // gen wall) are deliberately not generated — recorded in
+        // SCALING §6c-r18.
+        val dstT = args.lift(1).getOrElse("/tmp/graft_sf100t")
+        if (java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$dstT/_DONE_TEXT")))
+          println(s"[dev] $dstT already generated")
+        else {
+          genOrganicText(spark, dstT, 100L)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dstT/_DONE_TEXT"),
+            "organic sf100 text side".getBytes)
+          println(s"[dev] organic text tree (mult=100) complete at $dstT")
+        }
+
       case Some("verifysf1") =>
         // weekly-style ORGANIC-sf1 correctness surface (first-class, not a
         // SCALING appendix): ensure the FK-valid organic tree exists, then
@@ -544,15 +565,21 @@ object Dev {
           .filter(col("sim").isNotNull)
           .localCheckpoint()
         for (bits <- bitsL) {
+          // widths past the completeness frontier (bands <= hammingMax)
+          // run under the DECLARED-lossy conf — that is the point of
+          // measuring them: candidate collapse vs the recorded miss set
+          val lossyS = 64 / bits <= graft.operators.TextQueries.SimhashHammingMax
           val bandedS = shS.select(col("doc_id"),
             explode(graft.operators.TextQueries
-              .simhashBandKeys(col("sim"), bits)).as("bucket"))
+              .simhashBandKeys(col("sim"), bits, lossyS)).as("bucket"))
           val st = bandedS.groupBy("bucket").agg(count(lit(1)).as("n"))
             .agg(count(lit(1)).as("buckets"),
               sum(col("n") * col("n")).as("cand"), max(col("n")).as("maxb"))
             .head()
           spark.conf.set(
             graft.operators.TextQueries.SimhashBandBitsConf, bits.toString)
+          if (lossyS) spark.conf.set(
+            graft.operators.TextQueries.SimhashLossyBandsConf, "true")
           val t0 = System.nanoTime()
           val rows = graft.operators.TextQueries
             .defs("q124_simhash_keep")(spark, dirS)
@@ -561,7 +588,9 @@ object Dev {
           val keptN = rows.map(_.getAs[Long]("n_kept")).sum
           val keptSum = rows.map(_.getAs[Long]("id_checksum")).sum
           spark.conf.unset(graft.operators.TextQueries.SimhashBandBitsConf)
+          spark.conf.unset(graft.operators.TextQueries.SimhashLossyBandsConf)
           println(f"[dev] simhashcand $dirS bits=$bits bands=${64 / bits} " +
+            f"lossy=$lossyS " +
             f"buckets=${st.getAs[Long]("buckets")} maxBucket=${st.getAs[Long]("maxb")} " +
             f"sumB2=${st.getAs[Long]("cand")} q124wall=$secs%.1f s " +
             f"kept=$keptN idsum=$keptSum")
@@ -1370,6 +1399,35 @@ object Dev {
           round(u("ev", col("id")) * 560.0, 2).as("value"),
           format_string("{\"k\": %d}",
             pmod(hash(lit("ek"), col("id")), lit(100))).as("props")), "events")
+        genOrganicText(spark, dst, mult)
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$dst/_DONE"),
+          s"organic sf${mult}x0.1x10".getBytes)
+        println(s"[dev] organic tree (mult=$mult) complete at $dst")
+  }
+
+  /** The TEXT/VECTOR side of the organic generator (documents +
+    * embeddings) — the part every dedup/ANN/LM family reads. Split out
+    * (r18) so the THIRD organic decade can be generated without the
+    * 100×-scaled relational facts: the sf100 question is specifically
+    * the two builds + the worst text/vector families (all documents/
+    * embeddings-only), while the relational families' laws are already
+    * measured through the replica sweeps. Identical hash-seeded
+    * expressions to the pre-split generator — gensf1/gensf10 trees are
+    * bit-identical across the refactor. */
+  private def genOrganicText(spark: SparkSession, dst: String,
+      mult: Long): Unit = {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.{Column, DataFrame}
+        val src = "/root/testdata/sf0.1"
+        def u(tag: String, cols: Column*): Column =
+          pmod(hash((lit(tag) +: cols): _*), lit(1000000)).cast("double") / 1e6
+        def pick(tag: String, id: Column, vals: Seq[String]): Column =
+          element_at(array(vals.map(lit): _*),
+            pmod(hash(lit(tag), id), lit(vals.length)).cast("int") + 1)
+        def save(df: DataFrame, name: String): Unit = {
+          df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+          println(s"[dev] wrote $name")
+        }
         // documents: fresh token streams from the corpus vocabulary
         val vocab = Tables.documents(spark, src)
           .select(explode(split(lower(col("text")), " ")).as("t"))
@@ -1424,8 +1482,5 @@ object Dev {
             transform(col("v"), x => (x / col("nrm")).cast("float"))
               .as("embedding"),
             col("label")), "embeddings")
-        java.nio.file.Files.write(java.nio.file.Paths.get(s"$dst/_DONE"),
-          s"organic sf${mult}x0.1x10".getBytes)
-        println(s"[dev] organic tree (mult=$mult) complete at $dst")
   }
 }

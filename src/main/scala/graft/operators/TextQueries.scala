@@ -58,9 +58,14 @@ object TextQueries {
     * bits per band over the 64-bit signature, bands = 64/bits. A REAL
     * session conf (the hop-2-broadcast pattern — the r16 verdict's
     * "prose knob" item), not a doc comment: the candidate law is
-    * bands·n²/2^bits per corpus, so a template-heavy deployment where
-    * n²/2¹⁶ bites raises bits (fewer, wider bands — each band key
-    * drawn from a bigger space) at the cost of banding slack. Any
+    * bands·n²/2^bits per corpus (both directions measured at organic
+    * scale — SCALING §6c-r18-simhash: bits=8 costs 40× the default's
+    * candidates, lossy bits=32 cuts them ÷135-179). NOTE the frontier:
+    * under this 64-bit signature the default 16 already maximizes
+    * 2^bits among complete widths, so a deployment where n²/2¹⁶ bites
+    * either widens the SIGNATURE (128-bit → 4×32-bit bands, lossless)
+    * or declares the loss via [[SimhashLossyBandsConf]] (measured 35%
+    * of true drops missed at sf10 — usually the wrong trade). Any
     * VALID width preserves the verified pair set bit-for-bit: with
     * bands > [[SimhashHammingMax]], at most hammingMax differing bits
     * spread over bands leaves ≥1 band exactly equal (pigeonhole), so
@@ -68,22 +73,38 @@ object TextQueries {
     * accepts and the extra/fewer candidates differ only in rejected
     * work — the keep decision (and the q30 twin contract) is invariant
     * (QueriesSpec's band-width invariance test pins both directions:
-    * 8 rejected as incomplete, 32 accepted). Widths that would break
-    * completeness (64/bits ≤ hammingMax) are rejected loudly. */
+    * 8 accepted and answer-invariant, 32 rejected). Widths that would
+    * break completeness (64/bits ≤ hammingMax) are rejected loudly by
+    * default — under a 64-bit signature and hammingMax = 3, 16
+    * bits/band IS the completeness frontier, so the n²/2¹⁶ candidate
+    * term cannot be cut further without either a wider signature
+    * (128-bit simhash → 4×32 bands, the lossless path a deployment
+    * would take) or giving up the guarantee. [[SimhashLossyBandsConf]]
+    * is the explicit declared-lossy escape hatch for the latter (r17
+    * verdict task 4; the dedup-cap design language): with it set,
+    * over-wide bands are ACCEPTED and a hamming ≤ hammingMax pair is
+    * missed exactly when every band straddles a differing bit (with 2
+    * bands, both dirty) — candidate volume collapses to
+    * bands·n²/2^bits with the miss set measured, never silent
+    * (SCALING §6c-r18 records the sf10 trade). */
   private[graft] val SimhashBandBitsConf = "spark.graft.simhash.bandBits"
   private[graft] val SimhashBandBitsDefault = 16
   private[graft] val SimhashHammingMax = 3
+  private[graft] val SimhashLossyBandsConf = "spark.graft.simhash.lossyBands"
 
   /** The band-key array for a 64-bit simhash at `bandBits` bits per
     * band — `bands` keys "b:chunk", each chunk a disjoint bit slice. */
-  private[graft] def simhashBandKeys(sim: Column, bandBits: Int): Column = {
+  private[graft] def simhashBandKeys(sim: Column, bandBits: Int,
+      allowLossy: Boolean = false): Column = {
     require(bandBits > 0 && 64 % bandBits == 0,
       s"simhash bandBits must divide 64, got $bandBits")
     val bands = 64 / bandBits
-    require(bands > SimhashHammingMax,
+    require(allowLossy || bands > SimhashHammingMax,
       s"simhash banding at $bandBits bits/band yields $bands bands — " +
         s"candidate completeness for hamming <= $SimhashHammingMax needs " +
-        s"more than $SimhashHammingMax bands (pigeonhole); lower bandBits")
+        s"more than $SimhashHammingMax bands (pigeonhole); lower bandBits, " +
+        s"or set $SimhashLossyBandsConf=true to DECLARE the loss (pairs " +
+        "whose differing bits dirty every band are missed)")
     val mask = (1L << bandBits) - 1L // bandBits ≤ 16 < 64: no overflow
     array((0 until bands).map(b =>
       concat_ws(":", lit(b),
@@ -1054,12 +1075,13 @@ object TextQueries {
     "q124_simhash_keep" -> ((s, dir) => {
       val bandBits = s.conf.get(SimhashBandBitsConf,
         SimhashBandBitsDefault.toString).toInt
+      val lossy = s.conf.get(SimhashLossyBandsConf, "false").toBoolean
       val sh = Tables.documents(s, dir)
         .select(col("doc_id"), simhashNonEmptyUdf(tokens(col("text"))).as("sim"))
         .filter(col("sim").isNotNull)
         .localCheckpoint()
       val banded = sh.select(col("doc_id"), col("sim"),
-        explode(simhashBandKeys(col("sim"), bandBits)).as("bucket"))
+        explode(simhashBandKeys(col("sim"), bandBits, lossy)).as("bucket"))
       val dupIds = banded.as("a").join(banded.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
         .filter(bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= SimhashHammingMax)

@@ -77,6 +77,24 @@ class QueriesSpec extends AnyFunSuite {
       val e = intercept[IllegalArgumentException](run())
       assert(e.getMessage.contains("pigeonhole"), e.getMessage)
     } finally spark.conf.unset("spark.graft.simhash.bandBits")
+    // the r18 DECLARED-lossy escape hatch: with lossyBands set the
+    // over-wide width runs, and the only permitted divergence is MISSED
+    // drops — every lossy-kept set is a superset of the complete one
+    // (fewer candidates can only fail to find dups, never invent them)
+    spark.conf.set("spark.graft.simhash.bandBits", "32")
+    spark.conf.set("spark.graft.simhash.lossyBands", "true")
+    try {
+      val kept = (res: Seq[Seq[Any]]) => res.map(r =>
+        r.head.asInstanceOf[String] -> r(1).asInstanceOf[Long]).toMap
+      val lossyKept = kept(run()); val fullKept = kept(at16)
+      assert(fullKept.keySet == lossyKept.keySet)
+      assert(fullKept.forall { case (lang, n) => lossyKept(lang) >= n },
+        s"lossy banding dropped MORE than the complete width — it " +
+          s"invented a pair: lossy=$lossyKept complete=$fullKept")
+    } finally {
+      spark.conf.unset("spark.graft.simhash.bandBits")
+      spark.conf.unset("spark.graft.simhash.lossyBands")
+    }
   }
 
   test("native minhash_band_keys equals the UDF chain bucket-for-bucket") {
