@@ -371,6 +371,22 @@ object Dev {
         ltime("full lm rebuild")(
           CorpusStatsMaintenance.buildLm(lAll).c2.count())
 
+      case Some("buildone") =>
+        // time ONE artifact family's cold build against a fresh store
+        // root — the sf100 third-decade harness: a full Artifacts
+        // prewarm would run EVERY family, including builds priced as
+        // infeasible at that scale (the uncapped dedup join), so the
+        // feasible families are measured one at a time.
+        val famB = args.lift(1).getOrElse("spans")
+        val dirB1 = args.lift(2).getOrElse("/root/testdata/sf0.1")
+        spark.conf.set("spark.graft.artifacts.path",
+          java.nio.file.Files.createTempDirectory("graft-buildone").toString)
+        Artifacts.dropSessionCaches()
+        val thunkB = Artifacts.families(spark, dirB1).toMap.apply(famB)
+        val t0B = System.nanoTime()
+        thunkB()
+        println(f"[dev] buildone $famB $dirB1: ${(System.nanoTime() - t0B) / 1e9}%.1f s")
+
       case Some("ivfprof") =>
         // stage-by-stage timing of the IVF build (train / super / corpus
         // assignment) — the r15 build-law tuning loop
