@@ -26,6 +26,30 @@ object Dev {
           println(s"========== $n ==========")
           SparkEntry.queries(n)(spark, dir2).explain("formatted")
         }
+      case Some("explainall") =>
+        // write every query's formatted physical plan to one file per
+        // query — the optimization round's before/after plan evidence
+        // (plans/r18/<query>_<suffix>.txt). Artifacts prewarm first so
+        // consumer plans show the persisted-artifact scan, not a build.
+        val dir2 = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val outDir = args.lift(2).getOrElse("/root/repo/plans/r18")
+        val suffix = args.lift(3).getOrElse("before")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        val allNames = args.drop(4) match {
+          case e if e.nonEmpty => e.toSeq
+          case _ => SparkEntry.queries.keys.toSeq.sorted
+        }
+        Artifacts.prewarm(spark, dir2).foreach { case (fam, secs) =>
+          println(f"[dev] build $fam: $secs%.2f s") }
+        allNames.foreach { n =>
+          val df = SparkEntry.queries(n)(spark, dir2)
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$outDir/${n}_$suffix.txt"),
+            txt.getBytes("UTF-8"))
+        }
+        println(s"[dev] wrote ${allNames.size} plans to $outDir (suffix $suffix)")
       case Some("time") =>
         // cold vs warm run per query: splits plan/codegen-compile cost from
         // steady-state execution so bench tuning targets the right thing.
