@@ -473,14 +473,23 @@ object RelationalQueries {
     "q49_sql_pipeline" -> ((s, dir) => {
       Seq("customer", "orders", "lineitem", "nation", "region")
         .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_$t"))
+      // lineitem pre-aggregates to per-order revenue BEFORE meeting
+      // orders (the q03 trick, in SQL): the files cluster by orderkey so
+      // the rollup reduces ~4× map-side before its shuffle, and the
+      // orderkey join then moves order-count rows instead of
+      // lineitem-count rows. sum-of-per-order-sums over DECIMAL(38,4) is
+      // exact, so revenue (and the window ordered by it) is bit-identical
+      // to the flat form.
       s.sql(
         """SELECT r_name, n_name, revenue, CAST(rk AS INT) AS rk FROM (
           |  SELECT r.r_name, n.n_name,
-          |    sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,4))) AS revenue,
+          |    sum(l.rev) AS revenue,
           |    row_number() OVER (PARTITION BY r.r_name
-          |      ORDER BY sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,4))) DESC,
+          |      ORDER BY sum(l.rev) DESC,
           |               n.n_name) AS rk
-          |  FROM graft_lineitem l
+          |  FROM (SELECT l_orderkey,
+          |          sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS rev
+          |        FROM graft_lineitem GROUP BY l_orderkey) l
           |  JOIN graft_orders o ON l.l_orderkey = o.o_orderkey
           |  JOIN graft_customer c ON o.o_custkey = c.c_custkey
           |  JOIN graft_nation n ON c.c_nationkey = n.n_nationkey
@@ -829,8 +838,17 @@ object RelationalQueries {
       .withColumn("bsz", count(lit(1)).over(wb))
       .filter(col("bsz") <= maxBasket)
       .drop("bsz")
-    capped.as("a")
-      .join(capped.as("b"),
+    // MERGE hint: the self-join's two sides are the identical capped
+    // subplan, and exchange reuse (the PlanSpec pin) only happens when
+    // both sides plan the same shuffle — without the hint, size stats
+    // at some SFs flip the join to broadcast, whose build side is a
+    // BroadcastExchange that shares nothing with the probe side, so the
+    // whole distinct+window subplan (the expensive part) runs TWICE.
+    // Sort-merge also needs no basket-table-sized hash relation held in
+    // memory at 100 TB, and the window's (l_orderkey) sort already
+    // satisfies the merge's ordering requirement.
+    capped.as("a").hint("shuffle_merge")
+      .join(capped.as("b").hint("shuffle_merge"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))

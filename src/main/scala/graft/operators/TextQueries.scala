@@ -272,6 +272,13 @@ object TextQueries {
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((step, l, r, cnt))
         val mergeUdf = udf((syms: Seq[String]) => bpeApplyMerge(syms, l, r))
+        // NOTE (r18): replacing this per-step localCheckpoint with a
+        // Dataset.cache() that the next count job materializes (halving
+        // the per-step job count) was tried and MEASURED SLOWER (q74
+        // warm 2.5 → 4.5 s at sf0.1): InMemoryRelation stores columnar
+        // CachedBatches, and building compressed array<string> symbol
+        // columns every step costs more than the raw-row checkpoint job
+        // it saves. The checkpoint stays.
         val (next, nextIds) =
           checkpointTracked(vocab.select(col("freq"), mergeUdf(col("syms")).as("syms")))
         release(vocabIds)
@@ -1395,9 +1402,16 @@ object TextQueries {
     // Σ p·ln(p/q) sums per-source over the vocabulary; round(4) absorbs
     // libm/summation-order jitter (the q60 precedent).
     "q85_source_kl" -> ((s, dir) => {
+      // the (source, token) census feeds FOUR plan references (srcTot,
+      // the corpus census — both sides of its token join — and the main
+      // spine): left lazy, Catalyst re-evaluates the corpus explode +
+      // census shuffle per reference. Materialized once, the census is
+      // sources×vocab-sized (bounded by the vocabulary, not the corpus),
+      // so every downstream pass reads blocks instead of re-tokenizing.
       val st = Tables.documents(s, dir)
         .select(col("source"), explode(tokens(col("text"))).as("token"))
         .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c_st"))
+        .localCheckpoint()
       val srcTot = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
       val corpus = st.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
       val total = corpus.agg(sum(col("c_t")).as("n_tot"))
@@ -1587,14 +1601,16 @@ object TextQueries {
         .withColumn("split", splitAssign(col("doc_id")))
       val train = grams.filter(col("split") === "train")
         .select(col("g")).distinct()
-      val j = grams.filter(col("split") =!= "train")
+      // both distinct counts in ONE pass over the contaminated rows
+      // (Expand ×2 + two-phase distinct aggregate with map-side partial
+      // dedup) — the former shape checkpointed the join output and ran
+      // two separate distinct pipelines plus a final join to reassemble
+      grams.filter(col("split") =!= "train")
         .join(train, "g")
-        .localCheckpoint() // 2 consumers: gram count, doc count
-      val sharedGrams = j.select(col("split"), col("g")).distinct()
-        .groupBy(col("split")).agg(count(lit(1)).as("n_shared_grams"))
-      val docsHit = j.select(col("split"), col("doc_id")).distinct()
-        .groupBy(col("split")).agg(count(lit(1)).as("n_contaminated_docs"))
-      sharedGrams.join(docsHit, "split").orderBy("split")
+        .groupBy(col("split"))
+        .agg(countDistinct(col("g")).as("n_shared_grams"),
+          countDistinct(col("doc_id")).as("n_contaminated_docs"))
+        .orderBy("split")
     }),
 
     // Sequence-packing manifest — the doc→pack assignment for training
@@ -1846,16 +1862,21 @@ object TextQueries {
       val dfT = lexDfShared(s, dir)
       val qterms = dfT.filter(length(col("token")) >= 5)
         .orderBy(col("df").desc, col("token")).limit(10)
-      val lens = tok.select(col("doc_id"), size(col("t")).as("dl"))
-      val avgdl = lens.agg(avg(col("dl")).as("avgdl"))
-      val tf = tok.select(col("doc_id"), explode(col("t")).as("token"))
+      val avgdl = tok.select(size(col("t")).as("dl"))
+        .agg(avg(col("dl")).as("avgdl"))
+      // `dl` rides the explode as a per-doc constant grouping key, so the
+      // former corpus-sized lens join (a second full pass over the
+      // tokenized corpus) disappears — the tf aggregation's shuffle
+      // already carries only the broadcast query terms' posting lists,
+      // and each surviving row now brings its own doc length along.
+      val tf = tok.select(col("doc_id"), size(col("t")).as("dl"),
+          explode(col("t")).as("token"))
         .join(broadcast(qterms), "token")
-        .groupBy(col("token"), col("df"), col("doc_id"))
+        .groupBy(col("token"), col("df"), col("doc_id"), col("dl"))
         .agg(count(lit(1)).as("tf"))
       val w = Window.partitionBy(col("token"))
         .orderBy(col("score").desc, col("doc_id"))
-      tf.join(lens, "doc_id")
-        .crossJoin(broadcast(avgdl))
+      tf.crossJoin(broadcast(avgdl))
         .withColumn("idf", log(
           (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
             + lit(1.0)))
@@ -1963,11 +1984,19 @@ object TextQueries {
     // (recursive closure, quality formula, gram join, bigram LM + ntile)
     // replayed in one SQL program.
     "q100_curation_funnel" -> ((s, dir) => {
+      // ONE corpus pass computes every row-local per-doc metric the
+      // funnel needs — token count, quality, split — so the checkpoint
+      // holds ~n_docs slim rows instead of text + token arrays (the
+      // former shape re-ran the quality regexes in a second pass and
+      // pinned the whole corpus text twice in block storage), and the
+      // former funnel-side qual join disappears: base already carries q.
       val base = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("text"),
-          tokens(col("text")).as("t"), splitAssign(col("doc_id")).as("split"))
-        .localCheckpoint() // consumers: quality, grams, funnel
-      val qual = base.select(col("doc_id"), qualityScore(col("text")).as("q"))
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).as("ntok"),
+          qualityScore(col("text")).as("q"),
+          splitAssign(col("doc_id")).as("split"))
+        .localCheckpoint() // consumers: dedup-gate quality, funnel
+      val qual = base.select(col("doc_id"), col("q"))
       // gate 1: non-canonical members of multi-doc components
       val members = neardupComponentsShared(s, dir).join(qual, "doc_id")
       val best = members.groupBy(col("component"))
@@ -1998,8 +2027,7 @@ object TextQueries {
         .select(col("doc_id"), col("bucket"))
       // the funnel: first-gate attribution + per-lang accounting
       base.filter(col("split") === "train")
-        .select(col("doc_id"), col("lang"), size(col("t")).as("ntok"))
-        .join(qual, "doc_id")
+        .select(col("doc_id"), col("lang"), col("ntok"), col("q"))
         .join(dropDedup, Seq("doc_id"), "left")
         .join(contam, Seq("doc_id"), "left")
         .join(buckets, Seq("doc_id"), "left")
@@ -2146,15 +2174,26 @@ object TextQueries {
     // so no rank-boundary hazard; jac is an integer ratio (bit-exact in
     // IEEE on both engines) rounded only for display.
     "q106_source_overlap" -> ((s, dir) => {
-      val sh = Tables.documents(s, dir)
+      // per-shingle distinct source sets in ONE corpus shuffle (map-side
+      // partial collect_set dedup — same shuffle bytes as the former
+      // corpus-wide distinct), replacing distinct + checkpoint + shingle
+      // self-join: each shingle's source set is bounded by |sources|, so
+      // both the intersection counts and the per-source sizes fall out of
+      // census-sized passes and no shingle-keyed join remains at any
+      // scale (the former a.sh = b.sh join's bucket sizes were bounded
+      // too, but it re-shuffled the distinct table twice to meet itself).
+      val sets = Tables.documents(s, dir)
         .select(col("source"), explode(wordNgramsUdf(3)(col("text"))).as("sh"))
-        .distinct()
-        .localCheckpoint() // 3 consumers: size census + both join sides
-      val sz = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val inter = sh.as("a")
-        .join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .groupBy(col("sh"))
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .localCheckpoint() // 2 consumers: size census + pair intersections
+      val sz = sets.select(explode(col("ss")).as("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = sets
+        .select(explode(expr("flatten(transform(ss, (a, i) -> " +
+          "transform(slice(ss, i + 2, size(ss)), " +
+          "b -> struct(a AS src_a, b AS src_b))))")).as("p"))
+        .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
         .agg(count(lit(1)).as("inter"))
       // the pair UNIVERSE comes from the SOURCE LIST itself (bounded,
       // broadcast), not from the shingle census: a source whose docs are
@@ -2203,12 +2242,19 @@ object TextQueries {
       // the persisted shingle-table artifact (gram5Shared, shared with
       // q68) feeds the census and the join back
       val g = gram5Shared(s, dir)
-      val dfg = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      g.join(dfg, "g")
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(count(lit(1)).as("ng"),
-          sum(when(col("df") === 1, 1L).otherwise(0L)).as("uniq"))
-        .withColumn("nov", col("uniq") / col("ng").cast("double"))
+      // a df=1 gram has exactly ONE owning doc, so the census can carry
+      // it (min(doc_id) of a 1-row group) and the per-doc unique counts
+      // aggregate from the census alone — the former corpus-sized
+      // join-back of the gram stream onto its own df census is gone;
+      // what remains joins two doc-granularity tables on doc_id.
+      val census = g.groupBy(col("g"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("d1"))
+      val uniq = census.filter(col("df") === 1)
+        .groupBy(col("d1").as("doc_id")).agg(count(lit(1)).as("uniq"))
+      g.groupBy(col("doc_id"), col("lang")).agg(count(lit(1)).as("ng"))
+        .join(uniq, Seq("doc_id"), "left")
+        .withColumn("nov",
+          coalesce(col("uniq"), lit(0L)) / col("ng").cast("double"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           round(avg(col("nov")), 4).as("avg_novelty"),

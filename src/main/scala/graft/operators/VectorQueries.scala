@@ -767,14 +767,32 @@ object VectorQueries {
       .withColumn("trk", row_number().over(wq))
       .filter(col("trk") <= 8)
       .select(col("q_id"), col("token"), col("idf"))
-    val lens = docs.select(col("doc_id"), size(col("t")).as("dl"))
-    val avgdl = lens.agg(avg(col("dl")).as("avgdl"))
+    val avgdl = docs.select(size(col("t")).as("dl"))
+      .agg(avg(col("dl")).as("avgdl"))
+    // drop non-selected tokens BEFORE the tf shuffle (guide §3.2, the q94
+    // shape): the pre-filter set is the anchors' whole vocabulary — a
+    // SUPERSET of the selected terms that needs no df join or ranking
+    // window (reusing qterms here would duplicate its subtree in the
+    // plan: Catalyst re-evaluates, not reuses, a twice-referenced
+    // derivation), stays anchor-bounded (the distinct tokens of
+    // NQueries docs), and broadcasts. Exactness is unchanged — the
+    // inner join with qterms below keeps exactly the selected terms'
+    // posting rows, as before; the semi-join only stops the corpus
+    // token stream from being shuffled first. `dl` rides the explode as
+    // a per-doc constant grouping key, so the former corpus-sized lens
+    // join (a second full pass + doc_id shuffle) disappears; scores are
+    // the identical IEEE expressions over identical (tf, dl, idf)
+    // inputs.
+    val selTokens = docs.filter(col("doc_id") < NQueries)
+      .select(explode(array_distinct(col("t"))).as("token")).distinct()
     val wl = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
-    docs.select(col("doc_id"), explode(col("t")).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    docs.select(col("doc_id"), size(col("t")).as("dl"),
+        explode(col("t")).as("token"))
+      .join(broadcast(selTokens), Seq("token"), "left_semi")
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
       .join(broadcast(qterms), "token")
       .filter(col("doc_id") =!= col("q_id"))
-      .join(lens, "doc_id")
       .crossJoin(broadcast(avgdl))
       .withColumn("contrib", col("idf") *
         ((col("tf").cast("double") * lit(2.2)) /
