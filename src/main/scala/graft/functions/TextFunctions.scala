@@ -82,6 +82,20 @@ object TextFunctions {
 
   def wordNgramsUdf(n: Int) = udf((s: String) => wordNgramsScala(s, n))
 
+  /** [[wordNgramsScala]] from an ALREADY-tokenized array — bit-equal
+    * grams when the array came from [[tokens]] (the Column tokenizer and
+    * wordNgramsScala's inline tokenize perform the identical clean →
+    * split → drop-empties steps), so a staged tokenized corpus (the
+    * lexdocs artifact) can shingle without re-running the text regexes.
+    */
+  def wordNgramsFromTokens(toks: Seq[String], n: Int): Array[String] = {
+    if (toks == null || toks.length < n) return Array.empty
+    toks.sliding(n).map(_.mkString(" ")).toArray
+  }
+
+  def wordNgramsFromTokensUdf(n: Int) =
+    udf((t: Seq[String]) => wordNgramsFromTokens(t, n))
+
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(split(trim(c), "\\s+"))
 

@@ -617,6 +617,11 @@ object RelationalQueries {
     // and no window or cartesian appears anywhere.
     "q111_event_funnel" -> ((s, dir) => {
       val W = 3L * 86400L * 1000000L // 3 days in micros
+      // NOTE (r18): pre-partitioning this checkpoint on user_id was
+      // tried — localCheckpoint's LogicalRDD does NOT carry the physical
+      // partitioning in this Spark version (plan-verified: every
+      // consumer kept its user_id exchange and the repartition only
+      // added one more), so the idea is a dead end, not an oversight.
       val e = ev(s, dir)
         .select(col("user_id"), col("event_type"), col("ts_us").as("t"))
         .localCheckpoint() // 5 consumers: the user universe + 4 steps

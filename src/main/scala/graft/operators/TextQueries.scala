@@ -515,9 +515,10 @@ object TextQueries {
     val docs = cachedTextFrame(s, "nblabeled", dir) {
       // ONE labeling/split/tokenize definition shared with the
       // incremental NB maintenance (CorpusStatsMaintenance.nbLabeled):
-      // the maintained counts and this snapshot can never drift
-      CorpusStatsMaintenance.nbLabeled(Tables.documents(s, dir))
-        .localCheckpoint() // feeds class counts, priors AND valid scoring
+      // the maintained counts and this snapshot can never drift.
+      // staged: store ON writes the parquet directly; store off keeps
+      // the checkpoint (feeds class counts, priors AND valid scoring)
+      staged(s, CorpusStatsMaintenance.nbLabeled(Tables.documents(s, dir)))
     }
     val toks = docs.select(col("doc_id"), col("split"), col("cls"),
       explode(col("toks")).as("token"))
@@ -568,11 +569,18 @@ object TextQueries {
     val tag = if (cap > 0) s"lshpairs05c$cap" else "lshpairs05"
     cachedTextFrame(s, tag, dir) {
       val built = lshNeardupPairs(s, dir, 0.5)
-      val out = built.localCheckpoint()
-      built.queryExecution.logical.collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }.foreach(_.unpersist(blocking = false))
-      out
+      // store ON: the parquet write materializes the pair plan once and
+      // writeEntry's LogicalRDD sweep releases the builder's shingle/band
+      // checkpoints found in the plan tree. Store off: eager checkpoint
+      // + manual release, as before.
+      if (graft.ArtifactStore.rootOf(s).isDefined) built
+      else {
+        val out = built.localCheckpoint()
+        built.queryExecution.logical.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }.foreach(_.unpersist(blocking = false))
+        out
+      }
     }
   }
 
@@ -619,40 +627,60 @@ object TextQueries {
     (bg, lm)
   }
 
-  /** Tokenized corpus (doc_id, t) as a persisted artifact — the staging
-    * table of the lexical-retrieval family (q94 BM25, q99 hybrid RRF,
-    * q103 hard negatives): a deployed retrieval pipeline tokenizes its
-    * corpus once per snapshot and every ranker reads the result, it
-    * doesn't re-run the tokenizer per query. Same corpus-fingerprinted
-    * store as the dedup graph and the LM.
+  /** Stage a single-frame artifact build: when the disk store is ON the
+    * frame goes straight into ArtifactStore.writeEntry's parquet write
+    * (ONE materialization — an outer localCheckpoint would spend a
+    * dedicated job materializing blocks the write immediately re-reads
+    * and unpersists); with the store off the checkpoint is what makes
+    * the frame shareable across consumers, exactly as before. Only for
+    * builders with no release-after-checkpoint bookkeeping — a builder
+    * that unpersists its own intermediates before returning (the LM,
+    * the dedup graph, spans) must keep its eager checkpoint, because
+    * the store write runs AFTER the thunk and would otherwise scan
+    * already-released blocks.
+    */
+  private def staged(s: SparkSession, df: DataFrame): DataFrame =
+    if (graft.ArtifactStore.rootOf(s).isEmpty) df.localCheckpoint() else df
+
+  /** Tokenized corpus (doc_id, lang, source, t) as a persisted artifact
+    * — the staging table of the lexical-retrieval family (q94 BM25, q99
+    * hybrid RRF, q103 hard negatives) AND the tokenize-once source the
+    * gram5/DSIR artifacts derive from: a deployed retrieval pipeline
+    * tokenizes its corpus once per snapshot and every ranker reads the
+    * result, it doesn't re-run the tokenizer per query. lang/source ride
+    * along so derived artifacts need no corpus re-join; readers that
+    * don't use them prune the columns at the parquet scan. Same
+    * corpus-fingerprinted store as the dedup graph and the LM.
     */
   private[graft] def lexDocsShared(s: SparkSession, dir: String): DataFrame =
     cachedTextFrame(s, "lexdocs", dir) {
-      Tables.documents(s, dir)
-        .select(col("doc_id"), tokens(col("text")).as("t"))
-        .localCheckpoint()
+      staged(s, Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          tokens(col("text")).as("t")))
     }
 
   /** Document-frequency census (token, df) over the shared tokenized
     * corpus — vocab-sized, the idf side of every BM25 scorer. */
   private[graft] def lexDfShared(s: SparkSession, dir: String): DataFrame =
     cachedTextFrame(s, "lexdf", dir) {
-      lexDocsShared(s, dir)
+      staged(s, lexDocsShared(s, dir)
         .select(explode(array_distinct(col("t"))).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as("df"))
-        .localCheckpoint()
+        .groupBy(col("token")).agg(count(lit(1)).as("df")))
     }
 
   /** Distinct per-doc 5-gram relation (doc_id, lang, g) as a persisted
     * artifact — the shingle table of the verbatim-overlap family (q68
     * contamination, q107 novelty): born distinct via row-local
-    * array_distinct, materialized once per corpus snapshot. */
+    * array_distinct, materialized once per corpus snapshot. Shingles
+    * slide over the STAGED tokenized corpus (wordNgramsFromTokens —
+    * bit-equal to the from-text UDF by the shared tokenizer contract),
+    * so the build re-reads token arrays instead of re-running the text
+    * regexes over the whole corpus. */
   private[graft] def gram5Shared(s: SparkSession, dir: String): DataFrame =
     cachedTextFrame(s, "gram5", dir) {
-      Tables.documents(s, dir)
+      staged(s, lexDocsShared(s, dir)
         .select(col("doc_id"), col("lang"),
-          explode(array_distinct(wordNgramsUdf(5)(col("text")))).as("g"))
-        .localCheckpoint()
+          explode(array_distinct(wordNgramsFromTokensUdf(5)(col("t")))).as("g")))
     }
 
   // ---- Bloom decontamination kernels (ONE definition shared by q120
@@ -698,10 +726,9 @@ object TextQueries {
     * read by the bitset build and by q120's exact-audit join. */
   private[graft] def benchGramsShared(s: SparkSession, dir: String): DataFrame =
     cachedTextFrame(s, "benchgrams", dir) {
-      gram5Shared(s, dir)
+      staged(s, gram5Shared(s, dir)
         .withColumn("split", splitAssign(col("doc_id")))
-        .filter(col("split") =!= "train").select(col("g")).distinct()
-        .localCheckpoint()
+        .filter(col("split") =!= "train").select(col("g")).distinct())
     }
 
   /** The decontamination bitset as a PERSISTED corpus artifact — at
@@ -717,8 +744,8 @@ object TextQueries {
     val f = cachedTextFrame(s, "bloomset", dir) {
       val bench = benchGramsShared(s, dir)
       val m = bloomWidthFor(bench.count())
-      bloomWordRows(bench.withColumn("m", lit(m)))
-        .withColumn("m", lit(m)).localCheckpoint()
+      staged(s, bloomWordRows(bench.withColumn("m", lit(m)))
+        .withColumn("m", lit(m)))
     }
     val mRow = f.select(col("m")).head(1)
     val m = if (mRow.isEmpty) bloomWidthFor(0L) else mRow.head.getLong(0)
@@ -778,28 +805,35 @@ object TextQueries {
     * many target distributions); q102 is one such scoring pass. */
   private[graft] def dsirFeatsShared(s: SparkSession, dir: String): DataFrame =
     cachedTextFrame(s, "dsirfeats", dir) {
-      val t = tokens(col("text"))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"), t.as("t"))
+      // hashed features derive from the STAGED tokenized corpus — same
+      // unigram+bigram stream as before, minus a full re-tokenize pass
+      staged(s, lexDocsShared(s, dir)
+        .select(col("doc_id"), col("source"), col("t"))
         .filter(size(col("t")) >= 1)
         .select(col("doc_id"), col("source"),
           explode(concat(col("t"), tokenBigrams(col("t")))).as("f"))
         .withColumn("b", substring(md5(col("f")), 1, 2))
-        .drop("f")
-        .localCheckpoint()
+        .drop("f"))
     }
 
   private[graft] def docSurprisalShared(s: SparkSession, dir: String): DataFrame =
     cachedTextFrame(s, "bigramlm", dir) {
       val (bg, p) = corpusBigramLm(s, dir)
-      val out = bg.join(p, "bg")
+      val plan = bg.join(p, "bg")
         .groupBy(col("doc_id"), col("lang"), col("source"))
         .agg(avg(-log(col("p"))).as("s"))
-        .localCheckpoint()
-      bg.queryExecution.logical.collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }.foreach(_.unpersist(blocking = false))
-      out
+      // store ON: the parquet write materializes the lazy plan once and
+      // writeEntry's LogicalRDD sweep releases the bigram checkpoint it
+      // finds in the plan tree — no dedicated checkpoint job. Store off:
+      // the eager checkpoint + manual release, exactly as before.
+      if (graft.ArtifactStore.rootOf(s).isDefined) plan
+      else {
+        val out = plan.localCheckpoint()
+        bg.queryExecution.logical.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }.foreach(_.unpersist(blocking = false))
+        out
+      }
     }
 
   /** Per-doc longest duplicated stride-1 window run (doc_id, maxrun) as
@@ -820,13 +854,19 @@ object TextQueries {
     cachedTextFrame(s, "spanruns10", dir) {
       val idx = CorpusStatsMaintenance.buildSpans(
         Tables.documents(s, dir).select(col("doc_id"), col("text")))
-      val out = CorpusStatsMaintenance.spanRuns(idx).localCheckpoint()
-      // release the builder's window/census checkpoints once the run
-      // table is pinned (the lshNeardupPairsShared pattern)
-      Seq(idx.wins, idx.census).foreach(_.queryExecution.logical.collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }.foreach(_.unpersist(blocking = false)))
-      out
+      val plan = CorpusStatsMaintenance.spanRuns(idx)
+      // store ON: the parquet write materializes the run table once and
+      // writeEntry's LogicalRDD sweep releases the builder's window/
+      // census checkpoints found in the plan tree. Store off: eager
+      // checkpoint + manual release (the lshNeardupPairsShared pattern).
+      if (graft.ArtifactStore.rootOf(s).isDefined) plan
+      else {
+        val out = plan.localCheckpoint()
+        Seq(idx.wins, idx.census).foreach(_.queryExecution.logical.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }.foreach(_.unpersist(blocking = false)))
+        out
+      }
     }
 
   /** CCNet tercile assignment (per, with columns doc_id/lang/s →
@@ -2506,25 +2546,44 @@ object TextQueries {
     // oracle replays all five rules.
     "q122_gopher_rules" -> ((s, dir) => {
       val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      // rep_mass — max over bigrams of (in-doc count × gram length) — is
+      // a PER-DOC quantity: computing it row-locally (one bounded-cost
+      // pure function per doc, the simhash/minhash UDF contract) removes
+      // the only reason this query shuffled at all before its final
+      // per-lang rollup. The former shape exploded the corpus bigram
+      // stream, aggregated it twice corpus-wide, and joined it back on
+      // doc_id — at 100 TB a full bigram-stream shuffle for a value no
+      // row outside its own doc contributes to. Gram lengths count
+      // CODEPOINTS (codePointCount), matching the length() Column the
+      // census form used and the oracle's length(); same "w1 w2"
+      // single-space gram shape as tokenBigrams.
+      val repMassUdf = udf { (w: Seq[String]) =>
+        if (w == null || w.length < 2) None
+        else {
+          val counts = scala.collection.mutable.HashMap.empty[String, Long]
+          var i = 0
+          while (i + 1 < w.length) {
+            val g = w(i) + " " + w(i + 1)
+            counts.update(g, counts.getOrElse(g, 0L) + 1L)
+            i += 1
+          }
+          Some(counts.iterator.map { case (g, c) =>
+            c * g.codePointCount(0, g.length) }.max)
+        }
+      }
       val base = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
           length(trim(col("text"))).as("n_chars"),
           split(trim(col("text")), "\\s+").as("w"))
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("w"),
+        .select(col("doc_id"), col("lang"), col("n_chars"),
           size(col("w")).as("n_words"),
           expr("aggregate(w, 0L, (a, x) -> a + length(x))").as("sum_len"),
           expr("size(filter(w, x -> x rlike '[a-zA-Z]'))").as("n_alpha"),
           expr("size(array_intersect(transform(w, x -> lower(x)), " +
-            s"array(${stops.map("'" + _ + "'").mkString(",")})))").as("n_stop"))
-        .localCheckpoint() // feeds the bigram census AND the rule rollup
-      val rep = base
-        .select(col("doc_id"),
-          explode(graft.functions.TextFunctions.tokenBigrams(col("w"))).as("g"))
-        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("c") * length(col("g"))).as("rep_mass"))
+            s"array(${stops.map("'" + _ + "'").mkString(",")})))").as("n_stop"),
+          repMassUdf(col("w")).as("rep_mass"))
       val mean = col("sum_len").cast("double") / col("n_words")
-      base.join(rep, Seq("doc_id"), "left")
+      base
         .select(col("lang"), col("doc_id"),
           (col("n_words") >= 50 && col("n_words") <= 100000).as("r_wc"),
           (mean >= 3.0 && mean <= 10.0).as("r_wlen"),

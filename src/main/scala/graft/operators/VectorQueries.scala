@@ -1402,25 +1402,35 @@ object VectorQueries {
     superCache.synchronized(superCache.clear())
   }
 
+  /** Stage a single-frame index artifact build — the TextQueries.staged
+    * twin: with the disk store ON the frame goes straight into the store's
+    * parquet write (one materialization; an outer localCheckpoint would
+    * spend a dedicated job on blocks the write immediately re-reads and
+    * unpersists), with it off the checkpoint keeps the frame shareable.
+    */
+  private def staged(s: SparkSession, df: DataFrame): DataFrame =
+    if (graft.ArtifactStore.rootOf(s).isEmpty) df.localCheckpoint() else df
+
   /** The PQ-encoded corpus, (vec_id, sub, subvec): shared by the code
     * assignment, the codebook trainer, and the per-query ADC tables. */
   private[graft] def pqSubvecsShared(s: SparkSession, dir: String,
       e: => DataFrame): DataFrame =
-    cachedIndexFrame(s, "pqsubvecs", dir)(pqSubvecs(pqNormalize(e)))
+    cachedIndexFrame(s, "pqsubvecs", dir)(
+      staged(s, pqSubvecsPlan(pqNormalize(e))))
 
   /** The code table, (vec_id, sub, code) — 8 one-byte codes per vector,
     * the compressed corpus every ADC scan reads. */
   private[graft] def pqCodesShared(s: SparkSession, dir: String,
       subvecs: DataFrame, cb: DataFrame): DataFrame =
     cachedIndexFrame(s, "pqcodes", dir)(
-      pqAssign(subvecs, cb).localCheckpoint())
+      staged(s, pqAssign(subvecs, cb)))
 
   /** The IVF inverted file, (vec_id, cell, embedding): corpus shuffled
     * once onto its cells at index-build time. */
   private[graft] def assignCellsShared(s: SparkSession, dir: String,
       e: DataFrame, cent: DataFrame): DataFrame =
     cachedIndexFrame(s, "ivfassign", dir)(
-      assignCells(e, cent).localCheckpoint())
+      staged(s, assignCells(e, cent)))
 
   /** q37's L=8 SRP hash tables, (vec_id, embedding, t, b): the
     * OR-construction's corpus side, hashed once per table at index-BUILD
@@ -1430,8 +1440,7 @@ object VectorQueries {
     * (seeds 16·t apart), preserving q37 ⊇ q34 candidate coverage. */
   private[graft] def srpBandsShared(s: SparkSession, dir: String): DataFrame =
     cachedIndexFrame(s, "srpbands", dir) {
-      srpBandRows(Tables.embeddings(s, dir), srpAnnBits(s, dir))
-        .localCheckpoint()
+      staged(s, srpBandRows(Tables.embeddings(s, dir), srpAnnBits(s, dir)))
     }
 
   /** The L=[[SrpAnnTables]] SRP band rows (vec_id, embedding, t, b) of an
@@ -1505,14 +1514,20 @@ object VectorQueries {
       transform(col("embedding"), x => x.cast("double") / nrm).as("nv"))
   }
 
-  /** One row per (vec_id, subspace) with the dsub-dim subvector. */
-  private[graft] def pqSubvecs(normed: DataFrame): DataFrame = normed
+  /** One row per (vec_id, subspace) with the dsub-dim subvector — the
+    * LAZY plan; [[pqSubvecs]] is its checkpointed form for direct
+    * multi-consumer callers, while the artifact store stages the plan
+    * straight into its parquet write. */
+  private[graft] def pqSubvecsPlan(normed: DataFrame): DataFrame = normed
     .select(col("vec_id"), col("nv"),
       explode(sequence(lit(0), lit(PqM - 1))).as("sub"))
     .withColumn("subvec",
       expr(s"transform(sequence(0, ${PqDsub - 1}), i -> nv[sub * $PqDsub + i])"))
     .select(col("vec_id"), col("sub"), col("subvec"))
-    .localCheckpoint()
+
+  /** One row per (vec_id, subspace) with the dsub-dim subvector. */
+  private[graft] def pqSubvecs(normed: DataFrame): DataFrame =
+    pqSubvecsPlan(normed).localCheckpoint()
 
   /** Nearest-code assignment: partial min_by, no window (q46 lesson). */
   private[graft] def pqAssign(subvecs: DataFrame, cb: DataFrame): DataFrame =

@@ -71,6 +71,22 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(trigrams == Seq("flat no mg", "no mg road"))
   }
 
+  test("wordNgramsFromTokens over the scala tokenize equals wordNgramsScala") {
+    // the lexdocs-artifact shingle path (gram5Shared slides over staged
+    // token arrays) must be bit-equal to the from-text UDF it replaced
+    val texts = Seq("flat no 12, mg road", "", "a", "one two three four five six",
+      "  padded   spaces  ", "UPPER lower 99 mix!", null)
+    for (t <- texts; n <- Seq(2, 3, 5)) {
+      val toks: Seq[String] =
+        if (t == null) Seq.empty
+        else t.toLowerCase.replaceAll("[^a-z ]", " ").trim
+          .split("\\s+").filter(_.nonEmpty).toSeq
+      assert(wordNgramsFromTokens(toks, n).toSeq ==
+        wordNgramsScala(t, n).toSeq, s"text=$t n=$n")
+    }
+    assert(wordNgramsFromTokens(null, 3).isEmpty)
+  }
+
   test("BPE merge edges: overlapping pairs are greedy left-to-right") {
     // "aaa</w>" merging (a,a): the first pair wins, no re-scan of the
     // merged symbol — ["aa","a","</w>"], the standard BPE convention
