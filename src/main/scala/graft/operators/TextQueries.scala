@@ -2037,26 +2037,35 @@ object TextQueries {
           splitAssign(col("doc_id")).as("split"))
         .localCheckpoint() // consumers: dedup-gate quality, funnel
       val qual = base.select(col("doc_id"), col("q"))
-      // gate 1: non-canonical members of multi-doc components
+      // gate 1: non-canonical members of multi-doc components — two
+      // windows over ONE component-keyed shuffle (partitions are
+      // dup-cluster-sized): the keeper is the rank-1 row by (q desc,
+      // doc_id) — identical to the former min_by(doc_id, (−q, doc_id))
+      // — and everything ranked below it in a ≥2-member component
+      // drops. The former shape aggregated per component (a
+      // struct-buffer SortAggregate) and joined the result back onto
+      // members — a second exchange of the same rows.
       val members = neardupComponentsShared(s, dir).join(qual, "doc_id")
-      val best = members.groupBy(col("component"))
-        .agg(count(lit(1)).as("n"),
-          min_by(col("doc_id"), struct(negate(col("q")), col("doc_id")))
-            .as("keep_doc"))
-        .filter(col("n") >= 2)
-      val dropDedup = members.join(best, "component")
-        .filter(col("doc_id") =!= col("keep_doc"))
+      val wKeep = Window.partitionBy(col("component"))
+        .orderBy(negate(col("q")), col("doc_id"))
+      val wN = Window.partitionBy(col("component"))
+      val dropDedup = members
+        .withColumn("rk", row_number().over(wKeep))
+        .withColumn("n", count(lit(1)).over(wN))
+        .filter(col("n") >= 2 && col("rk") > 1)
         .select(col("doc_id"), lit(true).as("g_dedup"))
       // gate 3: train docs sharing a 5-gram with the held-out splits —
       // the (doc_id, g) relation reads the persisted shingle-table
-      // artifact (gram5Shared, exactly q68's input); split is row-local
-      val grams = gram5Shared(s, dir)
+      // artifact (gram5Shared, exactly q68's input); split is row-local,
+      // and the held-out gram SET is the persisted benchGramsShared
+      // artifact (bit-identical definition: gram5 filtered to the
+      // non-train splits, distinct) — the decontamination family's
+      // benchmark side, no longer re-derived per run
+      val contam = gram5Shared(s, dir)
         .select(col("doc_id"), col("g"))
         .withColumn("split", splitAssign(col("doc_id")))
-      val heldGrams = grams.filter(col("split") =!= "train")
-        .select(col("g")).distinct()
-      val contam = grams.filter(col("split") === "train")
-        .join(heldGrams, "g")
+        .filter(col("split") === "train")
+        .join(benchGramsShared(s, dir), "g")
         .select(col("doc_id")).distinct()
         .select(col("doc_id"), lit(true).as("g_contam"))
       // gate 4: the q98 tail tercile over the full corpus — per-doc LM

@@ -459,8 +459,13 @@ class PlanSpec extends AnyFunSuite {
       s"a funnel gate join fell back to a cartesian:\n$plan")
     assert(!plan.contains("ntile"),
       s"LM tercile regressed to a per-lang ntile corpus sort:\n$plan")
-    assert(plan.contains("partial_min_by"),
-      s"canonical-keep selection lost its map-side partial:\n$plan")
+    // r18: the dedup gate is two windows over ONE component-keyed
+    // shuffle (rank-1 keeper + member count; partitions are
+    // dup-cluster-sized, never a lang or corpus partition) — the former
+    // min_by aggregate + join-back re-shuffled the same member rows
+    // twice for identical output
+    assert(plan.contains("windowspecdefinition(component"),
+      s"canonical-keep selection lost its component-keyed window:\n$plan")
     assert(plan.contains("partial_sum"),
       s"funnel accounting lost its map-side partials:\n$plan")
   }
