@@ -138,6 +138,57 @@ object TextFunctions {
     round((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3), 6)
   }
 
+  /** One-pass compiled twin of (stopwordRatio, punctRatio, qualityScore)
+    * for the per-source quality REPORT (q25): the Column forms repeat
+    * the interpreted tokenizer/regex subtrees per metric (CollapseProject
+    * re-inlines them — the wordNgramsScala rationale), so a report that
+    * wants all three pays the tokenize ~5×. Bit-identical by
+    * construction — identical regexes, identical IEEE op order,
+    * space-only trim where Spark's trim() is space-only, codepoint
+    * lengths, and Spark Round's exact BigDecimal(double) HALF_UP — and
+    * pinned row-for-row against the Column forms in TextFunctionsSpec.
+    * Returns null for null text (the Column forms' null propagation).
+    * The DECISION consumers (q61's floor, q69's ranking, q100's gate)
+    * keep the Column qualityScore — they compute it once per row anyway.
+    */
+  def qualityMetricsScala(text: String)
+      : Option[(Double, Double, Double, Double)] = {
+    if (text == null) return None
+    // stopwordRatio over the normalized tokens ([a-z ] clean: every
+    // whitespace is already a plain space, so Java trim == space trim)
+    val toks = text.toLowerCase.replaceAll("[^a-z ]", " ").trim
+      .split("\\s+").filter(_.nonEmpty)
+    val stopSet = Stopwords.toSet
+    val stopR =
+      if (toks.length == 0) 0.0
+      else toks.count(stopSet.contains).toDouble / toks.length
+    // punctRatio: codepoint counts after the same regex strips
+    def cps(s: String): Int = s.codePointCount(0, s.length)
+    val nonSpace = cps(text.replaceAll("\\s", ""))
+    val punctR =
+      if (nonSpace == 0) 0.0
+      else cps(text.replaceAll("[A-Za-z0-9\\s]", "")).toDouble / nonSpace
+    // tokenCount splits the SPACE-trimmed raw text (Spark trim() trims
+    // 0x20 only — NOT Java String.trim, which also eats \t\n)
+    var b = 0; var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    val nTok = text.substring(b, e).split("\\s+", -1).length.toDouble
+    val lenScore = math.min(nTok / 20.0, 1.0)
+    val punctScore = 1.0 - math.min(punctR * 4, 1.0)
+    val stopScore = math.min(stopR * 5, 1.0)
+    // Spark Round(double, 6): scala BigDecimal(double) (canonical
+    // Double.toString value) setScale HALF_UP — replicated verbatim
+    val q = BigDecimal(lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // nTok rides along (4th slot) for consumers that pair the quality
+    // score with the raw token count (q109's length-quality Pearson) —
+    // an integer-valued double, exactly tokenCount(c).cast("double")
+    Some((stopR, punctR, q, nTok))
+  }
+
+  val qualityMetricsUdf = udf((text: String) => qualityMetricsScala(text))
+
   // ---------------------------------------------------------------- hashing
 
   /** FNV-1a 64-bit hash (deterministic across JVMs, no seed). */

@@ -971,11 +971,16 @@ object TextQueries {
 
     // Quality scoring per source: stopword/punct ratios + composite score.
     "q25_quality" -> ((s, dir) => {
+      // all three metrics in ONE compiled pass (qualityMetricsUdf — the
+      // bit-identical twin of the Column forms, spec-pinned): the Column
+      // expressions re-inline the interpreted tokenizer per metric, so
+      // the report paid the regex tokenize ~5× per row for three numbers
       Tables.documents(s, dir)
+        .select(col("source"), qualityMetricsUdf(col("text")).as("m"))
         .select(col("source"),
-          stopwordRatio(col("text")).as("stop_r"),
-          punctRatio(col("text")).as("punct_r"),
-          qualityScore(col("text")).as("q"))
+          col("m._1").as("stop_r"),
+          col("m._2").as("punct_r"),
+          col("m._3").as("q"))
         .groupBy(col("source"))
         .agg(round(avg("stop_r"), 4).as("avg_stop_ratio"),
           round(avg("punct_r"), 4).as("avg_punct_ratio"),
@@ -2365,9 +2370,12 @@ object TextQueries {
     // 20-row means table broadcasts back, and both passes are partial
     // aggs. No window, no join wider than doc rows.
     "q109_len_quality_corr" -> ((s, dir) => {
+      // both metrics from the ONE-pass compiled twin (bit-identity
+      // pinned in QueriesSpec): tokenCount rides the UDF's 4th slot as
+      // an integer-valued double == tokenCount(c).cast("double")
       pearsonByKey(Tables.documents(s, dir)
-        .select(col("source"), tokenCount(col("text")).cast("double").as("x"),
-          qualityScore(col("text")).as("y")),
+        .select(col("source"), qualityMetricsUdf(col("text")).as("m"))
+        .select(col("source"), col("m._4").as("x"), col("m._3").as("y")),
         "source", "len_quality_r")
     }),
 

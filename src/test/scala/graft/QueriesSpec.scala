@@ -25,6 +25,31 @@ class QueriesSpec extends AnyFunSuite {
     assert(empty.isEmpty, s"empty results: ${empty.keys.mkString(", ")}")
   }
 
+  test("q25 compiled metrics twin is bit-identical to the Column forms") {
+    // the one-pass qualityMetricsUdf must reproduce stopwordRatio /
+    // punctRatio / qualityScore EXACTLY (==, not approx) on the full
+    // spec corpus — any semantic drift (trim flavor, split limit,
+    // codepoint vs UTF-16 length, Round mode) fails loudly here
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        stopwordRatio(col("text")).as("s_c"),
+        punctRatio(col("text")).as("p_c"),
+        qualityScore(col("text")).as("q_c"),
+        tokenCount(col("text")).cast("double").as("n_c"),
+        qualityMetricsUdf(col("text")).as("m"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getStruct(r.fieldIndex("m"))
+      assert(r.getDouble(1) == m.getDouble(0), s"stop_r drift doc ${r.get(0)}")
+      assert(r.getDouble(2) == m.getDouble(1), s"punct_r drift doc ${r.get(0)}")
+      assert(r.getDouble(3) == m.getDouble(2), s"quality drift doc ${r.get(0)}")
+      assert(r.getDouble(4) == m.getDouble(3), s"ntok drift doc ${r.get(0)}")
+    }
+  }
+
   test("every oracle key has a matching query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")

@@ -87,6 +87,28 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(wordNgramsFromTokens(null, 3).isEmpty)
   }
 
+  test("qualityMetricsScala edge semantics match the Column forms' rules") {
+    // engine-level row-for-row equality is pinned in QueriesSpec (the
+    // sf0.001 corpus); here the hand-replicated edge semantics:
+    // space-only trim (Spark trim()), split keeping the empty token of
+    // "", codepoint lengths, null propagation
+    assert(qualityMetricsScala(null).isEmpty)
+    val (s0, p0, q0, n0) = qualityMetricsScala("").get
+    assert(s0 == 0.0 && p0 == 0.0 && n0 == 1.0)
+    // "" splits to [""] (one raw token) exactly like Spark's
+    // split(trim(''), '\s+'): lenScore = 1/20, stopScore 0, punctScore 1
+    assert(q0 == BigDecimal(0.05 * 0.4 + 1.0 * 0.3 + 0.0 * 0.3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // tab is NOT trimmed by Spark trim(): "\ta b" splits to ["","a","b"]
+    // (3 raw tokens) while " a b" space-trims to 2 — the q values differ
+    val (_, _, qTab, _) = qualityMetricsScala("\ta b").get
+    val (_, _, qSp, _) = qualityMetricsScala(" a b").get
+    assert(qTab != qSp, "space-only trim semantics lost")
+    val (st, pt, _, _) = qualityMetricsScala("the cat! sat?").get
+    assert(st == 1.0 / 3.0) // 'the' of 3 normalized tokens
+    assert(pt == 2.0 / 11.0) // '!' '?' over 11 non-space chars
+  }
+
   test("BPE merge edges: overlapping pairs are greedy left-to-right") {
     // "aaa</w>" merging (a,a): the first pair wins, no re-scan of the
     // merged symbol — ["aa","a","</w>"], the standard BPE convention
