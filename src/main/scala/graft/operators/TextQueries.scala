@@ -2236,8 +2236,14 @@ object TextQueries {
       // census-sized passes and no shingle-keyed join remains at any
       // scale (the former a.sh = b.sh join's bucket sizes were bounded
       // too, but it re-shuffled the distinct table twice to meet itself).
-      val sets = Tables.documents(s, dir)
-        .select(col("source"), explode(wordNgramsUdf(3)(col("text"))).as("sh"))
+      // shingles slide over the STAGED tokenized corpus (lexdocs carries
+      // source; wordNgramsFromTokens ≡ the from-text UDF by the shared
+      // tokenizer contract, spec-pinned) — the per-query re-tokenize of
+      // the whole corpus is gone, the same artifact-consumer shape as
+      // q68/q107 reading gram5
+      val sets = lexDocsShared(s, dir)
+        .select(col("source"),
+          explode(wordNgramsFromTokensUdf(3)(col("t"))).as("sh"))
         .groupBy(col("sh"))
         .agg(sort_array(collect_set(col("source"))).as("ss"))
         .localCheckpoint() // 2 consumers: size census + pair intersections
