@@ -1610,6 +1610,39 @@ class QueriesSpec extends AnyFunSuite {
       s"planted orphan + null FK not detected: $audit")
   }
 
+  test("orphanAuditFused matches the single-rule orphanAudit rule-for-rule " +
+    "(planted orphans, null + duplicate FKs, empty child)") {
+    import spark.implicits._
+    // two FK columns on one child: fk1 has an orphan (99) + a null +
+    // duplicate occurrences of one key; fk2 is fully parented
+    val child = Seq(
+      (Option(1L), 10L), (Option(1L), 10L), (Option(2L), 11L),
+      (Option(99L), 11L), (None: Option[Long], 10L)).toDF("fk1", "fk2")
+    val p1 = Seq(1L, 2L, 3L).toDF("pk")
+    val p2 = Seq(10L, 11L).toDF("pk")
+    val fused = RelationalQueries.orphanAuditFused(child, Seq(
+      ("rule1", "fk1", p1, "pk"), ("rule2", "fk2", p2, "pk")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Seq(("rule1", "fk1", p1), ("rule2", "fk2", p2)).foreach {
+      case (name, ck, parent) =>
+        val ref = RelationalQueries.orphanAudit(child, ck, parent, "pk", name)
+          .head
+        assert(fused(name) ==
+          ((ref.getAs[Long]("n_rows"), ref.getAs[Long]("n_orphans"))),
+          s"$name: fused ${fused(name)} != reference " +
+            s"(${ref.getAs[Long]("n_rows")}, ${ref.getAs[Long]("n_orphans")})")
+    }
+    assert(fused("rule1") == ((5L, 2L)) && fused("rule2") == ((5L, 0L)))
+    // an EMPTY child must still report its rules as 0/0 (the oracle
+    // always emits all five relation rows)
+    val empty = RelationalQueries.orphanAuditFused(
+      child.filter(lit(false)), Seq(("rule1", "fk1", p1, "pk")))
+      .head
+    assert(empty.getAs[Long]("n_rows") == 0L &&
+      empty.getAs[Long]("n_orphans") == 0L,
+      s"empty child lost its seed row: $empty")
+  }
+
   test("q116 basket pairs: top-20 replays order-for-order in plain Scala") {
     val rows = RelationalQueries.defs("q116_basket_pairs")(spark, dir).collect()
     assert(rows.length == 20)
