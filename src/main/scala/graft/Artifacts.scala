@@ -17,13 +17,16 @@ object Artifacts {
       graft.operators.TextQueries.lshNeardupPairsShared(spark, sfDir)
       graft.operators.TextQueries.neardupComponentsShared(spark, sfDir)
       () },
-    "lm" -> (() => { graft.operators.TextQueries.docSurprisalShared(spark, sfDir); () }),
+    // lex builds BEFORE lm/bpe: both now derive their token streams from
+    // the lexdocs artifact (tokenize once per corpus snapshot), so the
+    // staging table must not land inside another family's cold timing
     "lex" -> { () =>
       graft.operators.TextQueries.lexDocsShared(spark, sfDir)
       graft.operators.TextQueries.lexDfShared(spark, sfDir)
       graft.operators.TextQueries.gram5Shared(spark, sfDir)
       graft.operators.TextQueries.dsirFeatsShared(spark, sfDir)
       () },
+    "lm" -> (() => { graft.operators.TextQueries.docSurprisalShared(spark, sfDir); () }),
     "nb" -> (() => { graft.operators.TextQueries.nbQualityScored(spark, sfDir); () }),
     "spans" -> (() => { graft.operators.TextQueries.spanRunsShared(spark, sfDir); () }),
     "bloom" -> { () =>

@@ -21,7 +21,7 @@ class ArtifactsSpec extends AnyFunSuite {
   test("every artifact family prewarms cleanly at sf0.001") {
     val builds = Artifacts.prewarm(spark, "/root/testdata/sf0.001")
     assert(builds.map(_._1) ==
-      Seq("dedup", "lm", "lex", "nb", "spans", "bloom", "bpe", "ivf", "pq", "srp"),
+      Seq("dedup", "lex", "lm", "nb", "spans", "bloom", "bpe", "ivf", "pq", "srp"),
       s"family list drifted: ${builds.map(_._1)}")
     val failed = builds.filter(_._2 < 0)
     assert(failed.isEmpty, s"families failed to build: ${failed.map(_._1)}")
@@ -44,7 +44,7 @@ class ArtifactsSpec extends AnyFunSuite {
     try {
       val builds = Artifacts.prewarmCold(spark, "/root/testdata/sf0.001", roots)
       assert(builds.map(_._1) ==
-        Seq("dedup", "lm", "lex", "nb", "spans", "bloom", "bpe", "ivf", "pq", "srp"))
+        Seq("dedup", "lex", "lm", "nb", "spans", "bloom", "bpe", "ivf", "pq", "srp"))
       assert(builds.forall(_._2 >= 0), s"cold build failed: $builds")
       // EVERY root carries a full publication: repetition 2 rebuilt from
       // the corpus rather than hitting repetition 1's L1 frames (a
