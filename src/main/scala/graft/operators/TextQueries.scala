@@ -1214,10 +1214,12 @@ object TextQueries {
     // pins the top-20 exact tokens with their sketch estimates — the
     // cms_est ≥ n overestimate guarantee is asserted in QueriesSpec.
     "q87_cms_heavy_hitters" -> ((s, dir) => {
-      val tok = Tables.documents(s, dir)
-        .select(explode(split(
-          regexp_replace(lower(col("text")), "[^a-z ]", " "), "\\s+")).as("token"))
-        .filter(length(col("token")) > 0)
+      // token census from the persisted tokenized corpus (same
+      // multiset as the former inline lower/strip/split/length>0 —
+      // tokens() only additionally trims, which the length filter
+      // already covered)
+      val tok = lexDocsShared(s, dir)
+        .select(explode(col("t")).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n"))
       def bucket(j: Int): Column =
@@ -1504,10 +1506,15 @@ object TextQueries {
     }),
 
     "q60_unigram_surprisal" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"),
-          explode(split(regexp_replace(lower(col("text")), "[^a-z ]", " "), "\\s+")).as("token"))
-        .filter(length(col("token")) > 0)
+      // token stream from the persisted tokenized corpus: `toks` feeds
+      // BOTH the frequency census and the scoring join, so the from-text
+      // form ran the regex tokenize twice per query (the artifact read
+      // is a pruned parquet scan per consumer instead). The inline
+      // lower/strip/split/length>0 pipeline it replaces produces the
+      // same token multiset as tokens() — trim only removes tokens the
+      // length filter dropped anyway.
+      val toks = lexDocsShared(s, dir)
+        .select(col("doc_id"), col("source"), explode(col("t")).as("token"))
       val freq = toks.groupBy(col("token"))
         .agg(count(lit(1)).as("tf"))
       // corpus-total as a broadcast 1-row join, NOT a single-partition

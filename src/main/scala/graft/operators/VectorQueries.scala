@@ -522,10 +522,13 @@ object VectorQueries {
       val cent = trainCellsShared(s, dir, e)
       val assigned = assignCellsShared(s, dir, e, cent)
         .select(col("vec_id"), col("cell"))
-      val docs = Tables.documents(s, dir)
+      // token arrays from the persisted tokenized corpus (lexdocs) —
+      // no regex re-tokenize; the artifact is built with the same
+      // tokens() the from-text form inlined here
+      val docs = graft.operators.TextQueries.lexDocsShared(s, dir)
+        .select(col("doc_id"), col("t"))
         .join(assigned, col("doc_id") === col("vec_id"))
-        .select(col("cell"), col("doc_id"),
-          graft.functions.TextFunctions.tokens(col("text")).as("t"))
+        .select(col("cell"), col("doc_id"), col("t"))
       val sizes = docs.groupBy(col("cell")).agg(count(lit(1)).as("n_docs"))
       val tf = docs.select(col("cell"), explode(col("t")).as("token"))
         .groupBy(col("cell"), col("token")).agg(count(lit(1)).as("tf"))
