@@ -1890,10 +1890,17 @@ object TextQueries {
     // recomputes as a single SQL window.
     "q70_token_budget" -> ((s, dir) => {
       val budget = 2000L
+      // quality AND token count from the ONE-pass compiled twin (the
+      // q25/q109 shape): the Column forms are two separate expression
+      // trees over text, each inlining its regex subtrees per row.
+      // m._3/m._4 are BIT-equal to qualityScore/tokenCount by the
+      // QueriesSpec pin, so the keep decisions below cannot move; the
+      // integer-valued-double → int cast is exact.
       val base = Tables.documents(s, dir)
-        .withColumn("q", qualityScore(col("text")))
-        .withColumn("ntok", tokenCount(col("text")))
-        .select(col("lang"), col("doc_id"), col("q"), col("ntok"))
+        .select(col("lang"), col("doc_id"),
+          qualityMetricsUdf(col("text")).as("m"))
+        .select(col("lang"), col("doc_id"),
+          col("m._3").as("q"), col("m._4").cast("int").as("ntok"))
         .localCheckpoint() // 3 consumers: level agg + both keep joins
       val byQ = base.groupBy(col("lang"), col("q"))
         .agg(sum("ntok").as("qtok"))
