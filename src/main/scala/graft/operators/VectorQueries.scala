@@ -1539,6 +1539,23 @@ object VectorQueries {
       .groupBy(col("vec_id"), col("sub"))
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
 
+  /** Trainer-side assignment that KEEPS the subvector: subvec is constant
+    * within a (vec_id, sub) group, so it rides the same min_by buffer —
+    * the former shape re-joined the corpus×M assignment back onto the
+    * corpus×M subvec table just to recover a column every pre-aggregation
+    * row already held (two exchanges + an SMJ of the two largest frames
+    * in the build). The picked subvec is identical whichever row wins the
+    * min_by, so the downstream mean is over exactly the same multiset. */
+  private def pqAssignKeepSubvec(subvecs: DataFrame, cb: DataFrame)
+      : DataFrame =
+    subvecs.join(broadcast(cb), "sub")
+      .withColumn("d2", sqDist(col("subvec"), col("centroid")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(struct(col("code"), col("subvec")),
+        struct(col("d2"), col("code"))).as("cs"))
+      .select(col("vec_id"), col("sub"),
+        col("cs.code").as("code"), col("cs.subvec").as("subvec"))
+
   /** Per-subspace codebook of PqK centroids: deterministic md5-sampled
     * seeds (TakeOrderedAndProject — no full sort at scale) + one Lloyd
     * iteration. Seeds and their subvectors come from the checkpointed
@@ -1557,8 +1574,7 @@ object VectorQueries {
       .withColumn("code", row_number().over(seedOrder) - 1)
     val cb0 = broadcast(seeds).join(subvecs, "vec_id")
       .select(col("sub"), col("code"), col("subvec").as("centroid"))
-    pqAssign(subvecs, cb0)
-      .join(subvecs, Seq("vec_id", "sub"))
+    pqAssignKeepSubvec(subvecs, cb0)
       .select(col("sub"), col("code"), posexplode(col("subvec")).as(Seq("dim", "x")))
       .groupBy(col("sub"), col("code"), col("dim"))
       .agg(avg(col("x")).as("c"))
